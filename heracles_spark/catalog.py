@@ -1,0 +1,242 @@
+"""JSON metastore of key-organized tables — the rebuild's ``HBaseCatalog``.
+
+Reference semantics being re-expressed (all file:line cites are into
+/root/reference):
+
+- A table's columns split into ordered, non-nullable KEY columns and
+  nullable NON-KEY columns (HBaseCatalog.scala:68-95; nullability
+  HBaseRelation.scala:667-670).
+- CREATE TABLE validates the key mapping: every key column exists, no
+  duplicates, at least one key column (HBaseCatalog.scala:298-416).
+- The catalog persists one record per table keyed by name
+  (HBaseCatalog.writeObjectToTable, HBaseCatalog.scala:814-832) with an
+  in-memory cache (relationMapCache, HBaseCatalog.scala:104).
+- Partition (region) metadata exposes per-partition key ranges used for
+  pruning (HBasePartition.scala:29-38). Here the analogue is a per-file
+  key-range index written at load time and consumed by
+  heracles_spark.pruning.
+
+Scale note (100 TB): the per-file index is a list in the table JSON for
+simplicity; at ≫1e5 files it must graduate to its own parquet dataset
+(SURVEY §7.4.6). The pruner API takes the index as rows, so only
+``_load``/``_save`` would change.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+# The reference supports exactly 10 atomic types (DataTypeUtils.scala:42-57).
+SUPPORTED_TYPES = {
+    "boolean": T.BooleanType(),
+    "tinyint": T.ByteType(),
+    "byte": T.ByteType(),
+    "smallint": T.ShortType(),
+    "short": T.ShortType(),
+    "int": T.IntegerType(),
+    "integer": T.IntegerType(),
+    "bigint": T.LongType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "date": T.DateType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+class CatalogError(ValueError):
+    pass
+
+
+@dataclass
+class KeyTable:
+    """One key-organized table (≙ HBaseRelation, HBaseRelation.scala:49-59)."""
+
+    name: str
+    columns: list[tuple[str, str]]          # (name, sql_type) in declared order
+    key_cols: list[str]                     # composite sort key, in key order
+    data_dir: str
+    properties: dict[str, str] = field(default_factory=dict)
+    # per-file key-range index: {path, rows, min: {col: v}, max: {col: v}}
+    files: list[dict[str, Any]] = field(default_factory=list)
+
+    def schema(self) -> T.StructType:
+        # Key columns are non-nullable (HBaseRelation.scala:668), non-key
+        # nullable (:669) — null ⟺ absent HBase cell (:902-903).
+        return T.StructType([
+            T.StructField(n, SUPPORTED_TYPES[t.lower()], n not in self.key_cols)
+            for n, t in self.columns
+        ])
+
+    def non_key_cols(self) -> list[str]:
+        return [n for n, _ in self.columns if n not in self.key_cols]
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "name": self.name,
+            "columns": self.columns,
+            "key_cols": self.key_cols,
+            "data_dir": self.data_dir,
+            "properties": self.properties,
+            "files": self.files,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "KeyTable":
+        return KeyTable(
+            name=d["name"],
+            columns=[tuple(c) for c in d["columns"]],
+            key_cols=list(d["key_cols"]),
+            data_dir=d["data_dir"],
+            properties=dict(d.get("properties", {})),
+            files=list(d.get("files", [])),
+        )
+
+
+class HeraclesCatalog:
+    """File-backed catalog with an in-memory cache (≙ HBaseCatalog)."""
+
+    def __init__(self, metastore_dir: str):
+        self.metastore_dir = metastore_dir
+        self.tables_dir = os.path.join(metastore_dir, "tables")
+        os.makedirs(self.tables_dir, exist_ok=True)
+        self._cache: dict[str, KeyTable] = {}
+        self._lock = threading.Lock()
+
+    # -- CRUD (≙ HBaseCatalog.doCreateTable/doDropTable/listTables) --------
+
+    def create_table(self, name: str, columns: list[tuple[str, str]],
+                     key_cols: list[str],
+                     properties: dict[str, str] | None = None,
+                     data_dir: str | None = None) -> KeyTable:
+        name = name.lower()
+        if self.table_exists(name):
+            raise CatalogError(f"table already exists: {name}")
+        colnames = [c for c, _ in columns]
+        if len(set(colnames)) != len(colnames):
+            raise CatalogError("duplicate column names")
+        if not key_cols:
+            # Reference requires ≥1 key column (the HBase row key must exist).
+            raise CatalogError("at least one key column required")
+        for k in key_cols:
+            if k not in colnames:
+                raise CatalogError(f"key column not in schema: {k}")
+        if len(set(key_cols)) != len(key_cols):
+            raise CatalogError("duplicate key columns")
+        for _, t in columns:
+            if t.lower() not in SUPPORTED_TYPES:
+                raise CatalogError(f"unsupported type: {t}")
+        tbl = KeyTable(
+            name=name,
+            columns=[(c, t.lower()) for c, t in columns],
+            key_cols=list(key_cols),
+            data_dir=data_dir or os.path.join(self.metastore_dir, "data", name),
+            properties=dict(properties or {}),
+        )
+        os.makedirs(tbl.data_dir, exist_ok=True)
+        self._save(tbl)
+        return tbl
+
+    def drop_table(self, name: str, purge_data: bool = True) -> None:
+        name = name.lower()
+        tbl = self.get_table(name)
+        path = self._path(name)
+        with self._lock:
+            self._cache.pop(name, None)
+        if os.path.exists(path):
+            os.remove(path)
+        if purge_data and os.path.isdir(tbl.data_dir):
+            import shutil
+            shutil.rmtree(tbl.data_dir, ignore_errors=True)
+
+    def table_exists(self, name: str) -> bool:
+        return os.path.exists(self._path(name.lower()))
+
+    def get_table(self, name: str) -> KeyTable:
+        name = name.lower()
+        with self._lock:
+            if name in self._cache:
+                return self._cache[name]
+        if not self.table_exists(name):
+            raise CatalogError(f"no such table: {name}")
+        tbl = self._load(name)
+        with self._lock:
+            self._cache[name] = tbl
+        return tbl
+
+    def list_tables(self) -> list[str]:
+        return sorted(f[:-5] for f in os.listdir(self.tables_dir)
+                      if f.endswith(".json"))
+
+    # -- ALTER (non-key only, ≙ HBaseCatalog.scala:777-812) ----------------
+
+    def alter_add_column(self, name: str, col: str, sql_type: str) -> KeyTable:
+        tbl = self.get_table(name)
+        if col in [c for c, _ in tbl.columns]:
+            raise CatalogError(f"column exists: {col}")
+        if sql_type.lower() not in SUPPORTED_TYPES:
+            raise CatalogError(f"unsupported type: {sql_type}")
+        tbl.columns.append((col, sql_type.lower()))
+        self._save(tbl)
+        return tbl
+
+    def alter_drop_column(self, name: str, col: str) -> KeyTable:
+        tbl = self.get_table(name)
+        if col in tbl.key_cols:
+            # Key columns cannot be dropped (reference restricts ALTER to
+            # non-key columns, hbaseCommands.scala:33-59).
+            raise CatalogError(f"cannot drop key column: {col}")
+        if col not in [c for c, _ in tbl.columns]:
+            raise CatalogError(f"no such column: {col}")
+        tbl.columns = [(c, t) for c, t in tbl.columns if c != col]
+        self._save(tbl)
+        return tbl
+
+    # -- file index (≙ HBaseRelation.fetchPartitions region metadata) ------
+
+    def update_file_index(self, name: str, files: list[dict[str, Any]],
+                          append: bool = False) -> KeyTable:
+        tbl = self.get_table(name)
+        tbl.files = (tbl.files + files) if append else files
+        self._save(tbl)
+        return tbl
+
+    # -- Spark integration -------------------------------------------------
+
+    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+        tbl = self.get_table(name)
+        if tbl.files:
+            return spark.read.schema(tbl.schema()).parquet(tbl.data_dir)
+        # Empty table: zero-row DataFrame with the right schema.
+        return spark.createDataFrame([], tbl.schema())
+
+    def register_all(self, spark: SparkSession) -> None:
+        """Register every table as a temp view (≙ HBaseSourceAnalysis
+        resolving CatalogRelation → LogicalRelation, HBaseStrategies.scala:231)."""
+        for name in self.list_tables():
+            self.read_table(spark, name).createOrReplaceTempView(name)
+
+    # -- persistence -------------------------------------------------------
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.tables_dir, f"{name}.json")
+
+    def _save(self, tbl: KeyTable) -> None:
+        tmp = self._path(tbl.name) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(tbl.to_json(), f, default=str)
+        os.replace(tmp, self._path(tbl.name))
+        with self._lock:
+            self._cache[tbl.name] = tbl
+
+    def _load(self, name: str) -> KeyTable:
+        with open(self._path(name)) as f:
+            return KeyTable.from_json(json.load(f))

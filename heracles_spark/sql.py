@@ -1,0 +1,189 @@
+"""DDL/DML dispatcher — the rebuild's custom SQL surface.
+
+The reference has NO parser of its own: its CREATE/LOAD syntax rides on
+Spark 2.2's grammar and analyzer rewrites route the statements to HBase
+commands (SURVEY §3.1 step 3; HBaseStrategies.scala:231-271). Here a
+small regex dispatcher intercepts the key-organized DDL/DML and hands
+every other statement to stock ``spark.sql`` — the same split.
+
+Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
+  CREATE TABLE t (col type, ...) TBLPROPERTIES('keyCols'='a;b', ...)
+  DROP TABLE [IF EXISTS] t
+  LOAD DATA [LOCAL] INPATH 'f' [OVERWRITE] INTO TABLE t
+  INSERT INTO [TABLE] t VALUES (...), (...)
+  INSERT INTO [TABLE] t SELECT ...
+  SHOW TABLES / DESCRIBE t
+
+``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
+but do not affect layout: column families/qualifiers are meaningless in
+columnar storage and both encodings collapse to native types
+(SURVEY §1.5, §7.4.3).
+"""
+
+from __future__ import annotations
+
+import re
+import shlex
+
+from pyspark.sql import DataFrame
+
+_CREATE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"\((?P<cols>.*?)\)\s*"
+    r"TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
+_LOAD = re.compile(
+    r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'(?P<path>[^']+)'\s+"
+    r"(?P<overwrite>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
+_INSERT_VALUES = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+"
+    r"VALUES\s*(?P<rows>\(.*\))\s*$",
+    re.IGNORECASE | re.DOTALL)
+_INSERT_SELECT = re.compile(
+    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+"
+    r"(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL)
+_SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_DESCRIBE = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+
+
+def dispatch(session, statement: str) -> DataFrame | None:
+    """Route one statement. ``session`` is a HeraclesSession."""
+    from heracles_spark import writer
+
+    spark, catalog = session.spark, session.catalog
+
+    m = _CREATE.match(statement)
+    if m:
+        cols = _parse_columns(m.group("cols"))
+        props = _parse_props(m.group("props"))
+        key_cols = [k for k in props.get("keyCols", "").split(";") if k]
+        if not key_cols:
+            raise ValueError("CREATE TABLE requires TBLPROPERTIES keyCols")
+        tbl = catalog.create_table(m.group("name"), cols, key_cols,
+                                   properties=props)
+        catalog.read_table(spark, tbl.name).createOrReplaceTempView(tbl.name)
+        return None
+
+    m = _DROP.match(statement)
+    if m:
+        name = m.group("name").lower()
+        if not catalog.table_exists(name):
+            if m.group("if_exists"):
+                return None
+            raise ValueError(f"no such table: {name}")
+        catalog.drop_table(name)
+        spark.catalog.dropTempView(name)
+        return None
+
+    m = _LOAD.match(statement)
+    if m:
+        name = m.group("name").lower()
+        writer.bulk_load_csv(spark, catalog, name, m.group("path"),
+                             overwrite=bool(m.group("overwrite")))
+        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        return None
+
+    m = _INSERT_VALUES.match(statement)
+    if m:
+        name = m.group("name").lower()
+        writer.insert_rows(spark, catalog, name,
+                           _parse_value_rows(m.group("rows")))
+        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        return None
+
+    m = _INSERT_SELECT.match(statement)
+    if m:
+        name = m.group("name").lower()
+        df = spark.sql(m.group("select"))
+        writer.write_key_organized(spark, catalog, name, df, mode="append")
+        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        return None
+
+    if _SHOW.match(statement):
+        return spark.createDataFrame(
+            [(t,) for t in catalog.list_tables()], "tableName: string")
+
+    m = _DESCRIBE.match(statement)
+    if m and catalog.table_exists(m.group("name").lower()):
+        tbl = catalog.get_table(m.group("name").lower())
+        rows = [(c, t, "KEY" if c in tbl.key_cols else "")
+                for c, t in tbl.columns]
+        return spark.createDataFrame(
+            rows, "col_name: string, data_type: string, comment: string")
+
+    # Everything else: stock Spark SQL (≙ all operators above the scan
+    # being inherited, SURVEY §0).
+    return spark.sql(statement)
+
+
+def _parse_columns(s: str) -> list[tuple[str, str]]:
+    cols = []
+    for part in _split_top(s, ","):
+        toks = part.strip().split()
+        if len(toks) < 2:
+            raise ValueError(f"bad column def: {part!r}")
+        cols.append((toks[0], toks[1].lower()))
+    return cols
+
+
+def _parse_props(s: str) -> dict[str, str]:
+    props: dict[str, str] = {}
+    for part in _split_top(s, ","):
+        kv = part.strip()
+        m = re.match(r"'([^']+)'\s*=\s*'([^']*)'", kv)
+        if not m:
+            raise ValueError(f"bad TBLPROPERTIES entry: {kv!r}")
+        props[m.group(1)] = m.group(2)
+    return props
+
+
+def _parse_value_rows(s: str) -> list[tuple]:
+    rows = []
+    for grp in re.findall(r"\(([^()]*)\)", s):
+        vals = []
+        for raw in _split_top(grp, ","):
+            raw = raw.strip()
+            if raw.upper() == "NULL":
+                vals.append(None)
+            elif raw.startswith("'") and raw.endswith("'"):
+                vals.append(raw[1:-1].replace("''", "'"))
+            elif raw.startswith('"') and raw.endswith('"'):
+                vals.append(raw[1:-1])
+            else:
+                vals.append(raw)
+        rows.append(tuple(vals))
+    return rows
+
+
+def _split_top(s: str, sep: str) -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0."""
+    out, buf, depth, q = [], [], 0, None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in "'\"":
+            q = ch
+            buf.append(ch)
+        elif ch == "(":
+            depth += 1
+            buf.append(ch)
+        elif ch == ")":
+            depth -= 1
+            buf.append(ch)
+        elif ch == sep and depth == 0:
+            out.append("".join(buf))
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        out.append("".join(buf))
+    return [p for p in (x.strip() for x in out) if p]
