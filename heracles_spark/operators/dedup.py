@@ -1,0 +1,246 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding near-dup. All shuffle-aware compositions of DataFrame ops —
+no cross joins on large inputs, no driver-side loops.
+
+Scale design (100 TB):
+- exact: one shuffle on the content hash (map-side combine).
+- MinHash: shingles exploded once; k minhashes computed in ONE groupBy
+  (k agg expressions over a single base hash — not k shuffles). LSH
+  banding turns all-pairs into an equi-join on (band_id, band_hash),
+  so candidate generation is a hash shuffle, never O(n²).
+- hot buckets are capped (``max_bucket_size``) — the skew guard: a
+  degenerate bucket (e.g. empty docs) would otherwise produce a
+  quadratic pair explosion inside one task.
+- n-gram Jaccard uses an inverted-index join with document-frequency
+  stop-gram removal — the classic scalable set-similarity join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# Deterministic MinHash parameter generation (no RNG at plan time).
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """k (a, b) pairs via splitmix64-style mixing of the index — stable
+    across runs and processes."""
+    params = []
+    for i in range(k):
+        z = (i + 1) * 0x9E3779B97F4A7C15 % (1 << 64)
+        z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 % (1 << 64)
+        z = (z ^ (z >> 27)) * 0x94D049BB133111EB % (1 << 64)
+        a = (z % (_MERSENNE - 1)) + 1
+        b = (z >> 13) % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+# -- exact dedup ----------------------------------------------------------
+
+def exact_dup_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Duplicate groups by content hash: (content_hash, n_dups,
+    keep_id = min id). One shuffle, map-side combinable."""
+    h = F.md5(F.concat_ws("\x01", *[F.col(c) for c in cols]))
+    return (df.withColumn("content_hash", h)
+              .groupBy("content_hash")
+              .agg(F.count(F.lit(1)).alias("n_dups"),
+                   F.min(id_col).alias("keep_id")))
+
+
+def exact_dedup(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
+    """Keep exactly one row (min id) per distinct content. Implemented as
+    min-id-per-hash + semi join back — avoids carrying full rows through
+    the aggregate."""
+    keep = (exact_dup_groups(df, id_col, cols)
+            .select(F.col("keep_id").alias(id_col)))
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+# -- MinHash + LSH --------------------------------------------------------
+
+def shingles(text_col, n: int = 3):
+    """Word n-gram shingle array (distinct) from a text column."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.array_distinct(
+        F.when(F.array_size(toks) >= n,
+               F.transform(F.sequence(F.lit(0), F.array_size(toks) - n),
+                           lambda i: F.array_join(F.slice(toks, i + 1, n), " ")))
+         .otherwise(F.array(F.array_join(toks, " "))))
+
+
+def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", k: int = 32,
+                       shingle_size: int = 3) -> DataFrame:
+    """(id, sig: array<bigint> of k minhashes). Shingles are exploded once
+    and all k hashes reduce in a single aggregation — one shuffle total."""
+    params = _minhash_params(k)
+    ex = (df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_size))
+                    .alias("shingle"))
+            .withColumn("base",
+                        F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"),
+                               F.lit(_MERSENNE).cast("decimal(38,0)")).cast("long")))
+    aggs = [F.min(F.pmod((F.lit(a).cast("decimal(38,0)") * F.col("base") + F.lit(b))
+                         .cast("decimal(38,0)"),
+                         F.lit(_MERSENNE).cast("decimal(38,0)")).cast("long"))
+            .alias(f"h{i}") for i, (a, b) in enumerate(params)]
+    sig = ex.groupBy(id_col).agg(*aggs)
+    return sig.select(F.col(id_col),
+                      F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+
+
+def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                            bands: int = 8, rows_per_band: int = 4,
+                            max_bucket_size: int = 200) -> DataFrame:
+    """LSH banding: equal band-slices → same bucket → candidate pair.
+    Buckets larger than ``max_bucket_size`` are dropped (skew guard;
+    they are near-duplicates of a degenerate value and are better
+    handled by exact dedup first)."""
+    b = sigs.select(
+        id_col,
+        F.posexplode(F.array(*[
+            F.xxhash64(F.concat_ws("_", F.lit(i),
+                                   *[F.col("sig")[i * rows_per_band + j]
+                                     for j in range(rows_per_band)]))
+            for i in range(bands)])).alias("band_id", "band_hash"))
+    w = Window.partitionBy("band_id", "band_hash")
+    b = (b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+          .where(F.col("bucket_n") <= max_bucket_size)
+          .drop("bucket_n"))
+    left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
+    right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
+    return (left.join(right, ["band_id", "band_hash"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+
+
+def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 32,
+                        shingle_size: int = 3, bands: int = 8,
+                        threshold: float = 0.7) -> DataFrame:
+    """Full MinHash pipeline: signatures → LSH candidates → verify by
+    estimated Jaccard (fraction of equal minhash components). Returns
+    (id_a, id_b, est_jaccard) for pairs ≥ threshold."""
+    rows_per_band = k // bands
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_size)
+    cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: (x == y).cast("int")),
+                           lambda v: v == 1)) / F.lit(float(k)))
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("est_jaccard", F.round(est, 6))
+                .where(F.col("est_jaccard") >= threshold)
+                .select("id_a", "id_b", "est_jaccard"))
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", **kw) -> DataFrame:
+    """Near-dedup: drop the larger id of every duplicate pair (greedy
+    one-pass representative selection; full transitive closure would be
+    an iterative connected-components job — deliberate v1 tradeoff)."""
+    pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+# -- SimHash --------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
+    weighted votes of each token hash; sign → bit. One explode + one
+    aggregation (64 agg expressions), fully JVM-side."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = (df.select(F.col(id_col), F.explode(toks).alias("tok"))
+            .withColumn("th", F.xxhash64("tok")))
+    one = F.lit(1).cast("long")
+    bit_aggs = [
+        F.sum(F.when(F.col("th").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
+               .otherwise(-1)).alias(f"b{i}")
+        for i in range(64)]
+    votes = ex.groupBy(id_col).agg(*bit_aggs)
+    sig = None
+    for i in range(64):
+        # shiftleft keeps bit 63 in long range (Python 1 << 63 overflows
+        # LongType as a literal)
+        bit = F.when(F.col(f"b{i}") > 0,
+                     F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """Exact-signature SimHash duplicate groups (hamming-0). Banded
+    hamming-k search is the minhash_candidate_pairs pattern applied to
+    16-bit signature slices — see similarity.hyperplane_lsh for the
+    generalization."""
+    sigs = simhash_signatures(df, id_col, text_col)
+    return (sigs.groupBy("simhash")
+                .agg(F.count(F.lit(1)).alias("n_dups"),
+                     F.min(id_col).alias("keep_id"))
+                .where(F.col("n_dups") > 1))
+
+
+# -- n-gram Jaccard (set-similarity join) --------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.5,
+                        max_doc_freq: int = 1000) -> DataFrame:
+    """All pairs with character-n-gram Jaccard ≥ threshold, via an
+    inverted-index join: explode distinct n-grams, drop stop-grams with
+    document frequency > max_doc_freq (bounds join fan-out — the skew
+    guard), self-join on n-gram, count intersections, compute
+    |A∩B| / (|A|+|B|-|A∩B|)."""
+    grams = F.array_distinct(F.transform(
+        F.sequence(F.lit(0), F.greatest(F.length(F.col(text_col)) - n, F.lit(0))),
+        lambda i: F.col(text_col).substr(i + 1, F.lit(n))))
+    base = (df.select(F.col(id_col), F.explode(grams).alias("g"))
+              .where(F.length("g") == n))
+    sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+    filtered = (base.join(dfreq.where(F.col("df_g") <= max_doc_freq)
+                          .select("g"), "g"))
+    a = filtered.select(F.col(id_col).alias("id_a"), "g")
+    b = filtered.select(F.col(id_col).alias("id_b"), "g")
+    inter = (a.join(b, "g").where(F.col("id_a") < F.col("id_b"))
+              .groupBy("id_a", "id_b")
+              .agg(F.count(F.lit(1)).alias("n_common")))
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("jaccard", F.round(jac, 6))
+                 .where(F.col("jaccard") >= threshold)
+                 .select("id_a", "id_b", "jaccard"))
+
+
+# -- embedding near-dup ---------------------------------------------------
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 16,
+                             max_bucket_size: int = 500) -> DataFrame:
+    """Near-duplicate embeddings: random-hyperplane LSH bucket, then
+    exact cosine within buckets. Deterministic planes (seeded). Returns
+    (id_a, id_b, cosine)."""
+    from heracles_spark.operators.similarity import (
+        hyperplane_signature, cosine_expr)
+
+    sigs = df.select(F.col(id_col), F.col(vec_col),
+                     hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"))
+    w = Window.partitionBy("bucket")
+    sigs = (sigs.withColumn("bn", F.count(F.lit(1)).over(w))
+                .where(F.col("bn") <= max_bucket_size).drop("bn"))
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", "cosine"))

@@ -1,0 +1,124 @@
+"""Text analysis operators: tokenization, quality scoring, language ID,
+fingerprinting. Everything is built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs in any hot path.
+
+At 100 TB these are embarrassingly parallel map-only transforms: no
+shuffle, no skew sensitivity; throughput is bounded by parquet scan +
+codegen expression evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier. Deliberately small: the operator's value is its
+# Spark shape (map-only, broadcast-free scoring), not lexicon quality.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was",
+           "on", "are", "with", "as", "at", "this", "have", "from", "or"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "eine", "mit",
+           "auf", "für", "von", "den", "des", "dem", "sich", "auch", "als"],
+    "fr": ["le", "la", "les", "et", "des", "est", "un", "une", "dans", "que",
+           "qui", "pour", "pas", "sur", "avec", "par", "du", "au"],
+    "es": ["el", "la", "los", "las", "y", "es", "un", "una", "en", "que",
+           "de", "no", "por", "con", "para", "su", "se", "del"],
+}
+
+# A BPE-ish token estimator: word pieces + punctuation as separate tokens.
+_BPE_ISH_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.array_size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex token estimate (≈ BPE pre-tokenizer pieces)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_size(F.regexp_extract_all(c, F.lit(_BPE_ISH_RE), 0))
+
+
+def with_quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds n_chars_m, n_tokens, avg_token_len, punct_ratio, digit_ratio,
+    stopword_ratio, upper_ratio — the standard pretraining quality
+    signals, all codegen'd."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_chars = F.length(t)
+    n_tokens = F.array_size(toks)
+    n_punct = F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
+    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    n_stop = F.array_size(F.filter(toks, lambda w: F.array_contains(en_stop, w)))
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(F.lit(0.0))
+    return (df.withColumn("n_chars_m", n_chars)
+              .withColumn("n_tokens", n_tokens)
+              .withColumn("avg_token_len", safe(n_chars - n_tokens + 1, n_tokens))
+              .withColumn("punct_ratio", safe(n_punct, n_chars))
+              .withColumn("digit_ratio", safe(n_digit, n_chars))
+              .withColumn("upper_ratio", safe(n_upper, n_chars))
+              .withColumn("stopword_ratio", safe(n_stop, n_tokens)))
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length docs with low
+    punct/digit noise and some stopword mass (fluent prose proxy)."""
+    df = with_quality_features(df, text_col)
+    length_score = F.least(F.col("n_tokens") / F.lit(100.0), F.lit(1.0))
+    noise_pen = F.greatest(
+        F.lit(0.0), F.lit(1.0) - 2 * (F.col("punct_ratio") + F.col("digit_ratio")))
+    stop_score = F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+    return df.withColumn(
+        "quality_score",
+        F.round((0.4 * length_score + 0.4 * noise_pen + 0.2 * stop_score), 6))
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-hit language ID. Per language: fraction of tokens in that
+    language's stopword list; argmax wins, 'und' (undetermined) if all
+    scores are 0. Map-only: the lexicons are literal arrays inside the
+    codegen'd expression, no join, no broadcast needed."""
+    toks = tokens(text_col)
+    n = F.greatest(F.array_size(toks), F.lit(1))
+    def _contains(arr):
+        # single-arg lambda factory: a 2-arg lambda would be interpreted
+        # by F.filter as (element, index)
+        return lambda w: F.array_contains(arr, w)
+
+    scores = []
+    for lang, words in sorted(STOPWORDS.items()):
+        arr = F.array([F.lit(w) for w in words])
+        hits = F.array_size(F.filter(toks, _contains(arr)))
+        scores.append(F.struct((hits.cast("double") / n).alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best.getField("score") > 0, best.getField("lang"))
+         .otherwise(F.lit("und")))
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """64-bit content fingerprint over normalized text (lowercased,
+    whitespace-collapsed) — the rolling-hash document fingerprint as a
+    single xxhash64 (deterministic across partitionings)."""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def with_md5_fingerprint(df: DataFrame, text_col: str = "text",
+                         out_col: str = "fp_md5") -> DataFrame:
+    """MD5 hex fingerprint — the cross-engine-checkable variant (DuckDB
+    md5() produces identical hex)."""
+    return df.withColumn(out_col, F.md5(F.col(text_col)))

@@ -1,6 +1,304 @@
-"""LLM-data-pipeline query corpus over documents/embeddings — filled in
-alongside heracles_spark.operators."""
+"""LLM-data-pipeline query corpus over documents/embeddings — the
+north-star operators (BASELINE.json) as driver-checkable queries.
+
+Oracle notes: integer-comparison tricks keep cross-engine determinism —
+lang-ID compares stopword *hit counts* (same denominator both sides), and
+jaccard/cosine values are single IEEE divisions rounded to 6. LSH-based
+operators (MinHash bands, hyperplane ANN) are not SQL-expressible in
+DuckDB → rows-only checks; their correctness is covered by pytest with
+planted duplicates (tests/test_dedup.py).
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
+from pyspark.sql import functions as F
+
+from heracles_spark.operators import dedup, similarity, text
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# -- exact dedup ----------------------------------------------------------
+
+def doc_dedup_exact(spark, sf_dir):
+    """Exact dedup groups keyed on (lang, source) — one shuffle,
+    map-side combinable (operators.dedup.exact_dup_groups)."""
+    return (dedup.exact_dup_groups(_docs(spark, sf_dir), "doc_id",
+                                   ["lang", "source"])
+            .orderBy("content_hash"))
+
+
+DDE_SQL = """
+SELECT md5(lang || chr(1) || source) AS content_hash, COUNT(*) AS n_dups,
+       MIN(doc_id) AS keep_id
+FROM documents GROUP BY 1 ORDER BY content_hash
+"""
+
+
+def doc_dedup_exact_text(spark, sf_dir):
+    """Exact text dedup: documents surviving min-id-per-content-hash."""
+    return (dedup.exact_dedup(_docs(spark, sf_dir), "doc_id", ["text"])
+            .groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang"))
+
+
+DDET_SQL = """
+SELECT lang, COUNT(*) AS n_docs FROM documents d
+WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY md5(text))
+GROUP BY lang ORDER BY lang
+"""
+
+
+# -- text analysis --------------------------------------------------------
+
+def doc_token_stats(spark, sf_dir):
+    """Token counting per lang (whitespace tokenizer)."""
+    d = _docs(spark, sf_dir)
+    return (d.withColumn("n_tokens", text.token_count("text"))
+             .groupBy("lang")
+             .agg(F.sum("n_tokens").alias("total_tokens"),
+                  F.min("n_tokens").alias("min_tokens"),
+                  F.max("n_tokens").alias("max_tokens"),
+                  F.count(F.lit(1)).alias("n_docs"))
+             .orderBy("lang"))
+
+
+DTS_SQL = """
+SELECT lang,
+       CAST(SUM(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS total_tokens,
+       MIN(len(string_split_regex(trim(lower(text)), '\\s+'))) AS min_tokens,
+       MAX(len(string_split_regex(trim(lower(text)), '\\s+'))) AS max_tokens,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_fingerprint(spark, sf_dir):
+    """MD5 content fingerprinting (cross-engine-checkable variant of the
+    xxhash64 fingerprint)."""
+    return (text.with_md5_fingerprint(_docs(spark, sf_dir))
+            .where(F.col("doc_id") <= 50)
+            .select("doc_id", "fp_md5")
+            .orderBy("doc_id"))
+
+
+DFP_SQL = """
+SELECT doc_id, md5(text) AS fp_md5 FROM documents WHERE doc_id <= 50
+ORDER BY doc_id
+"""
+
+
+def doc_quality_filter(spark, sf_dir):
+    """Quality scoring: docs passing a token-count + digit-noise gate.
+    Output sticks to integer-derived values (counts) for exact
+    cross-engine hashing."""
+    d = text.with_quality_features(_docs(spark, sf_dir))
+    return (d.where((F.col("n_tokens") >= 20) & (F.col("digit_ratio") < 0.2))
+             .groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_pass"),
+                  F.sum("n_tokens").alias("tokens_kept"))
+             .orderBy("lang"))
+
+
+DQF_SQL = """
+WITH feat AS (
+  SELECT lang,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         CASE WHEN length(text) > 0
+              THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                   / length(text)
+              ELSE 0.0 END AS digit_ratio
+  FROM documents)
+SELECT lang, COUNT(*) AS n_pass,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept
+FROM feat WHERE n_tokens >= 20 AND digit_ratio < 0.2
+GROUP BY lang ORDER BY lang
+"""
+
+
+def doc_lang_id(spark, sf_dir):
+    """Stopword-hit language ID vs the labeled lang column (confusion
+    counts). Tie-break = lexicographically greatest language, encoded
+    identically in the oracle via ordered CASE on integer hit counts."""
+    d = text.with_lang_id(_docs(spark, sf_dir))
+    return (d.groupBy("lang", "lang_pred")
+             .agg(F.count(F.lit(1)).alias("cnt"))
+             .orderBy("lang", "lang_pred"))
+
+
+_HITS = {
+    lang: ("len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+           f"t -> list_contains({words!r}, t)))").replace('"', "'")
+    for lang, words in text.STOPWORDS.items()
+}
+
+DLI_SQL = f"""
+WITH h AS (
+  SELECT lang,
+         {_HITS['de']} AS h_de, {_HITS['en']} AS h_en,
+         {_HITS['es']} AS h_es, {_HITS['fr']} AS h_fr
+  FROM documents)
+SELECT lang,
+       CASE WHEN h_de = 0 AND h_en = 0 AND h_es = 0 AND h_fr = 0 THEN 'und'
+            WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+            WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+            WHEN h_en >= h_de THEN 'en'
+            ELSE 'de' END AS lang_pred,
+       COUNT(*) AS cnt
+FROM h GROUP BY 1, 2 ORDER BY lang, lang_pred
+"""
+
+
+# -- similarity search ----------------------------------------------------
+
+def embedding_knn_brute(spark, sf_dir):
+    """Brute-force cosine top-10 to vec_id=0's embedding — the exact ANN
+    baseline (operators.similarity.cosine_topk)."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.cosine_topk(e.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+KNN_SQL = """
+WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+     dots AS (
+  SELECT e.vec_id,
+         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot,
+         SQRT(SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS ne,
+         SQRT(SUM(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))) AS nq
+  FROM embeddings e, q, range(1, 65) t(i)
+  WHERE e.vec_id != 0
+  GROUP BY e.vec_id)
+SELECT vec_id, ROUND(dot / (ne * nq), 6) AS cosine
+FROM dots ORDER BY cosine DESC, vec_id LIMIT 10
+"""
+
+
+def embedding_label_stats(spark, sf_dir):
+    """Per-label vector-norm statistics — decimal-exact cross-engine sums."""
+    e = _embs(spark, sf_dir)
+    norm = similarity.norm_expr(F.col("embedding"))
+    return (e.withColumn("nrm", F.round(norm, 6))
+             .groupBy("label")
+             .agg(F.count(F.lit(1)).alias("n_vecs"),
+                  F.sum(F.col("nrm").cast("decimal(38,6)")).cast("double")
+                   .alias("sum_norm"))
+             .orderBy("label"))
+
+
+ELS_SQL = """
+WITH norms AS (
+  SELECT e.label, e.vec_id,
+         ROUND(SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                        * CAST(e.embedding[i] AS DOUBLE))), 6) AS nrm
+  FROM embeddings e, range(1, 65) t(i)
+  GROUP BY e.label, e.vec_id)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CAST(nrm AS DECIMAL(38,6))) AS DOUBLE) AS sum_norm
+FROM norms GROUP BY label ORDER BY label
+"""
+
+
+def embedding_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH ANN top-10 (approximate — recall measured in
+    tests/test_similarity.py; rows-only driver check)."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.ann_topk_lsh(e.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+# -- near-dup families (LSH — rows-only driver checks) --------------------
+
+def doc_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs at jaccard≥0.5."""
+    return (dedup.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+            .orderBy("id_a", "id_b"))
+
+
+def doc_simhash_groups(spark, sf_dir):
+    """SimHash exact-signature duplicate groups."""
+    return dedup.simhash_dup_groups(_docs(spark, sf_dir)).orderBy("keep_id")
+
+
+def doc_ngram_jaccard(spark, sf_dir):
+    """Character-3-gram Jaccard pairs ≥0.8 via inverted-index join —
+    SQL-expressible, so oracle-checked (unlike the LSH family)."""
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.8, max_doc_freq=400)
+            .orderBy("id_a", "id_b"))
+
+
+NGJ_SQL = """
+WITH grams AS (
+  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
+  FROM documents, range(1, 10000) t(i)
+  WHERE i <= length(text) - 2),
+ sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM grams GROUP BY doc_id),
+ keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 400),
+ filtered AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep)),
+ inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
+def embedding_near_dup(spark, sf_dir):
+    """Embedding near-dup pairs at cosine≥0.99 via hyperplane buckets."""
+    return (dedup.embedding_near_dup_pairs(_embs(spark, sf_dir),
+                                           threshold=0.99)
+            .orderBy("id_a", "id_b"))
+
+
+# -- multimodal plumbing --------------------------------------------------
+
+def multimodal_decode(spark, sf_dir):
+    """Binary media column → mapInPandas decode (deterministic fake
+    decoder). Oracle checks the byte-count plumbing; feature values are
+    covered in tests/test_multimodal.py."""
+    from heracles_spark.operators import multimodal
+
+    media = multimodal.attach_media_stub(_docs(spark, sf_dir))
+    feats = multimodal.decode_image_features(media)
+    return (feats.where(F.col("doc_id") <= 100)
+                 .select("doc_id", "n_bytes")
+                 .orderBy("doc_id"))
+
+
+MMD_SQL = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes
+FROM documents WHERE doc_id <= 100 ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "doc_dedup_exact": (doc_dedup_exact, DDE_SQL),
+    "doc_dedup_exact_text": (doc_dedup_exact_text, DDET_SQL),
+    "doc_token_stats": (doc_token_stats, DTS_SQL),
+    "doc_fingerprint": (doc_fingerprint, DFP_SQL),
+    "doc_quality_filter": (doc_quality_filter, DQF_SQL),
+    "doc_lang_id": (doc_lang_id, DLI_SQL),
+    "embedding_knn_brute": (embedding_knn_brute, KNN_SQL),
+    "embedding_label_stats": (embedding_label_stats, ELS_SQL),
+    "embedding_ann_lsh": (embedding_ann_lsh, None),
+    "doc_minhash_pairs": (doc_minhash_pairs, None),
+    "doc_simhash_groups": (doc_simhash_groups, None),
+    "doc_ngram_jaccard": (doc_ngram_jaccard, NGJ_SQL),
+    "embedding_near_dup": (embedding_near_dup, None),
+    "multimodal_decode": (multimodal_decode, MMD_SQL),
+}

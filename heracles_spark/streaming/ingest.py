@@ -1,0 +1,86 @@
+"""Streaming ingest + windowed aggregation.
+
+Design:
+- ``stream_into_table``: readStream (file source) → foreachBatch →
+  writer.write_key_organized. foreachBatch is the idiomatic bridge for
+  sinks with their own layout logic (key-range repartition + sort);
+  each micro-batch pays one range shuffle, identical to the batch path.
+- ``windowed_event_counts``: watermark + tumbling window — the standard
+  late-data-tolerant aggregation; state is bounded by the watermark.
+- ``sessionized_counts``: session windows via F.session_window — gap-
+  based sessions with watermarked state cleanup, the streaming twin of
+  queries.relational.events_sessionize.
+
+Scale: file-source streams parallelize by file listing; maxFilesPerTrigger
+bounds per-batch work. State-store size is governed by watermark delay ×
+key cardinality — both knobs surfaced as arguments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def stream_into_table(spark: SparkSession, catalog, table: str,
+                      source_dir: str, schema=None,
+                      fmt: str = "parquet",
+                      checkpoint_dir: str | None = None,
+                      max_files_per_trigger: int = 16,
+                      available_now: bool = False) -> StreamingQuery:
+    """Continuously ingest files from ``source_dir`` into a key-organized
+    table, preserving the key-range layout per micro-batch."""
+    from heracles_spark import writer
+
+    tbl = catalog.get_table(table)
+    reader = (spark.readStream
+              .format(fmt)
+              .schema(schema or tbl.schema())
+              .option("maxFilesPerTrigger", str(max_files_per_trigger)))
+    stream = reader.load(source_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        writer.write_key_organized(spark, catalog, table, batch_df,
+                                   mode="append")
+
+    w = (stream.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint_dir or f"{tbl.data_dir}/_checkpoint"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
+                          key_col: str = "event_type",
+                          window: str = "1 hour",
+                          watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window counts — works on both streaming and
+    batch DataFrames (same plan, different sink semantics)."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.window(F.col(ts_col), window).alias("win"),
+                     F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("win.start").alias("window_start"),
+                    key_col, "n_events", "total_value"))
+
+
+def sessionized_counts(events: DataFrame, ts_col: str = "ts",
+                       user_col: str = "user_id",
+                       gap: str = "30 minutes",
+                       watermark: str = "2 hours") -> DataFrame:
+    """Session windows (gap-close semantics) with watermark-bounded state."""
+    return (events
+            .withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sess"),
+                     F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("sess.start").alias("session_start"),
+                    F.col("sess.end").alias("session_end"),
+                    user_col, "n_events"))

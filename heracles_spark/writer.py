@@ -61,11 +61,17 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     file index. ``mode`` is 'append' or 'overwrite'."""
     tbl = catalog.get_table(table)
     keys = tbl.key_cols
+    fields = tbl.schema().fields
 
-    # Align column order/types to the declared schema.
-    cols = [F.col(c).cast(t) for c, t in
-            ((f.name, f.dataType) for f in tbl.schema().fields)]
-    df = df.select(*cols)
+    # INSERT semantics are positional (standard SQL; ≙ reference insert
+    # path coercing the SELECT output to the table schema): rename by
+    # position, then cast to the declared types.
+    if len(df.columns) != len(fields):
+        raise ValueError(
+            f"column count mismatch: table {table} has {len(fields)}, "
+            f"input has {len(df.columns)}")
+    df = df.toDF(*[f.name for f in fields])
+    df = df.select(*[F.col(f.name).cast(f.dataType) for f in fields])
 
     # Reject null keys (HBaseRelation.scala:668 non-nullable key columns).
     df = df.where(F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys)))

@@ -1,0 +1,96 @@
+"""Dedup operators on planted duplicates — the semantic tests the
+rows-only driver checks can't provide."""
+
+from __future__ import annotations
+
+import pytest
+
+from heracles_spark.operators import dedup
+
+BASE = [
+    (1, "the quick brown fox jumps over the lazy dog and runs away fast"),
+    (2, "the quick brown fox jumps over the lazy dog and runs away fast"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog and walks away fast"),  # near dup of 1
+    (4, "completely different content about spark query engines at scale"),
+    (5, "another unrelated document mentioning parquet columnar storage"),
+    (6, "the quick brown fox jumps over the lazy dog and runs away fast "
+        "with one extra clause appended here"),                              # partial overlap
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(BASE, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    kept = dedup.exact_dedup(docs, "doc_id", ["text"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]  # doc 2 dropped (dup of 1, min id kept)
+
+
+def test_exact_dup_groups(spark, docs):
+    groups = {r["keep_id"]: r["n_dups"]
+              for r in dedup.exact_dup_groups(docs, "doc_id", ["text"]).collect()}
+    assert groups[1] == 2
+
+
+MH = dict(k=32, shingle_size=2, bands=16, threshold=0.5)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.minhash_dedup_pairs(docs, **MH).collect()}
+    assert (1, 2) in pairs          # exact dup ⇒ jaccard 1.0
+    assert (1, 3) in pairs          # one-word change ⇒ high jaccard
+    assert not any({4, 5} & set(p) for p in pairs)   # unrelated docs clean
+
+
+def test_minhash_dedup_keeps_representatives(spark, docs):
+    kept = sorted(r["doc_id"] for r in
+                  dedup.minhash_dedup(docs, **MH).collect())
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept
+
+
+def test_minhash_exact_dup_estimate(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+             for r in dedup.minhash_dedup_pairs(docs, **MH).collect()}
+    assert pairs[(1, 2)] == 1.0
+
+
+def test_simhash_groups_exact_dups(spark, docs):
+    groups = dedup.simhash_dup_groups(docs).collect()
+    assert any(r["keep_id"] == 1 and r["n_dups"] >= 2 for r in groups)
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5,
+                                                max_doc_freq=100).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and pairs[(1, 3)] > 0.8
+
+
+def test_embedding_near_dup(spark):
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.999, 0.01, 0.0, 0.0]),     # near dup of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),        # orthogonal
+            (4, [0.0, 0.0, 1.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["id_a"], r["id_b"])
+             for r in dedup.embedding_near_dup_pairs(
+                 df, threshold=0.95, n_planes=4).collect()}
+    # LSH bucketing may or may not co-locate 1&2 with few planes over 4 dims,
+    # but orthogonal vectors must never pair.
+    assert all(p == (1, 2) for p in pairs)
+
+
+def test_minhash_skew_guard(spark):
+    """Degenerate identical shingle sets must not blow up candidate pairs
+    when the bucket cap is small."""
+    many = [(i, "same same same same same") for i in range(50)]
+    df = spark.createDataFrame(many, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(df)
+    cand = dedup.minhash_candidate_pairs(sigs, max_bucket_size=10)
+    assert cand.count() == 0  # every bucket over cap → dropped

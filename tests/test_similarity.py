@@ -1,0 +1,69 @@
+"""Similarity search: brute-force exactness, LSH/IVF recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from heracles_spark.operators import similarity
+
+DIM = 16
+
+
+def _vec(seed: int) -> list[float]:
+    import random
+
+    r = random.Random(seed)
+    return [r.gauss(0, 1) for _ in range(DIM)]
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [(i, _vec(i)) for i in range(200)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def _cosine(a, b):
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def test_brute_force_matches_python(spark, vecs):
+    q = _vec(9999)
+    got = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=5).collect()]
+    expect = sorted(range(200),
+                    key=lambda i: (-round(_cosine(_vec(i), q), 6), i))[:5]
+    assert got == expect
+
+
+def test_lsh_recall(spark, vecs):
+    """ANN with hamming-1 expansion should recover most of the true top-10."""
+    q = _vec(123)
+    exact = {r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=10).collect()}
+    ann = {r["vec_id"] for r in similarity.ann_topk_lsh(
+        vecs, q, k=10, n_planes=6, dim=DIM).collect()} if False else {
+        r["vec_id"] for r in similarity.ann_topk_lsh(
+            vecs, q, k=10, n_planes=6).collect()}
+    # recall ≥ 0.3 is the sanity bar for 6 planes + hamming-1 on 200 vecs
+    assert len(ann & exact) >= 3
+
+
+def test_ivf_probe(spark, vecs):
+    q = _vec(77)
+    with_cells = similarity.ivf_build(vecs, n_cells=8, dim=DIM)
+    assert with_cells.select("cell_id").distinct().count() > 1
+    got = similarity.ivf_topk(with_cells, q, k=5, n_probe=8, n_cells=8)
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=5).collect()]
+    # probing ALL cells == exhaustive ⇒ must equal brute force
+    assert [r["vec_id"] for r in got.collect()] == exact
+
+
+def test_ivf_partial_probe_subset(spark, vecs):
+    q = _vec(55)
+    with_cells = similarity.ivf_build(vecs, n_cells=8, dim=DIM)
+    part = {r["vec_id"] for r in
+            similarity.ivf_topk(with_cells, q, k=5, n_probe=2, n_cells=8).collect()}
+    assert len(part) == 5

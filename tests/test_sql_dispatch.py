@@ -1,0 +1,75 @@
+"""DDL/DML dispatcher — the reference's custom SQL surface
+(CREATE/LOAD/INSERT parse tests ≙ HBaseBulkLoadIntoTableSuite.scala:34-80,
+HBaseBasicOperationSuite.scala:83-176)."""
+
+from __future__ import annotations
+
+import pytest
+
+from heracles_spark.sql import (_parse_columns, _parse_props,
+                                _parse_value_rows, _split_top)
+
+
+def test_parse_columns():
+    assert _parse_columns("a INT, b STRING, c DOUBLE") == [
+        ("a", "int"), ("b", "string"), ("c", "double")]
+
+
+def test_parse_props():
+    got = _parse_props("'keyCols'='a;b', 'hbaseTableName'='ht', "
+                       "'nonKeyCols'='c,f,cq;d,f,dq'")
+    assert got == {"keyCols": "a;b", "hbaseTableName": "ht",
+                   "nonKeyCols": "c,f,cq;d,f,dq"}
+
+
+def test_parse_value_rows():
+    got = _parse_value_rows("(1, 'a', NULL), (2, 'b,c', 3.5)")
+    assert got == [("1", "a", None), ("2", "b,c", "3.5")]
+
+
+def test_split_top_quotes_and_parens():
+    assert _split_top("a, f(b, c), 'x,y'", ",") == ["a", "f(b, c)", "'x,y'"]
+
+
+def test_create_insert_select_flow(hsession):
+    """End-to-end DDL surface (≙ reference CREATE + INSERT VALUES + query,
+    HBaseBasicOperationSuite.scala:121-147 tb1)."""
+    hsession.sql("""CREATE TABLE tb1 (column1 INT, column2 STRING)
+                    TBLPROPERTIES('keyCols'='column1',
+                                  'hbaseTableName'='tb1_ht',
+                                  'encodingFormat'='binaryformat')""")
+    hsession.sql("INSERT INTO tb1 VALUES (1, 'a'), (2, NULL), (3, 'c')")
+    rows = hsession.sql(
+        "SELECT column1, column2 FROM tb1 WHERE column1 = 2 OR column2 = 'c' "
+        "ORDER BY column1").collect()
+    assert [(r[0], r[1]) for r in rows] == [(2, None), (3, "c")]
+
+    hsession.sql("INSERT INTO tb1 SELECT column1 + 10, upper(column2) FROM tb1")
+    assert hsession.sql("SELECT count(*) AS c FROM tb1").collect()[0]["c"] == 6
+
+    desc = {r["col_name"]: r["comment"]
+            for r in hsession.sql("DESCRIBE tb1").collect()}
+    assert desc == {"column1": "KEY", "column2": ""}
+
+    hsession.sql("DROP TABLE tb1")
+    assert "tb1" not in hsession.catalog.list_tables()
+
+
+def test_load_data_flow(hsession, tmp_path):
+    hsession.sql("""CREATE TABLE blk (col1 STRING, col2 INT, col3 INT)
+                    TBLPROPERTIES('keyCols'='col1')""")
+    f = tmp_path / "splitLoadData.txt"
+    f.write_text("row1,1,2\nrow2,3,4\nrow5,5,10\n")
+    hsession.sql(f"LOAD DATA LOCAL INPATH '{f}' INTO TABLE blk")
+    assert hsession.sql("SELECT count(*) AS c FROM blk").collect()[0]["c"] == 3
+    hsession.sql(f"LOAD DATA LOCAL INPATH '{f}' OVERWRITE INTO TABLE blk")
+    assert hsession.sql("SELECT count(*) AS c FROM blk").collect()[0]["c"] == 3
+
+
+def test_create_requires_key_cols(hsession):
+    with pytest.raises(ValueError, match="keyCols"):
+        hsession.sql("CREATE TABLE nok (a INT) TBLPROPERTIES('foo'='bar')")
+
+
+def test_passthrough_sql(hsession):
+    assert hsession.sql("SELECT 1 + 1 AS two").collect()[0]["two"] == 2

@@ -1,0 +1,78 @@
+"""Text analysis operators on controlled strings."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from heracles_spark.operators import text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "The quick brown fox is in the garden and it is happy"),
+        (2, "Der Hund ist nicht in der Schule und das ist gut"),
+        (3, "Le chat est dans la maison et il est content avec les autres"),
+        (4, "El perro es un animal y la casa es grande con los gatos"),
+        (5, "zzz qqq xxx www"),
+        (6, "Numbers 12345 67890 11111 22222 33333 !!!???"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in
+           docs.select("doc_id", text.token_count("text").alias("n")).collect()}
+    assert got[1] == 12
+    assert got[5] == 4
+
+
+def test_bpe_ish_token_count(spark, docs):
+    got = {r["doc_id"]: r["n"] for r in docs.select(
+        "doc_id", text.bpe_ish_token_count("text").alias("n")).collect()}
+    assert got[6] == 12  # 1 word + 5 numbers + 6 punct marks
+
+
+def test_lang_id(spark, docs):
+    got = {r["doc_id"]: r["lang_pred"]
+           for r in text.with_lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[2] == "de"
+    assert got[3] == "fr"
+    assert got[4] == "es"
+    assert got[5] == "und"
+
+
+def test_quality_features(spark, docs):
+    feats = {r["doc_id"]: r for r in text.with_quality_features(docs).collect()}
+    assert feats[1]["stopword_ratio"] > 0.2     # real English
+    assert feats[5]["stopword_ratio"] == 0.0
+    assert feats[6]["digit_ratio"] > 0.4
+    assert feats[6]["punct_ratio"] > 0.1
+    assert feats[1]["digit_ratio"] == 0.0
+
+
+def test_quality_score_ordering(spark, docs):
+    scores = {r["doc_id"]: r["quality_score"]
+              for r in text.with_quality_score(docs).collect()}
+    assert scores[1] > scores[6]   # prose beats digit noise
+    assert scores[1] > scores[5]   # stopword mass counts
+
+
+def test_fingerprint_normalization(spark):
+    rows = [(1, "Hello   World"), (2, "hello world"), (3, "different")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {r["doc_id"]: r["fingerprint"]
+           for r in text.with_fingerprint(df).collect()}
+    assert fps[1] == fps[2]        # case + whitespace normalized
+    assert fps[1] != fps[3]
+
+
+def test_md5_fingerprint_matches_hashlib(spark):
+    import hashlib
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    got = text.with_md5_fingerprint(df).collect()[0]["fp_md5"]
+    assert got == hashlib.md5(b"abc").hexdigest()

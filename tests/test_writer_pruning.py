@@ -1,0 +1,113 @@
+"""Key-range layout writer + file pruner.
+
+Pruner scenarios model the reference's critical-point tests
+(CriticalPointsTestSuite.scala:42-631; degenerate cases
+HBasePartitionerSuite.scala:222-288: `k=8 OR k>8`, `k<8 AND k>8`)."""
+
+from __future__ import annotations
+
+from heracles_spark import writer
+from heracles_spark.pruning import may_match, prune_files, scan, to_sql
+
+COLS = [("col7", "int"), ("col1", "string"), ("col3", "smallint"),
+        ("col4", "int")]
+KEYS = ["col7", "col1", "col3"]  # ta/tb fixture key order (FIXTURES §2)
+
+
+def _mk(catalog, spark, rows, n_buckets=4):
+    catalog.create_table("ta", COLS, KEYS)
+    df = spark.createDataFrame(rows, "col7 int, col1 string, col3 smallint, col4 int")
+    return writer.write_key_organized(spark, catalog, "ta", df,
+                                      n_buckets=n_buckets)
+
+
+ROWS = [(k, f" p{abs(k)} " if k > 0 else f" n{abs(k)} ", 128, i)
+        for i, k in enumerate([-257, -255, -129, -127, -33, -31, -1,
+                               1, 31, 33, 127, 129, 255, 257])]
+
+
+def test_layout_sorted_and_indexed(spark, catalog):
+    tbl = _mk(catalog, spark, ROWS)
+    assert len(tbl.files) >= 2
+    # files must cover disjoint-ish sorted ranges on the leading key
+    spans = sorted((f["min"]["col7"], f["max"]["col7"]) for f in tbl.files)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2  # range layout ⇒ non-overlapping leading key
+    total = sum(f["rows"] for f in tbl.files)
+    assert total == len(ROWS)
+
+
+def test_pruned_scan_results(spark, catalog):
+    _mk(catalog, spark, ROWS)
+    got = scan(spark, catalog, "ta", ("=", "col7", 129)).collect()
+    assert [r["col7"] for r in got] == [129]
+    got = scan(spark, catalog, "ta",
+               ("and", (">", "col7", 0), ("<=", "col7", 127))).collect()
+    assert sorted(r["col7"] for r in got) == [1, 31, 33, 127]
+
+
+def test_pruning_reduces_files(spark, catalog):
+    tbl = _mk(catalog, spark, ROWS)
+    kept = prune_files(tbl.files, ("=", "col7", 257), tbl.key_cols)
+    assert 0 < len(kept) < len(tbl.files)
+
+
+def test_may_match_degenerate_cases():
+    mins, maxs = {"k": 0}, {"k": 10}
+    # k=8 OR k>8 (satisfiable)
+    assert may_match(("or", ("=", "k", 8), (">", "k", 8)), mins, maxs, ["k"])
+    # k<8 AND k>8 (unsatisfiable — both legs individually satisfiable,
+    # box logic keeps it; the residual filter removes rows. MAY is the
+    # conservative correct answer)
+    assert may_match(("and", ("<", "k", 8), (">", "k", 8)), mins, maxs, ["k"])
+    # out-of-range point
+    assert not may_match(("=", "k", 11), mins, maxs, ["k"])
+    # boundary semantics
+    assert may_match(("=", "k", 10), mins, maxs, ["k"])
+    assert not may_match((">", "k", 10), mins, maxs, ["k"])
+    assert may_match((">=", "k", 10), mins, maxs, ["k"])
+    assert not may_match(("<", "k", 0), mins, maxs, ["k"])
+    assert may_match(("between", "k", -5, 0), mins, maxs, ["k"])
+    assert not may_match(("between", "k", 11, 20), mins, maxs, ["k"])
+    assert may_match(("in", "k", [11, 5]), mins, maxs, ["k"])
+    assert not may_match(("in", "k", [11, 12]), mins, maxs, ["k"])
+    # IS NULL on key column is decidable: keys are non-nullable
+    assert not may_match(("isnull", "k"), mins, maxs, ["k"])
+    assert may_match(("isnull", "other"), mins, maxs, ["k"])
+    assert may_match(("not", ("isnull", "k")), mins, maxs, ["k"])
+
+
+def test_to_sql_rendering():
+    p = ("and", ("=", "a", 1), ("or", ("in", "b", ["x", "y"]),
+                                ("between", "c", 2, 3)))
+    s = to_sql(p)
+    assert s == "(`a` = 1 AND (`b` IN ('x', 'y') OR `c` BETWEEN 2 AND 3))"
+
+
+def test_upsert_last_write_wins(spark, catalog):
+    """HBase per-key upsert semantics, opt-in (SURVEY §7.2.3)."""
+    catalog.create_table("u", [("k", "int"), ("v", "string")], ["k"])
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    writer.write_key_organized(spark, catalog, "u", df1)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "k int, v string")
+    writer.write_key_organized(spark, catalog, "u", df2)
+    # append mode: 4 rows, key 2 twice
+    assert catalog.read_table(spark, "u").count() == 4
+    merged = spark.createDataFrame(
+        catalog.read_table(spark, "u").collect(), "k int, v string")
+    writer.write_key_organized(spark, catalog, "u", merged,
+                               mode="overwrite", upsert=True)
+    rows = {r["k"]: r["v"] for r in catalog.read_table(spark, "u").collect()}
+    assert set(rows) == {1, 2, 3}
+
+
+def test_csv_bulk_load_null_convention(spark, catalog, tmp_path):
+    """Empty CSV field ⇒ NULL (HadoopReader.scala:41-56)."""
+    catalog.create_table("blk", [("c1", "string"), ("c2", "int"), ("c3", "int")],
+                         ["c1"])
+    p = tmp_path / "loadData.txt"
+    p.write_text("row1,,8\nrow2,5,10\nrow3,,\n")
+    writer.bulk_load_csv(spark, catalog, "blk", str(p))
+    rows = {r["c1"]: (r["c2"], r["c3"])
+            for r in catalog.read_table(spark, "blk").collect()}
+    assert rows == {"row1": (None, 8), "row2": (5, 10), "row3": (None, None)}
