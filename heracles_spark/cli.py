@@ -1,0 +1,86 @@
+"""Interactive SQL REPL — the rebuild's HBaseSQLCliDriver
+(reference src/main/scala/org/apache/spark/sql/hbase/HBaseSQLCliDriver.scala:36-304):
+a thin loop over HeraclesSession.sql with per-statement timing
+("Time taken: Ns", HBaseSQLCliDriver.scala:227-235) and HELP text for the
+custom DDL surface (:265-288).
+
+Usage:
+    python -m heracles_spark.cli [--metastore DIR] [-e "SQL;SQL"]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+HELP = """Supported statements (≙ reference CLI HELP):
+  CREATE TABLE t (col TYPE, ...) TBLPROPERTIES('keyCols'='a;b'[, ...])
+  DROP TABLE [IF EXISTS] t
+  LOAD DATA [LOCAL] INPATH '<path>' [OVERWRITE] INTO TABLE t
+  INSERT INTO t VALUES (...), (...)
+  INSERT INTO t SELECT ...
+  SHOW TABLES | DESCRIBE t
+  SELECT ... (full Spark SQL)
+  HELP | EXIT | QUIT
+"""
+
+
+def run_statement(session, stmt: str, out=sys.stdout) -> None:
+    t0 = time.time()
+    df = session.sql(stmt)
+    if df is not None:
+        rows = df.collect()
+        cols = df.columns
+        out.write("\t".join(cols) + "\n")
+        for r in rows[:100]:
+            out.write("\t".join("NULL" if v is None else str(v) for v in r) + "\n")
+        if len(rows) > 100:
+            out.write(f"... ({len(rows)} rows total)\n")
+    out.write(f"Time taken: {time.time() - t0:.3f} seconds\n")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="heracles-sql")
+    ap.add_argument("--metastore", default=None)
+    ap.add_argument("-e", "--execute", default=None,
+                    help="semicolon-separated statements, then exit")
+    args = ap.parse_args(argv)
+
+    from heracles_spark.session import HeraclesSession, get_session
+
+    session = HeraclesSession(get_session("heracles-cli"),
+                              metastore_dir=args.metastore)
+    session.spark.sparkContext.setLogLevel("ERROR")
+
+    if args.execute:
+        for stmt in filter(None, (s.strip() for s in args.execute.split(";"))):
+            run_statement(session, stmt)
+        return 0
+
+    sys.stdout.write("heracles-sql (PySpark). Type HELP for help, EXIT to quit.\n")
+    buf: list[str] = []
+    while True:
+        try:
+            line = input("heracles> " if not buf else "       -> ")
+        except (EOFError, KeyboardInterrupt):
+            break
+        token = line.strip()
+        if not buf and token.upper() in ("EXIT", "QUIT"):
+            break
+        if not buf and token.upper() == "HELP":
+            sys.stdout.write(HELP)
+            continue
+        buf.append(line)
+        if token.endswith(";"):
+            stmt = "\n".join(buf).rstrip().rstrip(";")
+            buf = []
+            try:
+                run_statement(session, stmt)
+            except Exception as e:
+                sys.stdout.write(f"Error: {e}\n")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
