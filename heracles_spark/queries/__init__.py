@@ -9,20 +9,22 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from heracles_spark.queries import relational, pipeline
+def _registries():
+    from heracles_spark.queries import relational, relational2, pipeline
 
+    return (relational.QUERIES, relational2.QUERIES, pipeline.QUERIES)
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable] = {}
-    out.update({k: v[0] for k, v in relational.QUERIES.items()})
-    out.update({k: v[0] for k, v in pipeline.QUERIES.items()})
+    for reg in _registries():
+        out.update({k: v[0] for k, v in reg.items()})
     return out
 
 
 def all_oracles() -> dict[str, str]:
-    from heracles_spark.queries import relational, pipeline
-
     out: dict[str, str] = {}
-    for reg in (relational.QUERIES, pipeline.QUERIES):
+    for reg in _registries():
         for k, (_, sql) in reg.items():
             if sql is not None:
                 out[k] = sql

@@ -424,7 +424,7 @@ def filter_in_between_like(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     return (p.where(F.col("p_size").between(10, 20)
                     & F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3")
-                    & F.col("p_type").like("%BRASS%"))
+                    & F.col("p_type").like("%AND%"))
              .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
              .orderBy("p_partkey"))
 
@@ -434,7 +434,7 @@ SELECT p_partkey, p_name, p_brand, p_type, p_size
 FROM part
 WHERE p_size BETWEEN 10 AND 20
   AND p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
-  AND p_type LIKE '%BRASS%'
+  AND p_type LIKE '%AND%'
 ORDER BY p_partkey
 """
 
