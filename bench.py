@@ -40,9 +40,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     registry = all_queries()
 
-    # Warm the JVM/reader paths once so timings measure the engine, not
-    # first-touch class loading.
-    registry["point_lookup"](spark, sf_dir).collect()
+    # Warm-up: run every headline query once at the smallest SF. The
+    # generated whole-stage-codegen source is identical across SFs (same
+    # schema/plan), so this fills the codegen cache and JIT — measured
+    # runs then reflect steady-state engine throughput, not one-time
+    # janino compilation (~2s on the widest aggregate).
+    warm_dir = "/root/testdata/sf0.001"
+    for name in HEADLINE:
+        try:
+            registry[name](spark, warm_dir).collect()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -1,0 +1,44 @@
+"""UDF registration — mirrors the reference's udf-in-WHERE surface
+(HBaseAdditionalQuerySuite.scala:204-238: ``session.udf.register("ageFilter",
+(age: Int) => age > 20)`` then ``WHERE ageFilter(teacher_age)``).
+
+Both forms are provided:
+- plain Python UDF (row-at-a-time; the slow path — kept for API parity),
+- pandas UDF (Arrow-vectorized; 10-100× faster, the recommended form).
+
+UDFs are the escape hatch, not the default: every built-in operator in
+this repo is expression-only (see plan audits asserting no Python nodes).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType, DoubleType
+
+
+def register_builtin_udfs(spark: SparkSession) -> list[str]:
+    """Register the demo UDF surface; returns registered names."""
+
+    # Row-at-a-time (≙ the reference's Scala closure).
+    spark.udf.register("age_filter",
+                       lambda age: age is not None and age > 20,
+                       BooleanType())
+
+    # Arrow-vectorized equivalents.
+    @F.pandas_udf(BooleanType())
+    def age_filter_v(age: pd.Series) -> pd.Series:
+        return age > 20
+
+    @F.pandas_udf(DoubleType())
+    def zscore(v: pd.Series) -> pd.Series:
+        # Batch-local normalization (per Arrow batch) — a demo of the
+        # vectorized shape; whole-column zscore belongs in a window/agg.
+        s = v.std(ddof=1)
+        return (v - v.mean()) / s if s and s == s else v * 0.0
+
+    spark.udf.register("age_filter_v", age_filter_v)
+    spark.udf.register("zscore_batch", zscore)
+    return ["age_filter", "age_filter_v", "zscore_batch"]

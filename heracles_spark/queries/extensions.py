@@ -1,0 +1,107 @@
+"""Extension-operator corpus: as-of join, binned range join, UDF-in-WHERE
+— capabilities beyond the reference surface (SURVEY §2.3 notes the
+reference has no range/as-of joins; §2.10 for the UDF surface)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heracles_spark.operators import temporal
+from heracles_spark.queries.relational import _events, _t
+
+
+def events_asof_join(spark, sf_dir):
+    """Backward as-of join: each purchase picks up the latest preceding
+    click of the same user (operators.temporal.asof_join — one shuffle,
+    union-and-carry). Aggregated per user for a stable result."""
+    e = _events(spark, sf_dir)
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", "ts_ns", "event_id"))
+    clicks = (e.where(F.col("event_type") == "click")
+               .select("user_id", "ts_ns",
+                       F.col("ts_ns").alias("click_ts_ns")))
+    j = temporal.asof_join(purchases, clicks, on="ts_ns", by="user_id",
+                           right_cols=["click_ts_ns"])
+    gap_s = F.expr("(ts_ns - click_ts_ns_right) div 1000000000")
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_purchases"),
+                  F.sum(F.when(F.col("click_ts_ns_right").isNotNull(), 1)
+                         .otherwise(0)).alias("n_with_click"),
+                  F.sum(F.coalesce(gap_s, F.lit(0))).alias("total_gap_s"))
+             .where(F.col("user_id") <= 300)
+             .orderBy("user_id"))
+
+
+ASOF_SQL = """
+WITH p AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN c.ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_click,
+       CAST(SUM(CASE WHEN c.ts IS NOT NULL
+                     THEN (epoch_ns(p.ts) - epoch_ns(c.ts)) // 1000000000
+                     ELSE 0 END) AS BIGINT) AS total_gap_s
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+GROUP BY 1 HAVING p.user_id <= 300 ORDER BY 1
+"""
+
+
+def events_range_join(spark, sf_dir):
+    """Interval join via bin-bucketing: (purchase, click) pairs where the
+    click falls in the 10 minutes before the purchase
+    (operators.temporal.range_join_binned — hash join on (user, bin),
+    never a nested loop)."""
+    e = _events(spark, sf_dir)
+    sec = F.expr("ts_ns div 1000000000")
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", sec.alias("p_s")))
+    clicks = (e.where(F.col("event_type") == "click")
+               .select("user_id", sec.alias("c_s")))
+    j = temporal.range_join_binned(purchases, clicks, by="user_id",
+                                   left_ts="p_s", right_ts="c_s",
+                                   lower=-600, upper=0, bin_width=300)
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_pairs"))
+             .where(F.col("user_id") <= 300)
+             .orderBy("user_id"))
+
+
+RANGE_SQL = """
+WITH p AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS p_s FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT user_id, epoch_ns(ts) // 1000000000 AS c_s FROM events
+           WHERE event_type = 'click')
+SELECT p.user_id, COUNT(*) AS n_pairs
+FROM p JOIN c ON p.user_id = c.user_id
+              AND c.c_s >= p.p_s - 600 AND c.c_s < p.p_s
+GROUP BY 1 HAVING p.user_id <= 300 ORDER BY 1
+"""
+
+
+def udf_where_filter(spark, sf_dir):
+    """Pandas-UDF predicate in WHERE (≙ udf-in-WHERE,
+    HBaseAdditionalQuerySuite.scala:204-238). The oracle states the same
+    predicate in plain SQL — proving the UDF computes what it claims."""
+    from heracles_spark.functions import register_builtin_udfs
+
+    register_builtin_udfs(spark)
+    c = _t(spark, sf_dir, "customer")
+    return (c.where(F.expr("age_filter_v(c_acctbal)"))
+             .groupBy("c_nationkey")
+             .agg(F.count(F.lit(1)).alias("n_rich"))
+             .orderBy("c_nationkey"))
+
+
+UDF_SQL = """
+SELECT c_nationkey, COUNT(*) AS n_rich
+FROM customer WHERE c_acctbal > 20
+GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
+QUERIES = {
+    "events_asof_join": (events_asof_join, ASOF_SQL),
+    "events_range_join": (events_range_join, RANGE_SQL),
+    "udf_where_filter": (udf_where_filter, UDF_SQL),
+}

@@ -51,6 +51,10 @@ def get_session(app_name: str = "heracles_spark", master: str | None = None,
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # Parallelism floor for small inputs: a single sub-128MB file must
+        # still fan out across cores (one split would serialize the scan
+        # + partial agg). At cluster scale maxPartitionBytes governs.
+        .config("spark.sql.files.minPartitionNum", str(cpus))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")

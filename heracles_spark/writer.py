@@ -179,3 +179,30 @@ def _jsonable(v: Any) -> Any:
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,
+                   df: DataFrame | None = None, n_buckets: int = 8,
+                   bucket_table: str | None = None) -> str:
+    """Persist a key-organized table as a bucketed+sorted Spark table so
+    key-aligned aggregations and co-bucketed joins plan with NO shuffle
+    exchange — the reference's aspirational shuffle-free aggregation
+    (HBaseStrategies.scala:44-62,86-175, dead code there; SURVEY §7.3
+    names bucketBy as the idiomatic substitute, and §4's
+    'RangePartitioning(keys)' scan declaration maps to the bucketing
+    spec Spark stores in its catalog).
+
+    Returns the bucketed table name (register in spark.table()). With an
+    in-memory session catalog the bucketing spec lives for the session;
+    on a cluster with a persistent metastore it survives restarts.
+    """
+    tbl = catalog.get_table(table)
+    name = bucket_table or f"{tbl.name}_bucketed"
+    data = df if df is not None else catalog.read_table(spark, table)
+    (data.write
+         .bucketBy(n_buckets, tbl.key_cols[0], *tbl.key_cols[1:])
+         .sortBy(tbl.key_cols[0], *tbl.key_cols[1:])
+         .mode("overwrite")
+         .format("parquet")
+         .saveAsTable(name))
+    return name

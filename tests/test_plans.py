@@ -1,0 +1,74 @@
+"""Physical-plan assertions: pushdown, pruning, broadcast, and the
+exchange-elision behavior the reference asserts in
+HBaseAdditionalQuerySuite.scala:262-308 (checkResult containExchange)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from heracles_spark import writer
+from heracles_spark.plans import (count_exchanges, has_node, pushed_filters,
+                                  read_schema_columns)
+from tests.conftest import SF_SMALL
+
+
+def test_point_lookup_pushdown(spark):
+    from heracles_spark.queries.relational import point_lookup
+
+    df = point_lookup(spark, SF_SMALL)
+    pf = pushed_filters(df)
+    assert any("EqualTo(l_orderkey,100)" in f for f in pf)
+    assert any("EqualTo(l_linenumber,1)" in f for f in pf)
+
+
+def test_column_pruning(spark):
+    from heracles_spark.queries.relational import point_lookup
+
+    cols = read_schema_columns(point_lookup(spark, SF_SMALL))
+    assert cols == [["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_extendedprice", "l_returnflag"]]
+
+
+def test_timestamp_filter_pushdown(spark):
+    from heracles_spark.queries.relational import q6_forecast_revenue
+
+    pf = pushed_filters(q6_forecast_revenue(spark, SF_SMALL))
+    assert any("l_shipdate" in f and "GreaterThanOrEqual" in f for f in pf)
+
+
+def test_broadcast_join_for_dims(spark):
+    from heracles_spark.queries.relational import q5_local_supplier
+
+    assert has_node(q5_local_supplier(spark, SF_SMALL), "BroadcastHashJoin")
+
+
+def test_topk_plans_take_ordered(spark):
+    from heracles_spark.queries.relational import topk_orders
+
+    assert has_node(topk_orders(spark, SF_SMALL), "TakeOrderedAndProject")
+
+
+def test_bucketed_groupby_elides_exchange(spark, catalog):
+    """groupBy on the bucket key of a bucketed+sorted table must not
+    shuffle (≙ the reference's shuffle-free aggregation goal,
+    HBaseStrategies.scala:86-175)."""
+    catalog.create_table("bt", [("k", "int"), ("v", "double")], ["k"])
+    df = spark.createDataFrame([(i % 50, float(i)) for i in range(1000)],
+                               "k int, v double")
+    writer.write_key_organized(spark, catalog, "bt", df)
+    name = writer.write_bucketed(spark, catalog, "bt", n_buckets=4)
+    try:
+        agg = spark.table(name).groupBy("k").agg(F.sum("v").alias("s"))
+        assert count_exchanges(agg) == 0
+        # and a non-bucketed equivalent DOES shuffle
+        plain = (catalog.read_table(spark, "bt")
+                 .groupBy("k").agg(F.sum("v").alias("s")))
+        assert count_exchanges(plain) >= 1
+        # co-bucketed self-join also avoids the shuffle
+        j = spark.table(name).alias("a").join(
+            spark.table(name).alias("b"), "k")
+        assert count_exchanges(j) == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")

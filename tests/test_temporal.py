@@ -1,0 +1,62 @@
+"""As-of join and binned range join semantics on hand-built fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+from heracles_spark.operators import temporal
+
+
+@pytest.fixture(scope="module")
+def trades_quotes(spark):
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (1, 300, "t3"), (2, 150, "t4")],
+        "sym int, ts long, trade string")
+    quotes = spark.createDataFrame(
+        [(1, 90, 10.0), (1, 200, 11.0), (1, 205, 12.0), (2, 500, 99.0)],
+        "sym int, ts long, px double")
+    return trades, quotes
+
+
+def test_asof_backward(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    j = temporal.asof_join(trades, quotes, on="ts", by="sym")
+    got = {r["trade"]: r["px_right"] for r in j.collect()}
+    assert got == {
+        "t1": 10.0,   # latest quote <= 100 is ts=90
+        "t2": 12.0,   # equal timestamp matches (<=)
+        "t3": 12.0,   # carried forward
+        "t4": None,   # no quote before 150 for sym 2
+    }
+
+
+def test_asof_preserves_left_rowcount(spark, trades_quotes):
+    trades, quotes = trades_quotes
+    assert temporal.asof_join(trades, quotes, on="ts", by="sym").count() == 4
+
+
+def test_range_join_binned_exact(spark):
+    left = spark.createDataFrame([(1, 1000, "p1"), (1, 2000, "p2")],
+                                 "u int, ts long, tag string")
+    right = spark.createDataFrame(
+        [(1, 399, "early"), (1, 400, "in1"), (1, 999, "in2"),
+         (1, 1000, "excl"), (1, 1500, "in3"), (2, 900, "otheruser")],
+        "u int, ts long, ev string")
+    j = temporal.range_join_binned(left, right, by="u",
+                                   left_ts="ts", right_ts="ts",
+                                   lower=-600, upper=0, bin_width=250)
+    got = sorted((r["tag"], r["ev"]) for r in j.collect())
+    # window [ts-600, ts): p1 gets 400,999(no: 999<1000 yes); p2 gets 1500
+    assert got == [("p1", "in1"), ("p1", "in2"), ("p2", "in3")]
+
+
+def test_range_join_no_cross_product_plan(spark):
+    """The rewrite must plan as an equi-join, not a nested loop."""
+    from heracles_spark.plans import has_node
+
+    left = spark.createDataFrame([(1, 1000)], "u int, ts long")
+    right = spark.createDataFrame([(1, 900)], "u int, ts long")
+    j = temporal.range_join_binned(left, right, "u", "ts", "ts",
+                                   -600, 0, 300)
+    assert not has_node(j, "BroadcastNestedLoopJoin")
+    assert not has_node(j, "CartesianProduct")
