@@ -10,11 +10,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _registries():
-    from heracles_spark.queries import (relational, relational2, pipeline,
-                                        extensions)
+    from heracles_spark.queries import (relational, relational2, relational3,
+                                        pipeline, extensions)
 
-    return (relational.QUERIES, relational2.QUERIES, pipeline.QUERIES,
-            extensions.QUERIES)
+    return (relational.QUERIES, relational2.QUERIES, relational3.QUERIES,
+            pipeline.QUERIES, extensions.QUERIES)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

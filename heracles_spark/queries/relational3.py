@@ -1,0 +1,182 @@
+"""Relational corpus, batch 3: pivot/unpivot, explode/UNNEST, array
+functions over embeddings, GROUPING SETS — rounding out the inherited
+surface (the reference exercises arrays via temp views,
+HBaseSQLQuerySuite.scala:157-181; grouping sets are post-reference
+Spark surface included for completeness)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heracles_spark.queries.relational import _t, _dsum, _osum
+
+
+def pivot_status_by_priority(spark, sf_dir):
+    """Pivot (conditional-aggregation equivalent): order counts by
+    priority pivoted on status."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .pivot("o_orderstatus", ["F", "O", "P"])
+             .agg(F.count(F.lit(1)))
+             .na.fill(0)
+             .orderBy("o_orderpriority"))
+
+
+PIVOT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def unpivot_metrics(spark, sf_dir):
+    """Unpivot (stack): wide per-nation metrics → long (metric, value)."""
+    c = _t(spark, sf_dir, "customer")
+    wide = (c.groupBy("c_nationkey")
+             .agg(F.count(F.lit(1)).cast("double").alias("n_customers"),
+                  _dsum(F.col("c_acctbal")).alias("total_bal")))
+    return (wide.unpivot("c_nationkey", ["n_customers", "total_bal"],
+                         "metric", "value")
+                .orderBy("c_nationkey", "metric"))
+
+
+UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n_customers,
+         {_osum('c_acctbal')} AS total_bal
+  FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM wide
+UNION ALL
+SELECT c_nationkey, 'total_bal' AS metric, total_bal AS value FROM wide
+ORDER BY c_nationkey, metric
+"""
+
+
+def explode_tokens(spark, sf_dir):
+    """explode (≙ UNNEST): token frequency over documents — the word-count
+    shape every text pipeline starts with."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    return (d.select(F.explode(toks).alias("tok"))
+             .groupBy("tok")
+             .agg(F.count(F.lit(1)).alias("freq"))
+             .orderBy(F.desc("freq"), "tok")
+             .limit(25))
+
+
+EXPLODE_SQL = """
+SELECT tok, COUNT(*) AS freq
+FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+      FROM documents)
+GROUP BY tok ORDER BY freq DESC, tok LIMIT 25
+"""
+
+
+def array_functions(spark, sf_dir):
+    """Array function batch over embeddings: size/slice/contains-ish/
+    min/max/sort — per-row, exactly representable floats."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(
+        F.col("vec_id") <= 30)
+    emb = F.col("embedding")
+    return (e.select("vec_id",
+                     F.array_size(emb).alias("dim"),
+                     F.round(F.array_max(emb).cast("double"), 6).alias("vmax"),
+                     F.round(F.array_min(emb).cast("double"), 6).alias("vmin"),
+                     F.round(F.element_at(emb, 1).cast("double"), 6).alias("first_v"),
+                     F.round(F.element_at(emb, -1).cast("double"), 6).alias("last_v"),
+                     F.array_size(F.filter(emb, lambda x: x > 0)).alias("n_pos"))
+             .orderBy("vec_id"))
+
+
+ARRF_SQL = """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS vmax,
+       ROUND(CAST(list_min(embedding) AS DOUBLE), 6) AS vmin,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_v,
+       ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last_v,
+       CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+FROM embeddings WHERE vec_id <= 30 ORDER BY vec_id
+"""
+
+
+def grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS via SQL (Spark grammar) vs DuckDB's."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST,
+                 o_orderpriority ASC NULLS FIRST
+    """)
+
+
+GS_SQL = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+"""
+
+
+def first_last_value(spark, sf_dir):
+    """first_value/last_value window frame semantics."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 20)
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderdate", "o_orderkey")
+               .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return (o.select("o_custkey", "o_orderkey",
+                     F.first("o_totalprice").over(w).alias("first_price"),
+                     F.last("o_totalprice").over(w).alias("last_price"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+FLV_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+       LAST_VALUE(o_totalprice) OVER w AS last_price
+FROM orders WHERE o_custkey <= 20
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+def ntile_percentiles(spark, sf_dir):
+    """ntile bucketing + percent_rank (distribution analytics)."""
+    from pyspark.sql import Window
+
+    c = _t(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (c.select("c_custkey",
+                     F.ntile(4).over(w).alias("quartile"),
+                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+             .where(F.col("c_custkey") <= 40)
+             .orderBy("c_custkey"))
+
+
+NTILE_SQL = """
+SELECT c_custkey, CAST(q AS INT) AS quartile, ROUND(pr, 6) AS pct_rank FROM (
+  SELECT c_custkey,
+         NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS q,
+         PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) AS pr
+  FROM customer)
+WHERE c_custkey <= 40 ORDER BY c_custkey
+"""
+
+
+QUERIES = {
+    "pivot_status_by_priority": (pivot_status_by_priority, PIVOT_SQL),
+    "unpivot_metrics": (unpivot_metrics, UNPIVOT_SQL),
+    "explode_tokens": (explode_tokens, EXPLODE_SQL),
+    "array_functions": (array_functions, ARRF_SQL),
+    "grouping_sets": (grouping_sets, GS_SQL),
+    "first_last_value": (first_last_value, FLV_SQL),
+    "ntile_percentiles": (ntile_percentiles, NTILE_SQL),
+}
