@@ -14,11 +14,14 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
     "q6_forecast_revenue",
     "q10_returned_items",
+    "q9_product_profit",
+    "q18_large_orders",
     "point_lookup",
     "key_range_scan",
     "topk_orders",
@@ -28,6 +31,13 @@ HEADLINE = [
     "events_sessionize",
     "join_full",
     "set_union_all",
+    # pipeline / extension operators
+    "doc_minhash_pairs",
+    "doc_dedup_exact_text",
+    "doc_lang_id",
+    "embedding_knn_brute",
+    "events_asof_join",
+    "events_range_join",
 ]
 
 

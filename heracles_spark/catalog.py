@@ -225,18 +225,61 @@ class HeraclesCatalog:
             self.read_table(spark, name).createOrReplaceTempView(name)
 
     # -- persistence -------------------------------------------------------
+    #
+    # Small file indexes inline in the table JSON; past
+    # FILES_INLINE_MAX entries the index graduates to a sidecar parquet
+    # dataset (SURVEY §7.4.6 / SCALE.md gap #1) — at 100 TB / 128 MB
+    # files that's ~8e5 rows, far beyond sane JSON. The KeyTable API is
+    # unchanged; only (de)serialization differs.
+
+    FILES_INLINE_MAX = 4096
 
     def _path(self, name: str) -> str:
         return os.path.join(self.tables_dir, f"{name}.json")
 
+    def _index_path(self, name: str) -> str:
+        d = os.path.join(self.metastore_dir, "indexes")
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, f"{name}.files.parquet")
+
     def _save(self, tbl: KeyTable) -> None:
+        doc = tbl.to_json()
+        if len(tbl.files) > self.FILES_INLINE_MAX:
+            self._write_index_parquet(tbl)
+            doc["files"] = {"__files_ref": self._index_path(tbl.name),
+                            "n": len(tbl.files)}
         tmp = self._path(tbl.name) + ".tmp"
         with open(tmp, "w") as f:
-            json.dump(tbl.to_json(), f, default=str)
+            json.dump(doc, f, default=str)
         os.replace(tmp, self._path(tbl.name))
         with self._lock:
             self._cache[tbl.name] = tbl
 
     def _load(self, name: str) -> KeyTable:
         with open(self._path(name)) as f:
-            return KeyTable.from_json(json.load(f))
+            doc = json.load(f)
+        files = doc.get("files")
+        if isinstance(files, dict) and "__files_ref" in files:
+            doc["files"] = self._read_index_parquet(files["__files_ref"])
+        return KeyTable.from_json(doc)
+
+    def _write_index_parquet(self, tbl: KeyTable) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = [{"path": f["path"], "rows": f["rows"],
+                 "min_json": json.dumps(f.get("min", {}), default=str),
+                 "max_json": json.dumps(f.get("max", {}), default=str)}
+                for f in tbl.files]
+        pq.write_table(pa.Table.from_pylist(rows), self._index_path(tbl.name))
+
+    @staticmethod
+    def _read_index_parquet(path: str) -> list[dict[str, Any]]:
+        import pyarrow.parquet as pq
+
+        out = []
+        for r in pq.read_table(path).to_pylist():
+            out.append({"path": r["path"], "rows": r["rows"],
+                        "min": json.loads(r["min_json"]),
+                        "max": json.loads(r["max_json"])})
+        return out

