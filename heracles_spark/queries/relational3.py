@@ -180,3 +180,70 @@ QUERIES = {
     "first_last_value": (first_last_value, FLV_SQL),
     "ntile_percentiles": (ntile_percentiles, NTILE_SQL),
 }
+
+
+def stats_moments(spark, sf_dir):
+    """Second-moment statistics (variance/stddev/correlation) computed
+    from decimal-EXACT sums — native stddev/corr accumulate doubles in
+    engine-specific orders and can't hash-match across engines; the
+    moment formula from exact sums is bit-deterministic."""
+    l = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1)).cast("double")
+    sx = _dsum(F.col("l_quantity"))
+    sxx = _dsum(F.col("l_quantity") * F.col("l_quantity"), 8)
+    sy = _dsum(F.col("l_extendedprice"))
+    syy = _dsum(F.col("l_extendedprice") * F.col("l_extendedprice"), 4)
+    sxy = _dsum(F.col("l_quantity") * F.col("l_extendedprice"), 6)
+    var = (sxx - sx * sx / n) / (n - 1)
+    vary = (syy - sy * sy / n) / (n - 1)
+    cov = (sxy - sx * sy / n) / (n - 1)
+    return (l.groupBy("l_returnflag")
+             .agg(n.cast("long").alias("n"),
+                  F.round(var, 6).alias("var_qty"),
+                  F.round(F.sqrt(var), 6).alias("std_qty"),
+                  F.round(cov / F.sqrt(var * vary), 6).alias("corr_qty_price"))
+             .orderBy("l_returnflag"))
+
+
+STATS_SQL = f"""
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {_osum('l_quantity')} AS sx,
+         {_osum('l_quantity * l_quantity', 8)} AS sxx,
+         {_osum('l_extendedprice')} AS sy,
+         {_osum('l_extendedprice * l_extendedprice', 4)} AS syy,
+         {_osum('l_quantity * l_extendedprice', 6)} AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS std_qty,
+       ROUND((sxy - sx * sy / n) / (n - 1)
+             / SQRT((sxx - sx * sx / n) / (n - 1)
+                    * (syy - sy * sy / n) / (n - 1)), 6) AS corr_qty_price
+FROM m ORDER BY l_returnflag
+"""
+
+
+def percentile_exact(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile ≙ DuckDB
+    quantile_cont — both linear interpolation over the sorted set)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
+                   .alias("median_price"),
+                  F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
+                   .alias("p90_price"))
+             .orderBy("o_orderstatus"))
+
+
+PCT_SQL = """
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS median_price,
+       ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+QUERIES["stats_moments"] = (stats_moments, STATS_SQL)
+QUERIES["percentile_exact"] = (percentile_exact, PCT_SQL)
