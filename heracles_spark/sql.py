@@ -48,8 +48,11 @@ _INSERT_SELECT = re.compile(
     r"(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
+_SHOW_CREATE = re.compile(
+    r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _DESCRIBE = re.compile(
-    r"^\s*DESC(?:RIBE)?\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+    r"^\s*DESC(?:RIBE)?\s+(?P<extended>EXTENDED\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
 
 
 def dispatch(session, statement: str) -> DataFrame | None:
@@ -109,11 +112,30 @@ def dispatch(session, statement: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(t,) for t in catalog.list_tables()], "tableName: string")
 
+    m = _SHOW_CREATE.match(statement)
+    if m and catalog.table_exists(m.group("name").lower()):
+        tbl = catalog.get_table(m.group("name").lower())
+        cols = ", ".join(f"{c} {t.upper()}" for c, t in tbl.columns)
+        props = {"keyCols": ";".join(tbl.key_cols), **tbl.properties}
+        props_s = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
+        ddl = f"CREATE TABLE {tbl.name} ({cols}) TBLPROPERTIES({props_s})"
+        return spark.createDataFrame([(ddl,)], "createtab_stmt: string")
+
     m = _DESCRIBE.match(statement)
     if m and catalog.table_exists(m.group("name").lower()):
         tbl = catalog.get_table(m.group("name").lower())
         rows = [(c, t, "KEY" if c in tbl.key_cols else "")
                 for c, t in tbl.columns]
+        if m.group("extended"):
+            rows += [("", "", ""),
+                     ("# Detailed Table Information", "", ""),
+                     ("Location", tbl.data_dir, ""),
+                     ("Key Columns", ";".join(tbl.key_cols), ""),
+                     ("Num Files", str(len(tbl.files)), ""),
+                     ("Num Rows", str(sum(f.get("rows", 0)
+                                          for f in tbl.files)), "")]
+            rows += [(f"Property: {k}", v, "")
+                     for k, v in sorted(tbl.properties.items())]
         return spark.createDataFrame(
             rows, "col_name: string, data_type: string, comment: string")
 

@@ -73,3 +73,17 @@ def test_create_requires_key_cols(hsession):
 
 def test_passthrough_sql(hsession):
     assert hsession.sql("SELECT 1 + 1 AS two").collect()[0]["two"] == 2
+
+
+def test_show_create_and_describe_extended(hsession):
+    hsession.sql("""CREATE TABLE sc1 (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k', 'encodingFormat'='binaryformat')""")
+    hsession.sql("INSERT INTO sc1 VALUES (1, 'a')")
+    ddl = hsession.sql("SHOW CREATE TABLE sc1").collect()[0]["createtab_stmt"]
+    assert "CREATE TABLE sc1" in ddl and "'keyCols'='k'" in ddl
+    ext = {r["col_name"]: r["data_type"]
+           for r in hsession.sql("DESCRIBE EXTENDED sc1").collect()}
+    assert ext["Key Columns"] == "k"
+    assert ext["Num Rows"] == "1"
+    assert ext["Property: encodingFormat"] == "binaryformat"
+    hsession.sql("DROP TABLE sc1")

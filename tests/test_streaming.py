@@ -50,3 +50,62 @@ def test_session_windows(spark):
     got = sorted((r["user_id"], r["n_events"])
                  for r in ingest.sessionized_counts(df).collect())
     assert got == [(1, 1), (1, 2), (2, 1)]   # user 1: 2 sessions
+
+
+def test_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState: per-user state carried across micro-batches
+    (two input files, maxFilesPerTrigger=1 ⇒ two batches)."""
+    from heracles_spark.streaming.stateful import running_user_stats
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    spark.createDataFrame([(1, 10.0), (1, 5.0), (2, 1.0)],
+                          "user_id long, value double") \
+         .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(1, 2.0), (3, 7.0)],
+                          "user_id long, value double") \
+         .coalesce(1).write.parquet(str(src / "f2"))
+
+    stream = (spark.readStream
+              .schema("user_id long, value double")
+              .option("maxFilesPerTrigger", "1")
+              .parquet(str(src / "*")))
+    out = running_user_stats(stream)
+    q = (out.writeStream.format("memory").queryName("running_stats")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM running_stats").collect()
+    # last emitted update per user carries the running total
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total_value"])
+    assert final[1] == (3, 17.0)      # 2 events batch1 + 1 batch2, totals merged
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from heracles_spark.streaming.stateful import streaming_exact_dedup
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    rows = [("2024-01-01 00:00:00", 1, "a"), ("2024-01-01 00:05:00", 1, "a"),
+            ("2024-01-01 00:10:00", 2, "b")]
+    (spark.createDataFrame(rows, "ts_s string, k long, v string")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+          .coalesce(1).write.parquet(str(src / "f1")))
+    stream = (spark.readStream.schema("k long, v string, ts timestamp")
+              .parquet(str(src / "*")))
+    out = streaming_exact_dedup(stream, ["k"])
+    q = (out.writeStream.format("memory").queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["k"], r["v"])
+                 for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert got == [(1, "a"), (2, "b")]
