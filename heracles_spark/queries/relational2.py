@@ -499,3 +499,87 @@ QUERIES = {
     "division_semantics": (division_semantics, DIV_SQL),
     "coalesce_chain": (coalesce_chain, COAL_SQL),
 }
+
+
+def q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of per-customer order counts
+    (left join + two-level aggregation)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        ~F.col("o_orderpriority").like("5%"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left")
+                 .groupBy("c_custkey")
+                 .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '5%'
+  GROUP BY c_custkey)
+GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with maximum revenue (CTE + scalar
+    max + equality join back)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp")))
+    s = _t(spark, sf_dir, "supplier")
+    rev = (l.groupBy("l_suppkey")
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 8)
+                 .alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (rev.join(F.broadcast(mx), rev.total_revenue == F.col("mx"))
+               .join(s, rev.l_suppkey == s.s_suppkey)
+               .select("s_suppkey", "s_name", "total_revenue")
+               .orderBy("s_suppkey"))
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_osum('l_extendedprice * (1 - l_discount)', 8)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def q17_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below 20% of their part's average
+    quantity (correlated aggregate subquery → per-part avg join)."""
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#3")
+    avg_q = (l.groupBy(F.col("l_partkey").alias("ap"))
+              .agg(_davg(F.col("l_quantity")).alias("avg_qty")))
+    return (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+             .join(avg_q, l.l_partkey == F.col("ap"))
+             .where(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+             .agg((_dsum(F.col("l_extendedprice")) / 7.0)
+                  .alias("avg_yearly"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
+Q17_SQL = f"""
+SELECT {_osum('l_extendedprice')} / 7.0 AS avg_yearly, COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#3'
+  AND l_quantity < 0.5 * (SELECT {_oavg('l_quantity')}
+                          FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+QUERIES["q13_order_count_distribution"] = (q13_order_count_distribution, Q13_SQL)
+QUERIES["q15_top_supplier"] = (q15_top_supplier, Q15_SQL)
+QUERIES["q17_small_quantity_revenue"] = (q17_small_quantity_revenue, Q17_SQL)
