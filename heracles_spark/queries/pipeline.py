@@ -302,3 +302,28 @@ QUERIES = {
     "embedding_near_dup": (embedding_near_dup, None),
     "multimodal_decode": (multimodal_decode, MMD_SQL),
 }
+
+
+def doc_train_test_split(spark, sf_dir):
+    """Deterministic content-hash train/eval split (operators.sampling.
+    hash_split): reproducible across engines/partitionings — counts per
+    (lang, split) oracle-checked against the same md5-bucket function."""
+    from heracles_spark.operators.sampling import hash_split
+
+    d = hash_split(_docs(spark, sf_dir), on="doc_id", train_pct=80)
+    return (d.groupBy("lang", "split")
+             .agg(F.count(F.lit(1)).alias("n_docs"))
+             .orderBy("lang", "split"))
+
+
+SPLIT_SQL = """
+SELECT lang,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) % 100 < 80
+            THEN 'train' ELSE 'eval' END AS split,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+QUERIES["doc_train_test_split"] = (doc_train_test_split, SPLIT_SQL)

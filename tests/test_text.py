@@ -76,3 +76,30 @@ def test_md5_fingerprint_matches_hashlib(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     got = text.with_md5_fingerprint(df).collect()[0]["fp_md5"]
     assert got == hashlib.md5(b"abc").hexdigest()
+
+
+def test_hash_split_deterministic(spark):
+    from heracles_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(1000)], "doc_id long")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in hash_split(df.repartition(13), "doc_id").collect()}
+    assert a == b                          # partition-independent
+    frac = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.75 < frac < 0.85              # ≈80%
+
+
+def test_stratified_sample(spark):
+    from heracles_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(2000)],
+        "doc_id long, lang string")
+    s = stratified_sample(df, "lang", {"en": 0.1, "de": 0.5}, seed=42)
+    counts = {r["lang"]: r["n"] for r in
+              s.groupBy("lang").agg(__import__("pyspark.sql.functions",
+                                               fromlist=["count"]).count("*")
+                                    .alias("n")).collect()}
+    assert 50 < counts["en"] < 200
+    assert 350 < counts["de"] < 650
