@@ -583,3 +583,105 @@ WHERE p_brand = 'Brand#3'
 QUERIES["q13_order_count_distribution"] = (q13_order_count_distribution, Q13_SQL)
 QUERIES["q15_top_supplier"] = (q15_top_supplier, Q15_SQL)
 QUERIES["q17_small_quantity_revenue"] = (q17_small_quantity_revenue, Q17_SQL)
+
+
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part value share above a global-scalar
+    threshold (group-by + HAVING against a scalar subquery)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_1")
+    val = F.col("l_extendedprice") * F.col("l_quantity")
+    scoped = (l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+               .join(F.broadcast(n), s.s_nationkey == n.n_nationkey))
+    per_part = (scoped.groupBy("l_partkey")
+                      .agg(_dsum(val, 8).alias("part_value")))
+    total = scoped.agg((_dsum(val, 8) * 0.001).alias("threshold"))
+    return (per_part.join(F.broadcast(total))
+                    .where(F.col("part_value") > F.col("threshold"))
+                    .select("l_partkey", "part_value")
+                    .orderBy(F.desc("part_value"), "l_partkey")
+                    .limit(50))
+
+
+Q11_SQL = f"""
+WITH scoped AS (
+  SELECT l_partkey, l_extendedprice * l_quantity AS val
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1')
+SELECT l_partkey, {_osum('val', 8)} AS part_value
+FROM scoped GROUP BY l_partkey
+HAVING {_osum('val', 8)} > (SELECT {_osum('val', 8)} * 0.001 FROM scoped)
+ORDER BY part_value DESC, l_partkey LIMIT 50
+"""
+
+
+def q20_excess_stock_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers shipping above-threshold volume of
+    name-matched parts in a year (nested semi-join chain)."""
+    l = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    shipped = (l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+                .groupBy("l_suppkey")
+                .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+                .where(F.col("total_qty") > 400))
+    return (s.join(shipped, s.s_suppkey == shipped.l_suppkey, "left_semi")
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", "s_name", "n_name")
+             .orderBy("s_suppkey"))
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING {_osum('l_quantity')} > 400)
+ORDER BY s_suppkey
+"""
+
+
+def q21_sole_supplier_orders(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers appearing as the ONLY supplier on an
+    order with returned items (multi-predicate exists/not-exists →
+    per-order distinct-count then filter)."""
+    l = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    per_order = (l.groupBy("l_orderkey")
+                  .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                       F.max(F.when(F.col("l_returnflag") == "R", 1)
+                              .otherwise(0)).alias("has_return")))
+    sole = per_order.where((F.col("n_supp") == 1) & (F.col("has_return") == 1))
+    return (l.join(sole.select("l_orderkey"), "l_orderkey", "left_semi")
+             .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+             .groupBy("s_suppkey", "s_name")
+             .agg(F.countDistinct("l_orderkey").alias("numwait"))
+             .orderBy(F.desc("numwait"), "s_suppkey")
+             .limit(20))
+
+
+Q21_SQL = """
+WITH sole AS (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING COUNT(DISTINCT l_suppkey) = 1
+     AND MAX(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) = 1)
+SELECT s_suppkey, s_name, COUNT(DISTINCT l_orderkey) AS numwait
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_orderkey IN (SELECT l_orderkey FROM sole)
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey LIMIT 20
+"""
+
+
+QUERIES["q11_important_stock"] = (q11_important_stock, Q11_SQL)
+QUERIES["q20_excess_stock_suppliers"] = (q20_excess_stock_suppliers, Q20_SQL)
+QUERIES["q21_sole_supplier_orders"] = (q21_sole_supplier_orders, Q21_SQL)
