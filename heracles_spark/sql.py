@@ -28,7 +28,7 @@ import shlex
 from pyspark.sql import DataFrame
 
 _CREATE = re.compile(
-    r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
+    r"^\s*CREATE\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*?)\)\s*"
     r"TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
@@ -63,6 +63,9 @@ def dispatch(session, statement: str) -> DataFrame | None:
 
     m = _CREATE.match(statement)
     if m:
+        if m.group("if_not_exists") and catalog.table_exists(
+                m.group("name").lower()):
+            return None
         cols = _parse_columns(m.group("cols"))
         props = _parse_props(m.group("props"))
         key_cols = [k for k in props.get("keyCols", "").split(";") if k]

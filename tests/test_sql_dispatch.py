@@ -87,3 +87,14 @@ def test_show_create_and_describe_extended(hsession):
     assert ext["Num Rows"] == "1"
     assert ext["Property: encodingFormat"] == "binaryformat"
     hsession.sql("DROP TABLE sc1")
+
+
+def test_create_if_not_exists(hsession):
+    hsession.sql("CREATE TABLE ine (k INT) TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("INSERT INTO ine VALUES (1)")
+    # second create with IF NOT EXISTS is a no-op (data preserved)
+    hsession.sql("CREATE TABLE IF NOT EXISTS ine (k INT) TBLPROPERTIES('keyCols'='k')")
+    assert hsession.sql("SELECT count(*) AS c FROM ine").collect()[0]["c"] == 1
+    with pytest.raises(Exception):
+        hsession.sql("CREATE TABLE ine (k INT) TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("DROP TABLE ine")
