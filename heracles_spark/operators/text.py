@@ -122,3 +122,40 @@ def with_md5_fingerprint(df: DataFrame, text_col: str = "text",
     """MD5 hex fingerprint — the cross-engine-checkable variant (DuckDB
     md5() produces identical hex)."""
     return df.withColumn(out_col, F.md5(F.col(text_col)))
+
+
+def chunk_documents(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", chunk_tokens: int = 64,
+                    stride: int | None = None) -> DataFrame:
+    """Split documents into fixed-token-window chunks (optionally
+    overlapping via ``stride``) — the context-window packing step of a
+    training pipeline.
+
+    Shape: posexplode tokens → chunk id by integer division → groupBy
+    reassemble (sort_array over (pos, tok) structs keeps order without a
+    window sort). One shuffle on (id, chunk_id); no Python, no HOF
+    lambdas in the hot path."""
+    from pyspark.sql import functions as F
+
+    stride = stride or chunk_tokens
+    toks = tokens(F.col(text_col))
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    # Chunk c covers positions [c*stride, c*stride + chunk_tokens); token
+    # at pos p belongs to chunks c = floor(p/stride) - j for the j where
+    # the window still covers p. With stride == chunk_tokens this is
+    # exactly one chunk per token.
+    n_copies = max(1, -(-chunk_tokens // stride))  # ceil(chunk/stride)
+    ex = (ex.withColumn("j", F.explode(F.sequence(F.lit(0),
+                                                  F.lit(n_copies - 1))))
+            .withColumn("chunk_id",
+                        F.floor(F.col("pos") / stride) - F.col("j"))
+            .where((F.col("chunk_id") >= 0)
+                   & (F.col("pos")
+                      < F.col("chunk_id") * stride + chunk_tokens))
+            .drop("j"))
+    return (ex.groupBy(id_col, "chunk_id")
+              .agg(F.array_join(
+                       F.transform(F.sort_array(F.collect_list(
+                           F.struct("pos", "tok"))), lambda s: s.tok),
+                       " ").alias("chunk_text"),
+                   F.count(F.lit(1)).alias("n_tokens")))

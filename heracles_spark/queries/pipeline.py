@@ -327,3 +327,30 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, split
 
 
 QUERIES["doc_train_test_split"] = (doc_train_test_split, SPLIT_SQL)
+
+
+def doc_chunking(spark, sf_dir):
+    """Context-window chunking (operators.text.chunk_documents): 64-token
+    non-overlapping chunks; chunk text md5-hashed for a compact oracle
+    comparison of exact reconstruction order."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50)
+    ch = text.chunk_documents(d, chunk_tokens=64)
+    return (ch.select("doc_id", "chunk_id", "n_tokens",
+                      F.md5("chunk_text").alias("chunk_md5"))
+              .orderBy("doc_id", "chunk_id"))
+
+
+CHUNK_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS arr
+  FROM documents WHERE doc_id <= 50),
+toks AS (
+  SELECT doc_id, arr[CAST(i AS INT)] AS tok, CAST(i - 1 AS BIGINT) AS pos
+  FROM base, range(1, 10000) t(i) WHERE i <= len(arr))
+SELECT doc_id, pos // 64 AS chunk_id, COUNT(*) AS n_tokens,
+       md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_md5
+FROM toks GROUP BY 1, 2 ORDER BY doc_id, chunk_id
+"""
+
+
+QUERIES["doc_chunking"] = (doc_chunking, CHUNK_SQL)

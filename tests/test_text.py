@@ -103,3 +103,24 @@ def test_stratified_sample(spark):
                                     .alias("n")).collect()}
     assert 50 < counts["en"] < 200
     assert 350 < counts["de"] < 650
+
+
+def test_chunk_documents_no_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10)))], "doc_id long, text string")
+    chunks = {r["chunk_id"]: (r["chunk_text"], r["n_tokens"])
+              for r in text.chunk_documents(df, chunk_tokens=4).collect()}
+    assert chunks[0] == ("w0 w1 w2 w3", 4)
+    assert chunks[1] == ("w4 w5 w6 w7", 4)
+    assert chunks[2] == ("w8 w9", 2)
+
+
+def test_chunk_documents_overlap(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f")], "doc_id long, text string")
+    chunks = {r["chunk_id"]: r["chunk_text"]
+              for r in text.chunk_documents(df, chunk_tokens=4,
+                                            stride=2).collect()}
+    assert chunks[0] == "a b c d"
+    assert chunks[1] == "c d e f"
+    assert chunks[2] == "e f"
