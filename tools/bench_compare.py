@@ -1,0 +1,78 @@
+"""Head-to-head: each oracle-backed headline query timed on this engine
+(Spark, warm) vs DuckDB (same machine, same parquet). Writes
+BENCH_NOTES.md. Usage: python tools/bench_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+HEADLINE = [
+    "q1_pricing_summary", "q3_shipping_priority", "q5_local_supplier",
+    "q6_forecast_revenue", "q9_product_profit", "q10_returned_items",
+    "q18_large_orders", "point_lookup", "key_range_scan", "topk_orders",
+    "agg_having", "count_distinct", "window_row_number",
+    "events_sessionize", "events_asof_join", "events_range_join",
+    "doc_dedup_exact_text", "doc_lang_id", "embedding_knn_brute",
+    "doc_ngram_jaccard", "doc_chunking",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    from heracles_spark.session import get_session
+    from heracles_spark.queries import all_queries, all_oracles
+
+    spark = get_session("bench-compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs, os_ = all_queries(), all_oracles()
+
+    con = duckdb.connect()
+    for t in ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split():
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    rows = []
+    for name in HEADLINE:
+        qs[name](spark, sf_dir).collect()          # warm (codegen + IO)
+        t0 = time.time()
+        qs[name](spark, sf_dir).collect()
+        t_spark = time.time() - t0
+        con.execute(os_[name]).fetchall()          # warm
+        t0 = time.time()
+        con.execute(os_[name]).fetchall()
+        t_duck = time.time() - t0
+        rows.append((name, t_spark, t_duck))
+
+    total_s = sum(r[1] for r in rows)
+    total_d = sum(r[2] for r in rows)
+    lines = [
+        "# BENCH_NOTES — Spark engine vs DuckDB oracle, warm, same machine",
+        "",
+        f"sf_dir={sf_dir}; Spark local with heracles_spark session configs; "
+        "both engines warm (2nd run timed). DuckDB is an embedded "
+        "single-node columnar engine — the relevant comparison for the "
+        "2×-of-baseline gate; Spark carries distributed-execution "
+        "scaffolding that amortizes at cluster scale.",
+        "",
+        "| query | spark s | duckdb s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name, ts, td in rows:
+        ratio = ts / td if td > 0 else float("inf")
+        lines.append(f"| {name} | {ts:.3f} | {td:.3f} | {ratio:.1f}x |")
+    lines.append(f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
+                 f"**{total_s / total_d:.1f}x** |")
+    with open("BENCH_NOTES.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(f"BENCH_NOTES.md written; spark {total_s:.2f}s vs duckdb "
+          f"{total_d:.2f}s")
+
+
+if __name__ == "__main__":
+    main()
