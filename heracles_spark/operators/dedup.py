@@ -228,15 +228,21 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     guard), self-join on n-gram, count intersections, compute
     |A∩B| / (|A|+|B|-|A∩B|)."""
     # HOF-free gram generation (transform lambdas are interpreted, not
-    # codegen'd): explode an index sequence, substring per index.
+    # codegen'd): explode an index sequence, substring per index. Grams
+    # are hashed to 64-bit immediately so every downstream shuffle/join
+    # moves fixed-width longs instead of strings (collision odds at
+    # realistic gram cardinalities are ~G²/2⁶⁴ — negligible).
     base = (df.select(F.col(id_col), F.col(text_col),
                       F.explode(F.sequence(
                           F.lit(1),
                           F.greatest(F.length(F.col(text_col)) - (n - 1),
                                      F.lit(1)))).alias("i"))
               .select(F.col(id_col),
-                      F.col(text_col).substr(F.col("i"), F.lit(n)).alias("g"))
-              .where(F.length("g") == n)
+                      F.when(F.col("i") <= F.length(F.col(text_col)) - (n - 1),
+                             F.xxhash64(F.col(text_col)
+                                         .substr(F.col("i"), F.lit(n))))
+                       .alias("g"))
+              .where(F.col("g").isNotNull())
               .distinct())
     sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
