@@ -12,6 +12,7 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   LOAD DATA [LOCAL] INPATH 'f' [OVERWRITE] INTO TABLE t
   INSERT INTO [TABLE] t VALUES (...), (...)
   INSERT INTO [TABLE] t SELECT ...
+  MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
   SHOW TABLES / DESCRIBE t
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
@@ -47,6 +48,13 @@ _INSERT_SELECT = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+"
     r"(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL)
+_MERGE_HEAD = re.compile(
+    r"^\s*MERGE\s+INTO\s+(?P<name>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!USING\b)(?P<talias>\w+))?"
+    r"\s+USING\s+", re.IGNORECASE | re.DOTALL)
+_MERGE_KIND = re.compile(
+    r"^(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
+    r"(?:\s+AND\s+)?", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -111,6 +119,22 @@ def dispatch(session, statement: str) -> DataFrame | None:
         catalog.read_table(spark, name).createOrReplaceTempView(name)
         return None
 
+    parsed = _parse_merge(statement)
+    if parsed:
+        from heracles_spark import merge as merge_mod
+        name = parsed["target"].lower()
+        if parsed["source_sql"] is not None:
+            src_df = spark.sql(parsed["source_sql"])
+        else:
+            src_df = spark.table(parsed["source_table"])
+        merge_mod.merge_into(
+            spark, catalog, name, src_df, parsed["on"], parsed["clauses"],
+            target_alias=parsed["talias"] or name,
+            source_alias=parsed["salias"] or parsed["source_table"]
+            or "source")
+        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        return None
+
     if _SHOW.match(statement):
         return spark.createDataFrame(
             [(t,) for t in catalog.list_tables()], "tableName: string")
@@ -145,6 +169,133 @@ def dispatch(session, statement: str) -> DataFrame | None:
     # Everything else: stock Spark SQL (≙ all operators above the scan
     # being inherited, SURVEY §0).
     return spark.sql(statement)
+
+
+def _parse_merge(statement: str):
+    """Parse MERGE INTO … USING … ON … WHEN … into its parts, or None.
+
+    Returns dict(target, talias, source_table, source_sql, salias, on,
+    clauses:[MergeClause]). The source is a table name or a
+    parenthesized subquery; clauses split on top-level
+    ``WHEN [NOT] MATCHED`` tokens (so CASE WHEN inside a condition
+    doesn't confuse the split).
+    """
+    from heracles_spark.merge import MergeClause
+
+    m = _MERGE_HEAD.match(statement)
+    if not m:
+        return None
+    rest = statement[m.end():].lstrip()
+
+    source_sql = source_table = None
+    if rest.startswith("("):
+        depth, i = 0, 0
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            raise ValueError("MERGE: unbalanced parens in USING subquery")
+        source_sql = rest[1:i].strip()
+        rest = rest[i + 1:]
+    else:
+        m2 = re.match(r"(?P<src>[\w.]+)", rest)
+        if not m2:
+            raise ValueError("MERGE: bad USING source")
+        source_table = m2.group("src").lower()
+        rest = rest[m2.end():]
+
+    salias = None
+    m3 = re.match(r"\s*(?:AS\s+)?(?!ON\b)(?P<a>\w+)", rest, re.IGNORECASE)
+    if m3:
+        salias = m3.group("a")
+        rest = rest[m3.end():]
+
+    m4 = re.match(r"\s*ON\s+(?P<on>.*?)\s+(?=WHEN\s+(?:NOT\s+)?MATCHED\b)",
+                  rest, re.IGNORECASE | re.DOTALL)
+    if not m4:
+        raise ValueError("MERGE: missing ON condition or WHEN clause")
+    on = m4.group("on").strip()
+
+    clause_text = rest[m4.end():]
+    starts = [mm.start() for mm in re.finditer(
+        r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", clause_text, re.IGNORECASE)]
+    clauses = []
+    for idx, st in enumerate(starts):
+        end = starts[idx + 1] if idx + 1 < len(starts) else len(clause_text)
+        chunk = re.sub(r"^\s*WHEN\s+", "", clause_text[st:end].strip(),
+                       flags=re.IGNORECASE)
+        cm = _MERGE_KIND.match(chunk)
+        kind = ("not_matched_by_source" if cm.group("bysrc")
+                else "not_matched" if cm.group("not") else "matched")
+        body = chunk[cm.end():]
+        cond, action = _split_on_then(body)
+        clauses.append(_parse_merge_action(kind, cond, action.strip()))
+    if not clauses:
+        raise ValueError("MERGE requires at least one WHEN clause")
+
+    return {"target": m.group("name"), "talias": m.group("talias"),
+            "source_table": source_table, "source_sql": source_sql,
+            "salias": salias, "on": on, "clauses": clauses}
+
+
+def _split_on_then(body: str) -> tuple[str | None, str]:
+    """Split ``[condition] THEN action`` at the first THEN that sits at
+    paren depth 0 and outside any CASE…END — a condition like
+    ``(CASE WHEN x THEN 1 ELSE 0 END) = 1 THEN UPDATE …`` must not split
+    at the CASE's THEN."""
+    depth = case_depth = 0
+    for mm in re.finditer(r"'[^']*'|\"[^\"]*\"|\(|\)|\bCASE\b|\bEND\b|"
+                          r"\bTHEN\b", body, re.IGNORECASE):
+        tok = mm.group(0)
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif tok.upper() == "CASE":
+            case_depth += 1
+        elif tok.upper() == "END":
+            case_depth = max(0, case_depth - 1)
+        elif tok.upper() == "THEN" and depth == 0 and case_depth == 0:
+            cond = body[:mm.start()].strip()
+            return (cond or None), body[mm.end():]
+    raise ValueError(f"MERGE: WHEN clause missing THEN: {body!r}")
+
+
+def _parse_merge_action(kind: str, cond: str | None, action: str):
+    from heracles_spark.merge import MergeClause
+
+    cond = cond.strip() if cond else None
+    if re.match(r"^DELETE\s*$", action, re.IGNORECASE):
+        return MergeClause(kind, "delete", cond)
+    m = re.match(r"^UPDATE\s+SET\s+(?P<a>.*)$", action,
+                 re.IGNORECASE | re.DOTALL)
+    if m:
+        body = m.group("a").strip()
+        if body == "*":
+            return MergeClause(kind, "update", cond, {"*": "*"})
+        assigns: dict[str, str] = {}
+        for part in _split_top(body, ","):
+            lhs, eq, rhs = part.partition("=")
+            if not eq:
+                raise ValueError(f"MERGE: bad assignment {part!r}")
+            assigns[lhs.strip().split(".")[-1]] = rhs.strip()
+        return MergeClause(kind, "update", cond, assigns)
+    if re.match(r"^INSERT\s*\*\s*$", action, re.IGNORECASE):
+        return MergeClause(kind, "insert", cond, {"*": "*"})
+    m = re.match(r"^INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.*)\)\s*$",
+                 action, re.IGNORECASE | re.DOTALL)
+    if m:
+        cols = [c.strip().split(".")[-1]
+                for c in _split_top(m.group("cols"), ",")]
+        vals = [v.strip() for v in _split_top(m.group("vals"), ",")]
+        if len(cols) != len(vals):
+            raise ValueError("MERGE: INSERT column/value count mismatch")
+        return MergeClause(kind, "insert", cond, dict(zip(cols, vals)))
+    raise ValueError(f"MERGE: unrecognized action {action!r}")
 
 
 def _parse_columns(s: str) -> list[tuple[str, str]]:

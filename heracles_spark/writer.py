@@ -88,10 +88,22 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
             df = df.dropDuplicates(keys)
 
     n = _n_buckets(df, n_buckets)
-    (df.repartitionByRange(n, *keys)
-       .sortWithinPartitions(*keys)
-       .write.mode(mode)
-       .parquet(tbl.data_dir))
+    laid_out = (df.repartitionByRange(n, *keys)
+                  .sortWithinPartitions(*keys))
+    if mode == "overwrite":
+        # Stage-and-swap: the input plan may read from tbl.data_dir
+        # (MERGE, INSERT ... SELECT FROM self) — overwriting a path being
+        # read from is undefined in Spark. Write the new generation to a
+        # sibling dir, then swap directories; readers resolve the path at
+        # scan time so the next query sees the new generation.
+        import shutil
+        staging = tbl.data_dir.rstrip("/") + "~staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        laid_out.write.mode("overwrite").parquet(staging)
+        shutil.rmtree(tbl.data_dir, ignore_errors=True)
+        os.replace(staging, tbl.data_dir)
+    else:
+        laid_out.write.mode(mode).parquet(tbl.data_dir)
 
     files = harvest_file_index(tbl.data_dir, keys)
     return catalog.update_file_index(table, files, append=False)
