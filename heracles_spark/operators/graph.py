@@ -3,16 +3,24 @@ closure upgrade for near-dup dedup (SCALE.md gap #2): duplicate PAIRS
 form clusters; every member must map to one representative, not just
 pairwise losers.
 
-Algorithm: iterative label propagation (each node takes the min label in
-its neighborhood; iterate to fixpoint). Each iteration is one equi-join
-+ one aggregation — the standard large-scale CC shape (alternating
-star contraction converges in fewer rounds; min-propagation is simpler
-and bounded by component diameter, which for dedup clusters is tiny —
-near-dup groups are cliques or near-cliques from LSH, diameter ≤ ~3).
+Two algorithms:
 
-Scale: edges shuffle on node id per iteration; `max_iter` bounds work;
-convergence is checked with a count of changed labels (one action per
-iteration — acceptable: iterations are few and the check prunes work).
+- ``algorithm='star'`` (default): alternating large-star / small-star
+  contraction (Kiveris et al., "Connected Components in MapReduce and
+  Beyond", SoCC'14). Converges in O(log n) rounds regardless of
+  component diameter and keeps the edge set monotonically contracting —
+  the scale-correct choice when duplicate chains can be long (crawl
+  mirrors, boilerplate families at 100 TB corpus scale).
+- ``algorithm='label'``: min-label propagation (each node takes the min
+  label in its neighborhood; iterate to fixpoint). Rounds ∝ component
+  diameter — fine for LSH near-dup clusters, which are near-cliques
+  with diameter ≤ ~3, and each round is one join + one aggregation.
+
+Both shuffle on node id per round; every round's edge set is persisted
+and the previous generation unpersisted, so iteration N doesn't
+re-evaluate the whole lineage. Convergence checks are one tiny
+aggregate action per round (count + order-independent xxhash64 sum of
+the edge set).
 """
 
 from __future__ import annotations
@@ -22,12 +30,15 @@ from pyspark.sql import functions as F
 
 
 def connected_components(edges: DataFrame, src: str = "id_a",
-                         dst: str = "id_b", max_iter: int = 10) -> DataFrame:
+                         dst: str = "id_b", max_iter: int = 10,
+                         algorithm: str = "star") -> DataFrame:
     """Returns (id, component) where component = min node id reachable.
 
     ``edges`` is undirected input (src, dst); self-loops and duplicates
     are tolerated.
     """
+    if algorithm == "star":
+        return _star_components(edges, src, dst, max_iter=max(max_iter, 20))
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .union(edges.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v")))
@@ -42,7 +53,11 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         new_labels = (labels.select("id", F.col("component").alias("cand"))
                             .union(neigh)
                             .groupBy("id")
-                            .agg(F.min("cand").alias("component")))
+                            .agg(F.min("cand").alias("component"))
+                            # truncate lineage each round (see
+                            # _star_components) — iterative plans grow
+                            # exponentially under re-analysis otherwise
+                            .localCheckpoint(eager=True))
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "id")
                    .where(F.col("n.component") != F.col("o.component"))
@@ -50,6 +65,84 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+def _edge_signature(e: DataFrame) -> tuple:
+    """Order-independent fingerprint of an edge set: (count, sum of
+    per-edge xxhash64). One cheap aggregate action per round."""
+    # decimal sum: a long sum of 2⁶³-range hashes overflows under ANSI
+    r = e.agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+               .alias("h")).collect()[0]
+    return (r["n"], r["h"])
+
+
+def _star_components(edges: DataFrame, src: str, dst: str,
+                     max_iter: int = 20) -> DataFrame:
+    """Alternating large-star/small-star contraction.
+
+    One round:
+      large-star: every node u computes m = min(Γ(u) ∪ {u}) and rewires
+        each LARGER neighbor v > u to m — long chains collapse toward
+        their minimum without growing any neighborhood.
+      small-star: orient edges toward the smaller endpoint (a > b),
+        every node a rewires ALL its smaller neighbors (and itself) to
+        its minimum — components finish as stars rooted at their min id.
+
+    Fixpoint: the oriented edge set stops changing; each (child, root)
+    edge then IS the component assignment.
+    """
+    nodes = (edges.select(F.col(src).alias("id"))
+                  .union(edges.select(F.col(dst).alias("id")))
+                  .distinct())
+
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+              .where(F.col("u") != F.col("v"))
+              .distinct())
+
+    prev_sig = None
+    for _ in range(max_iter):
+        # --- large-star ---
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+                   .select("u", F.least("u", "mv").alias("m")))
+        large = (sym.join(mins, "u")
+                    .where(F.col("v") > F.col("u"))
+                    .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                    .where(F.col("u") != F.col("v"))
+                    .distinct())
+
+        # --- small-star (on the large-star output, oriented a > b) ---
+        oriented = (large.select(F.greatest("u", "v").alias("a"),
+                                 F.least("u", "v").alias("b"))
+                         .where(F.col("a") != F.col("b"))
+                         .distinct())
+        minsb = oriented.groupBy("a").agg(F.min("b").alias("m"))
+        small = (oriented.join(minsb, "a")
+                         .select(F.col("b").alias("u"), F.col("m").alias("v"))
+                         .where(F.col("u") != F.col("v"))
+                         .union(minsb.select(F.col("a").alias("u"),
+                                             F.col("m").alias("v")))
+                         .distinct()
+                         # TRUNCATE lineage, don't just cache: with
+                         # persist() alone the logical plan doubles every
+                         # round and Catalyst analysis goes exponential.
+                         # (On a cluster use spark.checkpoint() with a
+                         # checkpoint dir for executor-loss resilience.)
+                         .localCheckpoint(eager=True))
+
+        sig = _edge_signature(small)
+        e = small
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # Fixpoint edges point child → root (u > v == component min).
+    mapping = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    labels = (nodes.join(mapping, "id", "left")
+                   .select("id", F.coalesce("component", "id")
+                                  .alias("component")))
     return labels
 
 

@@ -113,3 +113,34 @@ def test_minhash_dedup_transitive(spark, docs):
                   dedup.minhash_dedup(docs, transitive=True, **MH).collect())
     assert 1 in kept and 2 not in kept and 3 not in kept
     assert 4 in kept and 5 in kept
+
+
+def test_star_components_long_chain(spark):
+    """A 60-node chain has diameter 59: min-label propagation needs ~59
+    rounds, large-star/small-star collapses it in O(log n). The default
+    algorithm must label the whole chain with its minimum id."""
+    from heracles_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 60)], "id_a long, id_b long")
+    comp = {r["id"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert comp == {i: 1 for i in range(1, 61)}
+
+
+def test_star_components_matches_label_propagation(spark):
+    """Both algorithms agree on a seeded random graph (small diameter so
+    label propagation is also correct there)."""
+    import random
+
+    from heracles_spark.operators.graph import connected_components
+
+    rng = random.Random(42)
+    edges = [(rng.randrange(0, 80), rng.randrange(0, 80)) for _ in range(120)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    star = {r["id"]: r["component"]
+            for r in connected_components(df, algorithm="star").collect()}
+    label = {r["id"]: r["component"]
+             for r in connected_components(df, algorithm="label",
+                                           max_iter=40).collect()}
+    assert star == label
