@@ -4,8 +4,9 @@
   Dot product/norms via F.zip_with + F.aggregate (JVM-side, codegen).
 - ``hyperplane_signature`` + ``ann_topk_lsh``: random-hyperplane LSH —
   the scale path: signature match prunes candidates before exact rerank.
-- ``ivf_build`` / ``ivf_topk``: IVF with deterministic centroid seeding —
-  probe the nearest n_probe cells only.
+- ``ivf_build`` / ``ivf_topk``: IVF — probe the nearest n_probe cells
+  only. Centroids from ``kmeans_centroids`` (spherical k-means on a
+  deterministic sample) or a fixed pseudo-random fallback.
 
 Scale notes (100 TB / billions of vectors):
 - brute force is a full scan per query — fine for batch scoring, wrong
@@ -108,34 +109,92 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
               .limit(k))
 
 
+def kmeans_centroids(df: DataFrame, n_cells: int = 16,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     sample_size: int = 4096, n_iter: int = 10,
+                     seed: int = 42) -> list[list[float]]:
+    """Train IVF centroids with spherical k-means on a deterministic
+    sample (SCALE.md gap #3 — replaces the fixed pseudo-random seeding).
+
+    The training set is the ``sample_size`` rows with the smallest
+    xxhash64(id) — a stable, data-independent sample that every run (and
+    every engine) reproduces, unlike ``df.sample()`` whose output depends
+    on partitioning. Training happens driver-side in numpy: at 100 TB
+    you still train on a ~10⁴–10⁵-row sample (faiss does exactly this) —
+    only the ASSIGNMENT pass needs the cluster, and that stays in
+    ``ivf_build``. Lloyd updates use argmax-dot on unit vectors
+    (spherical k-means, the right objective for cosine retrieval);
+    empty cells re-seed to the farthest point from its centroid.
+    """
+    import numpy as np
+
+    rows = (df.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h").limit(sample_size).collect())
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    n = X.shape[0]
+    if n < n_cells:
+        raise ValueError(f"sample ({n}) smaller than n_cells ({n_cells})")
+
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(n, size=n_cells, replace=False)].copy()
+    for _ in range(n_iter):
+        sims = X @ cents.T                      # (n, k) cosine on unit vecs
+        assign = np.argmax(sims, axis=1)
+        for ci in range(n_cells):
+            members = X[assign == ci]
+            if len(members) == 0:
+                # re-seed dead cell to the globally worst-served point
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cents[ci] = X[worst]
+                continue
+            m = members.sum(axis=0)
+            nrm = np.linalg.norm(m)
+            if nrm > 1e-12:
+                cents[ci] = m / nrm
+    return cents.tolist()
+
+
 def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
               vec_col: str = "embedding", seed: int = 42,
-              dim: int = 64) -> DataFrame:
-    """Assign each vector to its nearest of n_cells fixed centroids
-    (deterministic pseudo-random centroids — one k-means iteration away
-    from real IVF; the *assignment/probe* machinery is the Spark-shaped
-    part). Returns df + cell_id. Write partitioned by cell_id for
-    probe-pruned reads."""
-    cents = _rng_matrix(n_cells, dim, seed)
-    best = None
+              dim: int = 64,
+              centroids: list[list[float]] | None = None) -> DataFrame:
+    """Assign each vector to its nearest centroid — trained
+    (``centroids=`` from ``kmeans_centroids``) or deterministic
+    pseudo-random fallback. Returns df + cell_id. Write partitioned by
+    cell_id for probe-pruned reads."""
+    cents = centroids if centroids is not None else _rng_matrix(
+        n_cells, dim, seed)
+    # Argmax via array_max over (score, -cell) structs: the whole scoring
+    # is ONE linear-size expression, each dot evaluated exactly once. (A
+    # chained when(cand>best).otherwise(best) duplicates `best` per level
+    # → O(2^n_cells) expression tree that hangs Catalyst at n_cells=16.)
+    # Struct ordering compares score first; -cell breaks score ties toward
+    # the LOWEST cell index, matching first-wins argmax semantics.
+    inv_norm = F.lit(1.0) / (norm_expr(F.col(vec_col)) + F.lit(1e-12))
+    pairs = []
     for ci, cvec in enumerate(cents):
         carr = F.array(*[F.lit(v) for v in cvec])
-        d = dot_expr(F.col(vec_col), carr) / (norm_expr(F.col(vec_col)) + F.lit(1e-12))
-        cand = F.struct(d.alias("score"), F.lit(ci).alias("cell"))
-        best = cand if best is None else F.when(
-            cand.getField("score") > best.getField("score"), cand).otherwise(best)
-    return df.withColumn("cell_id", best.getField("cell"))
+        d = dot_expr(F.col(vec_col), carr) * inv_norm
+        pairs.append(F.struct(d.alias("score"), F.lit(-ci).alias("negcell")))
+    best = F.array_max(F.array(*pairs))
+    return df.withColumn("cell_id", -best.getField("negcell"))
 
 
 def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cells: int = 16,
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             centroids: list[list[float]] | None = None) -> DataFrame:
     """Probe the n_probe cells whose centroids best match the query,
-    exact-rerank inside them. With cell-partitioned storage this prunes
-    the scan itself (partition pruning on cell_id)."""
+    exact-rerank inside them. Pass the same ``centroids`` used at build
+    time. With cell-partitioned storage this prunes the scan itself
+    (partition pruning on cell_id)."""
     dim = len(query_vec)
-    cents = _rng_matrix(n_cells, dim, seed)
+    cents = (centroids if centroids is not None
+             else _rng_matrix(n_cells, dim, seed))
+    n_cells = len(cents)
     qn = math.sqrt(sum(v * v for v in query_vec)) or 1e-12
     scored = sorted(
         range(n_cells),

@@ -265,6 +265,20 @@ def embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF ANN top-10 with spherical-k-means-trained centroids (the
+    scale path: probe 4/16 cells instead of scanning all vectors;
+    approximate — recall vs brute force measured in
+    tests/test_similarity.py; rows-only driver check)."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cand = e.where(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(cand, n_cells=16, sample_size=2048)
+    built = similarity.ivf_build(cand, centroids=cents)
+    return similarity.ivf_topk(built, qvec, k=10, n_probe=4, centroids=cents)
+
+
 # -- multimodal plumbing --------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
@@ -296,6 +310,7 @@ QUERIES = {
     "embedding_knn_brute": (embedding_knn_brute, KNN_SQL),
     "embedding_label_stats": (embedding_label_stats, ELS_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, None),
+    "embedding_ann_ivf": (embedding_ann_ivf, None),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_groups": (doc_simhash_groups, None),
     "doc_ngram_jaccard": (doc_ngram_jaccard, NGJ_SQL),

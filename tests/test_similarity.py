@@ -67,3 +67,44 @@ def test_ivf_partial_probe_subset(spark, vecs):
     part = {r["vec_id"] for r in
             similarity.ivf_topk(with_cells, q, k=5, n_probe=2, n_cells=8).collect()}
     assert len(part) == 5
+
+
+def test_kmeans_centroids_deterministic(spark, vecs):
+    c1 = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=200)
+    c2 = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=200)
+    assert c1 == c2
+    assert len(c1) == 8 and len(c1[0]) == DIM
+    # spherical k-means keeps centroids unit-norm
+    for c in c1:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-9
+
+
+def test_kmeans_ivf_recall_not_worse_than_fixed(spark, vecs):
+    """Trained centroids must not lose recall vs the fixed pseudo-random
+    seeding at the same n_probe budget (averaged over queries)."""
+    trained = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=200)
+    built_t = similarity.ivf_build(vecs, centroids=trained)
+    built_f = similarity.ivf_build(vecs, n_cells=8, dim=DIM)
+
+    def recall(built, q, cents=None):
+        exact = {r["vec_id"] for r in
+                 similarity.cosine_topk(vecs, q, k=10).collect()}
+        got = {r["vec_id"] for r in similarity.ivf_topk(
+            built, q, k=10, n_probe=2, n_cells=8, centroids=cents).collect()}
+        return len(got & exact)
+
+    qs = [_vec(s) for s in (301, 302, 303)]
+    r_t = sum(recall(built_t, q, trained) for q in qs)
+    r_f = sum(recall(built_f, q) for q in qs)
+    assert r_t >= r_f
+    assert r_t >= 15  # ≥50% avg recall at 2/8 probes on trained cells
+
+
+def test_kmeans_ivf_full_probe_exact(spark, vecs):
+    trained = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=200)
+    built = similarity.ivf_build(vecs, centroids=trained)
+    q = _vec(77)
+    got = [r["vec_id"] for r in similarity.ivf_topk(
+        built, q, k=5, n_probe=8, centroids=trained).collect()]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=5).collect()]
+    assert got == exact
