@@ -273,16 +273,22 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     exact cosine within buckets. Deterministic planes (seeded). Returns
     (id_a, id_b, cosine)."""
     from heracles_spark.operators.similarity import (
-        hyperplane_signature, cosine_expr)
+        hyperplane_signature, dot_flat, norm_flat)
 
-    sigs = df.select(F.col(id_col), F.col(vec_col),
-                     hyperplane_signature(F.col(vec_col), n_planes).alias("bucket"))
+    dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(
+        F.col(id_col), F.col(vec_col),
+        hyperplane_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
+        norm_flat(F.col(vec_col), dim).alias("nrm"))
     w = Window.partitionBy("bucket")
     sigs = (sigs.withColumn("bn", F.count(F.lit(1)).over(w))
                 .where(F.col("bn") <= max_bucket_size).drop("bn"))
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
+    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                    F.col("nrm").alias("na"), "bucket")
+    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                    F.col("nrm").alias("nb"), "bucket")
+    cos = dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
     return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
-             .withColumn("cosine", F.round(cosine_expr(F.col("va"), F.col("vb")), 6))
+             .withColumn("cosine", F.round(cos, 6))
              .where(F.col("cosine") >= threshold)
              .select("id_a", "id_b", "cosine"))

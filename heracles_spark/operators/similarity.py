@@ -47,14 +47,47 @@ def _rng_matrix(n_rows: int, dim: int, seed: int = 42) -> list[list[float]]:
     return out
 
 
+# Determinism note (driver value-hash gate): every element is cast to
+# DOUBLE *before* the multiply, matching the DuckDB oracles'
+# CAST(embedding[i] AS DOUBLE) * CAST(... AS DOUBLE). f32 inputs are
+# exact in f64, so both engines compute IDENTICAL products and the
+# left-to-right f64 accumulation matches DuckDB's sequential grouped SUM
+# bit-for-bit. (An f32×f32 product instead rounds to 24-bit mantissa —
+# ~2e-9 per term — which makes round(...,6) straddle a boundary with
+# probability ~1e-2 per emitted value: a latent gate flake, not a bug
+# you can see in any single run.)
+
 def dot_expr(a: Column, b: Column) -> Column:
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
-                       F.lit(0.0), lambda acc, v: acc + v)
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
 
 
 def norm_expr(a: Column) -> Column:
-    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
-                              F.lit(0.0), lambda acc, v: acc + v))
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+
+
+def dot_flat(a: Column, b: Column, dim: int) -> Column:
+    """Fixed-dim dot product as a flat Add chain — whole-stage-codegen'd,
+    unlike the zip_with/aggregate HOF which Spark interprets per element
+    (~10× slower in pair-join hot paths). Same f64 accumulation as
+    ``dot_expr``."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
+    return acc
+
+
+def norm_flat(a: Column, dim: int) -> Column:
+    """Fixed-dim L2 norm, codegen'd; same f64 accumulation as
+    ``norm_expr``."""
+    acc: Column = F.lit(0.0)
+    for i in range(dim):
+        term = a.getItem(i).cast("double")
+        acc = acc + term * term
+    return F.sqrt(acc)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -65,11 +98,36 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact brute-force top-k by cosine to a literal query vector.
     TakeOrderedAndProject keeps only k rows per partition → driver merge."""
+    dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    return (df.select(F.col(id_col),
-                      F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+    cos = (dot_flat(F.col(vec_col), q, dim)
+           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
+    return (df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
               .orderBy(F.desc("cosine"), id_col)
               .limit(k))
+
+
+def cosine_all_pairs(df: DataFrame, threshold: float,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the ground-truth twin of the
+    LSH-bucketed ``embedding_near_dup_pairs`` (which prunes candidate
+    pairs and can miss; this one cannot). O(n²) BroadcastNestedLoopJoin:
+    the correctness/recall baseline, NOT the scale path — at 100 TB use
+    the LSH or IVF variants and measure their recall against a sampled
+    run of this."""
+    dim = len(df.select(vec_col).first()[0])
+    # Norms once per ROW (pre-join); the per-PAIR work is a single flat
+    # codegen'd dot — the O(n²) stage carries no interpreted HOFs.
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm_flat(F.col(vec_col), dim).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm_flat(F.col(vec_col), dim).alias("nb"))
+    cos = dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (a.join(b, F.col("id_a") < F.col("id_b"))
+             .withColumn("cosine", F.round(cos, 6))
+             .where(F.col("cosine") >= threshold)
+             .select("id_a", "id_b", "cosine"))
 
 
 def hyperplane_signature(vec: Column, n_planes: int = 16,
@@ -81,7 +139,8 @@ def hyperplane_signature(vec: Column, n_planes: int = 16,
     sig = F.lit(0)
     for i, p in enumerate(planes):
         parr = F.array(*[F.lit(v) for v in p])
-        bit = F.when(dot_expr(vec, parr) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(dot_flat(vec, parr, dim) >= 0,
+                     F.lit(1 << i)).otherwise(F.lit(0))
         sig = sig.bitwiseOR(bit)
     return sig
 
@@ -101,10 +160,11 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
     near = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
     sig = hyperplane_signature(F.col(vec_col), n_planes, seed, dim)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = (dot_flat(F.col(vec_col), q, dim)
+           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
     return (df.withColumn("sig", sig)
               .where(F.col("sig").isin(near))
-              .select(F.col(id_col),
-                      F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+              .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
               .orderBy(F.desc("cosine"), id_col)
               .limit(k))
 
@@ -172,11 +232,12 @@ def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     # → O(2^n_cells) expression tree that hangs Catalyst at n_cells=16.)
     # Struct ordering compares score first; -cell breaks score ties toward
     # the LOWEST cell index, matching first-wins argmax semantics.
-    inv_norm = F.lit(1.0) / (norm_expr(F.col(vec_col)) + F.lit(1e-12))
+    dim = len(cents[0])
+    inv_norm = F.lit(1.0) / (norm_flat(F.col(vec_col), dim) + F.lit(1e-12))
     pairs = []
     for ci, cvec in enumerate(cents):
         carr = F.array(*[F.lit(v) for v in cvec])
-        d = dot_expr(F.col(vec_col), carr) * inv_norm
+        d = dot_flat(F.col(vec_col), carr, dim) * inv_norm
         pairs.append(F.struct(d.alias("score"), F.lit(-ci).alias("negcell")))
     best = F.array_max(F.array(*pairs))
     return df.withColumn("cell_id", -best.getField("negcell"))
@@ -201,8 +262,9 @@ def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
         key=lambda ci: -sum(a * b for a, b in zip(cents[ci], query_vec)) / qn)
     probe = scored[:n_probe]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cos = (dot_flat(F.col(vec_col), q, dim)
+           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
     return (df_with_cells.where(F.col("cell_id").isin(probe))
-            .select(F.col(id_col),
-                    F.round(cosine_expr(F.col(vec_col), q), 6).alias("cosine"))
+            .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))

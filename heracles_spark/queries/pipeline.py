@@ -265,6 +265,33 @@ def embedding_near_dup(spark, sf_dir):
             .orderBy("id_a", "id_b"))
 
 
+def embedding_near_dup_exact(spark, sf_dir):
+    """Exact all-pairs cosine≥0.42 — oracle-checked ground-truth twin of
+    the LSH-pruned embedding_near_dup (0.42 sits below the synthetic
+    data's max pairwise cosine ≈0.51, so the check is non-vacuous)."""
+    return (similarity.cosine_all_pairs(_embs(spark, sf_dir), threshold=0.42)
+            .orderBy("id_a", "id_b"))
+
+
+END_SQL = """
+WITH norms AS (
+  SELECT vec_id,
+         SQRT(SUM(CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+ pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         SUM(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+       range(1, 65) t(i)
+  GROUP BY 1, 2)
+SELECT id_a, id_b, ROUND(dot / (na.nrm * nb.nrm), 6) AS cosine
+FROM pairs JOIN norms na ON id_a = na.vec_id
+           JOIN norms nb ON id_b = nb.vec_id
+WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.42
+ORDER BY id_a, id_b
+"""
+
+
 def embedding_ann_ivf(spark, sf_dir):
     """IVF ANN top-10 with spherical-k-means-trained centroids (the
     scale path: probe 4/16 cells instead of scanning all vectors;
@@ -315,6 +342,7 @@ QUERIES = {
     "doc_simhash_groups": (doc_simhash_groups, None),
     "doc_ngram_jaccard": (doc_ngram_jaccard, NGJ_SQL),
     "embedding_near_dup": (embedding_near_dup, None),
+    "embedding_near_dup_exact": (embedding_near_dup_exact, END_SQL),
     "multimodal_decode": (multimodal_decode, MMD_SQL),
 }
 
