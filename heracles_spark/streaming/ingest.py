@@ -55,6 +55,71 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
     return w.start()
 
 
+def stream_upsert_into_table(spark: SparkSession, catalog, table: str,
+                             source_dir: str, schema=None,
+                             fmt: str = "parquet",
+                             order_col: str | None = None,
+                             checkpoint_dir: str | None = None,
+                             max_files_per_trigger: int = 16,
+                             available_now: bool = False) -> StreamingQuery:
+    """Streaming upsert: readStream → foreachBatch → MERGE INTO on the
+    table's key columns (WHEN MATCHED UPDATE SET *, WHEN NOT MATCHED
+    INSERT *) — the streaming CDC-apply pattern.
+
+    Each micro-batch is first collapsed to ONE row per key: the row with
+    the greatest ``order_col`` (event time / sequence number) wins; with
+    no ``order_col``, the greatest tuple of non-key columns — an
+    arbitrary but DETERMINISTIC winner, so a replayed batch picks the
+    same row. That per-key uniqueness is what MERGE requires (ambiguous
+    multi-matches raise).
+
+    Delivery: foreachBatch is at-least-once, but key-upsert is
+    idempotent — replaying a batch converges to the same table state —
+    so the sink is effectively exactly-once (the standard foreachBatch +
+    idempotent-merge contract; checkpoint tracks source progress).
+
+    Scale: per batch, one broadcastable join against the target plus the
+    key-range rewrite — same shape as the batch MERGE. Copy-on-write
+    rewrite cost is bounded by target size, so size micro-batches via
+    maxFilesPerTrigger; at 100 TB pair this with file-level pruning
+    (merge.py's source_range note)."""
+    from pyspark.sql.window import Window
+
+    from heracles_spark.merge import MergeClause, merge_into
+
+    tbl = catalog.get_table(table)
+    keys = tbl.key_cols
+    reader = (spark.readStream
+              .format(fmt)
+              .schema(schema or tbl.schema())
+              .option("maxFilesPerTrigger", str(max_files_per_trigger)))
+    stream = reader.load(source_dir)
+
+    on = " AND ".join(f"target.{k} = source.{k}" for k in keys)
+    clauses = [MergeClause("matched", "update", assignments={"*": "*"}),
+               MergeClause("not_matched", "insert", assignments={"*": "*"})]
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        order = ([F.col(order_col).desc()] if order_col else
+                 [F.col(c).desc() for c in batch_df.columns
+                  if c not in keys] or [F.lit(1).asc()])
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (batch_df.withColumn("__rn__", F.row_number().over(w))
+                          .where(F.col("__rn__") == 1).drop("__rn__"))
+        merge_into(spark, catalog, table, latest, on, clauses,
+                   check_ambiguity=False)   # per-key uniqueness just enforced
+
+    w = (stream.writeStream
+         .foreachBatch(sink)
+         .option("checkpointLocation",
+                 checkpoint_dir or f"{tbl.data_dir}/_upsert_checkpoint"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
                           window: str = "1 hour",

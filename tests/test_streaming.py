@@ -109,3 +109,49 @@ def test_streaming_exact_dedup(spark, tmp_path):
     got = sorted((r["k"], r["v"])
                  for r in spark.sql("SELECT * FROM dedup_out").collect())
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_stream_upsert_into_table(spark, catalog, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1): batch 2 updates key 2,
+    inserts key 3; within-batch dups collapse to the max-order_col row."""
+    catalog.create_table("acct", [("k", "int"), ("v", "string"),
+                                  ("seq", "int")], ["k"])
+    from heracles_spark import writer
+    writer.insert_rows(spark, catalog, "acct", [("1", "a", "0"), ("2", "b", "0")])
+
+    src = tmp_path / "ups"
+    src.mkdir()
+    spark.createDataFrame([(2, "b2", 1), (2, "b1", 0)], "k int, v string, seq int") \
+         .coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame([(3, "c", 5)], "k int, v string, seq int") \
+         .coalesce(1).write.parquet(str(src / "f2"))
+
+    q = ingest.stream_upsert_into_table(
+        spark, catalog, "acct", str(src / "*"), order_col="seq",
+        checkpoint_dir=str(tmp_path / "ckpt_ups"), max_files_per_trigger=1,
+        available_now=True)
+    q.awaitTermination(180)
+
+    rows = sorted((r["k"], r["v"], r["seq"])
+                  for r in catalog.read_table(spark, "acct").collect())
+    assert rows == [(1, "a", 0), (2, "b2", 1), (3, "c", 5)]
+
+
+def test_upsert_batch_replay_idempotent(spark, catalog, tmp_path):
+    """foreachBatch is at-least-once; the per-batch MERGE must converge
+    under replay (same batch applied twice ⇒ same table state)."""
+    from heracles_spark import writer
+    from heracles_spark.merge import MergeClause, merge_into
+
+    catalog.create_table("acct2", [("k", "int"), ("v", "string")], ["k"])
+    writer.insert_rows(spark, catalog, "acct2", [("1", "a")])
+    batch = spark.createDataFrame([(1, "a2"), (2, "b")], "k int, v string")
+    on = "target.k = source.k"
+    clauses = [MergeClause("matched", "update", assignments={"*": "*"}),
+               MergeClause("not_matched", "insert", assignments={"*": "*"})]
+    for _ in range(2):
+        merge_into(spark, catalog, "acct2", batch, on, clauses,
+                   check_ambiguity=False)
+    rows = sorted((r["k"], r["v"])
+                  for r in catalog.read_table(spark, "acct2").collect())
+    assert rows == [(1, "a2"), (2, "b")]
