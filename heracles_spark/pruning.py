@@ -89,10 +89,46 @@ def may_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
     raise ValueError(f"unknown predicate op: {op}")
 
 
+_COMPLEMENT = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=",
+               ">=": "<"}
+
+
+def to_nnf(pred: tuple, negate: bool = False) -> tuple:
+    """Negation normal form: push NOT down through and/or (De Morgan) and
+    into comparison complements (≙ the reference's NOT pusher feeding its
+    CNF-ish pushdown classifier, HBaseStrategies notPusher). Every
+    rewrite is exact under SQL three-valued *row-keeping* semantics: a
+    WHERE keeps rows where the predicate is TRUE, and e.g. NOT(x < v) is
+    TRUE exactly when x >= v is TRUE (both NULL when x is NULL) —
+    likewise NOT IN ⇒ conjunction of !=, NOT BETWEEN ⇒ out-of-range
+    disjunction. Without this, ``may_match`` treats any NOT subtree as
+    un-prunable (conservative MAY)."""
+    op = pred[0].lower()
+    if op == "not":
+        return to_nnf(pred[1], not negate)
+    if op in ("and", "or"):
+        new_op = ({"and": "or", "or": "and"}[op] if negate else op)
+        return (new_op, *[to_nnf(p, negate) for p in pred[1:]])
+    if not negate:
+        return pred
+    if op in _COMPLEMENT:
+        return (_COMPLEMENT[op], pred[1], pred[2])
+    if op == "in":
+        return ("and", *[("!=", pred[1], v) for v in pred[2]])
+    if op == "between":
+        return ("or", ("<", pred[1], pred[2]), (">", pred[1], pred[3]))
+    if op == "isnull":
+        return ("isnotnull", pred[1])
+    if op == "isnotnull":
+        return ("isnull", pred[1])
+    return ("not", pred)           # unknown op: stay conservative
+
+
 def prune_files(files: list[dict[str, Any]], pred: tuple | None,
                 key_cols: list[str]) -> list[dict[str, Any]]:
     if pred is None:
         return files
+    pred = to_nnf(pred)
     return [f for f in files
             if may_match(pred, f.get("min", {}), f.get("max", {}), key_cols)]
 

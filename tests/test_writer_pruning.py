@@ -111,3 +111,50 @@ def test_csv_bulk_load_null_convention(spark, catalog, tmp_path):
     rows = {r["c1"]: (r["c2"], r["c3"])
             for r in catalog.read_table(spark, "blk").collect()}
     assert rows == {"row1": (None, 8), "row2": (5, 10), "row3": (None, None)}
+
+
+def test_nnf_negation_pushdown():
+    """NOT subtrees become prunable after NNF (3VL-exact rewrites)."""
+    from heracles_spark.pruning import prune_files, to_nnf
+
+    files = [{"path": "a", "min": {"k": 0}, "max": {"k": 4}},
+             {"path": "b", "min": {"k": 6}, "max": {"k": 9}},
+             {"path": "c", "min": {"k": 10}, "max": {"k": 20}}]
+
+    # NOT(k < 5) ≡ k >= 5 → file a pruned
+    keep = prune_files(files, ("not", ("<", "k", 5)), ["k"])
+    assert [f["path"] for f in keep] == ["b", "c"]
+
+    # De Morgan: NOT(k >= 5 AND k <= 9) ≡ k<5 OR k>9 → file b pruned
+    keep = prune_files(
+        files, ("not", ("and", (">=", "k", 5), ("<=", "k", 9))), ["k"])
+    assert [f["path"] for f in keep] == ["a", "c"]
+
+    # NOT IN over a point file: box [3,3] with NOT(k IN (3, 99)) → NO...
+    point = [{"path": "p", "min": {"k": 3}, "max": {"k": 3}}]
+    assert prune_files(point, ("not", ("in", "k", [3, 99])), ["k"]) == []
+
+    # NOT BETWEEN → out-of-range disjunction
+    keep = prune_files(files, ("not", ("between", "k", 5, 25)), ["k"])
+    assert [f["path"] for f in keep] == ["a"]
+
+    # double negation cancels
+    assert to_nnf(("not", ("not", ("=", "k", 3)))) == ("=", "k", 3)
+
+    # unknown inner op survives conservatively
+    assert to_nnf(("not", ("isnull", "k")))[0] == "isnotnull"
+
+
+def test_or_of_ands_pruning_q19_shape():
+    """Disjunctive predicates (TPC-H Q19 shape) prune per-branch —
+    a file survives iff SOME branch may match its box."""
+    from heracles_spark.pruning import prune_files
+
+    files = [{"path": "a", "min": {"k": 0}, "max": {"k": 4}},
+             {"path": "b", "min": {"k": 6}, "max": {"k": 9}},
+             {"path": "c", "min": {"k": 10}, "max": {"k": 20}}]
+    pred = ("or",
+            ("and", (">=", "k", 1), ("<=", "k", 3)),
+            ("and", (">=", "k", 11), ("<=", "k", 12)))
+    keep = prune_files(files, pred, ["k"])
+    assert [f["path"] for f in keep] == ["a", "c"]
