@@ -389,10 +389,25 @@ ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
 
 def approx_distinct(spark, sf_dir):
     """HLL++ approx count distinct (≙ HBaseSQLQuerySuite.scala:302-313).
-    Sketch internals differ between engines → no value oracle; the driver
-    records a rows-only check. Exact counterpart covered by count_distinct."""
+    Sketch values are engine-specific, so the oracle pins the error
+    CONTRACT instead: |approx − exact| ≤ 3·rsd·exact rendered as a
+    boolean the SQL oracle fixes at TRUE. Stable under any partitioning:
+    HLL register merges are max() — commutative and order-free — so the
+    sketch value is identical in the driver's vanilla session."""
     l = _t(spark, sf_dir, "lineitem")
-    return l.agg(F.approx_count_distinct("l_partkey").alias("approx_parts"))
+    return (l.agg(F.approx_count_distinct("l_partkey", rsd=0.05)
+                   .alias("ap"),
+                  F.countDistinct("l_partkey").alias("exact_parts"))
+             .select("exact_parts",
+                     (F.abs(F.col("ap") - F.col("exact_parts"))
+                      <= 0.15 * F.col("exact_parts")).alias("within_3rsd")))
+
+
+AD_SQL = """
+SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_3rsd
+FROM lineitem
+"""
 
 
 # --------------------------------------------------------------------------
@@ -988,7 +1003,7 @@ QUERIES = {
     "group_by_expr": (group_by_expr, GBE_SQL),
     "rollup_agg": (rollup_agg, ROLLUP_SQL),
     "cube_agg": (cube_agg, CUBE_SQL),
-    "approx_distinct": (approx_distinct, None),
+    "approx_distinct": (approx_distinct, AD_SQL),
     "case_when": (case_when, CASE_SQL),
     "filter_in_between_like": (filter_in_between_like, IBL_SQL),
     "null_matrix": (null_matrix, NULLM_SQL),

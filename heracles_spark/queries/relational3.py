@@ -245,5 +245,40 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def percentile_approx_scale(spark, sf_dir):
+    """Sketch percentiles (approx_percentile — Greenwald-Khanna
+    summaries): the scale path (SCALE.md gap #5). Exact percentile
+    collects each group's full value set; the sketch is single-pass,
+    mergeable, bounded memory — the only viable shape at 100 TB.
+
+    Oracle strategy: sketch outputs are engine-specific, so the query
+    asserts the ±ε CONTRACT instead of values — per-group booleans
+    "approx within 1% of exact" that a plain-SQL oracle pins to TRUE.
+    The tolerance is generous vs the configured rank error (1e-4·n),
+    so it holds under any partitioning (driver's vanilla session too)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (o.groupBy("o_orderstatus")
+            .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), "
+                        "10000)").alias("ap"),
+                 F.expr("percentile(o_totalprice, array(0.5, 0.9))")
+                  .alias("ex")))
+
+    def ok(i: int):
+        return (F.abs(F.col("ap").getItem(i) - F.col("ex").getItem(i))
+                <= 0.01 * F.abs(F.col("ex").getItem(i)))
+
+    return (agg.select("o_orderstatus",
+                       ok(0).alias("p50_within_1pct"),
+                       ok(1).alias("p90_within_1pct"))
+               .orderBy("o_orderstatus"))
+
+
+PAS_SQL = """
+SELECT o_orderstatus, TRUE AS p50_within_1pct, TRUE AS p90_within_1pct
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES["stats_moments"] = (stats_moments, STATS_SQL)
 QUERIES["percentile_exact"] = (percentile_exact, PCT_SQL)
+QUERIES["percentile_approx_scale"] = (percentile_approx_scale, PAS_SQL)
