@@ -244,6 +244,10 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                        .alias("g"))
               .where(F.col("g").isNotNull())
               .distinct())
+    # base feeds THREE consumers (sizes, dfreq, the filtered join) and
+    # Spark does no cross-action CSE — unpersisted, the explode+distinct
+    # shuffle would run three times.
+    base = base.persist()
     sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     filtered = (base.join(dfreq.where(F.col("df_g") <= max_doc_freq)
@@ -278,8 +282,8 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     dim = len(df.select(vec_col).first()[0])
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_signature(F.col(vec_col), n_planes, dim=dim).alias("bucket"),
-        norm_flat(F.col(vec_col), dim).alias("nrm"))
+        hyperplane_signature(f"`{vec_col}`", n_planes, dim=dim).alias("bucket"),
+        norm_flat(f"`{vec_col}`", dim).alias("nrm"))
     w = Window.partitionBy("bucket")
     sigs = (sigs.withColumn("bn", F.count(F.lit(1)).over(w))
                 .where(F.col("bn") <= max_bucket_size).drop("bn"))
@@ -287,7 +291,7 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                     F.col("nrm").alias("na"), "bucket")
     b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
                     F.col("nrm").alias("nb"), "bucket")
-    cos = dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    cos = dot_flat("va", "vb", dim) / (F.col("na") * F.col("nb"))
     return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
              .withColumn("cosine", F.round(cos, 6))
              .where(F.col("cosine") >= threshold)

@@ -69,25 +69,56 @@ def norm_expr(a: Column) -> Column:
         F.lit(0.0), lambda acc, v: acc + v))
 
 
-def dot_flat(a: Column, b: Column, dim: int) -> Column:
-    """Fixed-dim dot product as a flat Add chain — whole-stage-codegen'd,
-    unlike the zip_with/aggregate HOF which Spark interprets per element
-    (~10× slower in pair-join hot paths). Same f64 accumulation as
-    ``dot_expr``."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + a.getItem(i).cast("double") * b.getItem(i).cast("double")
-    return acc
+def _flit(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip form
+    and Spark parses the D-suffixed form with Double.parseDouble — the
+    identical IEEE value. (Unsuffixed decimals parse as DECIMAL.)"""
+    return f"{float(v)!r}D"
 
 
-def norm_flat(a: Column, dim: int) -> Column:
-    """Fixed-dim L2 norm, codegen'd; same f64 accumulation as
-    ``norm_expr``."""
-    acc: Column = F.lit(0.0)
-    for i in range(dim):
-        term = a.getItem(i).cast("double")
-        acc = acc + term * term
-    return F.sqrt(acc)
+def dot_flat(a: str, b: "str | list[float]", dim: int) -> Column:
+    """Fixed-dim dot product as ONE F.expr of a flat left-assoc Add chain.
+
+    Two deliberate choices:
+    - flat chain, not zip_with/aggregate: HOF lambdas are interpreted per
+      element (~10× slower in pair-join hot paths); the chain stays in
+      whole-stage codegen.
+    - a single SQL string, not 64 chained Column ops: every Column
+      operator is a py4j round-trip — building 3×64-term trees costs
+      ~2 s of DRIVER time per query construction (it dominated
+      embedding_knn_brute's bench entry); one F.expr is one round-trip,
+      parsed JVM-side.
+
+    ``a`` is a SQL expression for an array column; ``b`` likewise, or a
+    Python vector inlined as exact double literals. Accumulation is
+    0.0 + t0 + t1 + … (left-assoc) with every element cast to DOUBLE
+    before the multiply — bit-identical to the DuckDB oracles'
+    sequential SUM of CAST(... AS DOUBLE) products."""
+    if isinstance(b, (list, tuple)):
+        terms = [f"CAST({a}[{i}] AS DOUBLE) * {_flit(b[i])}"
+                 for i in range(dim)]
+    else:
+        terms = [f"CAST({a}[{i}] AS DOUBLE) * CAST({b}[{i}] AS DOUBLE)"
+                 for i in range(dim)]
+    return F.expr("0.0D + " + " + ".join(terms))
+
+
+def norm_flat(a: str, dim: int) -> Column:
+    """Fixed-dim L2 norm as ONE F.expr (see dot_flat); same f64
+    accumulation as ``norm_expr``."""
+    terms = [f"CAST({a}[{i}] AS DOUBLE) * CAST({a}[{i}] AS DOUBLE)"
+             for i in range(dim)]
+    return F.sqrt(F.expr("0.0D + " + " + ".join(terms)))
+
+
+def pynorm(vec: list[float]) -> float:
+    """Driver-side norm of a literal vector — bit-identical to the
+    engines' sequential f64 accumulation (0 + v0² + v1² + …, then one
+    correctly-rounded sqrt), so it can be inlined as a literal."""
+    acc = 0.0
+    for v in vec:
+        acc += float(v) * float(v)
+    return math.sqrt(acc)
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
@@ -99,9 +130,8 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     """Exact brute-force top-k by cosine to a literal query vector.
     TakeOrderedAndProject keeps only k rows per partition → driver merge."""
     dim = len(query_vec)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = (dot_flat(F.col(vec_col), q, dim)
-           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
+    cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
+           / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
     return (df.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
               .orderBy(F.desc("cosine"), id_col)
               .limit(k))
@@ -120,29 +150,30 @@ def cosine_all_pairs(df: DataFrame, threshold: float,
     # Norms once per ROW (pre-join); the per-PAIR work is a single flat
     # codegen'd dot — the O(n²) stage carries no interpreted HOFs.
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                  norm_flat(F.col(vec_col), dim).alias("na"))
+                  norm_flat(f"`{vec_col}`", dim).alias("na"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                  norm_flat(F.col(vec_col), dim).alias("nb"))
-    cos = dot_flat(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+                  norm_flat(f"`{vec_col}`", dim).alias("nb"))
+    cos = dot_flat("va", "vb", dim) / (F.col("na") * F.col("nb"))
     return (a.join(b, F.col("id_a") < F.col("id_b"))
              .withColumn("cosine", F.round(cos, 6))
              .where(F.col("cosine") >= threshold)
              .select("id_a", "id_b", "cosine"))
 
 
-def hyperplane_signature(vec: Column, n_planes: int = 16,
+def hyperplane_signature(vec: str, n_planes: int = 16,
                          seed: int = 42, dim: int = 64) -> Column:
     """LSH bucket id: sign bits against n_planes fixed hyperplanes,
-    packed into an int. The planes are literal arrays inside the
-    expression — no side table, no broadcast."""
+    packed into an int. ``vec`` is a SQL expression for the array
+    column; the planes are inlined double literals — no side table, no
+    broadcast, and the whole signature is ONE F.expr (n_planes×dim
+    Column ops would be that many py4j round-trips)."""
     planes = _rng_matrix(n_planes, dim, seed)
-    sig = F.lit(0)
+    bits = []
     for i, p in enumerate(planes):
-        parr = F.array(*[F.lit(v) for v in p])
-        bit = F.when(dot_flat(vec, parr, dim) >= 0,
-                     F.lit(1 << i)).otherwise(F.lit(0))
-        sig = sig.bitwiseOR(bit)
-    return sig
+        dot = " + ".join(f"CAST({vec}[{j}] AS DOUBLE) * {_flit(p[j])}"
+                         for j in range(dim))
+        bits.append(f"IF(0.0D + {dot} >= 0.0D, {1 << i}, 0)")
+    return F.expr(" | ".join(bits))
 
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
@@ -158,10 +189,9 @@ def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
         if sum(a * b for a, b in zip(p, query_vec)) >= 0:
             qsig |= 1 << i
     near = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
-    sig = hyperplane_signature(F.col(vec_col), n_planes, seed, dim)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = (dot_flat(F.col(vec_col), q, dim)
-           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
+    sig = hyperplane_signature(f"`{vec_col}`", n_planes, seed, dim)
+    cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
+           / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
     return (df.withColumn("sig", sig)
               .where(F.col("sig").isin(near))
               .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
@@ -233,11 +263,10 @@ def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     # Struct ordering compares score first; -cell breaks score ties toward
     # the LOWEST cell index, matching first-wins argmax semantics.
     dim = len(cents[0])
-    inv_norm = F.lit(1.0) / (norm_flat(F.col(vec_col), dim) + F.lit(1e-12))
+    inv_norm = F.lit(1.0) / (norm_flat(f"`{vec_col}`", dim) + F.lit(1e-12))
     pairs = []
     for ci, cvec in enumerate(cents):
-        carr = F.array(*[F.lit(v) for v in cvec])
-        d = dot_flat(F.col(vec_col), carr, dim) * inv_norm
+        d = dot_flat(f"`{vec_col}`", cvec, dim) * inv_norm
         pairs.append(F.struct(d.alias("score"), F.lit(-ci).alias("negcell")))
     best = F.array_max(F.array(*pairs))
     return df.withColumn("cell_id", -best.getField("negcell"))
@@ -261,9 +290,8 @@ def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
         range(n_cells),
         key=lambda ci: -sum(a * b for a, b in zip(cents[ci], query_vec)) / qn)
     probe = scored[:n_probe]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    cos = (dot_flat(F.col(vec_col), q, dim)
-           / (norm_flat(F.col(vec_col), dim) * norm_flat(q, dim)))
+    cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
+           / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
     return (df_with_cells.where(F.col("cell_id").isin(probe))
             .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
