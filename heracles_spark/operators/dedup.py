@@ -92,17 +92,23 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
     w = Window.partitionBy(id_col).orderBy("pos")
     leads = [F.lead("tok", j).over(w) for j in range(1, shingle_size)]
+    # Hash each shingle ONCE (directly over the token columns — no
+    # concat allocation), then derive the k minhashes from that fixed-
+    # width long. Hashing the shingle STRING k times made the agg pay
+    # k string hashes per shingle row (~32M at sf0.1 — it dominated the
+    # bench entry).
     sh = (ex.select(F.col(id_col),
-                    F.concat_ws(" ", F.col("tok"), *leads).alias("shingle"),
+                    F.xxhash64(F.col("tok"), *leads).alias("bh"),
                     (leads[-1] if leads else F.col("tok")).alias("__full"))
             .where(F.col("__full").isNotNull())
             .drop("__full"))
     # Docs shorter than the shingle size still need a signature: use the
     # whole text as their single shingle.
     short = (df.where(F.array_size(toks) < shingle_size)
-               .select(F.col(id_col), F.array_join(toks, " ").alias("shingle")))
+               .select(F.col(id_col),
+                       F.xxhash64(F.array_join(toks, " ")).alias("bh")))
     sh = sh.unionByName(short)
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+    aggs = [F.min(F.xxhash64(F.lit(i), F.col("bh"))).alias(f"h{i}")
             for i in range(k)]
     sig = sh.groupBy(id_col).agg(*aggs)
     return sig.select(F.col(id_col),
