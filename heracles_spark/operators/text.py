@@ -159,3 +159,62 @@ def chunk_documents(df: DataFrame, id_col: str = "doc_id",
                            F.struct("pos", "tok"))), lambda s: s.tok),
                        " ").alias("chunk_text"),
                    F.count(F.lit(1)).alias("n_tokens")))
+
+
+# -- pattern redaction (PII scrubbing) ------------------------------------
+
+# Default pattern set for real corpora. Character-class-only regexes so
+# the same pattern string runs identically under Java regex (Spark) and
+# RE2 (DuckDB) — no lookarounds, no backrefs.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "URL": r"https?://[^\s]+",
+    "PHONE": r"\+?[0-9][0-9()\-. ]{7,}[0-9]",
+}
+
+
+def redact_patterns(df: DataFrame, patterns: dict[str, str] | None = None,
+                    text_col: str = "text",
+                    out_col: str = "redacted") -> DataFrame:
+    """Replace every match of each pattern with its [TAG], and count the
+    matches per pattern (n_<tag> columns). One projection, all JVM regex
+    — the standard pre-training PII scrub. Patterns apply in dict order
+    (earlier tags win when patterns overlap)."""
+    pats = patterns if patterns is not None else PII_PATTERNS
+    red = F.col(text_col)
+    counts = []
+    for tag, pat in pats.items():
+        counts.append(F.regexp_count(F.col(text_col), F.lit(pat))
+                       .alias(f"n_{tag.lower()}"))
+        red = F.regexp_replace(red, pat, f"[{tag}]")
+    return df.select("*", *counts, red.alias(out_col))
+
+
+# -- repetition features (Gopher-style quality rules) ---------------------
+
+def with_repetition_features(df: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Per-doc repetition metrics used by pre-training quality filters
+    (the repetition rules of the public Gopher paper, Rae et al. 2021):
+    distinct_ratio (|unique words| / |words|) and top_word_ratio (most
+    frequent word's share). Low distinct_ratio / high top_word_ratio ⇒
+    degenerate repetitive text.
+
+    Shape: distinct_ratio is row-local (array ops, no shuffle); the top-
+    word share needs explode → two co-partitioned aggregations on
+    (id, word) then (id) — one exchange at scale, combinable map-side."""
+    toks = F.split(F.trim(F.col(text_col)), " ")
+    per_row = df.select(
+        F.col(id_col),
+        (F.array_size(F.array_distinct(toks))
+         / F.array_size(toks)).alias("_dr"))
+    w = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    counts = w.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("n"))
+    top = (counts.groupBy(id_col)
+                 .agg(F.max("n").alias("_max_n"),
+                      F.sum("n").alias("_n_toks")))
+    return (per_row.join(top, id_col)
+            .select(F.col(id_col),
+                    F.round(F.col("_dr"), 6).alias("distinct_ratio"),
+                    F.round(F.col("_max_n") / F.col("_n_toks"), 6)
+                     .alias("top_word_ratio")))

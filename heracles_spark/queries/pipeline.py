@@ -306,6 +306,57 @@ def embedding_ann_ivf(spark, sf_dir):
     return similarity.ivf_topk(built, qvec, k=10, n_probe=4, centroids=cents)
 
 
+def doc_redact(spark, sf_dir):
+    """Pattern redaction (PII-scrub machinery): replace + count matches,
+    md5-verified against DuckDB's RE2 on character-class-only patterns.
+    The corpus has no planted emails/urls, so the gate exercises the
+    machinery with patterns that DO occur ('customer|supplier' words,
+    and 'a' as a single-char token); real PII defaults live in
+    text.PII_PATTERNS and are unit-tested with planted strings."""
+    pats = {"ENTITY": r"\b(customer|supplier)\b", "ART": r"\ba\b"}
+    red = text.redact_patterns(_docs(spark, sf_dir), pats)
+    return (red.select("doc_id", "n_entity", "n_art",
+                       F.md5(F.col("redacted")).alias("redacted_md5"))
+               .where(F.col("doc_id") < 50)
+               .orderBy("doc_id"))
+
+
+DRD_SQL = r"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS BIGINT)
+         AS n_entity,
+       CAST(len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS n_art,
+       md5(regexp_replace(regexp_replace(text, '\b(customer|supplier)\b',
+                                         '[ENTITY]', 'g'),
+                          '\ba\b', '[ART]', 'g')) AS redacted_md5
+FROM documents WHERE doc_id < 50 ORDER BY doc_id
+"""
+
+
+def doc_repetition(spark, sf_dir):
+    """Gopher-style repetition features: distinct-word ratio and top-word
+    share per document (quality-filter inputs; single-division doubles
+    rounded to 6 — cross-engine exact)."""
+    return (text.with_repetition_features(_docs(spark, sf_dir))
+            .where(F.col("doc_id") < 100)
+            .orderBy("doc_id"))
+
+
+DRP_SQL = """
+WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+           FROM documents),
+ c AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY 1, 2),
+ t AS (SELECT doc_id, MAX(n) AS max_n, CAST(SUM(n) AS BIGINT) AS n_toks
+       FROM c GROUP BY 1)
+SELECT d.doc_id,
+       ROUND(CAST(len(list_distinct(string_split(trim(d.text), ' '))) AS DOUBLE)
+             / len(string_split(trim(d.text), ' ')), 6) AS distinct_ratio,
+       ROUND(CAST(t.max_n AS DOUBLE) / t.n_toks, 6) AS top_word_ratio
+FROM documents d JOIN t ON d.doc_id = t.doc_id
+WHERE d.doc_id < 100 ORDER BY d.doc_id
+"""
+
+
 # -- multimodal plumbing --------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
@@ -334,6 +385,8 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DFP_SQL),
     "doc_quality_filter": (doc_quality_filter, DQF_SQL),
     "doc_lang_id": (doc_lang_id, DLI_SQL),
+    "doc_redact": (doc_redact, DRD_SQL),
+    "doc_repetition": (doc_repetition, DRP_SQL),
     "embedding_knn_brute": (embedding_knn_brute, KNN_SQL),
     "embedding_label_stats": (embedding_label_stats, ELS_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, None),

@@ -124,3 +124,35 @@ def test_chunk_documents_overlap(spark):
     assert chunks[0] == "a b c d"
     assert chunks[1] == "c d e f"
     assert chunks[2] == "e f"
+
+
+def test_redact_planted_pii(spark):
+    from heracles_spark.operators import text as t
+
+    rows = [(1, "mail bob.smith+x@example.co.uk now"),
+            (2, "see https://a.example.com/p?q=1 and http://b.io"),
+            (3, "call +1 (415) 555-2671 today"),
+            (4, "clean text no pii")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: r for r in t.redact_patterns(df).collect()}
+    assert out[1]["n_email"] == 1 and "[EMAIL]" in out[1]["redacted"]
+    assert "bob.smith" not in out[1]["redacted"]
+    assert out[2]["n_url"] == 2 and out[2]["redacted"].count("[URL]") == 2
+    assert out[3]["n_phone"] == 1 and "[PHONE]" in out[3]["redacted"]
+    assert "555" not in out[3]["redacted"]
+    assert out[4]["redacted"] == "clean text no pii"
+    assert (out[4]["n_email"], out[4]["n_url"], out[4]["n_phone"]) == (0, 0, 0)
+
+
+def test_repetition_features(spark):
+    from heracles_spark.operators import text as t
+
+    rows = [(1, "spam spam spam spam"),
+            (2, "all words here differ fully"),
+            (3, "half half one two")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r["doc_id"]: (r["distinct_ratio"], r["top_word_ratio"])
+           for r in t.with_repetition_features(df).collect()}
+    assert out[1] == (0.25, 1.0)
+    assert out[2] == (1.0, 0.2)
+    assert out[3] == (0.75, 0.5)
