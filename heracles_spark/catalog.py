@@ -107,9 +107,52 @@ class HeraclesCatalog:
     def __init__(self, metastore_dir: str):
         self.metastore_dir = metastore_dir
         self.tables_dir = os.path.join(metastore_dir, "tables")
+        self.databases_dir = os.path.join(metastore_dir, "databases")
         os.makedirs(self.tables_dir, exist_ok=True)
+        os.makedirs(self.databases_dir, exist_ok=True)
         self._cache: dict[str, KeyTable] = {}
         self._lock = threading.Lock()
+
+    # -- databases (≙ HBase namespaces; HBaseCatalog.scala:219-286) --------
+    #
+    # Tables in a non-default database are stored under the qualified
+    # name "db.tbl"; "default" tables stay unqualified (backwards
+    # compatible with the single-namespace layout).
+
+    def create_database(self, name: str, if_not_exists: bool = False) -> None:
+        name = name.lower()
+        if name == "default" or self.database_exists(name):
+            if if_not_exists:
+                return
+            raise CatalogError(f"database already exists: {name}")
+        os.makedirs(os.path.join(self.databases_dir, name), exist_ok=True)
+
+    def database_exists(self, name: str) -> bool:
+        name = name.lower()
+        return name == "default" or os.path.isdir(
+            os.path.join(self.databases_dir, name))
+
+    def list_databases(self) -> list[str]:
+        return sorted({"default", *os.listdir(self.databases_dir)})
+
+    def drop_database(self, name: str, cascade: bool = False,
+                      if_exists: bool = False) -> None:
+        name = name.lower()
+        if name == "default":
+            raise CatalogError("cannot drop the default database")
+        if not self.database_exists(name):
+            if if_exists:
+                return
+            raise CatalogError(f"no such database: {name}")
+        members = [t for t in self.list_tables()
+                   if t.startswith(f"{name}.")]
+        if members and not cascade:
+            raise CatalogError(
+                f"database {name} is not empty ({len(members)} tables); "
+                f"use CASCADE")
+        for t in members:
+            self.drop_table(t)
+        os.rmdir(os.path.join(self.databases_dir, name))
 
     # -- CRUD (≙ HBaseCatalog.doCreateTable/doDropTable/listTables) --------
 
@@ -118,6 +161,10 @@ class HeraclesCatalog:
                      properties: dict[str, str] | None = None,
                      data_dir: str | None = None) -> KeyTable:
         name = name.lower()
+        if "." in name:
+            db = name.split(".", 1)[0]
+            if not self.database_exists(db):
+                raise CatalogError(f"no such database: {db}")
         if self.table_exists(name):
             raise CatalogError(f"table already exists: {name}")
         colnames = [c for c, _ in columns]
@@ -218,11 +265,19 @@ class HeraclesCatalog:
         # Empty table: zero-row DataFrame with the right schema.
         return spark.createDataFrame([], tbl.schema())
 
+    @staticmethod
+    def view_name(name: str) -> str:
+        """Temp-view name for a table: temp views cannot be qualified, so
+        'db.tbl' registers as 'db_tbl' (documented SELECT surface for
+        non-default databases)."""
+        return name.replace(".", "_")
+
     def register_all(self, spark: SparkSession) -> None:
         """Register every table as a temp view (≙ HBaseSourceAnalysis
         resolving CatalogRelation → LogicalRelation, HBaseStrategies.scala:231)."""
         for name in self.list_tables():
-            self.read_table(spark, name).createOrReplaceTempView(name)
+            self.read_table(spark, name).createOrReplaceTempView(
+                self.view_name(name))
 
     # -- persistence -------------------------------------------------------
     #

@@ -83,6 +83,7 @@ class HeraclesSession:
         self.catalog = HeraclesCatalog(
             metastore_dir or os.environ.get(
                 "HERACLES_METASTORE", os.path.join(os.getcwd(), ".heracles")))
+        self.current_db = "default"
         self.catalog.register_all(self.spark)
 
     def sql(self, statement: str):

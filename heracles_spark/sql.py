@@ -14,6 +14,12 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   INSERT INTO [TABLE] t SELECT ...
   MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
   SHOW TABLES / DESCRIBE t
+  CREATE/DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] / SHOW DATABASES
+  USE db   (unqualified names then resolve to db.name; SELECT views for
+            non-default databases register as db_name)
+  ALTER TABLE t ADD [COLUMNS] (c type, ...) / DROP [COLUMN] c
+            (non-key only — ≙ hbaseCommands.scala:33-59, which the
+            reference CLI marks "Unsupported yet"; wired here)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -55,6 +61,20 @@ _MERGE_HEAD = re.compile(
 _MERGE_KIND = re.compile(
     r"^(?P<not>NOT\s+)?MATCHED(?P<bysrc>\s+BY\s+SOURCE)?"
     r"(?:\s+AND\s+)?", re.IGNORECASE)
+_CREATE_DB = re.compile(
+    r"^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*$", re.IGNORECASE)
+_DROP_DB = re.compile(
+    r"^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?P<if_exists>IF\s+EXISTS\s+)?"
+    r"(?P<name>\w+)\s*(?P<cascade>CASCADE\s*)?$", re.IGNORECASE)
+_SHOW_DBS = re.compile(r"^\s*SHOW\s+(?:DATABASES|SCHEMAS)\s*$", re.IGNORECASE)
+_USE = re.compile(r"^\s*USE\s+(?P<name>\w+)\s*$", re.IGNORECASE)
+_ALTER_ADD = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+(?:COLUMNS?\s*)?"
+    r"\((?P<cols>.*)\)\s*$", re.IGNORECASE | re.DOTALL)
+_ALTER_DROP = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMN\s+)?"
+    r"(?P<col>\w+)\s*$", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -63,66 +83,121 @@ _DESCRIBE = re.compile(
     re.IGNORECASE)
 
 
+def _resolve(session, name: str) -> str:
+    """Qualify an unqualified table name with the session's current
+    database ('default' tables stay bare — single-namespace layout)."""
+    name = name.lower()
+    db = getattr(session, "current_db", "default")
+    if "." in name or db == "default":
+        return name
+    return f"{db}.{name}"
+
+
 def dispatch(session, statement: str) -> DataFrame | None:
     """Route one statement. ``session`` is a HeraclesSession."""
     from heracles_spark import writer
 
     spark, catalog = session.spark, session.catalog
 
+    m = _CREATE_DB.match(statement)
+    if m:
+        catalog.create_database(m.group("name"),
+                                if_not_exists=bool(m.group("if_not_exists")))
+        return None
+
+    m = _DROP_DB.match(statement)
+    if m:
+        catalog.drop_database(m.group("name"),
+                              cascade=bool(m.group("cascade")),
+                              if_exists=bool(m.group("if_exists")))
+        return None
+
+    if _SHOW_DBS.match(statement):
+        return spark.createDataFrame(
+            [(d,) for d in catalog.list_databases()], "namespace: string")
+
+    m = _USE.match(statement)
+    if m:
+        db = m.group("name").lower()
+        if not catalog.database_exists(db):
+            raise ValueError(f"no such database: {db}")
+        session.current_db = db
+        return None
+
+    m = _ALTER_ADD.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        for col, typ in _parse_columns(m.group("cols")):
+            catalog.alter_add_column(name, col, typ)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return None
+
+    m = _ALTER_DROP.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        catalog.alter_drop_column(name, m.group("col"))
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return None
+
     m = _CREATE.match(statement)
     if m:
-        if m.group("if_not_exists") and catalog.table_exists(
-                m.group("name").lower()):
+        name = _resolve(session, m.group("name"))
+        if m.group("if_not_exists") and catalog.table_exists(name):
             return None
         cols = _parse_columns(m.group("cols"))
         props = _parse_props(m.group("props"))
         key_cols = [k for k in props.get("keyCols", "").split(";") if k]
         if not key_cols:
             raise ValueError("CREATE TABLE requires TBLPROPERTIES keyCols")
-        tbl = catalog.create_table(m.group("name"), cols, key_cols,
-                                   properties=props)
-        catalog.read_table(spark, tbl.name).createOrReplaceTempView(tbl.name)
+        tbl = catalog.create_table(name, cols, key_cols, properties=props)
+        catalog.read_table(spark, tbl.name).createOrReplaceTempView(
+            catalog.view_name(tbl.name))
         return None
 
     m = _DROP.match(statement)
     if m:
-        name = m.group("name").lower()
+        name = _resolve(session, m.group("name"))
         if not catalog.table_exists(name):
             if m.group("if_exists"):
                 return None
             raise ValueError(f"no such table: {name}")
         catalog.drop_table(name)
-        spark.catalog.dropTempView(name)
+        spark.catalog.dropTempView(catalog.view_name(name))
         return None
 
     m = _LOAD.match(statement)
     if m:
-        name = m.group("name").lower()
+        name = _resolve(session, m.group("name"))
         writer.bulk_load_csv(spark, catalog, name, m.group("path"),
                              overwrite=bool(m.group("overwrite")))
-        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
         return None
 
     m = _INSERT_VALUES.match(statement)
     if m:
-        name = m.group("name").lower()
+        name = _resolve(session, m.group("name"))
         writer.insert_rows(spark, catalog, name,
                            _parse_value_rows(m.group("rows")))
-        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
         return None
 
     m = _INSERT_SELECT.match(statement)
     if m:
-        name = m.group("name").lower()
+        name = _resolve(session, m.group("name"))
         df = spark.sql(m.group("select"))
         writer.write_key_organized(spark, catalog, name, df, mode="append")
-        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
         return None
 
     parsed = _parse_merge(statement)
     if parsed:
         from heracles_spark import merge as merge_mod
-        name = parsed["target"].lower()
+        name = _resolve(session, parsed["target"])
         if parsed["source_sql"] is not None:
             src_df = spark.sql(parsed["source_sql"])
         else:
@@ -132,16 +207,23 @@ def dispatch(session, statement: str) -> DataFrame | None:
             target_alias=parsed["talias"] or name,
             source_alias=parsed["salias"] or parsed["source_table"]
             or "source")
-        catalog.read_table(spark, name).createOrReplaceTempView(name)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
         return None
 
     if _SHOW.match(statement):
-        return spark.createDataFrame(
-            [(t,) for t in catalog.list_tables()], "tableName: string")
+        db = getattr(session, "current_db", "default")
+        if db == "default":
+            names = [t for t in catalog.list_tables() if "." not in t]
+        else:
+            names = [t.split(".", 1)[1] for t in catalog.list_tables()
+                     if t.startswith(f"{db}.")]
+        return spark.createDataFrame([(t,) for t in names],
+                                     "tableName: string")
 
     m = _SHOW_CREATE.match(statement)
-    if m and catalog.table_exists(m.group("name").lower()):
-        tbl = catalog.get_table(m.group("name").lower())
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
         cols = ", ".join(f"{c} {t.upper()}" for c, t in tbl.columns)
         props = {"keyCols": ";".join(tbl.key_cols), **tbl.properties}
         props_s = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
@@ -149,8 +231,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
         return spark.createDataFrame([(ddl,)], "createtab_stmt: string")
 
     m = _DESCRIBE.match(statement)
-    if m and catalog.table_exists(m.group("name").lower()):
-        tbl = catalog.get_table(m.group("name").lower())
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
         rows = [(c, t, "KEY" if c in tbl.key_cols else "")
                 for c, t in tbl.columns]
         if m.group("extended"):

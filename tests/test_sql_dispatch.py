@@ -98,3 +98,53 @@ def test_create_if_not_exists(hsession):
     with pytest.raises(Exception):
         hsession.sql("CREATE TABLE ine (k INT) TBLPROPERTIES('keyCols'='k')")
     hsession.sql("DROP TABLE ine")
+
+
+def test_database_lifecycle(spark, tmp_path):
+    from heracles_spark.session import HeraclesSession
+
+    s = HeraclesSession(spark, metastore_dir=str(tmp_path / "ms_db"))
+    s.sql("CREATE DATABASE analytics")
+    assert sorted(r["namespace"] for r in s.sql("SHOW DATABASES").collect()) \
+        == ["analytics", "default"]
+    # idempotent with IF NOT EXISTS; duplicate errors without
+    s.sql("CREATE DATABASE IF NOT EXISTS analytics")
+    import pytest as _pt
+    with _pt.raises(Exception):
+        s.sql("CREATE DATABASE analytics")
+
+    s.sql("USE analytics")
+    s.sql("CREATE TABLE kv (k INT, v STRING) TBLPROPERTIES('keyCols'='k')")
+    s.sql("INSERT INTO kv VALUES (1, 'a'), (2, 'b')")
+    assert s.catalog.table_exists("analytics.kv")
+    assert [r["tableName"] for r in s.sql("SHOW TABLES").collect()] == ["kv"]
+    # SELECT surface: non-default database views register as db_name
+    assert s.sql("SELECT count(*) AS n FROM analytics_kv").first()["n"] == 2
+
+    s.sql("USE default")
+    assert s.sql("SHOW TABLES").count() == 0      # analytics.kv not listed
+    with _pt.raises(Exception):
+        s.sql("DROP DATABASE analytics")          # non-empty, no CASCADE
+    s.sql("DROP DATABASE analytics CASCADE")
+    assert not s.catalog.table_exists("analytics.kv")
+    assert [r["namespace"] for r in s.sql("SHOW DATABASES").collect()] \
+        == ["default"]
+
+
+def test_alter_table_sql(spark, tmp_path):
+    from heracles_spark.session import HeraclesSession
+
+    s = HeraclesSession(spark, metastore_dir=str(tmp_path / "ms_alter"))
+    s.sql("CREATE TABLE t1 (k INT, v STRING) TBLPROPERTIES('keyCols'='k')")
+    s.sql("INSERT INTO t1 VALUES (1, 'a')")
+    s.sql("ALTER TABLE t1 ADD COLUMNS (w DOUBLE, z INT)")
+    cols = [c for c, _ in s.catalog.get_table("t1").columns]
+    assert cols == ["k", "v", "w", "z"]
+    # existing data reads with nulls for the new columns
+    row = s.sql("SELECT * FROM t1").first()
+    assert row["v"] == "a" and row["w"] is None and row["z"] is None
+    s.sql("ALTER TABLE t1 DROP COLUMN z")
+    assert [c for c, _ in s.catalog.get_table("t1").columns] == ["k", "v", "w"]
+    import pytest as _pt
+    with _pt.raises(Exception):
+        s.sql("ALTER TABLE t1 DROP COLUMN k")     # key column protected
