@@ -102,10 +102,18 @@ def with_lang_id(df: DataFrame, text_col: str = "text",
         scores.append(F.struct((hits.cast("double") / n).alias("score"),
                                F.lit(lang).alias("lang")))
     best = F.array_max(F.array(*scores))
-    return df.withColumn(
+    # Materialize `best` once: referencing it twice in when(score>0, lang)
+    # would duplicate the whole scores-array expression (4 langs × ~30
+    # literals) in the plan — doubling analysis/codegen time per query
+    # build. Two projections keep it single (CollapseProject declines to
+    # inline a non-cheap alias referenced more than once).
+    with_best = df.withColumn("__best", best)
+    return (with_best.withColumn(
         out_col,
-        F.when(best.getField("score") > 0, best.getField("lang"))
+        F.when(F.col("__best").getField("score") > 0,
+               F.col("__best").getField("lang"))
          .otherwise(F.lit("und")))
+        .drop("__best"))
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text",
