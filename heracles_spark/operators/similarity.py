@@ -256,20 +256,31 @@ def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     cell_id for probe-pruned reads."""
     cents = centroids if centroids is not None else _rng_matrix(
         n_cells, dim, seed)
-    # Argmax via array_max over (score, -cell) structs: the whole scoring
-    # is ONE linear-size expression, each dot evaluated exactly once. (A
-    # chained when(cand>best).otherwise(best) duplicates `best` per level
-    # → O(2^n_cells) expression tree that hangs Catalyst at n_cells=16.)
-    # Struct ordering compares score first; -cell breaks score ties toward
-    # the LOWEST cell index, matching first-wins argmax semantics.
     dim = len(cents[0])
-    inv_norm = F.lit(1.0) / (norm_flat(f"`{vec_col}`", dim) + F.lit(1e-12))
-    pairs = []
-    for ci, cvec in enumerate(cents):
-        d = dot_flat(f"`{vec_col}`", cvec, dim) * inv_norm
-        pairs.append(F.struct(d.alias("score"), F.lit(-ci).alias("negcell")))
-    best = F.array_max(F.array(*pairs))
-    return df.withColumn("cell_id", -best.getField("negcell"))
+    # Assignment via broadcast join against a tiny centroid TABLE, not
+    # n_cells inlined literal expressions: the plan carries ONE dim-term
+    # dot product however many cells there are. (The literal form grew
+    # ~n_cells×dim expression nodes — it OOM'd a vanilla 1g-driver
+    # session at 16×64 and could never scale to IVF's usual thousands of
+    # cells.) Row's own norm is constant across cells, so argmax needs no
+    # normalization. max_by on (score, -cell) keeps first-wins ties;
+    # partial aggregation combines map-side, one shuffle on the id, then
+    # one co-partitioned join restores the original columns.
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(v) for v in cvec]) for ci, cvec in enumerate(cents)],
+        "cell_id int, cvec array<double>")
+    score = dot_flat(f"`{vec_col}`", "cvec", dim)
+    assign = (df.select(id_col, vec_col)
+                .crossJoin(F.broadcast(cdf))
+                .withColumn("__score", score)
+                .groupBy(id_col)
+                .agg(F.max_by(
+                    "cell_id",
+                    F.struct(F.col("__score").alias("s"),
+                             (-F.col("cell_id")).alias("negcell")))
+                  .alias("cell_id")))
+    return df.join(assign, id_col)
 
 
 def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
@@ -296,3 +307,77 @@ def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
             .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)
             .limit(k))
+
+
+# -- batch retrieval ------------------------------------------------------
+
+def cosine_topk_batch(cand: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      qid_col: str = "qid",
+                      qvec_col: str = "qvec") -> DataFrame:
+    """Exact top-k for a SET of query vectors in one plan: broadcast the
+    query side, cross-join against candidates, per-query window top-k.
+    Returns (qid, vec_id, cosine, rank). The exact baseline for batch
+    retrieval — cost |queries|×|cand|; at scale use ``ivf_topk_batch``
+    (probe-cell equi-join instead of the cross join)."""
+    dim = len(queries.select(qvec_col).first()[0])
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("qv"),
+                       norm_flat(f"`{qvec_col}`", dim).alias("qn"))
+    c = cand.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("cv"),
+                    norm_flat(f"`{vec_col}`", dim).alias("cn"))
+    cos = dot_flat("cv", "qv", dim) / (F.col("cn") * F.col("qn"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (c.crossJoin(F.broadcast(q))
+             .withColumn("cosine", F.round(cos, 6))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select("qid", "vec_id", "cosine", "rank"))
+
+
+def ivf_topk_batch(built: DataFrame, queries: DataFrame,
+                   centroids: list[list[float]], k: int = 10,
+                   n_probe: int = 4, id_col: str = "vec_id",
+                   vec_col: str = "embedding", qid_col: str = "qid",
+                   qvec_col: str = "qvec") -> DataFrame:
+    """Batch IVF retrieval — the 100 TB shape: each query probes its
+    n_probe best cells, candidates join on cell_id (hash equi-join, no
+    cross join), exact rerank per query via window top-k.
+
+    Query-side cell ranking joins the queries against the broadcast
+    centroid table and keeps each query's n_probe best cells by window
+    rank — like ivf_build, the plan carries ONE dim-term dot however
+    many cells exist (inlined literals grew ~n_cells×dim nodes and
+    OOM'd small driver heaps). The probe set is |queries|×n_probe rows;
+    the candidate join touches only probed cells (with cell-partitioned
+    storage, partition pruning does the same for the scan)."""
+    from pyspark.sql import Window
+
+    dim = len(centroids[0])
+    spark = queries.sparkSession
+    cdf = spark.createDataFrame(
+        [(ci, [float(v) for v in cvec]) for ci, cvec in enumerate(centroids)],
+        "cell_id int, cvec array<double>")
+    q = queries.select(F.col(qid_col).alias("qid"),
+                       F.col(qvec_col).alias("qv"),
+                       norm_flat(f"`{qvec_col}`", dim).alias("qn"))
+    wq = Window.partitionBy("qid").orderBy(
+        F.desc(F.col("__cscore")), F.asc("cell_id"))
+    probes = (q.crossJoin(F.broadcast(cdf))
+               .withColumn("__cscore", dot_flat("qv", "cvec", dim))
+               .withColumn("__crank", F.row_number().over(wq))
+               .where(F.col("__crank") <= n_probe)
+               .select("qid", "qv", "qn", "cell_id"))
+    c = built.select(F.col(id_col).alias("vec_id"),
+                     F.col(vec_col).alias("cv"),
+                     norm_flat(f"`{vec_col}`", dim).alias("cn"),
+                     "cell_id")
+    cos = dot_flat("cv", "qv", dim) / (F.col("cn") * F.col("qn"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
+    return (c.join(F.broadcast(probes), "cell_id")
+             .withColumn("cosine", F.round(cos, 6))
+             .withColumn("rank", F.row_number().over(w))
+             .where(F.col("rank") <= k)
+             .select("qid", "vec_id", "cosine", "rank"))

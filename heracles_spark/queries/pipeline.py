@@ -357,6 +357,46 @@ WHERE d.doc_id < 100 ORDER BY d.doc_id
 """
 
 
+def embedding_knn_batch(spark, sf_dir):
+    """Batch exact KNN: vec_id<5 are the query set, the rest candidates;
+    per-query top-5 via broadcast cross join + window (the exact batch-
+    retrieval baseline; ivf_topk_batch is the probed scale path)."""
+    e = _embs(spark, sf_dir)
+    queries = (e.where(F.col("vec_id") < 5)
+                .select(F.col("vec_id").alias("qid"),
+                        F.col("embedding").alias("qvec")))
+    cand = e.where(F.col("vec_id") >= 5)
+    return (similarity.cosine_topk_batch(cand, queries, k=5)
+            .orderBy("qid", "rank"))
+
+
+KNB_SQL = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+           WHERE vec_id < 5),
+ c AS (SELECT vec_id, embedding AS cv FROM embeddings WHERE vec_id >= 5),
+ qn AS (SELECT qid, SQRT(SUM(CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+          AS qn FROM q, range(1, 65) t(i) GROUP BY qid),
+ cn AS (SELECT vec_id, SQRT(SUM(CAST(cv[i] AS DOUBLE) * CAST(cv[i] AS DOUBLE)))
+          AS cn FROM c, range(1, 65) t(i) GROUP BY vec_id),
+ dots AS (
+  SELECT q.qid, c.vec_id,
+         SUM(CAST(c.cv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)) AS dot
+  FROM q JOIN c ON TRUE, range(1, 65) t(i)
+  GROUP BY q.qid, c.vec_id),
+ scored AS (
+  SELECT d.qid, d.vec_id, ROUND(d.dot / (cn.cn * qn.qn), 6) AS cosine
+  FROM dots d JOIN qn ON d.qid = qn.qid JOIN cn ON d.vec_id = cn.vec_id),
+ ranked AS (
+  SELECT qid, vec_id, cosine,
+         CAST(ROW_NUMBER() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, vec_id) AS INT)
+           AS rank
+  FROM scored)
+SELECT qid, vec_id, cosine, rank FROM ranked
+WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 # -- multimodal plumbing --------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
@@ -388,6 +428,7 @@ QUERIES = {
     "doc_redact": (doc_redact, DRD_SQL),
     "doc_repetition": (doc_repetition, DRP_SQL),
     "embedding_knn_brute": (embedding_knn_brute, KNN_SQL),
+    "embedding_knn_batch": (embedding_knn_batch, KNB_SQL),
     "embedding_label_stats": (embedding_label_stats, ELS_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, None),
     "embedding_ann_ivf": (embedding_ann_ivf, None),

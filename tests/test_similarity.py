@@ -6,6 +6,8 @@ import math
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from heracles_spark.operators import similarity
 
 DIM = 16
@@ -108,3 +110,50 @@ def test_kmeans_ivf_full_probe_exact(spark, vecs):
         built, q, k=5, n_probe=8, centroids=trained).collect()]
     exact = [r["vec_id"] for r in similarity.cosine_topk(vecs, q, k=5).collect()]
     assert got == exact
+
+
+def test_batch_topk_matches_single(spark, vecs):
+    """Batch result per query == the single-query operator's top-k."""
+    queries = (vecs.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+    cand = vecs.where(F.col("vec_id") >= 3)
+    batch = similarity.cosine_topk_batch(cand, queries, k=5)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    for qid in range(3):
+        qvec = [float(v) for v in
+                vecs.where(F.col("vec_id") == qid).first()["embedding"]]
+        single = [r["vec_id"] for r in
+                  similarity.cosine_topk(cand, qvec, k=5).collect()]
+        assert [v for _, v in sorted(got[qid])] == single
+
+
+def test_ivf_batch_full_probe_matches_brute(spark, vecs):
+    queries = (vecs.where(F.col("vec_id") < 3)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+    cand = vecs.where(F.col("vec_id") >= 3)
+    cents = similarity.kmeans_centroids(cand, n_cells=8, sample_size=200)
+    built = similarity.ivf_build(cand, centroids=cents)
+    full = similarity.ivf_topk_batch(built, queries, cents, k=5, n_probe=8)
+    brute = similarity.cosine_topk_batch(cand, queries, k=5)
+    assert sorted(map(tuple, full.collect())) == \
+        sorted(map(tuple, brute.collect()))
+
+
+def test_ivf_batch_partial_probe_recall(spark, vecs):
+    queries = (vecs.where(F.col("vec_id") < 5)
+                   .select(F.col("vec_id").alias("qid"),
+                           F.col("embedding").alias("qvec")))
+    cand = vecs.where(F.col("vec_id") >= 5)
+    cents = similarity.kmeans_centroids(cand, n_cells=8, sample_size=200)
+    built = similarity.ivf_build(cand, centroids=cents)
+    part = similarity.ivf_topk_batch(built, queries, cents, k=5, n_probe=2)
+    brute = similarity.cosine_topk_batch(cand, queries, k=5)
+    exact = {(r["qid"], r["vec_id"]) for r in brute.collect()}
+    got = {(r["qid"], r["vec_id"]) for r in part.collect()}
+    # every query returns k rows; recall >= 50% on trained cells
+    assert len(got) == 25
+    assert len(got & exact) >= 13

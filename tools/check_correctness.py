@@ -8,6 +8,7 @@ values (order-insensitive, exact). Usage:
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
@@ -63,10 +64,17 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
 
-    from heracles_spark.session import get_session
     from heracles_spark.queries import all_queries, all_oracles
 
-    spark = get_session("correctness-check")
+    if os.environ.get("HERACLES_VANILLA"):
+        # Mimic the driver exactly: a stock SparkSession with none of our
+        # tuned configs (and whatever TZ the process inherits).
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[*]")
+                 .appName("correctness-vanilla").getOrCreate())
+    else:
+        from heracles_spark.session import get_session
+        spark = get_session("correctness-check")
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
