@@ -20,7 +20,11 @@ HELP = """Supported statements (≙ reference CLI HELP):
   LOAD DATA [LOCAL] INPATH '<path>' [OVERWRITE] INTO TABLE t
   INSERT INTO t VALUES (...), (...)
   INSERT INTO t SELECT ...
-  SHOW TABLES | DESCRIBE t
+  MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
+  CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
+  ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
+  SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t
+  DESCRIBE [EXTENDED] t
   SELECT ... (full Spark SQL)
   HELP | EXIT | QUIT
 """
