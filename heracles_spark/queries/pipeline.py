@@ -397,6 +397,23 @@ WHERE rank <= 5 ORDER BY qid, rank
 """
 
 
+def embedding_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe = n_cells: cells partition the vector space, so
+    probing all of them MUST reproduce the exact brute-force top-k — a
+    data-independent invariant that gives the IVF machinery (k-means
+    training, cell assignment, probe ranking, rerank) a true VALUE
+    oracle (the brute-force SQL), while the approximation knob
+    (n_probe < n_cells) is covered by recall tests in pytest."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cand = e.where(F.col("vec_id") != 0)
+    cents = similarity.kmeans_centroids(cand, n_cells=16, sample_size=2048)
+    built = similarity.ivf_build(cand, centroids=cents)
+    return similarity.ivf_topk(built, qvec, k=10, n_probe=16,
+                               centroids=cents)
+
+
 # -- multimodal plumbing --------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
@@ -432,6 +449,7 @@ QUERIES = {
     "embedding_label_stats": (embedding_label_stats, ELS_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, None),
     "embedding_ann_ivf": (embedding_ann_ivf, None),
+    "embedding_ann_ivf_fullprobe": (embedding_ann_ivf_fullprobe, KNN_SQL),
     "doc_minhash_pairs": (doc_minhash_pairs, None),
     "doc_simhash_groups": (doc_simhash_groups, None),
     "doc_ngram_jaccard": (doc_ngram_jaccard, NGJ_SQL),
