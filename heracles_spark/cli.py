@@ -21,6 +21,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   INSERT INTO t VALUES (...), (...)
   INSERT INTO t SELECT ...
   MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
+  OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
   SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t

@@ -31,17 +31,27 @@ matches one target row more than once makes the update ambiguous; like
 Delta, that raises instead of silently duplicating the row.
 
 Scale: the join shuffles on the ON keys (or broadcasts the source); the
-rewrite is one range-exchange, the same cost as any bulk load. At 100 TB
-the next refinement is file-level copy-on-write — rewrite only files
-whose key range intersects the source keys (the catalog's file index
-already holds per-file min/max) — see ``merge_into``'s ``source_range``
-handling which prunes the rewrite set when the ON condition is a pure
-key-equality conjunction.
+rewrite is FILE-LEVEL COPY-ON-WRITE (Delta/Iceberg-style): when the ON
+condition carries key-column equalities, the source's key bounds (min/max
+box, tightened by the exact distinct set when it fits under
+``COW_KEYSET_CAP``) are tested against the catalog's per-file min/max
+index with the same MAY/NO interval logic the scan pruner uses, and only
+intersecting files are read and rewritten — a small change set against a
+100 TB table costs O(touched files), not O(table). The pruning is
+conservative by construction (over-include ⇒ harmless rewrite;
+under-include is impossible because ``may_match`` only answers NO when no
+key in the file's box can equal a source key). Inserts anti-join against
+the touched subset, which is exact: a source key outside every touched
+file's range is outside every file's range, hence absent from the table.
+NOT MATCHED BY SOURCE clauses force the full rewrite (they can mutate
+rows in any file). ``LAST_MERGE_STATS`` exposes which path ran.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
+from typing import Any
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -49,6 +59,86 @@ from pyspark.sql import functions as F
 from heracles_spark.catalog import HeraclesCatalog, KeyTable
 
 _S_MARK = "__merge_src_present__"
+
+# Observability for the last merge_into call (tests + EXPLAIN-style
+# introspection): {"mode": "cow"|"full", "files_total", "files_rewritten"}.
+LAST_MERGE_STATS: dict[str, Any] = {}
+
+# Max distinct per-column key values collected driver-side to tighten the
+# rewrite-set pruning beyond the min/max box. Above the cap the box alone
+# decides (still conservative). The cap bounds driver memory exactly like
+# a broadcast threshold does.
+COW_KEYSET_CAP = 20_000
+
+_EQ_RE = re.compile(r"^\s*(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s*$")
+
+
+def _key_equalities(on: str, t: str, s: str,
+                    keys: list[str]) -> dict[str, str]:
+    """Extract ``{target_key_col: source_col}`` from a pure-conjunction ON
+    condition. Only top-level AND of ``alias.col = alias.col`` conjuncts
+    is recognized; OR / NOT / parentheses / expressions disable
+    copy-on-write pruning (the merge itself still handles them — pruning
+    is an optimization, never a semantics change). Extra non-key
+    conjuncts are fine: any matched pair must still satisfy the key
+    equalities, so the touched-file superset remains sound."""
+    if re.search(r"\(|\bOR\b|\bNOT\b", on, re.IGNORECASE):
+        return {}
+    out: dict[str, str] = {}
+    for part in re.split(r"\bAND\b", on, flags=re.IGNORECASE):
+        m = _EQ_RE.match(part)
+        if not m:
+            continue
+        a1, c1, a2, c2 = m.groups()
+        if a1 == t and a2 == s and c1 in keys:
+            out[c1] = c2
+        elif a1 == s and a2 == t and c2 in keys:
+            out[c2] = c1
+    return out
+
+
+def _source_key_pred(source: DataFrame, eq: dict[str, str]) -> tuple | None:
+    """Build a pruning predicate describing which target key values the
+    source can match: per covered key column, a [min,max] box, tightened
+    by the exact distinct-value set when it fits under COW_KEYSET_CAP.
+    Returns None when the source is empty (nothing can match)."""
+    from heracles_spark.writer import _jsonable
+
+    kcols = list(eq)
+    aggs = []
+    for k in kcols:
+        c = F.col(eq[k])
+        aggs += [F.min(c).alias(f"__mn_{k}"), F.max(c).alias(f"__mx_{k}"),
+                 F.approx_count_distinct(c).alias(f"__nd_{k}")]
+    row = source.agg(*aggs).collect()[0]
+    if row[f"__mn_{kcols[0]}"] is None and row[f"__mx_{kcols[0]}"] is None:
+        empty = source.limit(1).count() == 0
+        if empty:
+            return None
+
+    conjuncts: list[tuple] = []
+    small = [k for k in kcols
+             if row[f"__nd_{k}"] <= COW_KEYSET_CAP * 0.9]
+    # Exact value sets for low-cardinality columns (one extra small job);
+    # collected per column, so a multi-column key prunes on the AND of
+    # per-column membership — a superset of the true tuple set (sound).
+    sets: dict[str, list] = {}
+    if small:
+        vals = source.agg(*[F.collect_set(F.col(eq[k])).alias(k)
+                            for k in small]).collect()[0]
+        for k in small:
+            got = [v for v in (vals[k] or []) if v is not None]
+            if 0 < len(got) <= COW_KEYSET_CAP:
+                sets[k] = [_jsonable(v) for v in got]
+    for k in kcols:
+        mn, mx = row[f"__mn_{k}"], row[f"__mx_{k}"]
+        if mn is not None and mx is not None:
+            conjuncts.append(("between", k, _jsonable(mn), _jsonable(mx)))
+        if k in sets:
+            conjuncts.append(("in", k, sets[k]))
+    if not conjuncts:
+        return ("isnotnull", kcols[0])     # no stats → prune nothing
+    return ("and", *conjuncts)
 
 
 @dataclass
@@ -67,8 +157,17 @@ class MergeClause:
 def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                source: DataFrame, on: str, clauses: list[MergeClause],
                target_alias: str = "target", source_alias: str = "source",
-               check_ambiguity: bool = True) -> KeyTable:
-    """Execute MERGE and rewrite ``table``. See module docstring."""
+               check_ambiguity: bool = True, cow: bool = True) -> KeyTable:
+    """Execute MERGE and rewrite ``table``. See module docstring.
+
+    ``cow=True`` (default) enables file-level copy-on-write: when the ON
+    condition contains key-column equalities and no NOT MATCHED BY SOURCE
+    clause exists, only files whose key range MAY contain a source key
+    are read and rewritten; the rest stay untouched on disk. A MERGE of a
+    small change set against a 100 TB table then costs O(touched files),
+    not O(table). NOT MATCHED BY SOURCE disables it because such clauses
+    can mutate rows in *any* file."""
+    global LAST_MERGE_STATS
     tbl = catalog.get_table(table)
     keys = tbl.key_cols
     out_cols = [f.name for f in tbl.schema().fields]
@@ -86,8 +185,39 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     nm_insert = [c for c in clauses if c.kind == "not_matched"]
     nm_source = [c for c in clauses if c.kind == "not_matched_by_source"]
 
+    # -- copy-on-write rewrite-set pruning --------------------------------
+    from heracles_spark.pruning import may_match, to_nnf
+
+    n_total = len(tbl.files)
+    cow_keep: list[dict[str, Any]] | None = None
+    tgt: DataFrame | None = None
+    persisted_src = False
+    if cow and not nm_source and tbl.files:
+        eq = _key_equalities(on, t, s, keys)
+        if eq:
+            source = source.persist()
+            persisted_src = True
+            pred = _source_key_pred(source, eq)
+            if pred is None:               # empty source ⇒ MERGE is a no-op
+                source.unpersist()
+                LAST_MERGE_STATS = {"mode": "cow", "files_total": n_total,
+                                    "files_rewritten": 0}
+                return tbl
+            npred = to_nnf(pred)
+            touched = [f for f in tbl.files
+                       if may_match(npred, f.get("min", {}),
+                                    f.get("max", {}), keys)]
+            if len(touched) < n_total:
+                tpaths = {f["path"] for f in touched}
+                cow_keep = [f for f in tbl.files if f["path"] not in tpaths]
+                tgt = (spark.read.schema(tbl.schema())
+                            .parquet(*sorted(tpaths)).alias(t)
+                       if touched else
+                       spark.createDataFrame([], tbl.schema()).alias(t))
+    if tgt is None:
+        tgt = catalog.read_table(spark, table).alias(t)
+
     src_cols = source.columns
-    tgt = catalog.read_table(spark, table).alias(t)
     src = source.withColumn(_S_MARK, F.lit(True)).alias(s)
 
     joined = tgt.join(src, F.expr(on), "left_outer")
@@ -191,8 +321,18 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
         result = result.unionByName(inserts)
 
     from heracles_spark import writer
-    out = writer.write_key_organized(spark, catalog, table, result,
-                                     mode="overwrite")
+    if cow_keep is not None:
+        out = writer.write_cow_files(spark, catalog, table, result,
+                                     keep=cow_keep)
+        LAST_MERGE_STATS = {"mode": "cow", "files_total": n_total,
+                            "files_rewritten": n_total - len(cow_keep)}
+    else:
+        out = writer.write_key_organized(spark, catalog, table, result,
+                                         mode="overwrite")
+        LAST_MERGE_STATS = {"mode": "full", "files_total": n_total,
+                            "files_rewritten": n_total}
     if check_ambiguity and matched:
         joined.unpersist()
+    if persisted_src:
+        source.unpersist()
     return out

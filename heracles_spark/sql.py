@@ -75,6 +75,8 @@ _ALTER_ADD = re.compile(
 _ALTER_DROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMN\s+)?"
     r"(?P<col>\w+)\s*$", re.IGNORECASE)
+_OPTIMIZE = re.compile(
+    r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -207,6 +209,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
             target_alias=parsed["talias"] or name,
             source_alias=parsed["salias"] or parsed["source_table"]
             or "source")
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return None
+
+    m = _OPTIMIZE.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        writer.optimize_table(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None

@@ -28,9 +28,16 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       fmt: str = "parquet",
                       checkpoint_dir: str | None = None,
                       max_files_per_trigger: int = 16,
-                      available_now: bool = False) -> StreamingQuery:
+                      available_now: bool = False,
+                      exactly_once: bool = True) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
-    table, preserving the key-range layout per micro-batch."""
+    table, preserving the key-range layout per micro-batch.
+
+    ``exactly_once=True`` (default) routes each batch through
+    ``writer.append_batch_exactly_once`` — a marker-first per-batch
+    commit log that makes at-least-once foreachBatch replays converge
+    instead of duplicate rows (see that function's docstring for the
+    crash matrix)."""
     from heracles_spark import writer
 
     tbl = catalog.get_table(table)
@@ -43,8 +50,12 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        writer.write_key_organized(spark, catalog, table, batch_df,
-                                   mode="append")
+        if exactly_once:
+            writer.append_batch_exactly_once(spark, catalog, table,
+                                             batch_df, batch_id)
+        else:
+            writer.write_key_organized(spark, catalog, table, batch_df,
+                                       mode="append")
 
     w = (stream.writeStream
          .foreachBatch(sink)
@@ -79,10 +90,10 @@ def stream_upsert_into_table(spark: SparkSession, catalog, table: str,
     idempotent-merge contract; checkpoint tracks source progress).
 
     Scale: per batch, one broadcastable join against the target plus the
-    key-range rewrite — same shape as the batch MERGE. Copy-on-write
-    rewrite cost is bounded by target size, so size micro-batches via
-    maxFilesPerTrigger; at 100 TB pair this with file-level pruning
-    (merge.py's source_range note)."""
+    rewrite. The ON condition is a pure key-equality conjunction, so the
+    batch MERGE's file-level copy-on-write pruning applies automatically:
+    each micro-batch rewrites only the files its key range touches, not
+    the table — the 100 TB CDC-apply path."""
     from pyspark.sql.window import Window
 
     from heracles_spark.merge import MergeClause, merge_into

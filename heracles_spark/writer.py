@@ -100,6 +100,11 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
         staging = tbl.data_dir.rstrip("/") + "~staging"
         shutil.rmtree(staging, ignore_errors=True)
         laid_out.write.mode("overwrite").parquet(staging)
+        # Carry the streaming batch-commit log across generations so a
+        # foreachBatch replay straddling an overwrite stays idempotent.
+        commits = os.path.join(tbl.data_dir, "_batch_commits")
+        if os.path.isdir(commits):
+            shutil.move(commits, os.path.join(staging, "_batch_commits"))
         shutil.rmtree(tbl.data_dir, ignore_errors=True)
         os.replace(staging, tbl.data_dir)
     else:
@@ -143,45 +148,53 @@ def insert_rows(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                                upsert=upsert, n_buckets=1)
 
 
-def harvest_file_index(data_dir: str, key_cols: list[str]) -> list[dict[str, Any]]:
+def harvest_file_index(data_dir: str, key_cols: list[str],
+                       paths: list[str] | None = None) -> list[dict[str, Any]]:
     """Per-file min/max of key columns from parquet footers (no data read).
 
     ≙ region boundary metadata (HBasePartition.scala:29-38). Footer stats
     are exact for the types we allow (no truncated binary stats at these
     value sizes matters only for very long strings — acceptable: pruning
     is advisory, the scan re-filters).
+
+    ``paths`` restricts harvesting to those files (incremental index
+    maintenance — copy-on-write MERGE splices new entries into the index
+    instead of re-reading every footer in the table).
     """
     import pyarrow.parquet as pq
 
+    if paths is None:
+        paths = []
+        for root, _, names in os.walk(data_dir):
+            for fn in sorted(names):
+                if fn.endswith(".parquet"):
+                    paths.append(os.path.join(root, fn))
+
     out: list[dict[str, Any]] = []
-    for root, _, names in os.walk(data_dir):
-        for fn in sorted(names):
-            if not fn.endswith(".parquet"):
-                continue
-            path = os.path.join(root, fn)
-            md = pq.ParquetFile(path).metadata
-            mins: dict[str, Any] = {}
-            maxs: dict[str, Any] = {}
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                for ci in range(g.num_columns):
-                    name = g.column(ci).path_in_schema
-                    if name not in key_cols:
-                        continue
-                    st = g.column(ci).statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    mn, mx = st.min, st.max
-                    if name not in mins or mn < mins[name]:
-                        mins[name] = mn
-                    if name not in maxs or mx > maxs[name]:
-                        maxs[name] = mx
-            out.append({
-                "path": path,
-                "rows": md.num_rows,
-                "min": {k: _jsonable(v) for k, v in mins.items()},
-                "max": {k: _jsonable(v) for k, v in maxs.items()},
-            })
+    for path in paths:
+        md = pq.ParquetFile(path).metadata
+        mins: dict[str, Any] = {}
+        maxs: dict[str, Any] = {}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            for ci in range(g.num_columns):
+                name = g.column(ci).path_in_schema
+                if name not in key_cols:
+                    continue
+                st = g.column(ci).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = st.min, st.max
+                if name not in mins or mn < mins[name]:
+                    mins[name] = mn
+                if name not in maxs or mx > maxs[name]:
+                    maxs[name] = mx
+        out.append({
+            "path": path,
+            "rows": md.num_rows,
+            "min": {k: _jsonable(v) for k, v in mins.items()},
+            "max": {k: _jsonable(v) for k, v in maxs.items()},
+        })
     return out
 
 
@@ -191,6 +204,165 @@ def _jsonable(v: Any) -> Any:
     if hasattr(v, "isoformat"):
         return v.isoformat()
     return v
+
+
+def optimize_table(spark: SparkSession, catalog: HeraclesCatalog,
+                   table: str, n_buckets: int | None = None) -> KeyTable:
+    """Compact and globally re-sort a table — ``OPTIMIZE t``.
+
+    Copy-on-write MERGE and per-batch streaming appends accrete files
+    whose key ranges overlap (each write is sorted only among its own
+    files). Overlap never affects correctness — per-file min/max pruning
+    is independent per file — but it loosens pruning (one key can MAY-
+    match several files) and accumulates small files. OPTIMIZE rewrites
+    the table through the full range layout: disjoint per-file key
+    ranges, target-sized files, fresh index. ≙ HBase major compaction in
+    the reference's storage model; Delta/Iceberg OPTIMIZE elsewhere.
+
+    Scale: one range exchange over the table — the same cost as a bulk
+    load, scheduled off-peak. Not safe concurrently with an active
+    stream into the same table (the swap is atomic for readers, not for
+    concurrent writers)."""
+    tbl = catalog.get_table(table)
+    df = catalog.read_table(spark, table)
+    return write_key_organized(spark, catalog, table, df, mode="overwrite",
+                               n_buckets=n_buckets)
+
+
+def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
+                              table: str, df: DataFrame, batch_id: int,
+                              n_buckets: int | None = None) -> KeyTable:
+    """Idempotent per-batch append — the exactly-once foreachBatch sink.
+
+    foreachBatch delivers at-least-once: a crash between the data write
+    and the checkpoint commit replays the batch. This function makes the
+    replay converge instead of duplicate, with a marker-first commit
+    protocol (the same idea as a Delta/Iceberg commit log entry):
+
+      1. Stage the batch (key-range layout) into a per-batch staging dir.
+      2. Atomically publish a marker listing (staged name → final path)
+         via write-to-temp + ``os.replace``.
+      3. Move the staged files to their final paths; drop staging.
+
+    Replay outcomes: crash before the marker ⇒ re-stage from scratch
+    (staging is overwritten, nothing was published); crash after the
+    marker ⇒ the replay COMPLETES the pending moves from staging and
+    skips the rewrite; marker present and all files in place ⇒ no-op.
+    Final file names embed the batch id, so a completed batch can never
+    be published twice. The file index is rebuilt from the marker's path
+    list (dedup by path), so index maintenance is replay-safe too.
+
+    On a real cluster the ``os.replace`` marker publish maps to an
+    atomic-rename object-store/HDFS commit — the protocol is unchanged.
+    """
+    import json
+
+    tbl = catalog.get_table(table)
+    keys = tbl.key_cols
+    commits_dir = os.path.join(tbl.data_dir, "_batch_commits")
+    os.makedirs(commits_dir, exist_ok=True)
+    marker = os.path.join(commits_dir, f"{batch_id}.json")
+    staging = tbl.data_dir.rstrip("/") + f"~batch{batch_id}stage"
+
+    def _publish(moves: list[list[str]]) -> KeyTable:
+        for src, dst in moves:
+            if not os.path.exists(dst) and os.path.exists(src):
+                os.replace(src, dst)
+        import shutil
+        shutil.rmtree(staging, ignore_errors=True)
+        dsts = [d for _, d in moves if os.path.exists(d)]
+        new_entries = harvest_file_index(tbl.data_dir, keys, paths=dsts)
+        dset = set(dsts)
+        kept = [f for f in tbl.files if f["path"] not in dset]
+        return catalog.update_file_index(table, kept + new_entries,
+                                         append=False)
+
+    if os.path.exists(marker):                 # replay of a committed batch
+        with open(marker) as fh:
+            return _publish(json.load(fh))
+
+    fields = tbl.schema().fields
+    if len(df.columns) != len(fields):
+        raise ValueError(f"column count mismatch for {table}")
+    df = df.toDF(*[f.name for f in fields])
+    df = df.select(*[F.col(f.name).cast(f.dataType) for f in fields])
+    df = df.where(F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys)))
+
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    n = _n_buckets(df, n_buckets)
+    (df.repartitionByRange(n, *keys)
+       .sortWithinPartitions(*keys)
+       .write.mode("overwrite").parquet(staging))
+
+    moves = [[os.path.join(staging, fn),
+              os.path.join(tbl.data_dir, f"b{batch_id}-{fn}")]
+             for fn in sorted(os.listdir(staging)) if fn.endswith(".parquet")]
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(moves, fh)
+    os.replace(tmp, marker)                    # atomic commit point
+    return _publish(moves)
+
+
+def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
+                    table: str, df: DataFrame,
+                    keep: list[dict[str, Any]],
+                    n_buckets: int | None = None) -> KeyTable:
+    """Copy-on-write partial rewrite: replace the table's files NOT listed
+    in ``keep`` with a fresh key-range layout of ``df``, leaving ``keep``
+    files untouched on disk, and splice the file index incrementally.
+
+    This is the file-level analogue of Delta/Iceberg copy-on-write: a
+    MERGE whose change set intersects k of N files rewrites k files, not
+    N. The new files are range-partitioned among themselves; their key
+    ranges may overlap the kept files' ranges (pruning stays correct —
+    per-file min/max boxes are independent — just marginally less tight
+    than a full global re-sort, which `OPTIMIZE`-style maintenance can
+    restore).
+
+    ``df`` must already have the table's exact schema (the caller — MERGE
+    — produces it from the table's own columns).
+    """
+    import uuid
+
+    tbl = catalog.get_table(table)
+    keys = tbl.key_cols
+    keep_paths = {f["path"] for f in keep}
+    old_paths = [f["path"] for f in tbl.files if f["path"] not in keep_paths]
+
+    df = df.select(*[F.col(f.name).cast(f.dataType)
+                     for f in tbl.schema().fields])
+    df = df.where(F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys)))
+
+    staging = tbl.data_dir.rstrip("/") + "~cowstage"
+    import shutil
+    shutil.rmtree(staging, ignore_errors=True)
+    n = _n_buckets(df, n_buckets)
+    (df.repartitionByRange(n, *keys)
+       .sortWithinPartitions(*keys)
+       .write.mode("overwrite").parquet(staging))
+
+    # Move staged parts into the data dir under collision-free names,
+    # drop the replaced files, then splice the index: kept entries stay
+    # as-is (no footer re-read), new entries are harvested from the new
+    # files only — O(touched), not O(table).
+    token = uuid.uuid4().hex[:12]
+    new_paths: list[str] = []
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet"):
+            continue
+        dst = os.path.join(tbl.data_dir, f"cow-{token}-{fn}")
+        os.replace(os.path.join(staging, fn), dst)
+        new_paths.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    for p in old_paths:
+        if os.path.exists(p):
+            os.remove(p)
+
+    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
+    return catalog.update_file_index(table, list(keep) + new_entries,
+                                     append=False)
 
 
 def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,

@@ -158,3 +158,76 @@ def test_or_of_ands_pruning_q19_shape():
             ("and", (">=", "k", 11), ("<=", "k", 12)))
     keep = prune_files(files, pred, ["k"])
     assert [f["path"] for f in keep] == ["a", "c"]
+
+
+# -- exactly-once per-batch append + OPTIMIZE --------------------------------
+
+def _mk_kv(catalog, spark, n=100):
+    catalog.create_table("kv", [("k", "int"), ("v", "int")], ["k"])
+    df = spark.createDataFrame([(i, i * 10) for i in range(n)],
+                               "k int, v int")
+    return writer.write_key_organized(spark, catalog, "kv", df, n_buckets=4)
+
+
+def test_append_batch_exactly_once_replay_is_noop(spark, catalog):
+    """Re-delivering a committed batch (at-least-once foreachBatch) must
+    not duplicate rows."""
+    _mk_kv(catalog, spark)
+    batch = spark.createDataFrame([(1000, 1), (1001, 2)], "k int, v int")
+    writer.append_batch_exactly_once(spark, catalog, "kv", batch, batch_id=7)
+    writer.append_batch_exactly_once(spark, catalog, "kv", batch, batch_id=7)
+    got = catalog.read_table(spark, "kv")
+    assert got.count() == 102
+    assert got.where("k >= 1000").count() == 2
+    # a NEW batch id appends normally
+    writer.append_batch_exactly_once(spark, catalog, "kv", batch.selectExpr(
+        "k + 10 AS k", "v"), batch_id=8)
+    assert catalog.read_table(spark, "kv").count() == 104
+
+
+def test_append_batch_completes_after_marker_crash(spark, catalog):
+    """Crash AFTER the marker publish but BEFORE the file moves: the
+    replay completes the pending moves from staging instead of
+    re-staging (the marker is the commit point)."""
+    import json
+    import os
+
+    tbl = _mk_kv(catalog, spark)
+    batch = spark.createDataFrame([(2000, 5)], "k int, v int")
+    # Stage manually to simulate the partial state.
+    staging = tbl.data_dir.rstrip("/") + "~batch3stage"
+    (batch.repartition(1).write.mode("overwrite").parquet(staging))
+    staged = [f for f in os.listdir(staging) if f.endswith(".parquet")]
+    moves = [[os.path.join(staging, fn),
+              os.path.join(tbl.data_dir, f"b3-{fn}")] for fn in staged]
+    commits = os.path.join(tbl.data_dir, "_batch_commits")
+    os.makedirs(commits, exist_ok=True)
+    with open(os.path.join(commits, "3.json"), "w") as fh:
+        json.dump(moves, fh)
+    # Replay with a DIFFERENT df (must be ignored — marker wins).
+    decoy = spark.createDataFrame([(9999, 9)], "k int, v int")
+    writer.append_batch_exactly_once(spark, catalog, "kv", decoy, batch_id=3)
+    rows = {r.k: r.v for r in catalog.read_table(spark, "kv").collect()}
+    assert rows.get(2000) == 5 and 9999 not in rows
+    assert not os.path.exists(staging)
+
+
+def test_optimize_restores_disjoint_ranges(spark, catalog, hsession):
+    """After COW merges accrete overlapping files, OPTIMIZE rewrites to
+    disjoint leading-key ranges with identical contents."""
+    _mk_kv(catalog, spark)
+    for b in range(3):
+        batch = spark.createDataFrame(
+            [(i, -b) for i in range(b, 100, 7)], "k int, v int")
+        writer.append_batch_exactly_once(spark, catalog, "kv", batch,
+                                         batch_id=b)
+    tbl = catalog.get_table("kv")
+    spans = sorted((f["min"]["k"], f["max"]["k"]) for f in tbl.files)
+    assert any(hi1 > lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
+    before = sorted(map(tuple, catalog.read_table(spark, "kv").collect()))
+    hsession.sql("OPTIMIZE kv")
+    tbl = catalog.get_table("kv")
+    spans = sorted((f["min"]["k"], f["max"]["k"]) for f in tbl.files)
+    assert all(hi1 <= lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
+    after = sorted(map(tuple, catalog.read_table(spark, "kv").collect()))
+    assert after == before
