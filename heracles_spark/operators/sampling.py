@@ -39,3 +39,60 @@ def stratified_sample(df: DataFrame, strata_col: str,
     Deterministic for fixed (seed, partitioning) — for partition-stable
     sampling use hash_split-style bucketing instead."""
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def corpus_mix(df: DataFrame, weights: dict[str, float],
+               source_col: str = "source", id_col: str = "doc_id",
+               n_buckets: int = 10_000) -> DataFrame:
+    """Deterministic source-weighted downsampling — corpus mixing.
+
+    Training corpora are assembled by re-weighting sources (keep 100% of
+    books, 25% of common-crawl, ...). A row survives iff its md5 bucket
+    of ``id_col`` is below ``weight × n_buckets``; sources absent from
+    ``weights`` keep everything; weight 0.0 drops the source. Being a
+    pure function of the row id, the SAME rows survive on any engine,
+    run, or partitioning — seeded RNG sampling guarantees none of that.
+
+    Scale: a codegen'd filter over the scan — no shuffle, no state; the
+    weight map compiles into the predicate (it is source-count sized,
+    i.e. tiny)."""
+    b = split_bucket(F.col(id_col), n_buckets)
+    keep = ~F.col(source_col).isin(list(weights))   # unlisted ⇒ keep all
+    for src, wgt in weights.items():
+        keep = keep | ((F.col(source_col) == src)
+                       & (b < int(round(wgt * n_buckets))))
+    return df.where(keep)
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   token_col: str = "n_tokens", budget: int = 2048,
+                   n_shards: int = 32) -> DataFrame:
+    """GPT-style sequence packing: concatenate documents in id order and
+    cut the stream every ``budget`` tokens.
+
+    Adds three columns: ``shard`` (md5 bucket of the id — each shard is
+    an independent document stream), ``seq`` (which budget-sized window
+    within the shard the document STARTS in), and ``seq_offset`` (token
+    offset of the document's first token inside that window). A document
+    straddling a cut continues into the next window, exactly like
+    pretraining data loaders that slice a concatenated token stream.
+
+    The assignment is a pure function of (id set, token counts): exclusive
+    running token sum within the shard, integer-divided by the budget —
+    reproducible across engines and partitionings, and expressible as a
+    window cumsum in ANSI SQL for the oracle.
+
+    Scale: one hash shuffle on ``shard`` plus a per-shard window sort;
+    ``n_shards`` sized to cluster parallelism bounds per-task state (the
+    window never materializes more than a shard per task)."""
+    from pyspark.sql.window import Window
+
+    out = df.withColumn("shard", split_bucket(F.col(id_col), n_shards))
+    w = (Window.partitionBy("shard").orderBy(id_col)
+               .rowsBetween(Window.unboundedPreceding, -1))
+    excl = F.coalesce(F.sum(F.col(token_col).cast("long")).over(w),
+                      F.lit(0).cast("long"))
+    return (out.withColumn("__excl__", excl)
+               .withColumn("seq", F.expr(f"__excl__ DIV {int(budget)}"))
+               .withColumn("seq_offset", F.col("__excl__") % budget)
+               .drop("__excl__"))

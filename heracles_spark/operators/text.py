@@ -226,3 +226,27 @@ def with_repetition_features(df: DataFrame, id_col: str = "doc_id",
                     F.round(F.col("_dr"), 6).alias("distinct_ratio"),
                     F.round(F.col("_max_n") / F.col("_n_toks"), 6)
                      .alias("top_word_ratio")))
+
+
+def term_frequencies(df: DataFrame, text_col: str = "text",
+                     min_len: int = 1) -> DataFrame:
+    """Corpus-level term frequencies — the vocabulary/frequency pass that
+    feeds tokenizer training, stopword induction, and TF-IDF weighting.
+
+    Terms are whitespace tokens stripped to their [A-Za-z] letters, then
+    lowercased — stripping BEFORE lowercasing keeps the computation in
+    ASCII where Spark's and an oracle engine's lower() agree (full-
+    unicode lowercasing diverges across engines on e.g. dotted-İ).
+    Empty/short residues are dropped.
+
+    Scale: explode → groupBy(term) — one shuffle, map-side combinable,
+    and the term-frequency distribution's long tail hashes uniformly
+    (Zipf head terms are still one group each; a count fits any
+    executor). Returns (term, n) unsorted; callers order/limit."""
+    raw = F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("raw")
+    term = F.lower(F.regexp_replace(F.col("raw"), "[^a-zA-Z]", ""))
+    return (df.select(raw)
+              .select(term.alias("term"))
+              .where(F.length("term") >= min_len)
+              .groupBy("term")
+              .agg(F.count(F.lit(1)).alias("n")))

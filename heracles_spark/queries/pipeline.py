@@ -509,3 +509,108 @@ FROM toks GROUP BY 1, 2 ORDER BY doc_id, chunk_id
 
 
 QUERIES["doc_chunking"] = (doc_chunking, CHUNK_SQL)
+
+
+# -- corpus assembly: mixing, packing, vocabulary --------------------------
+
+def doc_corpus_mix(spark, sf_dir):
+    """Deterministic source-weighted corpus mixing (operators.sampling.
+    corpus_mix): keep 50% of src0, 25% of src1, none of src2, all of the
+    rest — the md5-bucket filter keeps the SAME rows on any engine, so
+    the oracle checks exact per-source survivor counts."""
+    from heracles_spark.operators.sampling import corpus_mix
+
+    mixed = corpus_mix(_docs(spark, sf_dir),
+                       {"src0": 0.5, "src1": 0.25, "src2": 0.0})
+    return (mixed.groupBy("source")
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_chars").alias("sum_chars"))
+                 .orderBy("source"))
+
+
+MIX_SQL = """
+WITH b AS (
+  SELECT source, n_chars,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS bkt
+  FROM documents)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b
+WHERE (source = 'src0' AND bkt < 5000)
+   OR (source = 'src1' AND bkt < 2500)
+   OR source NOT IN ('src0', 'src1', 'src2')
+GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["doc_corpus_mix"] = (doc_corpus_mix, MIX_SQL)
+
+
+def doc_pack_sequences(spark, sf_dir):
+    """GPT-style sequence packing (operators.sampling.pack_sequences):
+    concatenate each shard's documents in id order, cut every 256
+    tokens; per-sequence fill statistics. The oracle reproduces the
+    exclusive window cumsum in ANSI SQL (integer DIV on both engines —
+    no float division in the bin id)."""
+    from heracles_spark.operators.sampling import pack_sequences
+    from heracles_spark.operators import text as text_ops
+
+    d = (_docs(spark, sf_dir)
+         .withColumn("n_tokens", text_ops.token_count("text")))
+    p = pack_sequences(d, budget=256, n_shards=8)
+    return (p.groupBy("shard", "seq")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+                  F.min("doc_id").alias("first_doc"),
+                  F.max("doc_id").alias("last_doc"))
+             .orderBy("shard", "seq"))
+
+
+PACK_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 8 AS INT) AS shard,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT)
+             AS n_tokens
+  FROM documents),
+c AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
+  FROM t)
+SELECT shard, excl // 256 AS seq,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1, 2 ORDER BY shard, seq
+"""
+
+
+QUERIES["doc_pack_sequences"] = (doc_pack_sequences, PACK_SQL)
+
+
+def doc_term_frequencies(spark, sf_dir):
+    """Corpus vocabulary head (operators.text.term_frequencies): top-25
+    terms by frequency, tie-broken by term — a total order, so the limit
+    is deterministic."""
+    from heracles_spark.operators.text import term_frequencies
+
+    tf = term_frequencies(_docs(spark, sf_dir), min_len=2)
+    return tf.orderBy(F.desc("n"), "term").limit(25)
+
+
+TF_SQL = """
+WITH toks AS (
+  SELECT lower(regexp_replace(tok, '[^a-zA-Z]', '', 'g')) AS term
+  FROM documents,
+       UNNEST(string_split_regex(trim(text), '\\s+')) AS u(tok))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM toks WHERE length(term) >= 2
+GROUP BY term ORDER BY n DESC, term LIMIT 25
+"""
+
+
+QUERIES["doc_term_frequencies"] = (doc_term_frequencies, TF_SQL)

@@ -156,3 +156,61 @@ def test_repetition_features(spark):
     assert out[1] == (0.25, 1.0)
     assert out[2] == (1.0, 0.2)
     assert out[3] == (0.75, 0.5)
+
+
+# -- corpus assembly: mixing, packing, vocabulary ----------------------------
+
+def test_corpus_mix_weight_extremes(spark):
+    from heracles_spark.operators.sampling import corpus_mix
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(300)],
+        "doc_id long, source string")
+    kept = corpus_mix(df, {"a": 0.0, "b": 1.0}).collect()
+    srcs = {r.source for r in kept}
+    assert "a" not in srcs                       # weight 0 drops all
+    assert sum(r.source == "b" for r in kept) == 100   # weight 1 keeps all
+    assert sum(r.source == "c" for r in kept) == 100   # unlisted keeps all
+    half = corpus_mix(df, {"c": 0.5}).where("source = 'c'").count()
+    assert 30 < half < 70                        # ≈50% of 100, hash-exact
+    again = corpus_mix(df, {"c": 0.5}).where("source = 'c'").count()
+    assert half == again                         # deterministic
+
+
+def test_pack_sequences_invariants(spark):
+    from heracles_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 10 + (i * 7) % 50) for i in range(200)],
+        "doc_id long, n_tokens int")
+    p = pack_sequences(df, budget=100, n_shards=4).collect()
+    assert all(0 <= r.seq_offset < 100 for r in p)
+    assert all(0 <= r.shard < 4 for r in p)
+    by_shard: dict[int, list] = {}
+    for r in sorted(p, key=lambda r: (r.shard, r.doc_id)):
+        by_shard.setdefault(r.shard, []).append(r)
+    for rows in by_shard.values():
+        # first doc of a shard starts sequence 0 at offset 0
+        assert rows[0].seq == 0 and rows[0].seq_offset == 0
+        run = 0
+        for r in rows:
+            # seq/offset are exactly the exclusive cumsum decomposition
+            assert r.seq * 100 + r.seq_offset == run
+            run += r.n_tokens
+        # seq ids never decrease along the stream
+        seqs = [r.seq for r in rows]
+        assert seqs == sorted(seqs)
+
+
+def test_term_frequencies_strip_then_lower(spark):
+    from heracles_spark.operators.text import term_frequencies
+
+    df = spark.createDataFrame(
+        [("The cat, the CAT!", ), ("cat... 42 dogs", ), ("", )],
+        "text string")
+    got = {r.term: r.n for r in term_frequencies(df).collect()}
+    assert got == {"the": 2, "cat": 3, "dogs": 1}
+    # min_len drops short residues
+    got2 = {r.term: r.n
+            for r in term_frequencies(df, min_len=4).collect()}
+    assert got2 == {"dogs": 1}
