@@ -614,3 +614,56 @@ GROUP BY term ORDER BY n DESC, term LIMIT 25
 
 
 QUERIES["doc_term_frequencies"] = (doc_term_frequencies, TF_SQL)
+
+
+def doc_source_rollup(spark, sf_dir):
+    """Incremental rollup maintenance (heracles_spark.rollup): load the
+    documents table in two halves, refresh the per-source rollup after
+    each, and return the rollup CONTENTS — which the oracle checks
+    against a plain GROUP BY over the whole table. The second refresh's
+    mode is emitted as a column the oracle pins to 'incremental', so the
+    hash also proves the increment path (not a silent rebuild) produced
+    the numbers. All-integer aggregates keep the comparison exact."""
+    import tempfile
+
+    from heracles_spark import rollup as rollup_mod
+    from heracles_spark import writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_rollup_"))
+    cat.create_table("docs", [("doc_id", "bigint"), ("lang", "string"),
+                              ("source", "string"), ("n_chars", "bigint")],
+                     ["doc_id"])
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    writer.write_key_organized(spark, cat, "docs",
+                               d.where(F.col("doc_id") <= mid),
+                               mode="append", n_buckets=2)
+    rollup_mod.create_rollup(
+        spark, cat, "docs_by_source", "docs", ["source"],
+        {"n_docs": ("count", "doc_id"), "sum_chars": ("sum", "n_chars"),
+         "first_doc": ("min", "doc_id"), "last_doc": ("max", "doc_id")})
+    rollup_mod.refresh_rollup(spark, cat, "docs_by_source")
+    writer.write_key_organized(spark, cat, "docs",
+                               d.where(F.col("doc_id") > mid),
+                               mode="append", n_buckets=2)
+    st = rollup_mod.refresh_rollup(spark, cat, "docs_by_source")
+    return (cat.read_table(spark, "docs_by_source")
+               .select("source",
+                       F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("sum_chars").cast("long").alias("sum_chars"),
+                       "first_doc", "last_doc",
+                       F.lit(st["mode"]).alias("refresh_mode"))
+               .orderBy("source"))
+
+
+ROLLUP_SQL = """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+       'incremental' AS refresh_mode
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+QUERIES["doc_source_rollup"] = (doc_source_rollup, ROLLUP_SQL)
