@@ -38,6 +38,10 @@ HEADLINE = [
     "embedding_knn_brute",
     "events_asof_join",
     "events_range_join",
+    # corpus assembly
+    "doc_corpus_mix",
+    "doc_pack_sequences",
+    "doc_term_frequencies",
 ]
 
 
