@@ -22,6 +22,8 @@ HELP = """Supported statements (≙ reference CLI HELP):
   INSERT INTO t SELECT ...
   MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
   OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
+  CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
+  REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
   SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t

@@ -20,6 +20,10 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   ALTER TABLE t ADD [COLUMNS] (c type, ...) / DROP [COLUMN] c
             (non-key only — ≙ hbaseCommands.scala:33-59, which the
             reference CLI marks "Unsupported yet"; wired here)
+  OPTIMIZE t (compaction + global re-sort; heracles_spark.writer)
+  CREATE ROLLUP r ON t GROUP BY g[, a = expr] AGG o = FN(c)[, ...]
+  REFRESH ROLLUP r   (incremental continuous aggregate;
+            heracles_spark.rollup — returns (mode, new_files))
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -77,6 +81,16 @@ _ALTER_DROP = re.compile(
     r"(?P<col>\w+)\s*$", re.IGNORECASE)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+# CREATE ROLLUP r ON src GROUP BY a, b AGG n = COUNT(x), s = SUM(y), ...
+# Group items may be `alias = expr` for derived group columns.
+_CREATE_ROLLUP = re.compile(
+    r"^\s*CREATE\s+ROLLUP\s+(?P<name>[\w.]+)\s+ON\s+(?P<src>[\w.]+)\s+"
+    r"GROUP\s+BY\s+(?P<groups>.+?)\s+"
+    r"AGG\s+(?P<aggs>.+)$", re.IGNORECASE | re.DOTALL)
+_ROLLUP_AGG = re.compile(
+    r"^\s*(?P<out>\w+)\s*=\s*(?P<fn>\w+)\s*\(\s*(?P<col>[\w*]+)\s*\)\s*$")
+_REFRESH_ROLLUP = re.compile(
+    r"^\s*REFRESH\s+ROLLUP\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -220,6 +234,43 @@ def dispatch(session, statement: str) -> DataFrame | None:
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
+
+    m = _CREATE_ROLLUP.match(statement)
+    if m:
+        from heracles_spark import rollup as rollup_mod
+        group_cols, group_exprs = [], {}
+        for item in _split_top(m.group("groups"), ","):
+            gm = re.match(r"^\s*(\w+)\s*=\s*(.+)$", item, re.DOTALL)
+            if gm:
+                group_cols.append(gm.group(1))
+                group_exprs[gm.group(1)] = gm.group(2).strip()
+            else:
+                group_cols.append(item.strip())
+        aggs = {}
+        for item in _split_top(m.group("aggs"), ","):
+            am = _ROLLUP_AGG.match(item)
+            if not am:
+                raise ValueError(
+                    f"bad AGG item {item!r}; expected out = FN(col) with "
+                    f"FN in SUM/COUNT/MIN/MAX")
+            col = am.group("col")
+            aggs[am.group("out")] = (am.group("fn").lower(),
+                                     "1" if col == "*" else col)
+        rollup_mod.create_rollup(
+            spark, catalog, _resolve(session, m.group("name")),
+            _resolve(session, m.group("src")), group_cols, aggs,
+            group_exprs=group_exprs or None)
+        return None
+
+    m = _REFRESH_ROLLUP.match(statement)
+    if m:
+        from heracles_spark import rollup as rollup_mod
+        name = _resolve(session, m.group("name"))
+        st = rollup_mod.refresh_rollup(spark, catalog, name)
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return spark.createDataFrame(
+            [(st["mode"], st["new_files"])], "mode: string, new_files: int")
 
     if _SHOW.match(statement):
         db = getattr(session, "current_db", "default")

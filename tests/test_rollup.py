@@ -98,3 +98,24 @@ def test_rollup_group_exprs_and_validation(spark, catalog):
     got = sorted(map(tuple,
         catalog.read_table(spark, "fact_by_bucket").collect()))
     assert got == [(0, 10), (1, 10)]
+
+
+def test_rollup_sql_surface(hsession, spark, catalog):
+    """CREATE ROLLUP / REFRESH ROLLUP through the SQL dispatcher, with a
+    derived group column and COUNT(*)."""
+    _mk_source(catalog, spark, [(i, f"g{i % 2}", i) for i in range(40)])
+    hsession.sql("""CREATE ROLLUP fact_rollup ON fact
+                    GROUP BY grp, bucket = CAST(v DIV 20 AS INT)
+                    AGG n = COUNT(*), sv = SUM(v), mx = MAX(v)""")
+    st = hsession.sql("REFRESH ROLLUP fact_rollup").collect()[0]
+    assert st.mode == "incremental" and st.new_files > 0
+    got = {(r.grp, r.bucket): (r.n, r.sv, r.mx) for r in
+           hsession.sql("SELECT * FROM fact_rollup").collect()}
+    exp = {}
+    for i in range(40):
+        k = (f"g{i % 2}", i // 20)
+        n, sv, mx = exp.get(k, (0, 0, -1))
+        exp[k] = (n + 1, sv + i, max(mx, i))
+    assert got == exp
+    assert hsession.sql("REFRESH ROLLUP fact_rollup").collect()[0].mode \
+        == "noop"
