@@ -67,6 +67,10 @@ class KeyTable:
     properties: dict[str, str] = field(default_factory=dict)
     # per-file key-range index: {path, rows, min: {col: v}, max: {col: v}}
     files: list[dict[str, Any]] = field(default_factory=list)
+    # monotone table version + per-version file sets (time travel /
+    # DESCRIBE HISTORY / VACUUM). Entries: {v, op, n_files, rows, paths}.
+    version: int = 0
+    history: list[dict[str, Any]] = field(default_factory=list)
 
     def schema(self) -> T.StructType:
         # Key columns are non-nullable (HBaseRelation.scala:668), non-key
@@ -87,6 +91,8 @@ class KeyTable:
             "data_dir": self.data_dir,
             "properties": self.properties,
             "files": self.files,
+            "version": self.version,
+            "history": self.history,
         }
 
     @staticmethod
@@ -98,6 +104,8 @@ class KeyTable:
             data_dir=d["data_dir"],
             properties=dict(d.get("properties", {})),
             files=list(d.get("files", [])),
+            version=int(d.get("version", 0)),
+            history=list(d.get("history", [])),
         )
 
 
@@ -249,20 +257,55 @@ class HeraclesCatalog:
 
     # -- file index (≙ HBaseRelation.fetchPartitions region metadata) ------
 
+    # History entries retained inline; VACUUM prunes further. Like the
+    # file index, a ≫1e3-version log would graduate to a sidecar dataset.
+    HISTORY_MAX = 50
+
     def update_file_index(self, name: str, files: list[dict[str, Any]],
-                          append: bool = False) -> KeyTable:
+                          append: bool = False, op: str = "write") -> KeyTable:
+        """Atomically publish a new table version: replace (or extend) the
+        live file index and append a history entry. This is the single
+        commit point every writer goes through — the catalog-entry swap
+        is what makes COW writes atomic for readers."""
         tbl = self.get_table(name)
         tbl.files = (tbl.files + files) if append else files
+        tbl.version += 1
+        tbl.history.append({
+            "v": tbl.version, "op": op, "n_files": len(tbl.files),
+            "rows": sum(f.get("rows", 0) for f in tbl.files),
+            "paths": [f["path"] for f in tbl.files],
+        })
+        tbl.history = tbl.history[-self.HISTORY_MAX:]
         self._save(tbl)
         return tbl
 
     # -- Spark integration -------------------------------------------------
 
-    def read_table(self, spark: SparkSession, name: str) -> DataFrame:
+    def read_table(self, spark: SparkSession, name: str,
+                   version: int | None = None) -> DataFrame:
+        """Read the table at its current version, or time-travel to an
+        earlier one. Reads are by EXPLICIT file list, never by directory:
+        retired files (previous versions' data, kept until VACUUM) live
+        in the same directory and must not leak into the current view.
+        Historical reads use the current schema; columns added since the
+        version read as NULL (parquet schema reconciliation)."""
         tbl = self.get_table(name)
-        if tbl.files:
-            return spark.read.schema(tbl.schema()).parquet(tbl.data_dir)
-        # Empty table: zero-row DataFrame with the right schema.
+        if version is None:
+            paths = [f["path"] for f in tbl.files]
+        else:
+            entry = next((h for h in tbl.history if h["v"] == version), None)
+            if entry is None:
+                have = [h["v"] for h in tbl.history]
+                raise CatalogError(
+                    f"{name} has no version {version}; available: {have} "
+                    f"(older versions may have been VACUUMed)")
+            paths = [p for p in entry["paths"] if os.path.exists(p)]
+            if len(paths) < len(entry["paths"]):
+                raise CatalogError(
+                    f"{name}@v{version}: data files were VACUUMed")
+        if paths:
+            return spark.read.schema(tbl.schema()).parquet(*sorted(paths))
+        # Empty table/version: zero-row DataFrame with the right schema.
         return spark.createDataFrame([], tbl.schema())
 
     @staticmethod

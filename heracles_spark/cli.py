@@ -24,6 +24,8 @@ HELP = """Supported statements (≙ reference CLI HELP):
   OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
   CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
   REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)
+  DESCRIBE HISTORY t (version log: every write is a new table version)
+  VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
   SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t

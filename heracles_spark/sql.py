@@ -24,6 +24,9 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   CREATE ROLLUP r ON t GROUP BY g[, a = expr] AGG o = FN(c)[, ...]
   REFRESH ROLLUP r   (incremental continuous aggregate;
             heracles_spark.rollup — returns (mode, new_files))
+  DESCRIBE HISTORY t (per-version op/file/row counts, newest first)
+  VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
+            travel past the horizon — heracles_spark.writer.vacuum_table)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -91,6 +94,11 @@ _ROLLUP_AGG = re.compile(
     r"^\s*(?P<out>\w+)\s*=\s*(?P<fn>\w+)\s*\(\s*(?P<col>[\w*]+)\s*\)\s*$")
 _REFRESH_ROLLUP = re.compile(
     r"^\s*REFRESH\s+ROLLUP\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_VACUUM = re.compile(
+    r"^\s*VACUUM\s+(?P<name>[\w.]+)"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
+_DESC_HISTORY = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -261,6 +269,23 @@ def dispatch(session, statement: str) -> DataFrame | None:
             _resolve(session, m.group("src")), group_cols, aggs,
             group_exprs=group_exprs or None)
         return None
+
+    m = _VACUUM.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        st = writer.vacuum_table(catalog, name,
+                                 retain_versions=int(m.group("n") or 1))
+        return spark.createDataFrame(
+            [(st["removed_files"], st["retained_versions"])],
+            "removed_files: int, retained_versions: int")
+
+    m = _DESC_HISTORY.match(statement)
+    if m:
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        rows = [(h["v"], h["op"], h["n_files"], h["rows"])
+                for h in reversed(tbl.history)]
+        return spark.createDataFrame(
+            rows, "version: int, op: string, n_files: int, rows: long")
 
     m = _REFRESH_ROLLUP.match(statement)
     if m:

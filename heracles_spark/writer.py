@@ -56,7 +56,8 @@ def _n_buckets(df: DataFrame, explicit: int | None) -> int:
 def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
                         table: str, df: DataFrame, mode: str = "append",
                         n_buckets: int | None = None,
-                        upsert: bool = False) -> KeyTable:
+                        upsert: bool = False,
+                        op: str | None = None) -> KeyTable:
     """Write ``df`` into ``table`` with key-range layout and refresh the
     file index. ``mode`` is 'append' or 'overwrite'."""
     tbl = catalog.get_table(table)
@@ -90,28 +91,43 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     n = _n_buckets(df, n_buckets)
     laid_out = (df.repartitionByRange(n, *keys)
                   .sortWithinPartitions(*keys))
+    # Every write is a new file GENERATION: stage, then move parts in
+    # under generation-unique names. The input plan may read the table
+    # itself (MERGE, INSERT ... SELECT FROM self, OPTIMIZE) — staging
+    # first means we never overwrite our own input. On overwrite the
+    # previous generation's files are RETIRED in place (kept on disk for
+    # time travel until VACUUM, invisible to readers — reads go by the
+    # catalog's explicit file list); the catalog update is the atomic
+    # commit.
+    new_paths = _stage_and_move(laid_out, tbl)
+    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
     if mode == "overwrite":
-        # Stage-and-swap: the input plan may read from tbl.data_dir
-        # (MERGE, INSERT ... SELECT FROM self) — overwriting a path being
-        # read from is undefined in Spark. Write the new generation to a
-        # sibling dir, then swap directories; readers resolve the path at
-        # scan time so the next query sees the new generation.
-        import shutil
-        staging = tbl.data_dir.rstrip("/") + "~staging"
-        shutil.rmtree(staging, ignore_errors=True)
-        laid_out.write.mode("overwrite").parquet(staging)
-        # Carry the streaming batch-commit log across generations so a
-        # foreachBatch replay straddling an overwrite stays idempotent.
-        commits = os.path.join(tbl.data_dir, "_batch_commits")
-        if os.path.isdir(commits):
-            shutil.move(commits, os.path.join(staging, "_batch_commits"))
-        shutil.rmtree(tbl.data_dir, ignore_errors=True)
-        os.replace(staging, tbl.data_dir)
-    else:
-        laid_out.write.mode(mode).parquet(tbl.data_dir)
+        return catalog.update_file_index(table, new_entries, append=False,
+                                         op=op or "overwrite")
+    return catalog.update_file_index(table, new_entries, append=True,
+                                     op=op or "append")
 
-    files = harvest_file_index(tbl.data_dir, keys)
-    return catalog.update_file_index(table, files, append=False)
+
+def _stage_and_move(laid_out: DataFrame, tbl: KeyTable) -> list[str]:
+    """Write a new file generation: parquet into a sibling staging dir,
+    then move the parts into the data dir as ``g<version>-<part>``.
+    Version numbers are monotone, so generations never collide (single
+    writer per table — the reference's model too)."""
+    import shutil
+
+    staging = tbl.data_dir.rstrip("/") + "~staging"
+    shutil.rmtree(staging, ignore_errors=True)
+    laid_out.write.mode("overwrite").parquet(staging)
+    tag = f"g{tbl.version + 1}"
+    out: list[str] = []
+    for fn in sorted(os.listdir(staging)):
+        if not fn.endswith(".parquet"):
+            continue
+        dst = os.path.join(tbl.data_dir, f"{tag}-{fn}")
+        os.replace(os.path.join(staging, fn), dst)
+        out.append(dst)
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
 
 
 def bulk_load_csv(spark: SparkSession, catalog: HeraclesCatalog, table: str,
@@ -206,6 +222,42 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
+def vacuum_table(catalog: HeraclesCatalog, table: str,
+                 retain_versions: int = 1) -> dict:
+    """Reclaim retired files — ``VACUUM t [RETAIN n VERSIONS]``.
+
+    Copy-on-write keeps every replaced file on disk so earlier versions
+    stay readable (time travel). VACUUM deletes files referenced by none
+    of the newest ``retain_versions`` history entries and prunes the
+    log; time travel past the horizon then raises a clear error.
+    ``retain_versions=1`` keeps only the live version's files (Delta's
+    ``VACUUM ... RETAIN 0 HOURS`` equivalent — version-count retention
+    suits a deterministic engine better than wall-clock retention).
+
+    Scale: O(files on disk) driver-side path-set arithmetic, same order
+    as the file index itself; deletion is pure metadata/IO, no Spark
+    job."""
+    tbl = catalog.get_table(table)
+    retain = max(1, retain_versions)
+    keep_entries = tbl.history[-retain:]
+    referenced = {p for h in keep_entries for p in h["paths"]}
+    referenced |= {f["path"] for f in tbl.files}   # live files always kept
+    removed = 0
+    for root, dirs, names in os.walk(tbl.data_dir):
+        # control dirs (_batch_commits, _checkpoint, ...) are not data
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for fn in names:
+            if not fn.endswith(".parquet"):
+                continue
+            p = os.path.join(root, fn)
+            if p not in referenced:
+                os.remove(p)
+                removed += 1
+    tbl.history = keep_entries
+    catalog._save(tbl)
+    return {"removed_files": removed, "retained_versions": len(keep_entries)}
+
+
 def optimize_table(spark: SparkSession, catalog: HeraclesCatalog,
                    table: str, n_buckets: int | None = None) -> KeyTable:
     """Compact and globally re-sort a table — ``OPTIMIZE t``.
@@ -225,8 +277,9 @@ def optimize_table(spark: SparkSession, catalog: HeraclesCatalog,
     concurrent writers)."""
     tbl = catalog.get_table(table)
     df = catalog.read_table(spark, table)
+    del tbl
     return write_key_organized(spark, catalog, table, df, mode="overwrite",
-                               n_buckets=n_buckets)
+                               n_buckets=n_buckets, op="optimize")
 
 
 def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
@@ -275,7 +328,7 @@ def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
         dset = set(dsts)
         kept = [f for f in tbl.files if f["path"] not in dset]
         return catalog.update_file_index(table, kept + new_entries,
-                                         append=False)
+                                         append=False, op="stream-append")
 
     if os.path.exists(marker):                 # replay of a committed batch
         with open(marker) as fh:
@@ -344,9 +397,10 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
        .write.mode("overwrite").parquet(staging))
 
     # Move staged parts into the data dir under collision-free names,
-    # drop the replaced files, then splice the index: kept entries stay
-    # as-is (no footer re-read), new entries are harvested from the new
-    # files only — O(touched), not O(table).
+    # then splice the index: kept entries stay as-is (no footer re-read),
+    # new entries are harvested from the new files only — O(touched),
+    # not O(table). The replaced files are RETIRED in place: still on
+    # disk for time travel, dropped from the index, reclaimed by VACUUM.
     token = uuid.uuid4().hex[:12]
     new_paths: list[str] = []
     for fn in sorted(os.listdir(staging)):
@@ -356,13 +410,11 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
         os.replace(os.path.join(staging, fn), dst)
         new_paths.append(dst)
     shutil.rmtree(staging, ignore_errors=True)
-    for p in old_paths:
-        if os.path.exists(p):
-            os.remove(p)
+    del old_paths   # retired, not deleted
 
     new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
     return catalog.update_file_index(table, list(keep) + new_entries,
-                                     append=False)
+                                     append=False, op="merge-cow")
 
 
 def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,

@@ -197,10 +197,11 @@ def write_zordered(spark, catalog: HeraclesCatalog, table: str,
         df = df.withColumn("__z", z)
     else:
         raise ValueError(f"unknown curve: {curve!r}")
-    (df.repartitionByRange(n_buckets, "__z")
-       .sortWithinPartitions("__z")
-       .drop("__z")
-       .write.mode(mode)
-       .parquet(tbl.data_dir))
-    files = writer.harvest_file_index(tbl.data_dir, tbl.key_cols)
-    return catalog.update_file_index(table, files, append=False)
+    laid_out = (df.repartitionByRange(n_buckets, "__z")
+                  .sortWithinPartitions("__z")
+                  .drop("__z"))
+    new_paths = writer._stage_and_move(laid_out, tbl)
+    files = writer.harvest_file_index(tbl.data_dir, tbl.key_cols,
+                                      paths=new_paths)
+    return catalog.update_file_index(table, files, append=(mode == "append"),
+                                     op=f"zorder-{curve}")

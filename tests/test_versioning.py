@@ -1,0 +1,106 @@
+"""Table versioning: time travel, DESCRIBE HISTORY, VACUUM.
+
+Copy-on-write keeps replaced files on disk; the catalog's per-version
+file sets make every historical version readable until VACUUMed. Reads
+go by explicit file list, so retired files sharing the directory never
+leak into the current view."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from heracles_spark import merge as merge_mod
+from heracles_spark import writer
+from heracles_spark.catalog import CatalogError
+from heracles_spark.merge import MergeClause
+
+
+def _mk(catalog, spark, n=100):
+    catalog.create_table("t", [("k", "int"), ("v", "int")], ["k"])
+    df = spark.createDataFrame([(i, i) for i in range(n)], "k int, v int")
+    writer.write_key_organized(spark, catalog, "t", df, n_buckets=4)
+
+
+def test_time_travel_across_merge(spark, catalog):
+    _mk(catalog, spark)
+    v1 = catalog.get_table("t").version
+    src = spark.createDataFrame([(5, -5), (200, 200)], "k int, v int")
+    merge_mod.merge_into(
+        spark, catalog, "t", src, "target.k = source.k",
+        [MergeClause("matched", "update", assignments={"v": "source.v"}),
+         MergeClause("not_matched", "insert", assignments={"*": "*"})])
+    # current version sees the merge
+    now = {r.k: r.v for r in catalog.read_table(spark, "t").collect()}
+    assert now[5] == -5 and now[200] == 200 and len(now) == 101
+    # v1 still reads the pre-merge state, byte-for-byte
+    old = {r.k: r.v for r in
+           catalog.read_table(spark, "t", version=v1).collect()}
+    assert old[5] == 5 and 200 not in old and len(old) == 100
+
+
+def test_time_travel_across_overwrite(spark, catalog):
+    _mk(catalog, spark, n=10)
+    v1 = catalog.get_table("t").version
+    df = spark.createDataFrame([(99, 99)], "k int, v int")
+    writer.write_key_organized(spark, catalog, "t", df, mode="overwrite",
+                               n_buckets=1)
+    assert catalog.read_table(spark, "t").count() == 1
+    assert catalog.read_table(spark, "t", version=v1).count() == 10
+
+
+def test_describe_history_and_ops(hsession, spark, catalog):
+    _mk(catalog, spark, n=20)
+    src = spark.createDataFrame([(1, -1)], "k int, v int")
+    merge_mod.merge_into(
+        spark, catalog, "t", src, "target.k = source.k",
+        [MergeClause("matched", "update", assignments={"v": "source.v"})])
+    writer.optimize_table(spark, catalog, "t")
+    hist = hsession.sql("DESCRIBE HISTORY t").collect()
+    ops = [r.op for r in hist]                   # newest first
+    assert ops == ["optimize", "merge-cow", "append"]
+    assert all(r.rows == 20 for r in hist)
+    assert [r.version for r in hist] == [3, 2, 1]
+
+
+def test_vacuum_reclaims_and_fences(hsession, spark, catalog):
+    _mk(catalog, spark)
+    v1 = catalog.get_table("t").version
+    src = spark.createDataFrame([(5, -5)], "k int, v int")
+    merge_mod.merge_into(
+        spark, catalog, "t", src, "target.k = source.k",
+        [MergeClause("matched", "update", assignments={"v": "source.v"})])
+    tbl = catalog.get_table("t")
+    live = {f["path"] for f in tbl.files}
+    on_disk = {os.path.join(tbl.data_dir, f)
+               for f in os.listdir(tbl.data_dir) if f.endswith(".parquet")}
+    assert on_disk > live                        # retired file present
+    st = hsession.sql("VACUUM t").collect()[0]
+    assert st.removed_files == len(on_disk - live)
+    on_disk2 = {os.path.join(tbl.data_dir, f)
+                for f in os.listdir(tbl.data_dir) if f.endswith(".parquet")}
+    assert on_disk2 == live
+    # current version unharmed; old version cleanly fenced
+    assert catalog.read_table(spark, "t").count() == 100
+    with pytest.raises(CatalogError, match="no version|VACUUMed"):
+        catalog.read_table(spark, "t", version=v1)
+
+
+def test_vacuum_retain_keeps_time_travel(spark, catalog):
+    _mk(catalog, spark, n=30)
+    v1 = catalog.get_table("t").version
+    src = spark.createDataFrame([(1, -1)], "k int, v int")
+    merge_mod.merge_into(
+        spark, catalog, "t", src, "target.k = source.k",
+        [MergeClause("matched", "update", assignments={"v": "source.v"})])
+    writer.vacuum_table(catalog, "t", retain_versions=2)
+    # both versions still readable
+    assert catalog.read_table(spark, "t", version=v1).count() == 30
+    assert catalog.read_table(spark, "t").count() == 30
+
+
+def test_unknown_version_raises(spark, catalog):
+    _mk(catalog, spark, n=5)
+    with pytest.raises(CatalogError, match="no version"):
+        catalog.read_table(spark, "t", version=42)
