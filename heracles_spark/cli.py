@@ -25,6 +25,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
   REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)
   DESCRIBE HISTORY t (version log: every write is a new table version)
+  SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c

@@ -25,6 +25,7 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   REFRESH ROLLUP r   (incremental continuous aggregate;
             heracles_spark.rollup — returns (mode, new_files))
   DESCRIBE HISTORY t (per-version op/file/row counts, newest first)
+  SELECT ... FROM t VERSION AS OF n  (rewritten to a per-version view)
   VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
             travel past the horizon — heracles_spark.writer.vacuum_table)
 
@@ -94,6 +95,8 @@ _ROLLUP_AGG = re.compile(
     r"^\s*(?P<out>\w+)\s*=\s*(?P<fn>\w+)\s*\(\s*(?P<col>[\w*]+)\s*\)\s*$")
 _REFRESH_ROLLUP = re.compile(
     r"^\s*REFRESH\s+ROLLUP\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_VERSION_ASOF = re.compile(
+    r"\b([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?P<name>[\w.]+)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
@@ -336,7 +339,19 @@ def dispatch(session, statement: str) -> DataFrame | None:
 
     # Everything else: stock Spark SQL (≙ all operators above the scan
     # being inherited, SURVEY §0).
-    return spark.sql(statement)
+    # SELECT-surface time travel (Delta syntax): `FROM t VERSION AS OF
+    # n` rewrites to a per-version temp view over that version's file
+    # set before handing the statement to Spark.
+    def _asof(m):
+        name = _resolve(session, m.group(1))
+        if not catalog.table_exists(name):
+            return m.group(0)
+        view = f"{catalog.view_name(name)}__v{m.group(2)}"
+        catalog.read_table(spark, name, version=int(m.group(2))) \
+               .createOrReplaceTempView(view)
+        return view
+
+    return spark.sql(_VERSION_ASOF.sub(_asof, statement))
 
 
 def _parse_merge(statement: str):

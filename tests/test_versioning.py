@@ -104,3 +104,21 @@ def test_unknown_version_raises(spark, catalog):
     _mk(catalog, spark, n=5)
     with pytest.raises(CatalogError, match="no version"):
         catalog.read_table(spark, "t", version=42)
+
+
+def test_select_version_as_of(hsession, spark, catalog):
+    _mk(catalog, spark, n=10)
+    v1 = catalog.get_table("t").version
+    hsession.sql("""
+        MERGE INTO t USING (SELECT * FROM VALUES (3, 333) AS s(k, v)) s
+        ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert hsession.sql("SELECT v FROM t WHERE k = 3").collect()[0].v == 333
+    got = hsession.sql(
+        f"SELECT v FROM t VERSION AS OF {v1} WHERE k = 3").collect()[0].v
+    assert got == 3
+    # joins across versions work too (old vs new value of the same key)
+    row = hsession.sql(f"""
+        SELECT cur.v AS new_v, old.v AS old_v
+        FROM t cur JOIN t VERSION AS OF {v1} old ON cur.k = old.k
+        WHERE cur.k = 3""").collect()[0]
+    assert (row.new_v, row.old_v) == (333, 3)
