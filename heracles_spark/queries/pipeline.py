@@ -667,3 +667,56 @@ FROM documents GROUP BY source ORDER BY source
 
 
 QUERIES["doc_source_rollup"] = (doc_source_rollup, ROLLUP_SQL)
+
+
+def doc_version_changes(spark, sf_dir):
+    """CDC read surface (heracles_spark.changes.table_changes): load the
+    documents table, apply one MERGE (uppercase the lang of doc_id<=10,
+    insert doc_id>250), and return the row-level diff between the two
+    versions — which the oracle reconstructs as plain SQL over the same
+    parquet. File-set pruning means the diff reads only files the merge
+    touched."""
+    import tempfile
+
+    from heracles_spark import writer
+    from heracles_spark.catalog import HeraclesCatalog
+    from heracles_spark.changes import table_changes
+    from heracles_spark.merge import MergeClause, merge_into
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_cdc_"))
+    cat.create_table("docs", [("doc_id", "bigint"), ("lang", "string"),
+                              ("source", "string"), ("n_chars", "bigint")],
+                     ["doc_id"])
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+    writer.write_key_organized(spark, cat, "docs",
+                               d.where(F.col("doc_id") <= 250),
+                               mode="append", n_buckets=4)
+    v1 = cat.get_table("docs").version
+    src = (d.where((F.col("doc_id") <= 10) | (F.col("doc_id") > 250))
+            .withColumn("lang", F.when(F.col("doc_id") <= 10,
+                                       F.upper("lang"))
+                                 .otherwise(F.col("lang"))))
+    merge_into(spark, cat, "docs", src, "target.doc_id = source.doc_id",
+               [MergeClause("matched", "update", assignments={"*": "*"}),
+                MergeClause("not_matched", "insert", assignments={"*": "*"})])
+    return (table_changes(spark, cat, "docs", v1)
+            .orderBy("doc_id", "_change_type"))
+
+
+CDC_SQL = """
+WITH u AS (SELECT * FROM documents WHERE doc_id <= 10)
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+       'insert' AS _change_type
+FROM documents WHERE doc_id > 250
+UNION ALL
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT), 'update_preimage'
+FROM u
+UNION ALL
+SELECT doc_id, upper(lang), source, CAST(n_chars AS BIGINT),
+       'update_postimage'
+FROM u
+ORDER BY doc_id, _change_type
+"""
+
+
+QUERIES["doc_version_changes"] = (doc_version_changes, CDC_SQL)
