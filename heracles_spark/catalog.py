@@ -257,6 +257,36 @@ class HeraclesCatalog:
 
     # -- file index (≙ HBaseRelation.fetchPartitions region metadata) ------
 
+    def clone_table(self, src: str, dst: str) -> KeyTable:
+        """Zero-copy (shallow) clone — ``CREATE TABLE dst CLONE src``.
+
+        The clone is a new catalog entry referencing the SOURCE's data
+        files by path: no data moves, the clone is O(metadata) at any
+        table size. Reads go by explicit file list, so files can live
+        anywhere; parquet files are immutable under copy-on-write, so
+        writes to either table diverge safely — each writes new
+        generations into its OWN data_dir and retires only entries from
+        its own index. One caveat, same as Delta/Iceberg shallow clones:
+        VACUUM on the SOURCE can delete files the clone still
+        references (VACUUM walks only its own data_dir, so the clone
+        can never hurt the source)."""
+        s = self.get_table(src)
+        dst = dst.lower()
+        if self.table_exists(dst):
+            raise CatalogError(f"table already exists: {dst}")
+        tbl = self.create_table(dst, list(s.columns), list(s.key_cols),
+                                properties=dict(s.properties))
+        tbl.files = [dict(f) for f in s.files]
+        tbl.version = 1
+        tbl.history = [{
+            "v": 1, "op": f"clone:{src}@v{s.version}",
+            "n_files": len(tbl.files),
+            "rows": sum(f.get("rows", 0) for f in tbl.files),
+            "paths": [f["path"] for f in tbl.files],
+        }]
+        self._save(tbl)
+        return tbl
+
     # History entries retained inline; VACUUM prunes further. Like the
     # file index, a ≫1e3-version log would graduate to a sidecar dataset.
     HISTORY_MAX = 50

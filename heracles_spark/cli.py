@@ -24,6 +24,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
   CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
   REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)
+  CREATE TABLE dst [SHALLOW] CLONE src  (zero-copy; no data moves)
   DESCRIBE HISTORY t (version log: every write is a new table version)
   SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)

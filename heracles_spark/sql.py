@@ -24,6 +24,7 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   CREATE ROLLUP r ON t GROUP BY g[, a = expr] AGG o = FN(c)[, ...]
   REFRESH ROLLUP r   (incremental continuous aggregate;
             heracles_spark.rollup — returns (mode, new_files))
+  CREATE TABLE dst [SHALLOW] CLONE src  (zero-copy clone, O(metadata))
   DESCRIBE HISTORY t (per-version op/file/row counts, newest first)
   SELECT ... FROM t VERSION AS OF n  (rewritten to a per-version view)
   VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
@@ -42,6 +43,9 @@ import shlex
 
 from pyspark.sql import DataFrame
 
+_CLONE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<dst>[\w.]+)\s+(?:SHALLOW\s+)?CLONE\s+"
+    r"(?P<src>[\w.]+)\s*$", re.IGNORECASE)
 _CREATE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s*"
     r"\((?P<cols>.*?)\)\s*"
@@ -166,6 +170,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
         catalog.alter_drop_column(name, m.group("col"))
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
+        return None
+
+    m = _CLONE.match(statement)
+    if m:
+        dst = _resolve(session, m.group("dst"))
+        catalog.clone_table(_resolve(session, m.group("src")), dst)
+        catalog.read_table(spark, dst).createOrReplaceTempView(
+            catalog.view_name(dst))
         return None
 
     m = _CREATE.match(statement)

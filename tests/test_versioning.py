@@ -169,3 +169,26 @@ def test_table_changes_prunes_shared_files(spark, catalog):
     assert n_files <= 2 or n_files == 0   # 0 if stats absent pre-execution
     rows = sorted((r.k, r.v, r._change_type) for r in df.collect())
     assert rows == [(5, -5, "update_postimage"), (5, 5, "update_preimage")]
+
+
+def test_zero_copy_clone_diverges_safely(hsession, spark, catalog):
+    _mk(catalog, spark, n=40)
+    hsession.sql("CREATE TABLE t2 CLONE t")
+    # clone is O(metadata): same file PATHS, no data copied
+    src_paths = {f["path"] for f in catalog.get_table("t").files}
+    cl_paths = {f["path"] for f in catalog.get_table("t2").files}
+    assert cl_paths == src_paths
+    assert hsession.sql("SELECT COUNT(*) AS n FROM t2").collect()[0].n == 40
+    # writes diverge: merge into the CLONE, source unchanged
+    hsession.sql("""
+        MERGE INTO t2 USING (SELECT * FROM VALUES (1, -1) AS s(k, v)) s
+        ON t2.k = s.k WHEN MATCHED THEN UPDATE SET v = s.v""")
+    assert hsession.sql("SELECT v FROM t2 WHERE k = 1").collect()[0].v == -1
+    src_v = {r.k: r.v for r in catalog.read_table(spark, "t").collect()}
+    assert src_v[1] == 1                         # source unchanged
+    hist = hsession.sql("DESCRIBE HISTORY t2").collect()
+    assert hist[-1].op.startswith("clone:t@v")   # oldest entry (pre-VACUUM)
+    # the clone's new generation lives in its OWN dir; vacuum on the
+    # clone never touches source files
+    hsession.sql("VACUUM t2")
+    assert catalog.read_table(spark, "t").count() == 40
