@@ -282,3 +282,126 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 QUERIES["stats_moments"] = (stats_moments, STATS_SQL)
 QUERIES["percentile_exact"] = (percentile_exact, PCT_SQL)
 QUERIES["percentile_approx_scale"] = (percentile_approx_scale, PAS_SQL)
+
+
+# -- batch 4: correlated EXISTS, window frames, distribution ranks, skew ---
+
+def subquery_exists(spark, sf_dir):
+    """Correlated EXISTS / NOT EXISTS (decorrelated by Catalyst into
+    semi/anti joins — the same plans the reference's subquery surface
+    produces through stock Spark)."""
+    c = _t(spark, sf_dir, "customer")
+    c.createOrReplaceTempView("_c_ex")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_o_ex")
+    return spark.sql("""
+        SELECT c_mktsegment,
+               CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_with_urgent,
+               CAST(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_without
+        FROM (
+          SELECT c.c_mktsegment,
+                 EXISTS(SELECT 1 FROM _o_ex o
+                        WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority = '1-URGENT') AS has_urgent
+          FROM _c_ex c)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+
+
+SQE_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN has_urgent THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_with_urgent,
+       CAST(SUM(CASE WHEN has_urgent THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_without
+FROM (
+  SELECT c.c_mktsegment,
+         EXISTS(SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT') AS has_urgent
+  FROM customer c) t
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+QUERIES["subquery_exists"] = (subquery_exists, SQE_SQL)
+
+
+def window_first_last(spark, sf_dir):
+    """first_value / last_value over an explicit full-partition frame
+    (the default frame of last_value — current row — is the classic
+    trap; both engines get the full frame here)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    w = (Window.partitionBy("o_custkey")
+               .orderBy("o_orderkey")
+               .rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing))
+    return (o.select(
+                "o_custkey", "o_orderkey",
+                F.first_value("o_orderkey").over(w).alias("first_order"),
+                F.last_value("o_orderkey").over(w).alias("last_order"))
+             .orderBy("o_custkey", "o_orderkey"))
+
+
+WFL_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_orderkey) OVER w AS first_order,
+       LAST_VALUE(o_orderkey) OVER w AS last_order
+FROM orders WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+QUERIES["window_first_last"] = (window_first_last, WFL_SQL)
+
+
+def window_distribution_ranks(spark, sf_dir):
+    """percent_rank + cume_dist (exact rational values — deterministic
+    across engines, unlike ntile's remainder placement)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    w = Window.orderBy("o_orderkey")
+    return (o.select(
+                "o_orderkey",
+                F.round(F.percent_rank().over(w), 6).alias("pr"),
+                F.round(F.cume_dist().over(w), 6).alias("cd"))
+             .orderBy("o_orderkey"))
+
+
+WDR_SQL = """
+SELECT o_orderkey,
+       ROUND(PERCENT_RANK() OVER (ORDER BY o_orderkey), 6) AS pr,
+       ROUND(CUME_DIST() OVER (ORDER BY o_orderkey), 6) AS cd
+FROM orders WHERE o_orderkey <= 500 ORDER BY o_orderkey
+"""
+
+
+QUERIES["window_distribution_ranks"] = (window_distribution_ranks, WDR_SQL)
+
+
+def skew_salted_distinct(spark, sf_dir):
+    """Exact per-priority distinct-customer counts via value-hash
+    salting (operators.skew.salted_count_distinct): the hot key's
+    distinct state splits across 16 balanced buckets, summed per key —
+    identical to plain COUNT(DISTINCT), which is the oracle."""
+    from heracles_spark.operators.skew import salted_count_distinct
+
+    o = _t(spark, sf_dir, "orders")
+    return (salted_count_distinct(o, "o_orderpriority", "o_custkey",
+                                  n_salt=16, out_col="n_customers")
+            .orderBy("o_orderpriority"))
+
+
+SSD_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES["skew_salted_distinct"] = (skew_salted_distinct, SSD_SQL)
