@@ -29,7 +29,9 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       checkpoint_dir: str | None = None,
                       max_files_per_trigger: int = 16,
                       available_now: bool = False,
-                      exactly_once: bool = True) -> StreamingQuery:
+                      exactly_once: bool = True,
+                      refresh_rollups: list[str] | None = None
+                      ) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
     table, preserving the key-range layout per micro-batch.
 
@@ -37,7 +39,14 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
     ``writer.append_batch_exactly_once`` — a marker-first per-batch
     commit log that makes at-least-once foreachBatch replays converge
     instead of duplicate rows (see that function's docstring for the
-    crash matrix)."""
+    crash matrix).
+
+    ``refresh_rollups`` names rollup tables (heracles_spark.rollup) to
+    refresh after each batch commits — continuous aggregates that stay
+    within one micro-batch of the stream. The refresh is itself
+    idempotent under replay: a replayed batch appends no new files (the
+    commit log no-ops), so the rollup's file diff is empty and the
+    refresh no-ops too."""
     from heracles_spark import writer
 
     tbl = catalog.get_table(table)
@@ -56,6 +65,10 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
         else:
             writer.write_key_organized(spark, catalog, table, batch_df,
                                        mode="append")
+        if refresh_rollups:
+            from heracles_spark.rollup import refresh_rollup
+            for r in refresh_rollups:
+                refresh_rollup(spark, catalog, r)
 
     w = (stream.writeStream
          .foreachBatch(sink)

@@ -155,3 +155,41 @@ def test_upsert_batch_replay_idempotent(spark, catalog, tmp_path):
     rows = sorted((r["k"], r["v"])
                   for r in catalog.read_table(spark, "acct2").collect())
     assert rows == [(1, "a2"), (2, "b")]
+
+
+def test_stream_ingest_keeps_rollup_fresh(spark, catalog, tmp_path):
+    """Continuous aggregates: rollups named in refresh_rollups are
+    refreshed after every micro-batch commit and match the full
+    aggregate of everything ingested."""
+    from pyspark.sql import functions as F
+
+    from heracles_spark import rollup
+
+    catalog.create_table("ev", [("k", "int"), ("grp", "string"),
+                                ("v", "int")], ["k"])
+    rollup.create_rollup(spark, catalog, "ev_by_grp", "ev", ["grp"],
+                         {"n": ("count", "k"), "sv": ("sum", "v")})
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame(
+        [(i, f"g{i % 2}", i) for i in range(10)],
+        "k int, grp string, v int").coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame(
+        [(i, f"g{i % 3}", -i) for i in range(100, 110)],
+        "k int, grp string, v int").coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    q = ingest.stream_into_table(
+        spark, catalog, "ev", str(src) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        max_files_per_trigger=1, refresh_rollups=["ev_by_grp"])
+    q.awaitTermination(180)
+    got = sorted(map(tuple,
+        catalog.read_table(spark, "ev_by_grp").collect()))
+    exp = sorted(map(tuple,
+        catalog.read_table(spark, "ev")
+               .groupBy("grp")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("v").cast("long")).alias("sv"))
+               .collect()))
+    assert got == exp and len(got) == 3
