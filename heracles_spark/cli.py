@@ -27,6 +27,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   CREATE TABLE dst [SHALLOW] CLONE src  (zero-copy; no data moves)
   DESCRIBE HISTORY t (version log: every write is a new table version)
   SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
+  RESTORE TABLE t TO VERSION AS OF n  (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c

@@ -27,6 +27,7 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   CREATE TABLE dst [SHALLOW] CLONE src  (zero-copy clone, O(metadata))
   DESCRIBE HISTORY t (per-version op/file/row counts, newest first)
   SELECT ... FROM t VERSION AS OF n  (rewritten to a per-version view)
+  RESTORE TABLE t TO VERSION AS OF n (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
             travel past the horizon — heracles_spark.writer.vacuum_table)
 
@@ -101,6 +102,9 @@ _REFRESH_ROLLUP = re.compile(
     r"^\s*REFRESH\s+ROLLUP\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _VERSION_ASOF = re.compile(
     r"\b([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE)
+_RESTORE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
+    r"(?P<v>\d+)\s*$", re.IGNORECASE)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?P<name>[\w.]+)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
@@ -283,6 +287,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
             spark, catalog, _resolve(session, m.group("name")),
             _resolve(session, m.group("src")), group_cols, aggs,
             group_exprs=group_exprs or None)
+        return None
+
+    m = _RESTORE.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        writer.restore_table(catalog, name, int(m.group("v")))
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
         return None
 
     m = _VACUUM.match(statement)

@@ -222,6 +222,33 @@ def _jsonable(v: Any) -> Any:
     return v
 
 
+def restore_table(catalog: HeraclesCatalog, table: str,
+                  version: int) -> KeyTable:
+    """``RESTORE TABLE t TO VERSION AS OF n`` — roll the live table back
+    to an earlier version's file set. Pure metadata: the restored files
+    are still on disk (retirement keeps them until VACUUM), so the
+    restore re-harvests their footers (O(files of that version), no data
+    rewrite) and commits a NEW version whose content equals the old one
+    — history moves only forward, like Delta's RESTORE."""
+    tbl = catalog.get_table(table)
+    entry = next((h for h in tbl.history if h["v"] == version), None)
+    if entry is None:
+        from heracles_spark.catalog import CatalogError
+        raise CatalogError(
+            f"{table} has no version {version}; available: "
+            f"{[h['v'] for h in tbl.history]}")
+    missing = [p for p in entry["paths"] if not os.path.exists(p)]
+    if missing:
+        from heracles_spark.catalog import CatalogError
+        raise CatalogError(
+            f"{table}@v{version}: {len(missing)} data files were "
+            f"VACUUMed; cannot restore")
+    files = harvest_file_index(tbl.data_dir, tbl.key_cols,
+                               paths=list(entry["paths"]))
+    return catalog.update_file_index(table, files, append=False,
+                                     op=f"restore:v{version}")
+
+
 def vacuum_table(catalog: HeraclesCatalog, table: str,
                  retain_versions: int = 1) -> dict:
     """Reclaim retired files — ``VACUUM t [RETAIN n VERSIONS]``.

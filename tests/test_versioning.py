@@ -192,3 +192,29 @@ def test_zero_copy_clone_diverges_safely(hsession, spark, catalog):
     # clone never touches source files
     hsession.sql("VACUUM t2")
     assert catalog.read_table(spark, "t").count() == 40
+
+
+def test_restore_table(hsession, spark, catalog):
+    _mk(catalog, spark, n=25)
+    v1 = catalog.get_table("t").version
+    hsession.sql("""
+        MERGE INTO t USING (SELECT * FROM VALUES (1, -1), (500, 5) AS
+        s(k, v)) s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert catalog.read_table(spark, "t").count() == 26
+    hsession.sql(f"RESTORE TABLE t TO VERSION AS OF {v1}")
+    rows = {r.k: r.v for r in catalog.read_table(spark, "t").collect()}
+    assert len(rows) == 25 and rows[1] == 1 and 500 not in rows
+    # restore is a NEW version; the merged state is still reachable
+    hist = hsession.sql("DESCRIBE HISTORY t").collect()
+    assert hist[0].op == f"restore:v{v1}"
+    assert hist[1].op == "merge-cow"
+    merged = {r.k: r.v for r in
+              catalog.read_table(spark, "t", version=hist[1].version)
+                     .collect()}
+    assert merged[1] == -1 and merged[500] == 5
+    # vacuumed target → restore refuses cleanly
+    hsession.sql("VACUUM t")
+    with pytest.raises(CatalogError, match="no version|VACUUMed"):
+        writer.restore_table(catalog, "t", v1 + 1)
