@@ -304,6 +304,7 @@ class HeraclesCatalog:
             "v": tbl.version, "op": op, "n_files": len(tbl.files),
             "rows": sum(f.get("rows", 0) for f in tbl.files),
             "paths": [f["path"] for f in tbl.files],
+            "columns": [list(c) for c in tbl.columns],
         })
         tbl.history = tbl.history[-self.HISTORY_MAX:]
         self._save(tbl)
@@ -333,10 +334,19 @@ class HeraclesCatalog:
             if len(paths) < len(entry["paths"]):
                 raise CatalogError(
                     f"{name}@v{version}: data files were VACUUMed")
+        schema = tbl.schema()
+        if version is not None and entry.get("columns"):
+            # Read the version under ITS schema (exact time travel across
+            # ALTER); entries from before schema tracking fall back to
+            # the current schema (missing columns read as NULL).
+            schema = T.StructType([
+                T.StructField(n, SUPPORTED_TYPES[t],
+                              n not in tbl.key_cols)
+                for n, t in entry["columns"]])
         if paths:
-            return spark.read.schema(tbl.schema()).parquet(*sorted(paths))
+            return spark.read.schema(schema).parquet(*sorted(paths))
         # Empty table/version: zero-row DataFrame with the right schema.
-        return spark.createDataFrame([], tbl.schema())
+        return spark.createDataFrame([], schema)
 
     @staticmethod
     def view_name(name: str) -> str:

@@ -218,3 +218,18 @@ def test_restore_table(hsession, spark, catalog):
     hsession.sql("VACUUM t")
     with pytest.raises(CatalogError, match="no version|VACUUMed"):
         writer.restore_table(catalog, "t", v1 + 1)
+
+
+def test_time_travel_across_alter(hsession, spark, catalog):
+    """A version reads under ITS OWN schema: columns added later are
+    absent from the historical view, not NULL-padded into it."""
+    _mk(catalog, spark, n=5)
+    v1 = catalog.get_table("t").version
+    hsession.sql("ALTER TABLE t ADD (w STRING)")
+    hsession.sql("INSERT INTO t VALUES (100, 1, 'x')")
+    cur = catalog.read_table(spark, "t")
+    assert cur.columns == ["k", "v", "w"]
+    assert cur.where("w IS NOT NULL").count() == 1
+    old = catalog.read_table(spark, "t", version=v1)
+    assert old.columns == ["k", "v"]
+    assert old.count() == 5
