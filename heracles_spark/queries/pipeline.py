@@ -720,3 +720,42 @@ ORDER BY doc_id, _change_type
 
 
 QUERIES["doc_version_changes"] = (doc_version_changes, CDC_SQL)
+
+
+def embedding_label_centroids(spark, sf_dir):
+    """Per-label centroid components (cluster profiling / class-prototype
+    computation): posexplode the vector, aggregate per (label, dim).
+
+    Determinism: f32 elements are cast to DOUBLE (exact), scaled to
+    integer microunits with ROUND(x*1e6) — a tie (exact .5) would need
+    the f32 value to have a 5^6 factor in its denominator, impossible
+    for a binary fraction, so both engines round identically — and
+    summed as BIGINT (order-free). Scale: one explode (×dim rows) into
+    a map-side-combinable groupBy on (label, dim); dims capped here for
+    a bounded oracle, uncapped in production."""
+    e = _embs(spark, sf_dir)
+    return (e.select("label", F.posexplode("embedding").alias("dim", "x"))
+             .where(F.col("dim") < 8)
+             .groupBy("label", "dim")
+             .agg(F.sum(F.round(F.col("x").cast("double") * 1_000_000)
+                         .cast("long")).alias("sum_micro"),
+                  F.count(F.lit(1)).alias("n"))
+             .orderBy("label", "dim"))
+
+
+ELC_SQL = """
+WITH x AS (
+  SELECT label,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS dim,
+         unnest(embedding) AS e
+  FROM embeddings)
+SELECT label, dim,
+       CAST(SUM(CAST(ROUND(CAST(e AS DOUBLE) * 1000000) AS BIGINT))
+            AS BIGINT) AS sum_micro,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM x WHERE dim < 8
+GROUP BY label, dim ORDER BY label, dim
+"""
+
+
+QUERIES["embedding_label_centroids"] = (embedding_label_centroids, ELC_SQL)
