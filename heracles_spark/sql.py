@@ -355,7 +355,9 @@ def dispatch(session, statement: str) -> DataFrame | None:
                      ("Key Columns", ";".join(tbl.key_cols), ""),
                      ("Num Files", str(len(tbl.files)), ""),
                      ("Num Rows", str(sum(f.get("rows", 0)
-                                          for f in tbl.files)), "")]
+                                          for f in tbl.files)), ""),
+                     ("Version", str(tbl.version),
+                      "see DESCRIBE HISTORY")]
             rows += [(f"Property: {k}", v, "")
                      for k, v in sorted(tbl.properties.items())]
         return spark.createDataFrame(
