@@ -759,3 +759,61 @@ GROUP BY label, dim ORDER BY label, dim
 
 
 QUERIES["embedding_label_centroids"] = (embedding_label_centroids, ELC_SQL)
+
+
+def doc_corpus_pipeline(spark, sf_dir):
+    """The whole preprocessing recipe as ONE declarative plan — exact
+    dedup (md5 fingerprint, min-doc_id winner), quality filter, source-
+    weighted mixing, content-hash train/eval split, token accounting —
+    composed from the individually-proven operators, so Catalyst sees a
+    single optimizable tree (one window + one final aggregation; the
+    filters all collapse into the scan). The oracle replays the same
+    recipe as one SQL CTE chain."""
+    from pyspark.sql.window import Window
+
+    from heracles_spark.operators.sampling import corpus_mix, hash_split
+    from heracles_spark.operators import text as text_ops
+
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    d = (d.withColumn("__rn", F.row_number().over(w))
+          .where(F.col("__rn") == 1).drop("__rn"))         # exact dedup
+    d = d.withColumn("n_tokens", text_ops.token_count("text"))
+    d = d.where((F.col("n_chars") >= 30) & (F.col("n_tokens") >= 5))
+    d = corpus_mix(d, {"src0": 0.5, "src1": 0.0})
+    d = hash_split(d, on="doc_id", train_pct=90)
+    return (d.groupBy("split", "lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("n_tokens").cast("long")).alias("sum_tokens"),
+                  F.sum("n_chars").alias("sum_chars"))
+             .orderBy("split", "lang"))
+
+
+PIPE_SQL = """
+WITH dedup AS (
+  SELECT *, len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens
+  FROM documents
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+filtered AS (
+  SELECT * FROM dedup WHERE n_chars >= 30 AND n_tokens >= 5),
+mixed AS (
+  SELECT *,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 10000 AS mix_bkt,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 100 AS split_bkt
+  FROM filtered
+  WHERE (source = 'src0' AND CAST(('0x' ||
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+             % 10000 < 5000)
+     OR source NOT IN ('src0', 'src1'))
+SELECT CASE WHEN split_bkt < 90 THEN 'train' ELSE 'eval' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM mixed GROUP BY 1, 2 ORDER BY split, lang
+"""
+
+
+QUERIES["doc_corpus_pipeline"] = (doc_corpus_pipeline, PIPE_SQL)
