@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_corpus_mix",
     "doc_pack_sequences",
     "doc_term_frequencies",
+    "doc_corpus_pipeline",
 ]
 
 
