@@ -157,7 +157,8 @@ class MergeClause:
 def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                source: DataFrame, on: str, clauses: list[MergeClause],
                target_alias: str = "target", source_alias: str = "source",
-               check_ambiguity: bool = True, cow: bool = True) -> KeyTable:
+               check_ambiguity: bool = True, cow: bool = True,
+               commit_properties: dict[str, str] | None = None) -> KeyTable:
     """Execute MERGE and rewrite ``table``. See module docstring.
 
     ``cow=True`` (default) enables file-level copy-on-write: when the ON
@@ -202,6 +203,13 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                 source.unpersist()
                 LAST_MERGE_STATS = {"mode": "cow", "files_total": n_total,
                                     "files_rewritten": 0}
+                if commit_properties:
+                    # Caller asked for metadata atomic with this merge —
+                    # commit it even though no data moved (e.g. a rollup
+                    # refresh recording zero-row source files as folded).
+                    return catalog.update_file_index(
+                        table, tbl.files, append=False, op="merge-noop",
+                        properties=commit_properties)
                 return tbl
             npred = to_nnf(pred)
             touched = [f for f in tbl.files
@@ -323,12 +331,14 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     from heracles_spark import writer
     if cow_keep is not None:
         out = writer.write_cow_files(spark, catalog, table, result,
-                                     keep=cow_keep)
+                                     keep=cow_keep,
+                                     commit_properties=commit_properties)
         LAST_MERGE_STATS = {"mode": "cow", "files_total": n_total,
                             "files_rewritten": n_total - len(cow_keep)}
     else:
         out = writer.write_key_organized(spark, catalog, table, result,
-                                         mode="overwrite")
+                                         mode="overwrite",
+                                         commit_properties=commit_properties)
         LAST_MERGE_STATS = {"mode": "full", "files_total": n_total,
                             "files_rewritten": n_total}
     if check_ambiguity and matched:

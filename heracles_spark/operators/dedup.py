@@ -40,10 +40,22 @@ def _minhash_params(k: int) -> list[tuple[int, int]]:
 
 # -- exact dedup ----------------------------------------------------------
 
+def _null_distinct(c) -> "F.Column":
+    """Encode a column so NULL is distinct from every value AND from the
+    empty string: NULL → 'n', value v → 'v' + v. Without this,
+    concat_ws's null-skipping makes ('a', NULL, 'b'), (NULL, 'a', 'b')
+    and ('a', 'b', NULL) collide into one content hash — false duplicate
+    groups whenever a dedup column is nullable."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (F.when(col.isNull(), F.lit("n"))
+             .otherwise(F.concat(F.lit("v"), col.cast("string"))))
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, cols: list[str]) -> DataFrame:
     """Duplicate groups by content hash: (content_hash, n_dups,
-    keep_id = min id). One shuffle, map-side combinable."""
-    h = F.md5(F.concat_ws("\x01", *[F.col(c) for c in cols]))
+    keep_id = min id). One shuffle, map-side combinable. Each column is
+    null-distinctly encoded before concatenation (see _null_distinct)."""
+    h = F.md5(F.concat_ws(chr(1), *[_null_distinct(c) for c in cols]))
     return (df.withColumn("content_hash", h)
               .groupBy("content_hash")
               .agg(F.count(F.lit(1)).alias("n_dups"),

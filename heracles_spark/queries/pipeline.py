@@ -35,7 +35,11 @@ def doc_dedup_exact(spark, sf_dir):
 
 
 DDE_SQL = """
-SELECT md5(lang || chr(1) || source) AS content_hash, COUNT(*) AS n_dups,
+SELECT md5(CASE WHEN lang IS NULL THEN 'n' ELSE 'v' || lang END
+           || chr(1) ||
+           CASE WHEN source IS NULL THEN 'n' ELSE 'v' || source END)
+         AS content_hash,
+       COUNT(*) AS n_dups,
        MIN(doc_id) AS keep_id
 FROM documents GROUP BY 1 ORDER BY content_hash
 """

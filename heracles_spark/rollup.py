@@ -87,17 +87,28 @@ def create_rollup(spark: SparkSession, catalog: HeraclesCatalog, name: str,
     return tbl
 
 
+# COUNT(*) spellings the SQL dispatcher / callers may hand us as the
+# "input column" of a count aggregate (sql.py maps `*` → "1").
+_COUNT_STAR = {"*", "1", ""}
+
+
 def _aggregate(spark: SparkSession, df: DataFrame, spec: dict) -> DataFrame:
     exprs = spec["group_exprs"]
     groups = spec["group_cols"]
+
+    def _is_star(fn: str, c: str) -> bool:
+        return fn == "count" and (c is None or c in _COUNT_STAR)
+
     need = sorted({c for _out, (fn, c) in spec["aggs"].items()
-                   if fn != "count" and c not in groups})
+                   if not _is_star(fn, c) and c not in groups})
+    # COUNT(col) counts non-null values of the column (SQL semantics);
+    # only COUNT(*) counts rows.
     return (df.select(
                 *[F.expr(exprs.get(g, g)).alias(g) for g in groups],
                 *[F.col(c) for c in need])
               .groupBy(*groups)
-              .agg(*[_MERGEABLE[fn][0](F.col(c) if fn != "count"
-                                       else F.lit(1)).alias(out)
+              .agg(*[_MERGEABLE[fn][0](F.lit(1) if _is_star(fn, c)
+                                       else F.col(c)).alias(out)
                      for out, (fn, c) in spec["aggs"].items()]))
 
 
@@ -116,13 +127,21 @@ def refresh_rollup(spark: SparkSession, catalog: HeraclesCatalog,
     from heracles_spark import writer
     from heracles_spark.merge import MergeClause, merge_into
 
+    # The processed-file set commits IN THE SAME catalog write as the
+    # rollup's data (update_file_index merges both under one _save): a
+    # crash can leave the fold either fully applied+tracked or not at
+    # all — never applied-but-untracked, which a later refresh would
+    # fold again and double-count.
+    tracked = {_FILES_PROP: json.dumps(current)}
+
     if missing:
         # Tracked files vanished: source was rewritten, increment is
         # undefined — rebuild from scratch (correct, not incremental).
         full = _aggregate(
             spark, catalog.read_table(spark, spec["source"]), spec)
         writer.write_key_organized(spark, catalog, name, full,
-                                   mode="overwrite")
+                                   mode="overwrite",
+                                   commit_properties=tracked)
         mode = "rebuild"
     elif not new:
         return {"mode": "noop", "new_files": 0}
@@ -139,10 +158,8 @@ def refresh_rollup(spark: SparkSession, catalog: HeraclesCatalog,
             MergeClause("not_matched", "insert", assignments={"*": "*"}),
         ]
         merge_into(spark, catalog, name, part, on, clauses,
-                   check_ambiguity=False)   # groupBy ⇒ unique keys
+                   check_ambiguity=False,   # groupBy ⇒ unique keys
+                   commit_properties=tracked)
         mode = "incremental"
 
-    tbl = catalog.get_table(name)
-    tbl.properties[_FILES_PROP] = json.dumps(current)
-    catalog._save(tbl)
     return {"mode": mode, "new_files": len(new)}

@@ -146,18 +146,29 @@ def stream_upsert_into_table(spark: SparkSession, catalog, table: str,
 
 def windowed_event_counts(events: DataFrame, ts_col: str = "ts",
                           key_col: str = "event_type",
+                          value_col: str | None = "value",
                           window: str = "1 hour",
                           watermark: str = "2 hours") -> DataFrame:
     """Watermarked tumbling-window counts — works on both streaming and
-    batch DataFrames (same plan, different sink semantics)."""
+    batch DataFrames (same plan, different sink semantics).
+
+    ``value_col`` names the column summed per window; pass ``None`` (or
+    a name absent from the frame) to aggregate counts only instead of
+    failing analysis on inputs without a value column."""
+    if value_col is not None and value_col not in events.columns:
+        value_col = None
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    out = ["n_events"]
+    if value_col:
+        aggs.append(F.sum(value_col).alias("total_value"))
+        out.append("total_value")
     return (events
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window).alias("win"),
                      F.col(key_col))
-            .agg(F.count(F.lit(1)).alias("n_events"),
-                 F.sum("value").alias("total_value"))
+            .agg(*aggs)
             .select(F.col("win.start").alias("window_start"),
-                    key_col, "n_events", "total_value"))
+                    key_col, *out))
 
 
 def sessionized_counts(events: DataFrame, ts_col: str = "ts",

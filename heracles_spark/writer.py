@@ -57,7 +57,9 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
                         table: str, df: DataFrame, mode: str = "append",
                         n_buckets: int | None = None,
                         upsert: bool = False,
-                        op: str | None = None) -> KeyTable:
+                        op: str | None = None,
+                        commit_properties: dict[str, str] | None = None
+                        ) -> KeyTable:
     """Write ``df`` into ``table`` with key-range layout and refresh the
     file index. ``mode`` is 'append' or 'overwrite'."""
     tbl = catalog.get_table(table)
@@ -103,9 +105,11 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
     if mode == "overwrite":
         return catalog.update_file_index(table, new_entries, append=False,
-                                         op=op or "overwrite")
+                                         op=op or "overwrite",
+                                         properties=commit_properties)
     return catalog.update_file_index(table, new_entries, append=True,
-                                     op=op or "append")
+                                     op=op or "append",
+                                     properties=commit_properties)
 
 
 def _stage_and_move(laid_out: DataFrame, tbl: KeyTable) -> list[str]:
@@ -264,11 +268,26 @@ def vacuum_table(catalog: HeraclesCatalog, table: str,
     Scale: O(files on disk) driver-side path-set arithmetic, same order
     as the file index itself; deletion is pure metadata/IO, no Spark
     job."""
+    import json as _json
+
     tbl = catalog.get_table(table)
     retain = max(1, retain_versions)
     keep_entries = tbl.history[-retain:]
     referenced = {p for h in keep_entries for p in h["paths"]}
     referenced |= {f["path"] for f in tbl.files}   # live files always kept
+    # Files committed by a batch marker are referenced even before the
+    # file index picks them up (crash window between marker publish and
+    # index commit) — deleting them would turn an exactly-once replay
+    # into data loss (append_batch_exactly_once refuses to publish).
+    commits_dir = os.path.join(tbl.data_dir, "_batch_commits")
+    if os.path.isdir(commits_dir):
+        for fn in os.listdir(commits_dir):
+            if fn.endswith(".json"):
+                try:
+                    with open(os.path.join(commits_dir, fn)) as fh:
+                        referenced |= {dst for _, dst in _json.load(fh)}
+                except (OSError, ValueError):
+                    continue   # unreadable marker: never a reason to delete
     removed = 0
     for root, dirs, names in os.walk(tbl.data_dir):
         # control dirs (_batch_commits, _checkpoint, ...) are not data
@@ -348,14 +367,38 @@ def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
         for src, dst in moves:
             if not os.path.exists(dst) and os.path.exists(src):
                 os.replace(src, dst)
+        # A marker-listed file must now exist at its final path: the
+        # marker is the commit record, so a file in neither staging nor
+        # its final location means committed data was lost (e.g. an
+        # over-eager VACUUM removed it before the index referenced it).
+        # Publishing the remainder would silently drop rows — refuse.
+        lost = [dst for _, dst in moves if not os.path.exists(dst)]
+        if lost:
+            raise IOError(
+                f"batch {batch_id} replay: {len(lost)} committed file(s) "
+                f"missing from both staging and {tbl.data_dir} "
+                f"(first: {lost[0]}); data loss — restore the files or "
+                f"delete the marker {marker} to re-ingest the batch")
         import shutil
         shutil.rmtree(staging, ignore_errors=True)
-        dsts = [d for _, d in moves if os.path.exists(d)]
+        dsts = [d for _, d in moves]
         new_entries = harvest_file_index(tbl.data_dir, keys, paths=dsts)
         dset = set(dsts)
         kept = [f for f in tbl.files if f["path"] not in dset]
-        return catalog.update_file_index(table, kept + new_entries,
-                                         append=False, op="stream-append")
+        out = catalog.update_file_index(table, kept + new_entries,
+                                        append=False, op="stream-append")
+        # The checkpointed stream replays at most the LAST uncommitted
+        # batch: once this batch's index commit lands, older markers can
+        # never be replayed — prune them so VACUUM's marker protection
+        # (pending-commit files are never deleted) stays bounded.
+        for fn in os.listdir(commits_dir):
+            if fn.endswith(".json"):
+                try:
+                    if int(fn[:-5]) < batch_id:
+                        os.remove(os.path.join(commits_dir, fn))
+                except (ValueError, OSError):
+                    continue
+        return out
 
     if os.path.exists(marker):                 # replay of a committed batch
         with open(marker) as fh:
@@ -388,7 +431,9 @@ def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
 def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
                     table: str, df: DataFrame,
                     keep: list[dict[str, Any]],
-                    n_buckets: int | None = None) -> KeyTable:
+                    n_buckets: int | None = None,
+                    commit_properties: dict[str, str] | None = None
+                    ) -> KeyTable:
     """Copy-on-write partial rewrite: replace the table's files NOT listed
     in ``keep`` with a fresh key-range layout of ``df``, leaving ``keep``
     files untouched on disk, and splice the file index incrementally.
@@ -441,7 +486,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
 
     new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
     return catalog.update_file_index(table, list(keep) + new_entries,
-                                     append=False, op="merge-cow")
+                                     append=False, op="merge-cow",
+                                     properties=commit_properties)
 
 
 def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,

@@ -144,3 +144,19 @@ def test_star_components_matches_label_propagation(spark):
              for r in connected_components(df, algorithm="label",
                                            max_iter=40).collect()}
     assert star == label
+
+
+def test_exact_dedup_null_distinct(spark):
+    """NULL placement must distinguish contents: concat_ws skips NULLs,
+    so without null-distinct encoding ('a', NULL, 'b'), (NULL, 'a', 'b')
+    and ('a', 'b', NULL) would collide into one content hash."""
+    rows = [(1, "a", None, "b"), (2, None, "a", "b"), (3, "a", "b", None),
+            (4, "a", None, "b"),   # true duplicate of 1
+            (5, "", None, "b")]    # empty string ≠ NULL
+    df = spark.createDataFrame(rows, "id int, c1 string, c2 string, c3 string")
+    groups = dedup.exact_dup_groups(df, "id", ["c1", "c2", "c3"])
+    assert groups.count() == 4
+    dup = groups.where("n_dups = 2").collect()
+    assert len(dup) == 1 and dup[0].keep_id == 1
+    kept = dedup.exact_dedup(df, "id", ["c1", "c2", "c3"])
+    assert sorted(r.id for r in kept.collect()) == [1, 2, 3, 5]

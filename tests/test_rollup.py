@@ -119,3 +119,59 @@ def test_rollup_sql_surface(hsession, spark, catalog):
     assert got == exp
     assert hsession.sql("REFRESH ROLLUP fact_rollup").collect()[0].mode \
         == "noop"
+
+
+def test_rollup_count_col_skips_nulls(spark, catalog):
+    """COUNT(col) counts non-null values (SQL semantics); COUNT(*)
+    counts rows — and both stay exact across incremental refreshes."""
+    catalog.create_table(
+        "factn", [("k", "int"), ("grp", "string"), ("v", "int")], ["k"])
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "b", None), (4, "b", 5)],
+        "k int, grp string, v int")
+    writer.write_key_organized(spark, catalog, "factn", df, n_buckets=1)
+    rollup.create_rollup(spark, catalog, "factn_r", "factn", ["grp"],
+                         {"rows": ("count", "*"), "nv": ("count", "v"),
+                          "sv": ("sum", "v")})
+    rollup.refresh_rollup(spark, catalog, "factn_r")
+    got = {r.grp: (r.rows, r.nv) for r in
+           catalog.read_table(spark, "factn_r").collect()}
+    assert got == {"a": (2, 1), "b": (2, 1)}
+
+    df2 = spark.createDataFrame([(5, "a", None), (6, "a", 7)],
+                                "k int, grp string, v int")
+    writer.write_key_organized(spark, catalog, "factn", df2, n_buckets=1)
+    st = rollup.refresh_rollup(spark, catalog, "factn_r")
+    assert st["mode"] == "incremental"
+    got = {r.grp: (r.rows, r.nv) for r in
+           catalog.read_table(spark, "factn_r").collect()}
+    assert got == {"a": (4, 2), "b": (2, 1)}
+
+
+def test_rollup_refresh_single_commit(spark, catalog, monkeypatch):
+    """The processed-file set lands in the SAME catalog commit as the
+    rollup's data write — a crash can never leave the fold applied but
+    untracked (which a replayed refresh would double-count)."""
+    import json
+
+    _mk_source(catalog, spark, [(i, f"g{i % 2}", i) for i in range(20)])
+    rollup.create_rollup(spark, catalog, "fact_by_grp", "fact",
+                         ["grp"], AGGS)
+    saves = []
+    orig = catalog._save
+
+    def spy(tbl):
+        if tbl.name == "fact_by_grp":
+            saves.append(tbl.properties.get(rollup._FILES_PROP))
+        orig(tbl)
+
+    monkeypatch.setattr(catalog, "_save", spy)
+    rollup.refresh_rollup(spark, catalog, "fact_by_grp")
+    current = {f["path"] for f in catalog.get_table("fact").files}
+    assert len(saves) == 1 and set(json.loads(saves[0])) == current
+
+    saves.clear()
+    _mk_source(catalog, spark, [(100, "g0", 1)], append=True)
+    rollup.refresh_rollup(spark, catalog, "fact_by_grp")
+    current = {f["path"] for f in catalog.get_table("fact").files}
+    assert len(saves) == 1 and set(json.loads(saves[0])) == current

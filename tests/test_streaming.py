@@ -193,3 +193,21 @@ def test_stream_ingest_keeps_rollup_fresh(spark, catalog, tmp_path):
                     F.sum(F.col("v").cast("long")).alias("sv"))
                .collect()))
     assert got == exp and len(got) == 3
+
+
+def test_windowed_counts_value_col(spark):
+    """value_col is parameterized: frames without a 'value' column
+    aggregate counts only instead of failing analysis."""
+    import datetime
+
+    rows = [(datetime.datetime(2026, 1, 1, h, 5), "click")
+            for h in range(3)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    out = ingest.windowed_event_counts(df)
+    assert "total_value" not in out.columns
+    assert out.count() == 3
+
+    df2 = df.withColumn("amt", F.lit(2.5))
+    out2 = ingest.windowed_event_counts(df2, value_col="amt")
+    row = out2.orderBy("window_start").collect()[0]
+    assert row.n_events == 1 and row.total_value == 2.5

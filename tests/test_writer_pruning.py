@@ -231,3 +231,63 @@ def test_optimize_restores_disjoint_ranges(spark, catalog, hsession):
     assert all(hi1 <= lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
     after = sorted(map(tuple, catalog.read_table(spark, "kv").collect()))
     assert after == before
+
+
+def test_append_batch_replay_refuses_lost_files(spark, catalog):
+    """A marker-listed file missing from BOTH staging and its final path
+    is committed data that was lost; the replay must raise instead of
+    silently publishing a partial batch."""
+    import os
+
+    import pytest
+
+    _mk_kv(catalog, spark)
+    batch = spark.createDataFrame([(3000 + i, i) for i in range(50)],
+                                  "k int, v int")
+    writer.append_batch_exactly_once(spark, catalog, "kv", batch,
+                                     batch_id=11, n_buckets=2)
+    tbl = catalog.get_table("kv")
+    victim = next(f["path"] for f in tbl.files if "b11-" in f["path"])
+    os.remove(victim)
+    with pytest.raises(IOError, match="data loss"):
+        writer.append_batch_exactly_once(spark, catalog, "kv", batch,
+                                         batch_id=11)
+
+
+def test_vacuum_protects_pending_batch_files(spark, catalog):
+    """Files named by a batch-commit marker survive VACUUM even before
+    the file index references them (the crash window between marker
+    publish and index commit), so the replay can still complete."""
+    import json
+    import os
+    import shutil
+
+    tbl = _mk_kv(catalog, spark)
+    pend = os.path.join(tbl.data_dir, "b99-part-pending.parquet")
+    shutil.copy(tbl.files[0]["path"], pend)
+    commits = os.path.join(tbl.data_dir, "_batch_commits")
+    os.makedirs(commits, exist_ok=True)
+    with open(os.path.join(commits, "99.json"), "w") as fh:
+        json.dump([[tbl.data_dir + "~batch99stage/x.parquet", pend]], fh)
+
+    writer.vacuum_table(catalog, "kv")
+    assert os.path.exists(pend)
+
+    decoy = spark.createDataFrame([(1, 1)], "k int, v int")
+    writer.append_batch_exactly_once(spark, catalog, "kv", decoy, batch_id=99)
+    assert any("b99-" in f["path"] for f in catalog.get_table("kv").files)
+
+
+def test_committed_batch_markers_pruned(spark, catalog):
+    """Once batch N commits, markers < N can never replay again and are
+    removed (bounds the VACUUM marker-protection set)."""
+    import os
+
+    tbl = _mk_kv(catalog, spark)
+    commits = os.path.join(tbl.data_dir, "_batch_commits")
+    for b in (1, 2):
+        batch = spark.createDataFrame([(5000 + b, b)], "k int, v int")
+        writer.append_batch_exactly_once(spark, catalog, "kv", batch,
+                                         batch_id=b)
+    names = sorted(os.listdir(commits))
+    assert "1.json" not in names and "2.json" in names
