@@ -24,9 +24,11 @@ simplicity; at ≫1e5 files it must graduate to its own parquet dataset
 
 from __future__ import annotations
 
+import copy
 import json
 import os
 import threading
+import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -109,6 +111,25 @@ class KeyTable:
         )
 
 
+class Transaction:
+    """A multi-table atomic commit in flight (see
+    ``HeraclesCatalog.transaction``). Holds the working copies of every
+    table versioned inside the transaction; nothing is persisted until
+    ``commit``."""
+
+    def __init__(self, catalog: "HeraclesCatalog"):
+        self.catalog = catalog
+        self.txn_id = uuid.uuid4().hex[:12]
+        self.working: dict[str, KeyTable] = {}
+        self.active = True
+
+    def commit(self) -> None:
+        self.catalog.commit_transaction()
+
+    def rollback(self) -> None:
+        self.catalog.rollback_transaction()
+
+
 class HeraclesCatalog:
     """File-backed catalog with an in-memory cache (≙ HBaseCatalog)."""
 
@@ -116,10 +137,13 @@ class HeraclesCatalog:
         self.metastore_dir = metastore_dir
         self.tables_dir = os.path.join(metastore_dir, "tables")
         self.databases_dir = os.path.join(metastore_dir, "databases")
+        self.txns_dir = os.path.join(metastore_dir, "txns")
         os.makedirs(self.tables_dir, exist_ok=True)
         os.makedirs(self.databases_dir, exist_ok=True)
         self._cache: dict[str, KeyTable] = {}
         self._lock = threading.Lock()
+        self._txn: Transaction | None = None
+        self._recover_transactions()
 
     # -- databases (≙ HBase namespaces; HBaseCatalog.scala:219-286) --------
     #
@@ -217,6 +241,12 @@ class HeraclesCatalog:
 
     def get_table(self, name: str) -> KeyTable:
         name = name.lower()
+        if self._txn is not None and name in self._txn.working:
+            # Read-your-writes inside an open transaction: queries and
+            # writers see the transaction's working copy, everyone else
+            # (other catalog instances/processes) still sees the last
+            # committed state.
+            return self._txn.working[name]
         with self._lock:
             if name in self._cache:
                 return self._cache[name]
@@ -287,18 +317,129 @@ class HeraclesCatalog:
         self._save(tbl)
         return tbl
 
+    # -- multi-table transactions ------------------------------------------
+    #
+    # Single-table commits are already atomic (one os.replace of the
+    # table JSON). A transaction extends the same idea across tables:
+    # every update_file_index inside BEGIN..COMMIT lands on a WORKING
+    # COPY of the table; COMMIT serializes all touched tables into ONE
+    # journal file (the atomic commit point, os.replace), then applies
+    # the per-table saves; recovery replays any surviving journal, so a
+    # crash after the journal write still yields all-or-nothing
+    # visibility. ROLLBACK discards the copies — data files already
+    # staged into data dirs are unreferenced and reclaimed by VACUUM.
+    #
+    # Scale: the journal is O(metadata of touched tables) — no data
+    # files move at commit, exactly like the per-table path. Model is
+    # single-writer (one open transaction per catalog; concurrent
+    # writers need a lock service, same caveat as Delta on S3).
+    # DDL (CREATE/DROP/ALTER) deliberately autocommits.
+
+    def begin_transaction(self) -> Transaction:
+        if self._txn is not None:
+            raise CatalogError("a transaction is already open "
+                               "(nested transactions are not supported)")
+        self._txn = Transaction(self)
+        return self._txn
+
+    def commit_transaction(self) -> list[str]:
+        """Returns the names of the tables the transaction touched."""
+        txn = self._txn
+        if txn is None:
+            raise CatalogError("no open transaction")
+        self._txn = None          # writes below must not re-buffer
+        txn.active = False
+        if not txn.working:
+            return []
+        os.makedirs(self.txns_dir, exist_ok=True)
+        journal = os.path.join(self.txns_dir, f"{txn.txn_id}.json")
+        tmp = journal + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tables": {n: t.to_json()
+                                  for n, t in txn.working.items()}},
+                      f, default=str)
+        os.replace(tmp, journal)              # ← the atomic commit point
+        for tbl in txn.working.values():
+            self._save(tbl)
+        os.remove(journal)
+        return sorted(txn.working)
+
+    def rollback_transaction(self) -> list[str]:
+        """Discard the open transaction; returns the touched table names
+        (so callers can restore any views refreshed mid-transaction)."""
+        if self._txn is None:
+            raise CatalogError("no open transaction")
+        touched = sorted(self._txn.working)
+        self._txn.active = False
+        self._txn = None
+        return touched
+
+    def transaction(self):
+        """``with catalog.transaction():`` — commit on success, roll back
+        on exception."""
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _cm():
+            self.begin_transaction()
+            try:
+                yield
+            except BaseException:
+                self.rollback_transaction()
+                raise
+            else:
+                self.commit_transaction()
+        return _cm()
+
+    def _recover_transactions(self) -> None:
+        """Replay journals from committed-but-unapplied transactions.
+        The journal holds every touched table's COMPLETE post-commit
+        state, so replay is idempotent (rewrite the same docs) — safe
+        after a crash at any point between journal publish and
+        journal removal."""
+        if not os.path.isdir(self.txns_dir):
+            return
+        for fn in sorted(os.listdir(self.txns_dir)):
+            p = os.path.join(self.txns_dir, fn)
+            if fn.endswith(".tmp"):           # pre-commit-point leftovers
+                os.remove(p)
+                continue
+            if not fn.endswith(".json"):
+                continue
+            with open(p) as f:
+                doc = json.load(f)
+            for tdoc in doc["tables"].values():
+                self._save(KeyTable.from_json(tdoc))
+            os.remove(p)
+
     # History entries retained inline; VACUUM prunes further. Like the
     # file index, a ≫1e3-version log would graduate to a sidecar dataset.
     HISTORY_MAX = 50
 
     def update_file_index(self, name: str, files: list[dict[str, Any]],
-                          append: bool = False, op: str = "write") -> KeyTable:
+                          append: bool = False, op: str = "write",
+                          properties: dict[str, str] | None = None
+                          ) -> KeyTable:
         """Atomically publish a new table version: replace (or extend) the
         live file index and append a history entry. This is the single
         commit point every writer goes through — the catalog-entry swap
-        is what makes COW writes atomic for readers."""
+        is what makes COW writes atomic for readers.
+
+        ``properties`` merges table-property updates into the SAME commit
+        as the data write (one ``_save``) — callers whose correctness
+        depends on data+metadata atomicity (e.g. a rollup refresh
+        tracking its processed-file set) must use this instead of a
+        separate post-hoc save."""
         tbl = self.get_table(name)
+        if self._txn is not None and name not in self._txn.working:
+            # First write to this table inside the transaction: version
+            # a private copy so the committed state (cache + disk) stays
+            # untouched until COMMIT.
+            tbl = copy.deepcopy(tbl)
+            self._txn.working[name] = tbl
         tbl.files = (tbl.files + files) if append else files
+        if properties:
+            tbl.properties.update(properties)
         tbl.version += 1
         tbl.history.append({
             "v": tbl.version, "op": op, "n_files": len(tbl.files),
@@ -307,6 +448,8 @@ class HeraclesCatalog:
             "columns": [list(c) for c in tbl.columns],
         })
         tbl.history = tbl.history[-self.HISTORY_MAX:]
+        if self._txn is not None:
+            return tbl                  # buffered; persisted at COMMIT
         self._save(tbl)
         return tbl
 

@@ -110,6 +110,10 @@ _VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
 _DESC_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_BEGIN = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$",
+                    re.IGNORECASE)
+_COMMIT = re.compile(r"^\s*COMMIT(?:\s+TRANSACTION)?\s*$", re.IGNORECASE)
+_ROLLBACK = re.compile(r"^\s*ROLLBACK(?:\s+TRANSACTION)?\s*$", re.IGNORECASE)
 _SHOW = re.compile(r"^\s*SHOW\s+TABLES\s*$", re.IGNORECASE)
 _SHOW_CREATE = re.compile(
     r"^\s*SHOW\s+CREATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -133,6 +137,29 @@ def dispatch(session, statement: str) -> DataFrame | None:
     from heracles_spark import writer
 
     spark, catalog = session.spark, session.catalog
+
+    if _BEGIN.match(statement):
+        # Multi-table atomic commit: every write until COMMIT lands in
+        # one journal-backed catalog transaction (catalog.py).
+        catalog.begin_transaction()
+        return None
+
+    if _COMMIT.match(statement):
+        touched = catalog.commit_transaction()
+        for name in touched:
+            # Committed tables get fresh views (inside the transaction
+            # the session reads working copies via read_table directly).
+            catalog.read_table(spark, name).createOrReplaceTempView(
+                catalog.view_name(name))
+        return None
+
+    if _ROLLBACK.match(statement):
+        for name in catalog.rollback_transaction():
+            # Views refreshed mid-transaction must fall back to the
+            # committed state the rollback restored.
+            catalog.read_table(spark, name).createOrReplaceTempView(
+                catalog.view_name(name))
+        return None
 
     m = _CREATE_DB.match(statement)
     if m:

@@ -1,0 +1,158 @@
+"""Multi-table atomic transactions (catalog.Transaction).
+
+The reference has no cross-table atomicity (HBase commits per-row); the
+rebuild generalizes its own per-table atomic commit (one os.replace of
+the table JSON) to N tables via a journal: COMMIT publishes one journal
+file atomically, then applies per-table saves; recovery replays any
+surviving journal. All-or-nothing at every crash point.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from heracles_spark import writer
+from heracles_spark.catalog import CatalogError, HeraclesCatalog
+
+
+def _mk(catalog, name):
+    catalog.create_table(name, [("k", "int"), ("v", "int")], ["k"])
+
+
+def _write(spark, catalog, name, rows):
+    df = spark.createDataFrame(rows, "k int, v int")
+    writer.write_key_organized(spark, catalog, name, df, n_buckets=1)
+
+
+def test_two_table_commit_is_atomic(spark, catalog):
+    _mk(catalog, "a")
+    _mk(catalog, "b")
+    with catalog.transaction():
+        _write(spark, catalog, "a", [(1, 1)])
+        _write(spark, catalog, "b", [(2, 2)])
+        # Another catalog instance (≙ another process) sees NEITHER
+        # write before COMMIT.
+        other = HeraclesCatalog(catalog.metastore_dir)
+        assert other.get_table("a").version == 0
+        assert other.get_table("b").version == 0
+        # The owning session reads its own writes.
+        assert catalog.read_table(spark, "a").count() == 1
+    other = HeraclesCatalog(catalog.metastore_dir)
+    assert other.get_table("a").version == 1
+    assert other.get_table("b").version == 1
+    assert other.read_table(spark, "b").collect()[0].v == 2
+
+
+def test_rollback_restores_committed_state(spark, catalog):
+    _mk(catalog, "a")
+    _write(spark, catalog, "a", [(1, 1)])
+    with pytest.raises(RuntimeError):
+        with catalog.transaction():
+            _write(spark, catalog, "a", [(9, 9)])
+            assert catalog.get_table("a").version == 2  # read-your-writes
+            raise RuntimeError("abort")
+    assert catalog.get_table("a").version == 1
+    assert catalog.read_table(spark, "a").count() == 1
+    # The aborted write's staged files are unreferenced; VACUUM reclaims
+    # them without touching live data.
+    writer.vacuum_table(catalog, "a", retain_versions=1)
+    assert catalog.read_table(spark, "a").count() == 1
+
+
+def test_journal_recovery_applies_all_tables(spark, catalog):
+    """Crash AFTER the journal publish but BEFORE the per-table saves:
+    a fresh catalog replays the journal and both tables land."""
+    _mk(catalog, "a")
+    _mk(catalog, "b")
+    txn = catalog.begin_transaction()
+    _write(spark, catalog, "a", [(1, 1)])
+    _write(spark, catalog, "b", [(2, 2)])
+    os.makedirs(catalog.txns_dir, exist_ok=True)
+    journal = os.path.join(catalog.txns_dir, f"{txn.txn_id}.json")
+    with open(journal, "w") as f:
+        json.dump({"tables": {n: t.to_json()
+                              for n, t in txn.working.items()}},
+                  f, default=str)
+    catalog.rollback_transaction()       # simulate the crash: no saves
+    fresh = HeraclesCatalog(catalog.metastore_dir)
+    assert fresh.get_table("a").version == 1
+    assert fresh.get_table("b").version == 1
+    assert not os.path.exists(journal)
+    assert fresh.read_table(spark, "a").count() == 1
+
+
+def test_precommit_tmp_journal_is_discarded(spark, catalog):
+    """Crash BEFORE the journal publish (tmp file only): recovery
+    discards it and no table changes."""
+    _mk(catalog, "a")
+    os.makedirs(catalog.txns_dir, exist_ok=True)
+    tmp = os.path.join(catalog.txns_dir, "dead.json.tmp")
+    with open(tmp, "w") as f:
+        f.write("{\"partial")
+    fresh = HeraclesCatalog(catalog.metastore_dir)
+    assert not os.path.exists(tmp)
+    assert fresh.get_table("a").version == 0
+
+
+def test_no_nesting_and_no_stray_commits(catalog):
+    catalog.begin_transaction()
+    with pytest.raises(CatalogError, match="already open"):
+        catalog.begin_transaction()
+    catalog.rollback_transaction()
+    with pytest.raises(CatalogError, match="no open"):
+        catalog.commit_transaction()
+    with pytest.raises(CatalogError, match="no open"):
+        catalog.rollback_transaction()
+
+
+def test_empty_transaction_commit_is_noop(catalog):
+    catalog.begin_transaction()
+    assert catalog.commit_transaction() == []
+
+
+def test_sql_surface_begin_commit_rollback(hsession, spark, catalog):
+    hsession.sql("CREATE TABLE ta (k INT, v INT) "
+                 "TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("CREATE TABLE tb (k INT, v INT) "
+                 "TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("BEGIN TRANSACTION")
+    hsession.sql("INSERT INTO ta VALUES (1, 10)")
+    hsession.sql("INSERT INTO tb VALUES (2, 20)")
+    other = HeraclesCatalog(catalog.metastore_dir)
+    assert other.get_table("ta").version == 0
+    hsession.sql("COMMIT")
+    assert spark.sql("SELECT count(*) n FROM ta").first().n == 1
+    other = HeraclesCatalog(catalog.metastore_dir)
+    assert other.get_table("tb").version == 1
+
+    hsession.sql("BEGIN")
+    hsession.sql("INSERT INTO ta VALUES (3, 30)")
+    hsession.sql("ROLLBACK")
+    assert catalog.get_table("ta").version == 1
+    assert spark.sql("SELECT count(*) n FROM ta").first().n == 1
+
+
+def test_merge_and_rollup_refresh_commit_together(hsession, spark, catalog):
+    """The motivating case: keep a fact table and its rollup consistent —
+    either both the MERGE and the REFRESH land, or neither."""
+    from heracles_spark import rollup
+
+    hsession.sql("CREATE TABLE fact (k INT, grp STRING, v INT) "
+                 "TBLPROPERTIES('keyCols'='k')")
+    df = spark.createDataFrame([(i, f"g{i % 2}", i) for i in range(10)],
+                               "k int, grp string, v int")
+    writer.write_key_organized(spark, catalog, "fact", df, n_buckets=1)
+    rollup.create_rollup(spark, catalog, "fact_r", "fact", ["grp"],
+                         {"sv": ("sum", "v")})
+    with catalog.transaction():
+        rollup.refresh_rollup(spark, catalog, "fact_r")
+        other = HeraclesCatalog(catalog.metastore_dir)
+        assert other.get_table("fact_r").version == 0
+    got = {r.grp: r.sv for r in
+           catalog.read_table(spark, "fact_r").collect()}
+    assert got == {"g0": 20, "g1": 25}
+    # And the processed-file tracking committed with it (idempotence).
+    st = rollup.refresh_rollup(spark, catalog, "fact_r")
+    assert st["mode"] == "noop"
