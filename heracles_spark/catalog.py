@@ -550,7 +550,9 @@ class HeraclesCatalog:
 
         rows = [{"path": f["path"], "rows": f["rows"],
                  "min_json": json.dumps(f.get("min", {}), default=str),
-                 "max_json": json.dumps(f.get("max", {}), default=str)}
+                 "max_json": json.dumps(f.get("max", {}), default=str),
+                 "bloom_json": json.dumps(f["bloom"])
+                               if f.get("bloom") else None}
                 for f in tbl.files]
         pq.write_table(pa.Table.from_pylist(rows), self._index_path(tbl.name))
 
@@ -560,7 +562,10 @@ class HeraclesCatalog:
 
         out = []
         for r in pq.read_table(path).to_pylist():
-            out.append({"path": r["path"], "rows": r["rows"],
-                        "min": json.loads(r["min_json"]),
-                        "max": json.loads(r["max_json"])})
+            e = {"path": r["path"], "rows": r["rows"],
+                 "min": json.loads(r["min_json"]),
+                 "max": json.loads(r["max_json"])}
+            if r.get("bloom_json"):
+                e["bloom"] = json.loads(r["bloom_json"])
+            out.append(e)
         return out

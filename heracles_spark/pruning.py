@@ -126,11 +126,17 @@ def to_nnf(pred: tuple, negate: bool = False) -> tuple:
 
 def prune_files(files: list[dict[str, Any]], pred: tuple | None,
                 key_cols: list[str]) -> list[dict[str, Any]]:
+    """A file survives iff the predicate MAY hold inside its min/max box
+    AND its bloom filters (equality probes on declared non-key columns,
+    heracles_spark.bloom) don't prove a sought value absent."""
     if pred is None:
         return files
+    from heracles_spark import bloom as _bloom
+
     pred = to_nnf(pred)
     return [f for f in files
-            if may_match(pred, f.get("min", {}), f.get("max", {}), key_cols)]
+            if may_match(pred, f.get("min", {}), f.get("max", {}), key_cols)
+            and _bloom.may_match(pred, f.get("bloom", {}))]
 
 
 def to_sql(pred: tuple) -> str:

@@ -821,3 +821,50 @@ FROM mixed GROUP BY 1, 2 ORDER BY split, lang
 
 
 QUERIES["doc_corpus_pipeline"] = (doc_corpus_pipeline, PIPE_SQL)
+
+
+def customer_bloom_lookup(spark, sf_dir):
+    """Bloom-filter file skipping (heracles_spark.bloom): build a
+    key-organized customer table declaring ``bloomCols=c_name``, then
+    point-look-up one customer BY NAME — a non-key column the min/max
+    index cannot prune (names interleave across every key range). The
+    per-file bloom proves the name absent from all but ~1 file, and the
+    result emits ``files_pruned`` (scanned < total) as a column the
+    oracle pins to TRUE, so the value hash certifies both the answer
+    and that the bloom actually skipped files."""
+    import tempfile
+
+    from heracles_spark import pruning, writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_bloom_"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cat.create_table(
+        "cust",
+        [("c_custkey", "bigint"), ("c_name", "string"),
+         ("c_nationkey", "bigint"), ("c_mktsegment", "string")],
+        ["c_custkey"], properties={"bloomCols": "c_name"})
+    writer.write_key_organized(
+        spark, cat, "cust",
+        c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+        n_buckets=8)
+    probe = c.where(F.col("c_custkey") == 42).collect()[0].c_name
+    tbl = cat.get_table("cust")
+    pred = ("=", "c_name", probe)
+    keep = pruning.prune_files(tbl.files, pred, tbl.key_cols)
+    return (pruning.scan(spark, cat, "cust", pred)
+            .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment",
+                    F.lit(len(keep) < len(tbl.files)).alias("files_pruned"))
+            .orderBy("c_custkey"))
+
+
+BLOOM_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+       TRUE AS files_pruned
+FROM customer
+WHERE c_name = (SELECT c_name FROM customer WHERE c_custkey = 42)
+ORDER BY c_custkey
+"""
+
+
+QUERIES["customer_bloom_lookup"] = (customer_bloom_lookup, BLOOM_SQL)

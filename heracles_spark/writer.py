@@ -102,7 +102,8 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     # catalog's explicit file list); the catalog update is the atomic
     # commit.
     new_paths = _stage_and_move(laid_out, tbl)
-    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
+    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths,
+                                     bloom_cols=_bloom_cols(tbl))
     if mode == "overwrite":
         return catalog.update_file_index(table, new_entries, append=False,
                                          op=op or "overwrite",
@@ -110,6 +111,12 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     return catalog.update_file_index(table, new_entries, append=True,
                                      op=op or "append",
                                      properties=commit_properties)
+
+
+def _bloom_cols(tbl: KeyTable) -> list[str]:
+    from heracles_spark import bloom as _bloom
+
+    return _bloom.bloom_cols(tbl.properties)
 
 
 def _stage_and_move(laid_out: DataFrame, tbl: KeyTable) -> list[str]:
@@ -121,7 +128,18 @@ def _stage_and_move(laid_out: DataFrame, tbl: KeyTable) -> list[str]:
 
     staging = tbl.data_dir.rstrip("/") + "~staging"
     shutil.rmtree(staging, ignore_errors=True)
-    laid_out.write.mode("overwrite").parquet(staging)
+    w = laid_out.write.mode("overwrite")
+    ndv = tbl.properties.get("bloomNdv", "100000")
+    for c in _bloom_cols(tbl):
+        # Parquet-native bloom filters per declared column: row-group
+        # skipping INSIDE each file, applied automatically by the JVM
+        # reader on equality predicates (tier 1 of heracles_spark.bloom;
+        # the catalog-level bloom prunes whole files before the scan).
+        # Sizing comes from the bloomNdv table property (expected
+        # distinct values per file; parquet sizes ~1.2 bytes per value).
+        w = (w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+              .option(f"parquet.bloom.filter.expected.ndv#{c}", ndv))
+    w.parquet(staging)
     tag = f"g{tbl.version + 1}"
     out: list[str] = []
     for fn in sorted(os.listdir(staging)):
@@ -169,7 +187,9 @@ def insert_rows(spark: SparkSession, catalog: HeraclesCatalog, table: str,
 
 
 def harvest_file_index(data_dir: str, key_cols: list[str],
-                       paths: list[str] | None = None) -> list[dict[str, Any]]:
+                       paths: list[str] | None = None,
+                       bloom_cols: list[str] | None = None
+                       ) -> list[dict[str, Any]]:
     """Per-file min/max of key columns from parquet footers (no data read).
 
     ≙ region boundary metadata (HBasePartition.scala:29-38). Footer stats
@@ -180,8 +200,14 @@ def harvest_file_index(data_dir: str, key_cols: list[str],
     ``paths`` restricts harvesting to those files (incremental index
     maintenance — copy-on-write MERGE splices new entries into the index
     instead of re-reading every footer in the table).
+
+    ``bloom_cols`` additionally builds a per-file bloom filter per listed
+    column (one column read per file — incremental like the min/max
+    harvest; see heracles_spark.bloom for the file-skipping story).
     """
     import pyarrow.parquet as pq
+
+    from heracles_spark import bloom as _bloom
 
     if paths is None:
         paths = []
@@ -209,12 +235,24 @@ def harvest_file_index(data_dir: str, key_cols: list[str],
                     mins[name] = mn
                 if name not in maxs or mx > maxs[name]:
                     maxs[name] = mx
-        out.append({
+        entry = {
             "path": path,
             "rows": md.num_rows,
             "min": {k: _jsonable(v) for k, v in mins.items()},
             "max": {k: _jsonable(v) for k, v in maxs.items()},
-        })
+        }
+        if bloom_cols:
+            pf = pq.ParquetFile(path)
+            have = [c for c in bloom_cols if c in pf.schema_arrow.names]
+            blooms = {}
+            for c in have:
+                b = _bloom.build(
+                    pf.read(columns=[c]).column(c).to_pylist())
+                if b is not None:
+                    blooms[c] = b
+            if blooms:
+                entry["bloom"] = blooms
+        out.append(entry)
     return out
 
 
@@ -382,7 +420,8 @@ def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
         import shutil
         shutil.rmtree(staging, ignore_errors=True)
         dsts = [d for _, d in moves]
-        new_entries = harvest_file_index(tbl.data_dir, keys, paths=dsts)
+        new_entries = harvest_file_index(tbl.data_dir, keys, paths=dsts,
+                                         bloom_cols=_bloom_cols(tbl))
         dset = set(dsts)
         kept = [f for f in tbl.files if f["path"] not in dset]
         out = catalog.update_file_index(table, kept + new_entries,
@@ -484,7 +523,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
     shutil.rmtree(staging, ignore_errors=True)
     del old_paths   # retired, not deleted
 
-    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths)
+    new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths,
+                                     bloom_cols=_bloom_cols(tbl))
     return catalog.update_file_index(table, list(keep) + new_entries,
                                      append=False, op="merge-cow",
                                      properties=commit_properties)
