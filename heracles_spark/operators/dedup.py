@@ -120,11 +120,12 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
                .select(F.col(id_col),
                        F.xxhash64(F.array_join(toks, " ")).alias("bh")))
     sh = sh.unionByName(short)
-    aggs = [F.min(F.xxhash64(F.lit(i), F.col("bh"))).alias(f"h{i}")
-            for i in range(k)]
-    sig = sh.groupBy(id_col).agg(*aggs)
-    return sig.select(F.col(id_col),
-                      F.array(*[F.col(f"h{i}") for i in range(k)]).alias("sig"))
+    # ONE expression builds the whole signature array (k aggregates
+    # inside array()): a k-term Column tree costs one py4j round-trip
+    # per operator (~1 s of driver time at k=32); a single F.expr is one.
+    arr = ", ".join(f"min(xxhash64({i}, bh))" for i in range(k))
+    return (sh.groupBy(id_col)
+              .agg(F.expr(f"array({arr})").alias("sig")))
 
 
 def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
@@ -134,13 +135,16 @@ def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     Buckets larger than ``max_bucket_size`` are dropped (skew guard;
     they are near-duplicates of a degenerate value and are better
     handled by exact dedup first)."""
+    # Band hashes as one F.expr (see minhash_signatures): xxhash64 over
+    # the band index + the band's signature slice, all JVM-native.
+    band_arr = ", ".join(
+        "xxhash64(%d, %s)" % (i, ", ".join(
+            f"sig[{i * rows_per_band + j}]" for j in range(rows_per_band)))
+        for i in range(bands))
     b = sigs.select(
         id_col,
-        F.posexplode(F.array(*[
-            F.xxhash64(F.concat_ws("_", F.lit(i),
-                                   *[F.col("sig")[i * rows_per_band + j]
-                                     for j in range(rows_per_band)]))
-            for i in range(bands)])).alias("band_id", "band_hash"))
+        F.posexplode(F.expr(f"array({band_arr})"))
+         .alias("band_id", "band_hash"))
     w = Window.partitionBy("band_id", "band_hash")
     b = (b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
           .where(F.col("bucket_n") <= max_bucket_size)
@@ -167,9 +171,9 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
-                                      lambda x, y: (x == y).cast("int")),
-                           lambda v: v == 1)) / F.lit(float(k)))
+    est = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
+        f"0, (a, x) -> a + x) / {float(k)}D")
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("est_jaccard", F.round(est, 6))
                 .where(F.col("est_jaccard") >= threshold)
