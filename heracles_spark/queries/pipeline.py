@@ -868,3 +868,54 @@ ORDER BY c_custkey
 
 
 QUERIES["customer_bloom_lookup"] = (customer_bloom_lookup, BLOOM_SQL)
+
+
+def doc_rollup_rewrite(spark, sf_dir):
+    """Materialized-view routing (heracles_spark.rewrite): load the
+    documents table, declare + refresh a per-(lang, source) rollup, then
+    issue a plain ``SELECT lang, COUNT(*), SUM(n_chars) FROM docs GROUP
+    BY lang`` through the session. The dispatcher answers it FROM THE
+    ROLLUP (coarser re-aggregation: SUM of partial counts/sums), and the
+    result emits ``answered_from_rollup`` — pinned TRUE by the oracle —
+    plus the numbers themselves, which the oracle recomputes with a
+    direct GROUP BY over the raw parquet. The value hash therefore
+    certifies both that the rewrite fired and that it is lossless."""
+    import tempfile
+
+    from heracles_spark import rewrite as rewrite_mod
+    from heracles_spark import rollup as rollup_mod
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark,
+                         metastore_dir=tempfile.mkdtemp(prefix="heracles_mv_"))
+    cat = hs.catalog
+    cat.create_table("docs", [("doc_id", "bigint"), ("lang", "string"),
+                              ("source", "string"), ("n_chars", "bigint")],
+                     ["doc_id"])
+    writer.write_key_organized(
+        spark, cat, "docs",
+        _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars"),
+        n_buckets=4)
+    rollup_mod.create_rollup(
+        spark, cat, "docs_r", "docs", ["lang", "source"],
+        {"n_docs": ("count", "*"), "sum_chars": ("sum", "n_chars")})
+    rollup_mod.refresh_rollup(spark, cat, "docs_r")
+    out = hs.sql("SELECT lang, COUNT(*) AS n_docs, "
+                 "SUM(n_chars) AS sum_chars FROM docs GROUP BY lang")
+    routed = rewrite_mod.LAST_REWRITE == "docs_r"
+    return (out.select("lang", F.col("n_docs").cast("long").alias("n_docs"),
+                       F.col("sum_chars").cast("long").alias("sum_chars"),
+                       F.lit(routed).alias("answered_from_rollup"))
+               .orderBy("lang"))
+
+
+MV_SQL = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       TRUE AS answered_from_rollup
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["doc_rollup_rewrite"] = (doc_rollup_rewrite, MV_SQL)

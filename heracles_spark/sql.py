@@ -392,6 +392,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
 
     # Everything else: stock Spark SQL (≙ all operators above the scan
     # being inherited, SURVEY §0).
+    # Materialized-view routing first: a GROUP BY derivable from a
+    # declared FRESH rollup is answered from the rollup table
+    # (heracles_spark.rewrite; conservative — bails to the base scan
+    # on any doubt).
+    from heracles_spark.rewrite import try_rollup_rewrite
+    rewritten = try_rollup_rewrite(session, statement)
+    if rewritten is not None:
+        return rewritten
     # SELECT-surface time travel (Delta syntax): `FROM t VERSION AS OF
     # n` rewrites to a per-version temp view over that version's file
     # set before handing the statement to Spark.
