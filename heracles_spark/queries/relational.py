@@ -39,19 +39,27 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's reader rejects
-    by default; read nanos as long and derive both an exact-nanos column
-    and a microsecond timestamp (matching DuckDB's ns→us view of the same
-    file). Set per-call because the driver supplies its own session."""
+    """Normalize events.parquet to (ts: TIMESTAMP_NTZ, ts_ns: epoch nanos).
+
+    The generated file's physical type has varied across driver versions:
+    TIMESTAMP(NANOS) (Spark reads as long with nanosAsLong) vs
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (Spark reads as
+    TIMESTAMP_NTZ). Detect the loaded dtype and derive both columns so
+    every downstream query is layout-independent and, because everything
+    stays NTZ, session-timezone-independent (DuckDB's TIMESTAMP is naive
+    too)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # The file stores TIMESTAMP(NANOS, isAdjustedToUTC=false) — naive wall
-    # time. Build TIMESTAMP_NTZ so results are session-timezone-independent
-    # (DuckDB's TIMESTAMP is naive too).
-    return (e.withColumn("ts_ns", F.col("ts").cast("long"))
-             .withColumn("ts", F.expr(
-                 "timestampadd(MICROSECOND, ts div 1000, "
-                 "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+    ts_type = dict(e.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        return (e.withColumn("ts_ns", F.col("ts").cast("long"))
+                 .withColumn("ts", F.expr(
+                     "timestampadd(MICROSECOND, ts div 1000, "
+                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+    return (e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+             .withColumn("ts_ns", F.expr(
+                 "timestampdiff(MICROSECOND, "
+                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")))
 
 
 def _dsum(col, scale: int = 6):
