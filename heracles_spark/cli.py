@@ -21,6 +21,8 @@ HELP = """Supported statements (≙ reference CLI HELP):
   INSERT INTO t VALUES (...), (...)
   INSERT INTO t SELECT ...
   MERGE INTO t USING s ON ... WHEN [NOT] MATCHED [BY SOURCE] THEN ...
+  UPDATE t SET c = expr, ... [WHERE pred]   (copy-on-write, file-pruned)
+  DELETE FROM t [WHERE pred]                (copy-on-write, file-pruned)
   OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
   CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
   REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)

@@ -90,6 +90,12 @@ _ALTER_DROP = re.compile(
     r"(?P<col>\w+)\s*$", re.IGNORECASE)
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_UPDATE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.IGNORECASE | re.DOTALL)
+_DELETE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.IGNORECASE | re.DOTALL)
 # CREATE ROLLUP r ON src GROUP BY a, b AGG n = COUNT(x), s = SUM(y), ...
 # Group items may be `alias = expr` for derived group columns.
 _CREATE_ROLLUP = re.compile(
@@ -280,6 +286,39 @@ def dispatch(session, statement: str) -> DataFrame | None:
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
+
+    m = _UPDATE.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        from heracles_spark import dml
+        name = _resolve(session, m.group("name"))
+        assignments: dict[str, str] = {}
+        for part in _split_top(m.group("sets"), ","):
+            am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", part, re.DOTALL)
+            if not am:
+                raise ValueError(f"UPDATE: bad assignment {part!r}")
+            assignments[am.group(1)] = am.group(2).strip()
+        dml.update_table(spark, catalog, name, assignments,
+                         m.group("where"))
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        st = dml.LAST_DML_STATS
+        return spark.createDataFrame(
+            [(st["rows_affected"], st["files_rewritten"],
+              st["files_total"])],
+            "rows_affected: long, files_rewritten: int, files_total: int")
+
+    m = _DELETE.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        from heracles_spark import dml
+        name = _resolve(session, m.group("name"))
+        dml.delete_from(spark, catalog, name, m.group("where"))
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        st = dml.LAST_DML_STATS
+        return spark.createDataFrame(
+            [(st["rows_affected"], st["files_rewritten"],
+              st["files_total"])],
+            "rows_affected: long, files_rewritten: int, files_total: int")
 
     m = _OPTIMIZE.match(statement)
     if m:
