@@ -43,6 +43,9 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_term_frequencies",
     "doc_corpus_pipeline",
+    # round 3 additions
+    "doc_decontaminate",
+    "embedding_quantized_knn",
 ]
 
 

@@ -9,7 +9,7 @@ codegen expression evaluation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -250,3 +250,59 @@ def term_frequencies(df: DataFrame, text_col: str = "text",
               .where(F.length("term") >= min_len)
               .groupBy("term")
               .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
+                 n: int) -> DataFrame:
+    """(id, gh): 64-bit hash per word n-gram. posexplode + window lead
+    with a multi-column xxhash64 — no gram STRING is ever built
+    (higher-order-function shingling is interpreted per element and
+    measured ~5× slower; see minhash_signatures' identical choice,
+    dedup.py). Docs shorter than n hash their whole text (their only
+    gram)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
+    full = leads[-1] if leads else F.col("tok")
+    sh = (ex.select(F.col(id_col),
+                    F.xxhash64(F.col("tok"), *leads).alias("gh"),
+                    full.alias("__f"))
+            .where(F.col("__f").isNotNull())
+            .drop("__f"))
+    short = (df.where(F.array_size(toks) < n)
+               .select(F.col(id_col),
+                       F.xxhash64(F.array_join(toks, " ")).alias("gh")))
+    return sh.unionByName(short)
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 5, broadcast_eval: bool = True) -> DataFrame:
+    """Remove training documents that share any word n-gram with the
+    evaluation set — the standard benchmark-decontamination pass an LLM
+    data pipeline runs before training (n≈8-13 in practice; n is a
+    parameter).
+
+    Gram identity is a 64-bit xxhash over the token window (collision
+    odds ~m²/2⁶⁵ — vanishing even at 100 TB gram counts, and a collision
+    only ever OVER-removes one doc). Returns ``train`` minus
+    contaminated rows (semi + anti join, no row multiplication).
+
+    Scale: the eval side is the benchmark suite — tiny next to a 100 TB
+    corpus — so its DISTINCT gram-hash set broadcasts (8 bytes/gram,
+    ``broadcast_eval``), making the contamination probe a map-side
+    lookup. The train side pays one shuffle of its exploded tokens (the
+    window that forms gram windows) — co-partitioned by doc id, and cut
+    to the hash column only; no gram strings are built or shuffled.
+    With ``broadcast_eval=False`` the probe becomes a hash join on gh
+    (the safe path when the eval set is itself huge)."""
+    eval_grams = (_gram_hashes(eval_df, id_col, text_col, n)
+                  .select("gh").distinct())
+    if broadcast_eval:
+        eval_grams = F.broadcast(eval_grams)
+    contaminated = (_gram_hashes(train, id_col, text_col, n)
+                    .join(eval_grams, "gh", "left_semi")
+                    .select(id_col)
+                    .distinct())
+    return train.join(contaminated, id_col, "left_anti")

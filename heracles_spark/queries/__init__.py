@@ -11,10 +11,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registries():
     from heracles_spark.queries import (relational, relational2, relational3,
-                                        pipeline, extensions)
+                                        relational4, pipeline, extensions)
 
     return (relational.QUERIES, relational2.QUERIES, relational3.QUERIES,
-            pipeline.QUERIES, extensions.QUERIES)
+            relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES)
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -919,3 +919,137 @@ FROM documents GROUP BY lang ORDER BY lang
 
 
 QUERIES["doc_rollup_rewrite"] = (doc_rollup_rewrite, MV_SQL)
+
+
+def doc_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: split the corpus 80/20 by content hash,
+    then drop training docs sharing any word 5-gram with the eval side
+    (operators.text.decontaminate — broadcast eval grams, zero train
+    shuffle). Emits per-lang before/after counts so the value hash
+    certifies exactly which docs were dropped."""
+    from heracles_spark.operators.sampling import hash_split
+    from heracles_spark.operators.text import decontaminate
+
+    d = hash_split(_docs(spark, sf_dir), on="doc_id", train_pct=80)
+    train = d.where(F.col("split") == "train")
+    ev = d.where(F.col("split") == "eval")
+    clean = decontaminate(train, ev, n=5)
+    before = (train.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n_train")))
+    after = (clean.groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n_clean")))
+    return (before.join(after, "lang", "left")
+                  .select("lang", "n_train",
+                          F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
+                  .orderBy("lang"))
+
+
+DECON_SQL = """
+WITH split AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+ toks AS (
+  SELECT doc_id, split, lang,
+         string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM split),
+ grams AS (
+  SELECT doc_id, split,
+         array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+  FROM toks, range(1, 20000) r(i) WHERE i + 4 <= len(t)),
+ contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE split = 'train'
+    AND g IN (SELECT g FROM grams WHERE split = 'eval'))
+SELECT lang, COUNT(*) AS n_train,
+       CAST(SUM(CASE WHEN doc_id IN (SELECT doc_id FROM contaminated)
+                     THEN 0 ELSE 1 END) AS BIGINT) AS n_clean
+FROM split WHERE split = 'train' GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["doc_decontaminate"] = (doc_decontaminate, DECON_SQL)
+
+
+def embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization audit (operators.similarity.quantize_int8):
+    per-vector quantized checksum/norm (INTEGER — exact, order-free) and
+    mean reconstruction error. The integer columns make the value hash
+    certify every quantized component bit-for-bit."""
+    e = _embs(spark, sf_dir).where(F.col("vec_id") <= 40)
+    q = similarity.quantize_int8(e)
+    dim = 64
+    qsum = "0L + " + " + ".join(f"CAST(qvec[{i}] AS BIGINT)"
+                                for i in range(dim))
+    qnorm = "0L + " + " + ".join(
+        f"CAST(qvec[{i}] AS BIGINT) * CAST(qvec[{i}] AS BIGINT)"
+        for i in range(dim))
+    mae = "(0.0D + " + " + ".join(
+        f"abs(CAST(embedding[{i}] AS DOUBLE) "
+        f"- CAST(qvec[{i}] AS DOUBLE) * qscale)"
+        for i in range(dim)) + f") / {float(dim)!r}D"
+    return (q.select("vec_id",
+                     F.expr(qsum).alias("qsum"),
+                     F.expr(qnorm).alias("qnorm"),
+                     F.round(F.expr(mae), 6).alias("mae"))
+             .orderBy("vec_id"))
+
+
+EQZ_SQL = """
+WITH am AS (
+  SELECT vec_id, m0, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS m FROM (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m0
+    FROM embeddings WHERE vec_id <= 40)),
+ q AS (
+  SELECT e.vec_id, i, CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) AS x,
+         CAST(floor(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / am.m
+                    * 127.0 + 0.5) AS BIGINT) AS qi,
+         am.m0 / 127.0 AS scale
+  FROM embeddings e JOIN am USING (vec_id), range(1, 65) t(i)
+  WHERE e.vec_id <= 40)
+SELECT vec_id, CAST(SUM(qi) AS BIGINT) AS qsum,
+       CAST(SUM(qi * qi) AS BIGINT) AS qnorm,
+       ROUND(SUM(abs(x - qi * scale)) / 64.0, 6) AS mae
+FROM q GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def embedding_quantized_knn(spark, sf_dir):
+    """Top-10 cosine in the QUANTIZED domain (scales cancel): integer
+    dot/norms, two final IEEE ops — deterministic by construction
+    (operators.similarity.quantized_cosine_topk)."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    return similarity.quantized_cosine_topk(
+        e.where(F.col("vec_id") != 0), qvec, k=10)
+
+
+EQK_SQL = """
+WITH am AS (
+  SELECT vec_id, CASE WHEN m0 = 0 THEN 1.0 ELSE m0 END AS m FROM (
+    SELECT vec_id,
+           list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS m0
+    FROM embeddings)),
+ q AS (
+  SELECT e.vec_id, i,
+         CAST(floor(CAST(e.embedding[CAST(i AS INT)] AS DOUBLE) / am.m
+                    * 127.0 + 0.5) AS BIGINT) AS qi
+  FROM embeddings e JOIN am USING (vec_id), range(1, 65) t(i)),
+ qq AS (SELECT i, qi FROM q WHERE vec_id = 0),
+ nq AS (SELECT SQRT(CAST(SUM(qi * qi) AS DOUBLE)) AS n FROM qq),
+ sc AS (
+  SELECT q.vec_id, SUM(q.qi * qq.qi) AS qdot, SUM(q.qi * q.qi) AS qn
+  FROM q JOIN qq USING (i) WHERE q.vec_id != 0 GROUP BY q.vec_id)
+SELECT vec_id,
+       ROUND(CAST(qdot AS DOUBLE) / (SQRT(CAST(qn AS DOUBLE)) * nq.n), 6)
+         AS qcosine
+FROM sc, nq ORDER BY qcosine DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES["embedding_quantize"] = (embedding_quantize, EQZ_SQL)
+QUERIES["embedding_quantized_knn"] = (embedding_quantized_knn, EQK_SQL)

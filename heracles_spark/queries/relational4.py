@@ -1,0 +1,131 @@
+"""Relational corpus, batch 4: multiset set-ops (EXCEPT/INTERSECT ALL),
+regexp functions, ordered string aggregation (LISTAGG-equivalent), and
+RANGE window frames — inherited Spark surface the reference never
+exercised, proven against the DuckDB oracle like the rest of §2.7/§2.8.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from heracles_spark.queries.relational import _t
+
+
+def set_except_all(spark, sf_dir):
+    """EXCEPT ALL — multiset difference keeps surplus duplicates (the
+    bag semantics INTERSECT/EXCEPT [DISTINCT] collapse)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 50000).select("o_orderstatus")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    return (a.exceptAll(b)
+             .groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("o_orderstatus"))
+
+
+EXA_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n FROM (
+  SELECT o_orderstatus FROM orders WHERE o_totalprice > 50000
+  EXCEPT ALL
+  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def set_intersect_all(spark, sf_dir):
+    """INTERSECT ALL — multiset intersection (min of multiplicities)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.col("o_totalprice") > 50000).select("o_orderstatus")
+    b = o.where(F.col("o_orderpriority") == "1-URGENT").select("o_orderstatus")
+    return (a.intersectAll(b)
+             .groupBy("o_orderstatus")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .orderBy("o_orderstatus"))
+
+
+INA_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n FROM (
+  SELECT o_orderstatus FROM orders WHERE o_totalprice > 50000
+  INTERSECT ALL
+  SELECT o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def regexp_functions(spark, sf_dir):
+    """regexp_extract / regexp_replace / rlike over customer + part —
+    the pattern surface every text pipeline leans on (patterns chosen
+    for identical semantics across engines)."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 25)
+    return (c.select(
+                F.col("c_custkey"),
+                F.regexp_extract(F.col("c_name"), r"Customer#(\d+)", 1)
+                 .cast("bigint").alias("name_num"),
+                F.regexp_replace(F.col("c_mktsegment"), r"[AEIOU]", "_")
+                 .alias("seg_novowel"),
+                F.col("c_name").rlike(r"#0+[12]?\d$").alias("low_id"))
+             .orderBy("c_custkey"))
+
+
+REGEX_SQL = """
+SELECT c_custkey,
+       CAST(regexp_extract(c_name, 'Customer#(\\d+)', 1) AS BIGINT) AS name_num,
+       regexp_replace(c_mktsegment, '[AEIOU]', '_', 'g') AS seg_novowel,
+       regexp_matches(c_name, '#0+[12]?\\d$') AS low_id
+FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey
+"""
+
+
+def string_agg_per_group(spark, sf_dir):
+    """LISTAGG / string_agg equivalent: per-nation supplier roster as an
+    ORDERED joined string — deterministic regardless of partitioning
+    because the collected list is sorted before joining."""
+    s = _t(spark, sf_dir, "supplier")
+    return (s.groupBy("s_nationkey")
+             .agg(F.array_join(F.array_sort(F.collect_list("s_name")), ",")
+                   .alias("roster"),
+                  F.count(F.lit(1)).alias("n_suppliers"))
+             .orderBy("s_nationkey"))
+
+
+SAGG_SQL = """
+SELECT s_nationkey, string_agg(s_name, ',' ORDER BY s_name) AS roster,
+       COUNT(*) AS n_suppliers
+FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey
+"""
+
+
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, not row-based): for each order, revenue
+    of all orders within 500 orderkeys back. Frame membership is a value
+    predicate, so ties/gaps behave differently from ROWS — the half of
+    the frame surface the ROWS queries don't touch. Decimal-exact sum
+    keeps the hash cross-engine-stable."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
+    w = (Window.orderBy(F.col("o_orderkey"))
+               .rangeBetween(-500, Window.currentRow))
+    return (o.select(
+                "o_orderkey",
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
+                 .cast("double").alias("trailing_rev"))
+             .orderBy("o_orderkey"))
+
+
+WRF_SQL = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6)))
+            OVER (ORDER BY o_orderkey
+                  RANGE BETWEEN 500 PRECEDING AND CURRENT ROW)
+            AS DOUBLE) AS trailing_rev
+FROM orders WHERE o_custkey <= 50 ORDER BY o_orderkey
+"""
+
+
+QUERIES = {
+    "set_except_all": (set_except_all, EXA_SQL),
+    "set_intersect_all": (set_intersect_all, INA_SQL),
+    "regexp_functions": (regexp_functions, REGEX_SQL),
+    "string_agg_per_group": (string_agg_per_group, SAGG_SQL),
+    "window_range_frame": (window_range_frame, WRF_SQL),
+}

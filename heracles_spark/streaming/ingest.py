@@ -184,3 +184,51 @@ def sessionized_counts(events: DataFrame, ts_col: str = "ts",
             .select(F.col("sess.start").alias("session_start"),
                     F.col("sess.end").alias("session_end"),
                     user_col, "n_events"))
+
+
+def stream_stream_interval_join(clicks: DataFrame, purchases: DataFrame,
+                                key_col: str = "user_id",
+                                ts_col: str = "ts",
+                                within: str = "30 minutes",
+                                watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    purchase P joins click C of the same key when
+    C.ts ∈ [P.ts - within, P.ts]. The standard attribution shape
+    (click-through conversion).
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark can size the state store and expire
+    buffered rows — an unbounded stream-stream join would otherwise keep
+    every row forever. State per key ≈ rows inside the watermark+interval
+    horizon only.
+
+    Works identically on batch frames (same plan, no state)."""
+    c = (clicks.withWatermark(ts_col, watermark)
+               .select(F.col(key_col).alias("k"),
+                       F.col(ts_col).alias("click_ts")))
+    p = (purchases.withWatermark(ts_col, watermark)
+                  .select(F.col(key_col).alias(key_col),
+                          F.col(ts_col).alias("purchase_ts"),
+                          *[col for col in purchases.columns
+                            if col not in (key_col, ts_col)]))
+    cond = ((p[key_col] == c["k"])
+            & (c["click_ts"] <= p["purchase_ts"])
+            & (c["click_ts"] >= p["purchase_ts"]
+               - F.expr(f"INTERVAL {within}")))
+    return (p.join(c, cond, "inner")
+             .drop("k"))
+
+
+def streaming_dedup_within_watermark(events: DataFrame,
+                                     id_cols: list[str] | None = None,
+                                     ts_col: str = "ts",
+                                     watermark: str = "1 hour") -> DataFrame:
+    """Exactly-once-per-id within the watermark horizon:
+    ``dropDuplicatesWithinWatermark`` keeps state only until the
+    watermark passes each id's first-seen time — the bounded-state
+    answer to at-least-once sources re-delivering events (the unbounded
+    ``dropDuplicates`` state grows forever on a 100 TB/day stream).
+    """
+    ids = id_cols or ["event_id"]
+    return (events.withWatermark(ts_col, watermark)
+                  .dropDuplicatesWithinWatermark(ids))

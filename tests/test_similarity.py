@@ -185,3 +185,73 @@ def test_ivf_cell_partitioned_storage_prunes(spark, vecs, tmp_path):
     # and the probed read returns exactly the cells' rows
     expect = built.where(F.col("cell_id").isin([0, 1])).count()
     assert probed.count() == expect
+
+
+# -- int8 quantization ----------------------------------------------------
+
+def test_quantize_int8_roundtrip(spark, vecs):
+    q = similarity.quantize_int8(vecs, dim=DIM).where(F.col("vec_id") < 20)
+    for r in q.collect():
+        orig = [float(v) for v in r["embedding"]]
+        am = max(abs(v) for v in orig)
+        assert abs(r["qscale"] - am / 127.0) < 1e-12
+        assert all(-127 <= v <= 127 for v in r["qvec"])
+        # reconstruction within half a quantization step per component
+        for x, qi in zip(orig, r["qvec"]):
+            assert abs(x - qi * r["qscale"]) <= r["qscale"] / 2 + 1e-9
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0] * DIM)],
+                               "vec_id long, embedding array<float>")
+    r = similarity.quantize_int8(df, dim=DIM).collect()[0]
+    assert r["qscale"] == 0.0 and all(v == 0 for v in r["qvec"])
+
+
+def test_quantize_vec_matches_plan_side(spark, vecs):
+    """Driver-side quantizer must be bit-identical to the in-plan one."""
+    rows = similarity.quantize_int8(vecs, dim=DIM).where(
+        F.col("vec_id") < 10).collect()
+    for r in rows:
+        qv, scale = similarity.quantize_vec_int8(
+            [float(v) for v in r["embedding"]])
+        assert qv == list(r["qvec"]) and abs(scale - r["qscale"]) < 1e-15
+
+
+def test_quantized_topk_close_to_exact(spark, vecs):
+    """int8 cosine ranking should broadly agree with exact ranking."""
+    q = _vec(777)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(vecs, q, k=10).collect()]
+    quant = [r["vec_id"] for r in
+             similarity.quantized_cosine_topk(vecs, q, k=10,
+                                              dim=DIM).collect()]
+    assert len(set(exact) & set(quant)) >= 8
+
+
+# -- decontamination ------------------------------------------------------
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    from heracles_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today"),
+         (2, "completely unrelated content about spark engines here"),
+         (3, "another clean document with no overlap at all")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, "benchmark contains the quick brown fox jumps over it")],
+        "doc_id long, text string")
+    kept = {r["doc_id"]
+            for r in decontaminate(train, ev, n=5).collect()}
+    assert kept == {2, 3}          # doc 1 shares 'the quick brown fox jumps'
+
+
+def test_decontaminate_short_doc_whole_text_gram(spark):
+    from heracles_spark.operators.text import decontaminate
+
+    train = spark.createDataFrame([(1, "tiny doc"), (2, "other text")],
+                                  "doc_id long, text string")
+    ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
+    kept = {r["doc_id"] for r in decontaminate(train, ev, n=5).collect()}
+    assert kept == {2}             # short docs compare whole-text

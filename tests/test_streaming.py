@@ -211,3 +211,65 @@ def test_windowed_counts_value_col(spark):
     out2 = ingest.windowed_event_counts(df2, value_col="amt")
     row = out2.orderBy("window_start").collect()[0]
     assert row.n_events == 1 and row.total_value == 2.5
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from heracles_spark.streaming.ingest import stream_stream_interval_join
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    clicks_dir.mkdir(); buys_dir.mkdir()
+    clicks = [("2024-01-01 00:00:00", 1), ("2024-01-01 00:40:00", 1),
+              ("2024-01-01 00:00:00", 2)]
+    buys = [("2024-01-01 00:50:00", 1, 99.0),   # joins the 00:40 click only
+            ("2024-01-01 02:00:00", 2, 10.0)]   # click too old: no match
+    (spark.createDataFrame(clicks, "ts_s string, user_id long")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+          .coalesce(1).write.parquet(str(clicks_dir / "f")))
+    (spark.createDataFrame(buys, "ts_s string, user_id long, amount double")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+          .coalesce(1).write.parquet(str(buys_dir / "f")))
+    cs = (spark.readStream.schema("user_id long, ts timestamp")
+               .parquet(str(clicks_dir / "*")))
+    bs = (spark.readStream.schema("user_id long, amount double, ts timestamp")
+               .parquet(str(buys_dir / "*")))
+    out = stream_stream_interval_join(cs, bs, within="30 minutes")
+    q = (out.writeStream.format("memory").queryName("ssj_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = [(r["user_id"], str(r["purchase_ts"]), str(r["click_ts"]))
+           for r in spark.sql(
+               "SELECT * FROM ssj_out ORDER BY user_id").collect()]
+    assert got == [(1, "2024-01-01 00:50:00", "2024-01-01 00:40:00")]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from heracles_spark.streaming.ingest import \
+        streaming_dedup_within_watermark
+
+    src = tmp_path / "wm_dedup_src"
+    src.mkdir()
+    rows = [("2024-01-01 00:00:00", 10, "x"),
+            ("2024-01-01 00:20:00", 10, "x-dup"),   # same id inside horizon
+            ("2024-01-01 00:30:00", 11, "y")]
+    (spark.createDataFrame(rows, "ts_s string, event_id long, v string")
+          .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+          .coalesce(1).write.parquet(str(src / "f1")))
+    stream = (spark.readStream.schema("event_id long, v string, ts timestamp")
+                   .parquet(str(src / "*")))
+    out = streaming_dedup_within_watermark(stream, ["event_id"],
+                                           watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("wmd_out")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_wmd"))
+            .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = sorted((r["event_id"], r["v"])
+                 for r in spark.sql("SELECT * FROM wmd_out").collect())
+    assert got == [(10, "x"), (11, "y")]
