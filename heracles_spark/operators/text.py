@@ -297,12 +297,23 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     to the hash column only; no gram strings are built or shuffled.
     With ``broadcast_eval=False`` the probe becomes a hash join on gh
     (the safe path when the eval set is itself huge)."""
+    contaminated = contaminated_ids(train, eval_df, id_col, text_col, n,
+                                    broadcast_eval)
+    return train.join(contaminated, id_col, "left_anti")
+
+
+def contaminated_ids(train: DataFrame, eval_df: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     n: int = 5, broadcast_eval: bool = True) -> DataFrame:
+    """The ids of training docs sharing an n-gram with the eval set —
+    the reusable core of ``decontaminate`` (callers that only need to
+    FLAG or count contamination join against this instead of paying the
+    anti-join's extra corpus scan)."""
     eval_grams = (_gram_hashes(eval_df, id_col, text_col, n)
                   .select("gh").distinct())
     if broadcast_eval:
         eval_grams = F.broadcast(eval_grams)
-    contaminated = (_gram_hashes(train, id_col, text_col, n)
-                    .join(eval_grams, "gh", "left_semi")
-                    .select(id_col)
-                    .distinct())
-    return train.join(contaminated, id_col, "left_anti")
+    return (_gram_hashes(train, id_col, text_col, n)
+            .join(eval_grams, "gh", "left_semi")
+            .select(id_col)
+            .distinct())

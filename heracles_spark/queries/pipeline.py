@@ -928,20 +928,24 @@ def doc_decontaminate(spark, sf_dir):
     shuffle). Emits per-lang before/after counts so the value hash
     certifies exactly which docs were dropped."""
     from heracles_spark.operators.sampling import hash_split
-    from heracles_spark.operators.text import decontaminate
+    from heracles_spark.operators.text import contaminated_ids
 
     d = hash_split(_docs(spark, sf_dir), on="doc_id", train_pct=80)
     train = d.where(F.col("split") == "train")
     ev = d.where(F.col("split") == "eval")
-    clean = decontaminate(train, ev, n=5)
-    before = (train.groupBy("lang")
-                   .agg(F.count(F.lit(1)).alias("n_train")))
-    after = (clean.groupBy("lang")
-                  .agg(F.count(F.lit(1)).alias("n_clean")))
-    return (before.join(after, "lang", "left")
-                  .select("lang", "n_train",
-                          F.coalesce("n_clean", F.lit(0)).alias("n_clean"))
-                  .orderBy("lang"))
+    # Flag-and-aggregate in ONE pass over train (a decontaminate() call
+    # plus separate before/after aggregations would scan the corpus two
+    # extra times — the contaminated id set is tiny, so broadcast it and
+    # count both sides from one scan).
+    flagged = train.join(
+        F.broadcast(contaminated_ids(train, ev, n=5)
+                    .withColumn("__hit", F.lit(1))),
+        "doc_id", "left")
+    return (flagged.groupBy("lang")
+                   .agg(F.count(F.lit(1)).alias("n_train"),
+                        F.count(F.when(F.col("__hit").isNull(), 1))
+                         .alias("n_clean"))
+                   .orderBy("lang"))
 
 
 DECON_SQL = """
