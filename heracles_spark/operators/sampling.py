@@ -96,3 +96,17 @@ def pack_sequences(df: DataFrame, id_col: str = "doc_id",
                .withColumn("seq", F.expr(f"__excl__ DIV {int(budget)}"))
                .withColumn("seq_offset", F.col("__excl__") % budget)
                .drop("__excl__"))
+
+
+def global_shuffle(df: DataFrame, on: str, salt: str = "",
+                   out_col: str = "shuffle_key") -> DataFrame:
+    """Deterministic global permutation for training-order shuffling:
+    sort by a content hash of ``on`` (+ optional salt for fresh epochs).
+    Unlike orderBy(rand()) this is reproducible across engines, runs,
+    and partitionings, and re-shuffling an epoch is just a new salt.
+
+    Scale: one range-partitioned sort — exactly the shuffle a training
+    job needs anyway; the hash key is uniform by construction, so range
+    partitions balance without sampling skew."""
+    key = F.md5(F.concat(F.col(on).cast("string"), F.lit(salt)))
+    return df.withColumn(out_col, key).orderBy(out_col)

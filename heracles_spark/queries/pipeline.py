@@ -1057,3 +1057,82 @@ FROM sc, nq ORDER BY qcosine DESC, vec_id LIMIT 10
 
 QUERIES["embedding_quantize"] = (embedding_quantize, EQZ_SQL)
 QUERIES["embedding_quantized_knn"] = (embedding_quantized_knn, EQK_SQL)
+
+
+def doc_top_tfidf_term(spark, sf_dir):
+    """Most-characteristic term per document (docs ≤ 50): argmax of
+    tf · N/df — the TF-IDF shape with a RATIONAL idf (ln() is libm- and
+    engine-specific; N/df is one exact IEEE division, so the value hash
+    is stable). Explode → tf agg + df agg → broadcast N → window argmax:
+    the standard distributed TF-IDF plan (two shuffles + one broadcast),
+    per-term state only."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    raw = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
+    term = F.lower(F.regexp_replace(F.col("raw"), "[^a-zA-Z]", ""))
+    ex = (d.select("doc_id", raw)
+           .select("doc_id", term.alias("term"))
+           .where(F.length("term") >= 1))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = (ex.distinct().groupBy("term")
+             .agg(F.count(F.lit(1)).alias("df")))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tf.join(df_, "term")
+                .join(F.broadcast(n))
+                .withColumn("score",
+                            (F.col("tf") * F.col("n_docs")).cast("double")
+                            / F.col("df")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.col("term"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+                  .where((F.col("rn") == 1) & (F.col("doc_id") <= 50))
+                  .select("doc_id", "term", "tf", "df",
+                          F.round("score", 6).alias("score"))
+                  .orderBy("doc_id"))
+
+
+TFIDF_SQL = """
+WITH ex AS (
+  SELECT doc_id, lower(regexp_replace(t, '[^a-zA-Z]', '', 'g')) AS term
+  FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)
+  WHERE length(lower(regexp_replace(t, '[^a-zA-Z]', '', 'g'))) >= 1),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2),
+ df AS (SELECT term, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, term
+                                          FROM ex) GROUP BY term),
+ n AS (SELECT COUNT(*) AS n_docs FROM documents),
+ scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.df AS score
+  FROM tf JOIN df USING (term), n),
+ ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rn
+  FROM scored)
+SELECT doc_id, term, tf, df, ROUND(score, 6) AS score
+FROM ranked WHERE rn = 1 AND doc_id <= 50 ORDER BY doc_id
+"""
+
+
+QUERIES["doc_top_tfidf_term"] = (doc_top_tfidf_term, TFIDF_SQL)
+
+
+def doc_global_shuffle(spark, sf_dir):
+    """First 20 docs in deterministic shuffled training order
+    (operators.sampling.global_shuffle, salt='ep1') — reproducible
+    epoch shuffling, value-hash-checked against the same md5 ordering."""
+    from heracles_spark.operators.sampling import global_shuffle
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return (global_shuffle(d, on="doc_id", salt="ep1")
+            .limit(20))
+
+
+GSH_SQL = """
+SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR) || 'ep1') AS shuffle_key
+FROM documents ORDER BY shuffle_key LIMIT 20
+"""
+
+
+QUERIES["doc_global_shuffle"] = (doc_global_shuffle, GSH_SQL)

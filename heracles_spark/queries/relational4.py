@@ -129,3 +129,52 @@ QUERIES = {
     "string_agg_per_group": (string_agg_per_group, SAGG_SQL),
     "window_range_frame": (window_range_frame, WRF_SQL),
 }
+
+
+def struct_nested_access(spark, sf_dir):
+    """Struct construction, nested-field access, GROUPING on a nested
+    field, and nested-array indexing (≙ HBaseSQLQuerySuite.scala:52-67,
+    157-181, 964-972 — struct field access & grouping on nested fields,
+    array indexing incl. nested arrays). The struct/array plumbing is
+    Spark-side; the oracle states the equivalent flat semantics."""
+    s = _t(spark, sf_dir, "supplier")
+    st = F.struct(F.col("s_nationkey").alias("nk"),
+                  F.col("s_name").alias("nm"))
+    nested = F.array(F.array(F.col("s_suppkey"), -F.col("s_suppkey")))
+    per_row = s.select(st.alias("st"), nested.alias("arr"))
+    return (per_row
+            .groupBy(F.col("st.nk").alias("nk"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(F.col("st.nm")).alias("first_name"),
+                 F.min(F.col("arr")[0][1]).alias("min_neg_key"))
+            .orderBy("nk"))
+
+
+SNA_SQL = """
+SELECT s_nationkey AS nk, COUNT(*) AS n, MIN(s_name) AS first_name,
+       CAST(MIN(-s_suppkey) AS BIGINT) AS min_neg_key
+FROM supplier GROUP BY s_nationkey ORDER BY nk
+"""
+
+
+def rand_contract(spark, sf_dir):
+    """rand()/randn() (≙ HBaseAdditionalQuerySuite.scala:146-151) are
+    engine- and partitioning-specific, so the oracle pins their CONTRACT:
+    every sample in range, count preserved — the same pattern the approx
+    sketches use."""
+    o = _t(spark, sf_dir, "orders")
+    r = o.select(F.rand(42).alias("r"), F.randn(42).alias("rn"))
+    return r.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min((F.col("r") >= 0) & (F.col("r") < 1)).alias("rand_in_range"),
+        F.min(F.abs(F.col("rn")) < 8).alias("randn_sane"))
+
+
+RAND_SQL = """
+SELECT COUNT(*) AS n_rows, TRUE AS rand_in_range, TRUE AS randn_sane
+FROM orders
+"""
+
+
+QUERIES["struct_nested_access"] = (struct_nested_access, SNA_SQL)
+QUERIES["rand_contract"] = (rand_contract, RAND_SQL)
