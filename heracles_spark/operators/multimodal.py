@@ -104,3 +104,87 @@ def frame_sample_plan(df: DataFrame, id_col: str = "doc_id",
     return (df.select(F.col(id_col),
                       F.explode(F.sequence(F.lit(0), dur, F.lit(every_ms)))
                        .alias("frame_ts_ms")))
+
+
+AUDIO_FEATURES = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("n_bytes", T.IntegerType(), False),
+    T.StructField("rms", T.DoubleType(), True),
+    T.StructField("mfcc_ish", T.ArrayType(T.FloatType()), True),
+])
+
+RESIZED_IMAGE = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("out_w", T.IntegerType(), False),
+    T.StructField("out_h", T.IntegerType(), False),
+    T.StructField("content", T.BinaryType(), True),
+])
+
+
+def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
+                          content_col: str = "content",
+                          decoder: Literal["fake", "librosa"] = "fake",
+                          n_coeffs: int = 13) -> DataFrame:
+    """mapInPandas audio decode → per-clip features (RMS + MFCC-ish
+    vector). Same contract as ``decode_image_features``: the ``fake``
+    decoder derives deterministic features from a content hash so the
+    Arrow batch plumbing is real; the librosa slot raises until the lib
+    exists."""
+    if decoder == "librosa":
+        try:
+            import librosa  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "librosa is not available in this environment; use "
+                "decoder='fake' to exercise the pipeline plumbing") from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in it:
+            ids, nbytes, rms, coeffs = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(b) if b is not None else b""
+                digest = hashlib.sha256(b"audio" + raw).digest()
+                ids.append(i)
+                nbytes.append(len(raw))
+                rms.append(digest[1] / 255.0)
+                coeffs.append([digest[j] / 255.0 for j in range(n_coeffs)])
+            yield pd.DataFrame({"doc_id": ids, "n_bytes": nbytes,
+                                "rms": rms, "mfcc_ish": coeffs})
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        batches, schema=AUDIO_FEATURES)
+
+
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "doc_id", content_col: str = "content",
+                  decoder: Literal["fake", "pil"] = "fake") -> DataFrame:
+    """mapInPandas image resize. The ``fake`` decoder emits a
+    deterministic out_w×out_h byte payload derived from the source hash
+    (length = out_w*out_h, modelling a single-channel thumbnail) so
+    batch shape, schema, and memory behavior match the real op; PIL
+    plugs into the same slot."""
+    if decoder == "pil":
+        try:
+            import PIL  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "PIL is not available in this environment; use "
+                "decoder='fake' to exercise the pipeline plumbing") from e
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        for pdf in it:
+            ids, ws, hs, outs = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf[content_col]):
+                raw = bytes(b) if b is not None else b""
+                seed = hashlib.sha256(raw).digest()
+                need = out_w * out_h
+                buf = (seed * (need // len(seed) + 1))[:need]
+                ids.append(i); ws.append(out_w); hs.append(out_h)
+                outs.append(buf)
+            yield pd.DataFrame({"doc_id": ids, "out_w": ws, "out_h": hs,
+                                "content": outs})
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        batches, schema=RESIZED_IMAGE)

@@ -60,3 +60,45 @@ def test_frame_sample_plan(spark):
             F.lit(None).cast("int").alias("sample_rate")))
     frames = multimodal.frame_sample_plan(m, every_ms=1000).collect()
     assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+
+
+def test_decode_audio_features(spark):
+    from heracles_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame([(1, "hello world"), (2, "other")],
+                              "doc_id long, text string")
+    media = mm.attach_media_stub(d)
+    feats = mm.decode_audio_features(media).collect()
+    assert len(feats) == 2
+    r = {f["doc_id"]: f for f in feats}
+    assert r[1]["n_bytes"] == len(b"hello world")
+    assert len(r[1]["mfcc_ish"]) == 13
+    assert 0.0 <= r[1]["rms"] <= 1.0
+    # deterministic: same content -> same features
+    again = {f["doc_id"]: f for f in
+             mm.decode_audio_features(media).collect()}
+    assert again[1]["mfcc_ish"] == r[1]["mfcc_ish"]
+
+
+def test_resize_images_shape(spark):
+    from heracles_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame([(1, "abc"), (2, None)],
+                              "doc_id long, text string")
+    media = mm.attach_media_stub(d.where(F.col("text").isNotNull()))
+    out = mm.resize_images(media, out_w=8, out_h=4).collect()
+    assert all(len(bytes(r["content"])) == 32 for r in out)
+    assert all((r["out_w"], r["out_h"]) == (8, 4) for r in out)
+
+
+def test_real_decoders_gated(spark):
+    import pytest as _pytest
+
+    from heracles_spark.operators import multimodal as mm
+
+    d = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    media = mm.attach_media_stub(d)
+    for fn in (lambda: mm.decode_audio_features(media, decoder="librosa"),
+               lambda: mm.resize_images(media, 2, 2, decoder="pil")):
+        with _pytest.raises(NotImplementedError):
+            fn()
