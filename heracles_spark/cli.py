@@ -31,6 +31,8 @@ HELP = """Supported statements (≙ reference CLI HELP):
   SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
   RESTORE TABLE t TO VERSION AS OF n  (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
+  ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
+  CACHE TABLE t | UNCACHE TABLE t
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
   SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t

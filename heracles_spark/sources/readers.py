@@ -37,3 +37,20 @@ def parquet_source(spark: SparkSession, path: str,
                    columns: list[str] | None = None) -> DataFrame:
     df = spark.read.parquet(path)
     return df.select(*columns) if columns else df
+
+
+def orc_source(spark: SparkSession, path: str,
+               columns: list[str] | None = None) -> DataFrame:
+    """ORC with optional projection — same pushdown/pruning behavior as
+    parquet (both columnar, both stats-indexed)."""
+    df = spark.read.orc(path)
+    return df.select(*columns) if columns else df
+
+
+def text_source(spark: SparkSession, path: str,
+                value_col: str = "value") -> DataFrame:
+    """Line-oriented text (one row per line) — the raw-corpus entry
+    point before any parsing; schema is a single string column."""
+    df = spark.read.text(path)
+    return df.withColumnRenamed("value", value_col) \
+        if value_col != "value" else df

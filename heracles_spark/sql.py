@@ -116,6 +116,13 @@ _VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
 _DESC_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_ANALYZE = re.compile(
+    r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
+    r"(?P<cols>\s+FOR\s+ALL\s+COLUMNS)?\s*$", re.IGNORECASE)
+_CACHE = re.compile(
+    r"^\s*CACHE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_UNCACHE = re.compile(
+    r"^\s*UNCACHE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _BEGIN = re.compile(r"^\s*(?:BEGIN|START)(?:\s+TRANSACTION)?\s*$",
                     re.IGNORECASE)
 _COMMIT = re.compile(r"^\s*COMMIT(?:\s+TRANSACTION)?\s*$", re.IGNORECASE)
@@ -371,6 +378,30 @@ def dispatch(session, statement: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(st["removed_files"], st["retained_versions"])],
             "removed_files: int, retained_versions: int")
+
+    m = _ANALYZE.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        st = writer.analyze_table(spark, catalog, name,
+                                  for_columns=bool(m.group("cols")))
+        return spark.createDataFrame(
+            [(st["rows"], st["analyzed_version"],
+              len(st.get("columns", {})))],
+            "rows: long, analyzed_version: int, n_column_stats: int")
+
+    m = _CACHE.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        view = catalog.view_name(name)
+        catalog.read_table(spark, name).createOrReplaceTempView(view)
+        spark.catalog.cacheTable(view)
+        return None
+
+    m = _UNCACHE.match(statement)
+    if m:
+        view = catalog.view_name(_resolve(session, m.group("name")))
+        spark.catalog.uncacheTable(view)
+        return None
 
     m = _DESC_HISTORY.match(statement)
     if m:

@@ -555,3 +555,40 @@ def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,
          .format("parquet")
          .saveAsTable(name))
     return name
+
+
+def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
+                  table: str, for_columns: bool = False) -> dict[str, Any]:
+    """ANALYZE TABLE: row count (+ per-column approx NDV / null counts
+    with ``for_columns``), committed into table properties as a
+    metadata-only version — DESCRIBE EXTENDED surfaces it, and the
+    stats record which version they were computed at (staleness is
+    detectable, like the rollup freshness check).
+
+    Scale: one aggregation pass; NDV via HLL sketches (approx_count_
+    distinct) — mergeable, bounded memory, no sort. ≙ the engine-side
+    stats that feed broadcast-threshold decisions on a real deployment
+    (Spark's AQE re-derives runtime sizes; these persist across
+    sessions)."""
+    import json as _json
+
+    tbl = catalog.get_table(table)
+    df = catalog.read_table(spark, table)
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    cols = [c for c, _ in tbl.columns]
+    if for_columns:
+        for c in cols:
+            aggs += [F.approx_count_distinct(c).alias(f"__ndv_{c}"),
+                     F.sum(F.col(c).isNull().cast("long"))
+                      .alias(f"__nn_{c}")]
+    row = df.agg(*aggs).collect()[0]
+    stats: dict[str, Any] = {"rows": row["__n"],
+                             "analyzed_version": tbl.version}
+    if for_columns:
+        stats["columns"] = {
+            c: {"ndv": int(row[f"__ndv_{c}"]),
+                "nulls": int(row[f"__nn_{c}"] or 0)}
+            for c in cols}
+    catalog.update_file_index(table, tbl.files, append=False, op="analyze",
+                              properties={"stats": _json.dumps(stats)})
+    return stats

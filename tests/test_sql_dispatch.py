@@ -148,3 +148,48 @@ def test_alter_table_sql(spark, tmp_path):
     import pytest as _pt
     with _pt.raises(Exception):
         s.sql("ALTER TABLE t1 DROP COLUMN k")     # key column protected
+
+
+def test_analyze_table_stats(hsession):
+    hsession.sql("""CREATE TABLE az (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO az VALUES (1,'a'),(2,'b'),(3,NULL)")
+    out = hsession.sql(
+        "ANALYZE TABLE az COMPUTE STATISTICS FOR ALL COLUMNS").collect()[0]
+    assert out.rows == 3 and out.n_column_stats == 2
+    import json
+    stats = json.loads(hsession.catalog.get_table("az").properties["stats"])
+    assert stats["rows"] == 3
+    assert stats["columns"]["v"]["nulls"] == 1
+    assert stats["columns"]["k"]["ndv"] >= 2
+    # DESCRIBE EXTENDED surfaces the stats property
+    desc = {r.col_name: r.data_type for r in
+            hsession.sql("DESCRIBE EXTENDED az").collect()}
+    assert "Property: stats" in desc
+
+
+def test_cache_uncache_table(hsession):
+    hsession.sql("""CREATE TABLE cc (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO cc VALUES (1,'a')")
+    hsession.sql("CACHE TABLE cc")
+    view = hsession.catalog.view_name("cc")
+    assert hsession.spark.catalog.isCached(view)
+    assert hsession.sql("SELECT COUNT(*) AS n FROM cc").collect()[0].n == 1
+    hsession.sql("UNCACHE TABLE cc")
+    assert not hsession.spark.catalog.isCached(view)
+
+
+def test_orc_and_text_sources(spark, tmp_path):
+    from heracles_spark.sources.readers import orc_source, text_source
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k int, v string")
+    df.write.orc(str(tmp_path / "orc"))
+    got = sorted((r.k, r.v) for r in
+                 orc_source(spark, str(tmp_path / "orc")).collect())
+    assert got == [(1, "a"), (2, "b")]
+    (tmp_path / "t.txt").write_text("line1\nline2\n")
+    lines = sorted(r.line for r in
+                   text_source(spark, str(tmp_path / "t.txt"),
+                               value_col="line").collect())
+    assert lines == ["line1", "line2"]
