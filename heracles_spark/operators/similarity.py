@@ -448,3 +448,115 @@ def quantized_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                          6).alias("qcosine"))
              .orderBy(F.desc("qcosine"), id_col)
              .limit(k))
+
+
+# -- product quantization --------------------------------------------------
+
+def pq_train(df: DataFrame, m: int = 8, k: int = 16,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             dim: int = 64, sample_size: int = 4096, n_iter: int = 10,
+             seed: int = 42) -> list[list[list[float]]]:
+    """Train PQ codebooks: split the vector into ``m`` subspaces and run
+    L2 k-means (k centroids) in each. Driver-side numpy on the same
+    deterministic xxhash-min sample ``kmeans_centroids`` uses — faiss
+    trains PQ exactly this way; only ENCODING needs the cluster.
+
+    Returns codebooks[m][k][dim/m]."""
+    import numpy as np
+
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    rows = (df.select(F.col(vec_col).alias("v"),
+                      F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+              .orderBy("h").limit(sample_size).collect())
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < k:
+        raise ValueError(f"sample ({X.shape[0]}) smaller than k ({k})")
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub:(s + 1) * sub]
+        cents = Xs[rng.choice(Xs.shape[0], size=k, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((Xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for ci in range(k):
+                members = Xs[assign == ci]
+                if len(members) == 0:
+                    worst = int(np.argmax(np.min(d2, axis=1)))
+                    cents[ci] = Xs[worst]
+                else:
+                    cents[ci] = members.mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode each vector as ``codes: array<int>`` (m bytes of PQ code —
+    dim·4 bytes → m bytes of storage, the 32× compression that makes
+    billion-vector indexes fit).
+
+    Shape: broadcast the (sub_id, code, centroid) table, score every
+    (row, sub, code) with one subdim-term L2 expression, min_by per
+    (row, sub), reassemble codes per row ordered by sub_id — two
+    co-partitioned shuffles on the id, independent of m·k (same
+    broadcast-table pattern as ivf_build; inlined literals would not
+    scale past toy codebook sizes)."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    spark = df.sparkSession
+    rows = [(s, c, [float(v) for v in codebooks[s][c]])
+            for s in range(m) for c in range(k)]
+    cdf = spark.createDataFrame(rows, "sub_id int, code int, cvec array<double>")
+    # L2 distance of the row's s-th subvector to the centroid; subvector
+    # extraction is index arithmetic inside ONE expr (no slice alloc).
+    terms = " + ".join(
+        f"(CAST(`{vec_col}`[sub_id * {sub} + {j}] AS DOUBLE) - cvec[{j}]) * "
+        f"(CAST(`{vec_col}`[sub_id * {sub} + {j}] AS DOUBLE) - cvec[{j}])"
+        for j in range(sub))
+    d2 = F.expr(f"0.0D + {terms}")
+    best = (df.select(id_col, vec_col)
+              .crossJoin(F.broadcast(cdf))
+              .withColumn("__d2", d2)
+              .groupBy(id_col, "sub_id")
+              .agg(F.min_by("code",
+                            F.struct(F.col("__d2").alias("d"),
+                                     F.col("code").alias("c")))
+                    .alias("code")))
+    codes = (best.groupBy(id_col)
+                 .agg(F.expr(
+                     "transform(array_sort(collect_list(struct(sub_id, "
+                     "code))), x -> x.code)").alias("codes")))
+    return df.join(codes, id_col)
+
+
+def pq_topk_adc(df_codes: DataFrame, query_vec: list[float],
+                codebooks: list[list[list[float]]], kk: int = 10,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k: precompute the query's per-subspace
+    dot-product lookup table driver-side (m·k doubles), then score each
+    code word with m table lookups — no float vector is read at query
+    time (the scan touches only the m-byte codes column). The classic
+    IVF-PQ serving path; approximate, so correctness is recall-tested
+    (tests/test_similarity.py), not value-oracled."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    luts = []
+    for s in range(m):
+        q = query_vec[s * sub:(s + 1) * sub]
+        luts.append([sum(float(a) * float(b) for a, b in zip(q, c))
+                     for c in codebooks[s]])
+    parts = []
+    for s in range(m):
+        arr = ", ".join(_flit(v) for v in luts[s])
+        parts.append(f"element_at(array({arr}), codes[{s}] + 1)")
+    score = F.expr("0.0D + " + " + ".join(parts))
+    return (df_codes
+            .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+            .orderBy(F.desc("adc_score"), id_col)
+            .limit(kk))

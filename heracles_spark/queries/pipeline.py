@@ -1136,3 +1136,19 @@ FROM documents ORDER BY shuffle_key LIMIT 20
 
 
 QUERIES["doc_global_shuffle"] = (doc_global_shuffle, GSH_SQL)
+
+
+def embedding_ann_pq(spark, sf_dir):
+    """PQ-compressed ANN: 8-subspace × 16-code product quantization,
+    asymmetric-distance top-10 to vec_id=0's embedding — the serving
+    path that reads only the m-byte codes column. Approximate (rows-only
+    check); recall is pytest-verified with planted ground truth."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    books = similarity.pq_train(e, m=8, k=16, dim=64)
+    enc = similarity.pq_encode(e.where(F.col("vec_id") != 0), books)
+    return similarity.pq_topk_adc(enc, qvec, books, kk=10)
+
+
+QUERIES["embedding_ann_pq"] = (embedding_ann_pq, None)

@@ -255,3 +255,50 @@ def test_decontaminate_short_doc_whole_text_gram(spark):
     ev = spark.createDataFrame([(9, "tiny doc")], "doc_id long, text string")
     kept = {r["doc_id"] for r in decontaminate(train, ev, n=5).collect()}
     assert kept == {2}             # short docs compare whole-text
+
+
+# -- product quantization ---------------------------------------------------
+
+@pytest.fixture(scope="module")
+def pq_books(vecs):
+    return similarity.pq_train(vecs, m=4, k=8, dim=DIM, sample_size=200)
+
+
+def test_pq_train_shapes(pq_books):
+    assert len(pq_books) == 4
+    assert all(len(b) == 8 for b in pq_books)
+    assert all(len(c) == DIM // 4 for b in pq_books for c in b)
+
+
+def test_pq_encode_codes(spark, vecs, pq_books):
+    enc = similarity.pq_encode(vecs, pq_books).collect()
+    assert len(enc) == 200
+    for r in enc:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_encode_matches_numpy(spark, vecs, pq_books):
+    """In-plan encoding must pick the same centroids as a numpy argmin."""
+    import numpy as np
+
+    enc = {r["vec_id"]: list(r["codes"]) for r in
+           similarity.pq_encode(vecs, pq_books).collect()}
+    sub = DIM // 4
+    for vid in range(0, 50, 7):
+        x = np.asarray(_vec(vid))
+        for s in range(4):
+            xs = x[s * sub:(s + 1) * sub]
+            d2 = [((xs - np.asarray(c)) ** 2).sum() for c in pq_books[s]]
+            assert enc[vid][s] == int(np.argmin(d2))
+
+
+def test_pq_adc_recall(spark, vecs, pq_books):
+    """ADC ranking must recover most of the true dot-product top-10."""
+    q = _vec(555)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(vecs, q, k=10).collect()]
+    enc = similarity.pq_encode(vecs, pq_books)
+    adc = [r["vec_id"] for r in
+           similarity.pq_topk_adc(enc, q, pq_books, kk=10).collect()]
+    assert len(set(exact) & set(adc)) >= 4   # 4 subspaces x 8 codes is coarse
