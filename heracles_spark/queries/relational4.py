@@ -178,3 +178,49 @@ FROM orders
 
 QUERIES["struct_nested_access"] = (struct_nested_access, SNA_SQL)
 QUERIES["rand_contract"] = (rand_contract, RAND_SQL)
+
+
+def cast_type_matrix(spark, sf_dir):
+    """SURVEY §1.3 type-system sweep: casts across the full supported
+    set (boolean/tinyint/smallint/int/bigint/float/double/decimal/
+    string/date/timestamp/binary) chosen where both engines' cast
+    semantics provably agree: small ints (no wrap), float32 narrowing
+    (IEEE, deterministic), decimal(18,2) quantization, ISO date strings,
+    hex-encoded binary. Double→int truncation is EXCLUDED by design —
+    Spark truncates, DuckDB rounds."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    k = F.col("o_orderkey")
+    return (o.select(
+                k,
+                k.cast("tinyint").alias("k_i8"),
+                k.cast("smallint").alias("k_i16"),
+                (k % 2 == 0).alias("k_even"),
+                (k % 2 == 0).cast("int").alias("k_even_i"),
+                (k % 2 == 0).cast("string").alias("k_even_s"),
+                F.col("o_totalprice").cast("float").cast("double")
+                 .alias("price_f32"),
+                F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+                 .alias("price_dec_s"),
+                F.col("o_orderdate").cast("date").cast("string")
+                 .alias("date_s"),
+                F.hex(F.encode(F.col("o_orderpriority"), "utf-8"))
+                 .alias("prio_hex"))
+             .orderBy("o_orderkey"))
+
+
+CTM_SQL = """
+SELECT o_orderkey,
+       CAST(o_orderkey AS TINYINT) AS k_i8,
+       CAST(o_orderkey AS SMALLINT) AS k_i16,
+       o_orderkey % 2 = 0 AS k_even,
+       CAST(o_orderkey % 2 = 0 AS INT) AS k_even_i,
+       CAST(o_orderkey % 2 = 0 AS VARCHAR) AS k_even_s,
+       CAST(CAST(o_totalprice AS FLOAT) AS DOUBLE) AS price_f32,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS price_dec_s,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS date_s,
+       hex(encode(o_orderpriority)) AS prio_hex
+FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
+"""
+
+
+QUERIES["cast_type_matrix"] = (cast_type_matrix, CTM_SQL)
