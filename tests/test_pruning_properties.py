@@ -1,0 +1,129 @@
+"""Property-based soundness of the file pruner (hypothesis).
+
+The pruner's contract (heracles_spark/pruning.py, ≙ the reference's
+partialReduce MAY/NO logic, PartialPredicateOperations.scala:116-384) is
+one-sided: ``may_match`` may answer MAY for a file that holds no
+matching row (harmless over-read), but it must NEVER answer NO for a
+file that contains one (that would drop rows). These tests hammer that
+invariant with random predicates over random integer files, and check
+``to_nnf`` is an exact rewrite under row-keeping semantics.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from heracles_spark.pruning import may_match, to_nnf
+
+COLS = ["a", "b"]
+
+_vals = st.integers(min_value=-5, max_value=5)
+
+
+def _leaf():
+    cmp_ops = st.sampled_from(["=", "!=", "<", "<=", ">", ">="])
+    col = st.sampled_from(COLS)
+    return st.one_of(
+        st.tuples(cmp_ops, col, _vals),
+        st.tuples(st.just("in"), col,
+                  st.lists(_vals, min_size=1, max_size=4)),
+        st.tuples(st.just("between"), col, _vals, _vals),
+        st.tuples(st.just("isnull"), col),
+        st.tuples(st.just("isnotnull"), col),
+    )
+
+
+def _pred():
+    return st.recursive(
+        _leaf(),
+        lambda children: st.one_of(
+            st.tuples(st.just("and"), children, children),
+            st.tuples(st.just("or"), children, children),
+            st.tuples(st.just("not"), children),
+        ),
+        max_leaves=8,
+    )
+
+
+def _rows():
+    cell = st.one_of(st.none(), _vals)
+    return st.lists(st.fixed_dictionaries({c: cell for c in COLS}),
+                    min_size=1, max_size=6)
+
+
+def eval_pred(pred, row):
+    """3-valued SQL evaluation: True / False / None (unknown)."""
+    op = pred[0].lower()
+    if op == "and":
+        vs = [eval_pred(p, row) for p in pred[1:]]
+        if any(v is False for v in vs):
+            return False
+        return None if any(v is None for v in vs) else True
+    if op == "or":
+        vs = [eval_pred(p, row) for p in pred[1:]]
+        if any(v is True for v in vs):
+            return True
+        return None if any(v is None for v in vs) else False
+    if op == "not":
+        v = eval_pred(pred[1], row)
+        return None if v is None else (not v)
+    col = pred[1]
+    v = row[col]
+    if op == "isnull":
+        return v is None
+    if op == "isnotnull":
+        return v is not None
+    if v is None:
+        return None
+    if op == "=":
+        return v == pred[2]
+    if op == "!=":
+        return v != pred[2]
+    if op == "<":
+        return v < pred[2]
+    if op == "<=":
+        return v <= pred[2]
+    if op == ">":
+        return v > pred[2]
+    if op == ">=":
+        return v >= pred[2]
+    if op == "in":
+        return v in pred[2]
+    if op == "between":
+        return pred[2] <= v <= pred[3]
+    raise AssertionError(op)
+
+
+def _box(rows):
+    """File min/max stats exactly as harvest_file_index records them:
+    per column over non-null values; absent when all-null."""
+    mins, maxs = {}, {}
+    for c in COLS:
+        vals = [r[c] for r in rows if r[c] is not None]
+        if vals:
+            mins[c] = min(vals)
+            maxs[c] = max(vals)
+    return mins, maxs
+
+
+@settings(max_examples=400, deadline=None)
+@given(_pred(), _rows())
+def test_may_match_never_drops_a_matching_row(pred, rows):
+    """If any row in the file satisfies the predicate (TRUE — SQL keeps
+    the row), the pruner must keep the file. Key-col claim ('key columns
+    are non-nullable') is not assumed here: key_cols=[] models plain
+    non-key stats."""
+    mins, maxs = _box(rows)
+    if any(eval_pred(to_nnf(pred), row) is True for row in rows):
+        assert may_match(to_nnf(pred), mins, maxs, key_cols=[]) is not False
+
+
+@settings(max_examples=400, deadline=None)
+@given(_pred(), _rows())
+def test_to_nnf_is_exact_under_row_keeping(pred, rows):
+    """to_nnf must preserve which rows are KEPT (evaluate TRUE) — the
+    semantics WHERE uses — including through NULLs and De Morgan."""
+    nnf = to_nnf(pred)
+    for row in rows:
+        assert (eval_pred(pred, row) is True) == (eval_pred(nnf, row) is True)

@@ -20,6 +20,8 @@ HEADLINE = [
     "events_sessionize", "events_asof_join", "events_range_join",
     "doc_dedup_exact_text", "doc_lang_id", "embedding_knn_brute",
     "doc_ngram_jaccard", "doc_chunking",
+    "doc_decontaminate", "embedding_quantized_knn", "doc_top_tfidf_term",
+    "doc_global_shuffle", "doc_corpus_pipeline",
 ]
 
 
@@ -68,8 +70,16 @@ def main() -> None:
         lines.append(f"| {name} | {ts:.3f} | {td:.3f} | {ratio:.1f}x |")
     lines.append(f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
                  f"**{total_s / total_d:.1f}x** |")
+    # Preserve hand-written analysis below the MANUAL marker.
+    manual = ""
+    try:
+        old = open("BENCH_NOTES.md").read()
+        if "<!-- MANUAL -->" in old:
+            manual = "\n" + old.split("<!-- MANUAL -->", 1)[1].lstrip("\n")
+    except FileNotFoundError:
+        pass
     with open("BENCH_NOTES.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n\n<!-- MANUAL -->\n" + manual)
     print(f"BENCH_NOTES.md written; spark {total_s:.2f}s vs duckdb "
           f"{total_d:.2f}s")
 
