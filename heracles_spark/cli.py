@@ -31,6 +31,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
   RESTORE TABLE t TO VERSION AS OF n  (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
+  CREATE INDEX i ON t (col) | REFRESH INDEX i ON t | DROP INDEX i ON t
   ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
   CACHE TABLE t | UNCACHE TABLE t
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db

@@ -1152,3 +1152,47 @@ def embedding_ann_pq(spark, sf_dir):
 
 
 QUERIES["embedding_ann_pq"] = (embedding_ann_pq, None)
+
+
+def customer_index_range(spark, sf_dir):
+    """Secondary-index range lookup (heracles_spark.index): customer
+    keyed on c_custkey with an index projection on c_acctbal — a RANGE
+    predicate on a non-key column, which neither min/max boxes (values
+    interleave across key ranges) nor blooms (equality-only) can prune.
+    The probe routes through the sorted projection and reads only the
+    base files the pointer set touches; ``index_used`` is pinned TRUE by
+    the oracle so the value hash certifies the routing fired."""
+    import tempfile
+
+    from heracles_spark import index as index_mod
+    from heracles_spark import writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_idx_"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cat.create_table(
+        "cust",
+        [("c_custkey", "bigint"), ("c_name", "string"),
+         ("c_nationkey", "bigint"), ("c_acctbal", "double")],
+        ["c_custkey"])
+    writer.write_key_organized(
+        spark, cat, "cust",
+        c.select("c_custkey", "c_name", "c_nationkey", "c_acctbal"),
+        n_buckets=8)
+    index_mod.create_index(spark, cat, "cust", "c_acctbal")
+    out = index_mod.indexed_lookup(
+        spark, cat, "cust", ("between", "c_acctbal", 9950.0, 9999.0))
+    used = index_mod.LAST_INDEX_STATS.get("mode") == "index"
+    return (out.select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                       F.lit(used).alias("index_used"))
+               .orderBy("c_custkey"))
+
+
+IDX_SQL = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, TRUE AS index_used
+FROM customer WHERE c_acctbal BETWEEN 9950.0 AND 9999.0
+ORDER BY c_custkey
+"""
+
+
+QUERIES["customer_index_range"] = (customer_index_range, IDX_SQL)

@@ -116,6 +116,15 @@ _VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
 _DESC_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_CREATE_INDEX = re.compile(
+    r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
+    r"\(\s*(?P<col>\w+)\s*\)\s*$", re.IGNORECASE)
+_DROP_INDEX = re.compile(
+    r"^\s*DROP\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
+_REFRESH_INDEX = re.compile(
+    r"^\s*REFRESH\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
     r"(?P<cols>\s+FOR\s+ALL\s+COLUMNS)?\s*$", re.IGNORECASE)
@@ -378,6 +387,31 @@ def dispatch(session, statement: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(st["removed_files"], st["retained_versions"])],
             "removed_files: int, retained_versions: int")
+
+    m = _CREATE_INDEX.match(statement)
+    if m:
+        from heracles_spark import index as index_mod
+        name = _resolve(session, m.group("name"))
+        index_mod.create_index(spark, catalog, name, m.group("col"),
+                               m.group("iname"))
+        return None
+
+    m = _DROP_INDEX.match(statement)
+    if m:
+        from heracles_spark import index as index_mod
+        index_mod.drop_index(catalog, _resolve(session, m.group("name")),
+                             m.group("iname"))
+        return None
+
+    m = _REFRESH_INDEX.match(statement)
+    if m:
+        from heracles_spark import index as index_mod
+        st = index_mod.refresh_index(
+            spark, catalog, _resolve(session, m.group("name")),
+            m.group("iname"))
+        return spark.createDataFrame(
+            [(st["refreshed"], st["built_version"])],
+            "refreshed: boolean, built_version: int")
 
     m = _ANALYZE.match(statement)
     if m:

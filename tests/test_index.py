@@ -1,0 +1,112 @@
+"""Secondary index projections: pruned lookups on non-key columns
+(heracles_spark/index.py — the columnar answer to the reference's
+server-side seek-hint skip-scan, HBaseCustomFilter.scala:43-658)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from heracles_spark import index as ix
+from heracles_spark import writer
+
+
+def _mk(spark, catalog, n=800, buckets=8):
+    """8-file table keyed on k; v is DECOUPLED from k (v = k*37 % n) so
+    key-range boxes are useless for v predicates — the situation a
+    secondary index exists for."""
+    catalog.create_table("base", [("k", "int"), ("v", "int"),
+                                  ("payload", "string")], ["k"])
+    df = spark.range(n).selectExpr(
+        "CAST(id AS INT) k",
+        f"CAST(id * 37 % {n} AS INT) v",
+        "CONCAT('p', id) payload")
+    writer.write_key_organized(spark, catalog, "base", df,
+                               n_buckets=buckets)
+
+
+def test_create_probe_point(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    got = ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37)).collect()
+    assert [(r.k, r.v) for r in got] == [(1, 37)]
+    st = ix.LAST_INDEX_STATS
+    assert st["mode"] == "index"
+    assert st["base_files_read"] == 1          # one pointer → one file
+    assert st["index_files_read"] <= 2
+
+
+def test_probe_range_matches_full_scan(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    pred = ("between", "v", 100, 140)
+    got = sorted((r.k, r.v) for r in
+                 ix.indexed_lookup(spark, catalog, "base", pred).collect())
+    want = sorted((r.k, r.v) for r in
+                  catalog.read_table(spark, "base")
+                  .where("v BETWEEN 100 AND 140").collect())
+    assert got == want and len(got) == 41
+    assert ix.LAST_INDEX_STATS["mode"] == "index"
+
+
+def test_stale_index_falls_back_and_refresh_restores(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    writer.insert_rows(spark, catalog, "base", [("9001", "77", "new")])
+    got = sorted((r.k, r.v) for r in
+                 ix.indexed_lookup(spark, catalog, "base",
+                                   ("=", "v", 77)).collect())
+    # stale → direct scan, but STILL CORRECT (sees the new row)
+    assert ix.LAST_INDEX_STATS["mode"] == "direct"
+    assert ix.LAST_INDEX_STATS["reason"] == "stale-index"
+    assert (9001, 77) in got
+    st = ix.refresh_index(spark, catalog, "base", "v")
+    assert st["refreshed"]
+    got2 = sorted((r.k, r.v) for r in
+                  ix.indexed_lookup(spark, catalog, "base",
+                                    ("=", "v", 77)).collect())
+    assert got2 == got
+    assert ix.LAST_INDEX_STATS["mode"] == "index"
+
+
+def test_isnull_predicate_goes_direct(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    ix.indexed_lookup(spark, catalog, "base", ("isnull", "v")).collect()
+    assert ix.LAST_INDEX_STATS["reason"] == "isnull-predicate"
+
+
+def test_unselective_predicate_hits_pointer_cap(spark, catalog, monkeypatch):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    monkeypatch.setattr(ix, "POINTER_CAP", 10)
+    got = ix.indexed_lookup(spark, catalog, "base",
+                            ("between", "v", 0, 500)).collect()
+    assert ix.LAST_INDEX_STATS["reason"] == "pointer-cap"
+    assert len(got) == 501
+
+
+def test_key_column_rejected_and_drop(spark, catalog):
+    _mk(spark, catalog)
+    with pytest.raises(ValueError, match="already a key column"):
+        ix.create_index(spark, catalog, "base", "k")
+    ix.create_index(spark, catalog, "base", "v", name="vi")
+    assert catalog.table_exists("base__idx_vi")
+    ix.drop_index(catalog, "base", "vi")
+    assert not catalog.table_exists("base__idx_vi")
+    # falls back cleanly once dropped
+    ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37)).collect()
+    assert ix.LAST_INDEX_STATS["reason"] == "no-index"
+
+
+def test_sql_surface(hsession, spark, catalog):
+    _mk(spark, catalog)
+    catalog.read_table(spark, "base").createOrReplaceTempView(
+        catalog.view_name("base"))
+    hsession.sql("CREATE INDEX vi ON base (v)")
+    assert catalog.table_exists("base__idx_vi")
+    out = hsession.sql("REFRESH INDEX vi ON base").collect()[0]
+    assert out.refreshed is False              # fresh right after build
+    hsession.sql("DROP INDEX vi ON base")
+    assert not catalog.table_exists("base__idx_vi")
