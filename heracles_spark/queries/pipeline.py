@@ -1196,3 +1196,47 @@ ORDER BY c_custkey
 
 
 QUERIES["customer_index_range"] = (customer_index_range, IDX_SQL)
+
+
+def orders_zorder_lookup(spark, sf_dir):
+    """Hilbert-curve layout pruning (heracles_spark.zorder): orders
+    keyed on (o_custkey, o_orderkey) written z-ordered, then probed on
+    the NON-LEADING key dimension alone — the skip-scan case the
+    reference needed its 600-line server-side seek-hint filter for
+    (HBaseCustomFilter.scala:43-658). Lexicographic layout leaves
+    o_orderkey interleaved across every file; the space-filling curve
+    makes per-file boxes tight on BOTH dimensions, so the pruner drops
+    most files. ``files_pruned`` is pinned TRUE by the oracle."""
+    import tempfile
+
+    from heracles_spark import pruning, zorder
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_z_"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cat.create_table(
+        "ordz",
+        [("o_custkey", "bigint"), ("o_orderkey", "bigint"),
+         ("o_totalprice", "double")],
+        ["o_custkey", "o_orderkey"])
+    zorder.write_zordered(
+        spark, cat, "ordz",
+        o.select("o_custkey", "o_orderkey", "o_totalprice"),
+        n_buckets=16, curve="hilbert")
+    tbl = cat.get_table("ordz")
+    pred = ("between", "o_orderkey", 100, 140)
+    keep = pruning.prune_files(tbl.files, pred, tbl.key_cols)
+    return (pruning.scan(spark, cat, "ordz", pred)
+            .select("o_custkey", "o_orderkey", "o_totalprice",
+                    F.lit(len(keep) < len(tbl.files)).alias("files_pruned"))
+            .orderBy("o_custkey", "o_orderkey"))
+
+
+ZORD_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, TRUE AS files_pruned
+FROM orders WHERE o_orderkey BETWEEN 100 AND 140
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+QUERIES["orders_zorder_lookup"] = (orders_zorder_lookup, ZORD_SQL)
