@@ -224,3 +224,63 @@ FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey
 
 
 QUERIES["cast_type_matrix"] = (cast_type_matrix, CTM_SQL)
+
+
+def lateral_topn_per_nation(spark, sf_dir):
+    """Correlated LATERAL subquery join (SQL:1999 lateral derived table):
+    top-2 suppliers by balance per nation. Spark plans this as a
+    LateralJoin with the correlated limit pushed inside — the modern
+    form of the top-n-per-group shape window_rank_dense also covers."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_lat")
+    return spark.sql("""
+        SELECT n.n_name, t.s_name, t.s_acctbal
+        FROM nation_lat n,
+        LATERAL (SELECT s_name, s_acctbal FROM supplier_lat s
+                 WHERE s.s_nationkey = n.n_nationkey
+                 ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+        ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+    """)
+
+
+LAT_SQL = """
+SELECT n.n_name, t.s_name, t.s_acctbal
+FROM nation n,
+LATERAL (SELECT s_name, s_acctbal FROM supplier s
+         WHERE s.s_nationkey = n.n_nationkey
+         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+ORDER BY n.n_name, t.s_acctbal DESC, t.s_name
+"""
+
+
+def interval_arithmetic(spark, sf_dir):
+    """INTERVAL literal arithmetic on timestamps (day/hour/minute adds,
+    timestamp differences in minutes) — naive (NTZ) end to end, so the
+    values are session-timezone-independent on both engines."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir).where(F.col("event_id") <= 50)
+    return (e.select(
+                "event_id",
+                F.col("ts"),
+                F.expr("ts + INTERVAL 90 MINUTE").alias("plus90m"),
+                F.expr("ts - INTERVAL 1 DAY").alias("minus1d"),
+                F.expr("timestampdiff(MINUTE, "
+                       "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                 .alias("minutes_since_epoch"))
+             .orderBy("event_id"))
+
+
+IVL_SQL = """
+SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+       CAST(ts AS TIMESTAMP) + INTERVAL 90 MINUTE AS plus90m,
+       CAST(ts AS TIMESTAMP) - INTERVAL 1 DAY AS minus1d,
+       CAST(datediff('minute', TIMESTAMP '1970-01-01 00:00:00',
+                     CAST(ts AS TIMESTAMP)) AS BIGINT)
+         AS minutes_since_epoch
+FROM events WHERE event_id <= 50 ORDER BY event_id
+"""
+
+
+QUERIES["lateral_topn_per_nation"] = (lateral_topn_per_nation, LAT_SQL)
+QUERIES["interval_arithmetic"] = (interval_arithmetic, IVL_SQL)
