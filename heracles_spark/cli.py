@@ -34,6 +34,9 @@ HELP = """Supported statements (≙ reference CLI HELP):
   CREATE INDEX i ON t (col) | REFRESH INDEX i ON t | DROP INDEX i ON t
   ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
   CACHE TABLE t | UNCACHE TABLE t
+  ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c
+  SHOW FILES [FOR] t   (file index: path, rows, key min/max)
+  COPY t TO '<dir>' [FORMAT parquet|csv|json|orc]
   CREATE | DROP DATABASE [IF [NOT] EXISTS] db [CASCADE] | USE db
   ALTER TABLE t ADD [COLUMNS] (c TYPE, ...) | DROP [COLUMN] c
   SHOW TABLES | SHOW DATABASES | SHOW CREATE TABLE t

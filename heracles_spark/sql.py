@@ -43,6 +43,7 @@ import re
 import shlex
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 _CLONE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(?P<dst>[\w.]+)\s+(?:SHALLOW\s+)?CLONE\s+"
@@ -116,6 +117,18 @@ _VACUUM = re.compile(
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
 _DESC_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_ADD_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+ADD\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL)
+_DROP_CONSTRAINT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
+    r"(?P<cname>\w+)\s*$", re.IGNORECASE)
+_SHOW_FILES = re.compile(
+    r"^\s*SHOW\s+FILES\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_COPY_TO = re.compile(
+    r"^\s*COPY\s+(?P<name>[\w.]+)\s+TO\s+'(?P<path>[^']+)'"
+    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
     r"\(\s*(?P<col>\w+)\s*\)\s*$", re.IGNORECASE)
@@ -387,6 +400,71 @@ def dispatch(session, statement: str) -> DataFrame | None:
         return spark.createDataFrame(
             [(st["removed_files"], st["retained_versions"])],
             "removed_files: int, retained_versions: int")
+
+    m = _ADD_CONSTRAINT.match(statement)
+    if m:
+        import json as _json
+        name = _resolve(session, m.group("name"))
+        tbl = catalog.get_table(name)
+        cons = _json.loads(tbl.properties.get("constraints", "{}"))
+        cname = m.group("cname").lower()
+        if cname in cons:
+            raise ValueError(f"constraint {cname!r} already exists")
+        expr = m.group("expr").strip()
+        # Existing rows must satisfy the new constraint (standard ALTER
+        # ADD CONSTRAINT semantics) — one aggregation over the table.
+        probe = catalog.read_table(spark, name)
+        n_bad = probe.where(
+            F.expr(expr).cast("boolean") == F.lit(False)).count()
+        if n_bad:
+            raise ValueError(
+                f"cannot add constraint {cname!r}: {n_bad} existing rows "
+                f"violate ({expr})")
+        cons[cname] = expr
+        catalog.update_file_index(
+            name, tbl.files, append=False, op=f"add-constraint:{cname}",
+            properties={"constraints": _json.dumps(cons)})
+        return None
+
+    m = _DROP_CONSTRAINT.match(statement)
+    if m:
+        import json as _json
+        name = _resolve(session, m.group("name"))
+        tbl = catalog.get_table(name)
+        cons = _json.loads(tbl.properties.get("constraints", "{}"))
+        cname = m.group("cname").lower()
+        if cname not in cons:
+            raise ValueError(f"no such constraint {cname!r}")
+        del cons[cname]
+        catalog.update_file_index(
+            name, tbl.files, append=False, op=f"drop-constraint:{cname}",
+            properties={"constraints": _json.dumps(cons)})
+        return None
+
+    m = _SHOW_FILES.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        import json as _json
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        rows = [(f["path"], int(f.get("rows", 0)),
+                 _json.dumps(f.get("min", {}), default=str, sort_keys=True),
+                 _json.dumps(f.get("max", {}), default=str, sort_keys=True))
+                for f in tbl.files]
+        return spark.createDataFrame(
+            rows, "path: string, rows: long, min_key: string, max_key: string")
+
+    m = _COPY_TO.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        fmt = (m.group("fmt") or "parquet").lower()
+        if fmt not in ("parquet", "csv", "json", "orc"):
+            raise ValueError(f"COPY: unsupported format {fmt!r}")
+        df = catalog.read_table(spark, name)
+        w = df.write.mode("overwrite")
+        if fmt == "csv":
+            w = w.option("header", "true")
+        getattr(w, fmt)(m.group("path"))
+        return spark.createDataFrame(
+            [(df.count(), fmt)], "rows_copied: long, format: string")
 
     m = _CREATE_INDEX.match(statement)
     if m:

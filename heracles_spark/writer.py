@@ -79,6 +79,8 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     # Reject null keys (HBaseRelation.scala:668 non-nullable key columns).
     df = df.where(F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys)))
 
+    validate_constraints(df, tbl)
+
     if upsert:
         # HBase semantics: one row per key, last write wins. Expressed as a
         # per-key reduce — a single shuffle, map-side combinable.
@@ -498,6 +500,7 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
     df = df.select(*[F.col(f.name).cast(f.dataType)
                      for f in tbl.schema().fields])
     df = df.where(F.expr(" AND ".join(f"`{k}` IS NOT NULL" for k in keys)))
+    validate_constraints(df, tbl)
 
     staging = tbl.data_dir.rstrip("/") + "~cowstage"
     import shutil
@@ -592,3 +595,30 @@ def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
     catalog.update_file_index(table, tbl.files, append=False, op="analyze",
                               properties={"stats": _json.dumps(stats)})
     return stats
+
+
+def validate_constraints(df: DataFrame, tbl: KeyTable) -> None:
+    """Enforce the table's CHECK constraints on incoming rows (SQL
+    semantics: a row violates only when the expression IS FALSE — NULL
+    passes). One aggregation over the incoming batch, all constraints
+    counted together; writers call this before staging so a rejected
+    batch costs no IO. Constraints live in table properties
+    ('constraints' JSON) and travel through clones/versions like any
+    other property."""
+    import json as _json
+
+    constraints = _json.loads(tbl.properties.get("constraints", "{}"))
+    if not constraints:
+        return
+    aggs = [F.sum(F.when(F.expr(expr).cast("boolean") == F.lit(False), 1)
+                  .otherwise(0)).alias(name)
+            for name, expr in constraints.items()]
+    row = df.agg(*aggs).collect()[0]
+    bad = {name: int(row[name] or 0) for name in constraints
+           if (row[name] or 0) > 0}
+    if bad:
+        detail = ", ".join(
+            f"{name} [{constraints[name]}]: {n} rows" for name, n in
+            sorted(bad.items()))
+        raise ValueError(f"CHECK constraint violation on {tbl.name}: "
+                         f"{detail}")

@@ -193,3 +193,47 @@ def test_orc_and_text_sources(spark, tmp_path):
                    text_source(spark, str(tmp_path / "t.txt"),
                                value_col="line").collect())
     assert lines == ["line1", "line2"]
+
+
+def test_check_constraints_enforced(hsession):
+    hsession.sql("""CREATE TABLE ck (k INT, v INT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO ck VALUES (1, 10)")
+    hsession.sql("ALTER TABLE ck ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # violating write rejected wholesale
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        hsession.sql("INSERT INTO ck VALUES (2, -5)")
+    assert hsession.sql("SELECT COUNT(*) AS n FROM ck").collect()[0].n == 1
+    # NULL passes (SQL CHECK semantics), valid rows pass
+    hsession.sql("INSERT INTO ck VALUES (3, NULL), (4, 7)")
+    assert hsession.sql("SELECT COUNT(*) AS n FROM ck").collect()[0].n == 3
+    # UPDATE through the COW path is checked too
+    with pytest.raises(ValueError, match="CHECK constraint violation"):
+        hsession.sql("UPDATE ck SET v = -1 WHERE k = 4")
+    # adding a constraint existing rows violate is rejected
+    with pytest.raises(ValueError, match="existing rows"):
+        hsession.sql("ALTER TABLE ck ADD CONSTRAINT v_big CHECK (v > 100)")
+    hsession.sql("ALTER TABLE ck DROP CONSTRAINT v_pos")
+    hsession.sql("INSERT INTO ck VALUES (5, -9)")   # allowed after drop
+    assert hsession.sql("SELECT COUNT(*) AS n FROM ck").collect()[0].n == 4
+
+
+def test_show_files(hsession):
+    hsession.sql("""CREATE TABLE sf (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO sf VALUES (1,'a'),(2,'b')")
+    rows = hsession.sql("SHOW FILES FOR sf").collect()
+    assert len(rows) >= 1
+    assert rows[0].rows >= 1 and '"k"' in rows[0].min_key
+
+
+def test_copy_to(hsession, spark, tmp_path):
+    hsession.sql("""CREATE TABLE cp (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO cp VALUES (1,'a'),(2,'b')")
+    out = hsession.sql(
+        f"COPY cp TO '{tmp_path}/out_csv' FORMAT csv").collect()[0]
+    assert out.rows_copied == 2 and out.format == "csv"
+    back = spark.read.option("header", "true").csv(f"{tmp_path}/out_csv")
+    assert sorted((r.k, r.v) for r in back.collect()) == \
+        [("1", "a"), ("2", "b")]
