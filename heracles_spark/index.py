@@ -105,24 +105,53 @@ def _build(spark: SparkSession, catalog: HeraclesCatalog, table: str,
 
 def refresh_index(spark: SparkSession, catalog: HeraclesCatalog,
                   table: str, name: str) -> dict[str, Any]:
-    """Rebuild a stale index and stamp the current base version."""
+    """Bring a stale index current and stamp the base version.
+
+    Incremental fast path (same file-diff the rollup refresher uses):
+    when the base's current file set is a SUPERSET of the file set at
+    the index's built version — pure appends since the last refresh —
+    only the NEW files are projected and appended to the index
+    (projection tables tolerate overlapping key ranges; the pruner uses
+    per-file boxes). Any rewrite (OPTIMIZE / MERGE / UPDATE / DELETE)
+    breaks the superset relation and triggers an exact full rebuild.
+    Returns mode: 'noop' | 'incremental' | 'rebuild'."""
+    from heracles_spark import writer
+
     tbl = catalog.get_table(table)
     idx = _indexes(tbl)
     if name not in idx:
         raise ValueError(f"no such index {name!r} on {table}")
     entry = idx[name]
-    stale = entry["built_version"] != tbl.version
-    if stale:
+    if entry["built_version"] == tbl.version:
+        return {"refreshed": False, "mode": "noop",
+                "built_version": entry["built_version"]}
+
+    hist = {h["v"]: h for h in tbl.history}
+    built = hist.get(entry["built_version"])
+    cur_paths = {f["path"] for f in tbl.files}
+    old_paths = set(built["paths"]) if built and "paths" in built else None
+
+    if old_paths is not None and old_paths <= cur_paths:
+        new_paths = sorted(cur_paths - old_paths)
+        if new_paths:
+            base = (spark.read.schema(tbl.schema()).parquet(*new_paths)
+                    .select(entry["col"], *tbl.key_cols)
+                    .where(F.col(entry["col"]).isNotNull()))
+            writer.write_key_organized(spark, catalog, entry["table"],
+                                       base, mode="append")
+        mode = "incremental"
+    else:
         _build(spark, catalog, table, entry["table"], entry["col"])
-        # The rebuild read base version `tbl.version`; the stamp commit
-        # below bumps it by one without changing data, so the index is
-        # fresh AS OF that post-commit version.
-        entry["built_version"] = tbl.version + 1
-        idx[name] = entry
-        catalog.update_file_index(table, catalog.get_table(table).files,
-                                  append=False, op=f"refresh-index:{name}",
-                                  properties={_PROP: json.dumps(idx)})
-    return {"refreshed": stale, "built_version": entry["built_version"]}
+        mode = "rebuild"
+    # The stamp commit below bumps the base version by one without
+    # changing data, so the index is fresh AS OF that version.
+    entry["built_version"] = tbl.version + 1
+    idx[name] = entry
+    catalog.update_file_index(table, catalog.get_table(table).files,
+                              append=False, op=f"refresh-index:{name}",
+                              properties={_PROP: json.dumps(idx)})
+    return {"refreshed": True, "mode": mode,
+            "built_version": entry["built_version"]}
 
 
 def drop_index(catalog: HeraclesCatalog, table: str, name: str) -> None:

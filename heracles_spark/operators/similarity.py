@@ -560,3 +560,30 @@ def pq_topk_adc(df_codes: DataFrame, query_vec: list[float],
             .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
             .orderBy(F.desc("adc_score"), id_col)
             .limit(kk))
+
+
+def ivfpq_topk(df: DataFrame, query_vec: list[float],
+               codebooks: list[list[list[float]]],
+               centroids: list[list[float]], kk: int = 10,
+               n_probe: int = 4, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """IVF-PQ: the composition that serves billion-vector indexes —
+    IVF cell pruning bounds the candidate set (read n_probe/n_cells of
+    the data; with cell-partitioned storage the scan itself prunes),
+    then PQ asymmetric distance ranks candidates reading only m-byte
+    codes. faiss's IndexIVFPQ, as two existing operators composed:
+    ``ivf_build`` assignments + ``pq_encode`` codes are both
+    build-time; query time is centroid argmax (driver-side, tiny) + a
+    code-column scan of the probed cells."""
+    built = ivf_build(df, id_col=id_col, vec_col=vec_col,
+                      centroids=centroids)
+    enc = pq_encode(built, codebooks, id_col=id_col, vec_col=vec_col)
+    dim = len(query_vec)
+    qn = math.sqrt(sum(v * v for v in query_vec)) or 1e-12
+    order = sorted(
+        range(len(centroids)),
+        key=lambda ci: -sum(a * b for a, b in
+                            zip(centroids[ci], query_vec)) / qn)
+    probe = order[:n_probe]
+    return pq_topk_adc(enc.where(F.col("cell_id").isin(probe)),
+                       query_vec, codebooks, kk=kk, id_col=id_col)

@@ -1240,3 +1240,19 @@ ORDER BY o_custkey, o_orderkey
 
 
 QUERIES["orders_zorder_lookup"] = (orders_zorder_lookup, ZORD_SQL)
+
+
+def embedding_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ serving path (faiss IndexIVFPQ shape): k-means cells bound
+    the candidate scan, PQ codes bound the bytes read. Approximate →
+    rows-only; recall pytest-verified."""
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cents = similarity.kmeans_centroids(e, n_cells=8)
+    books = similarity.pq_train(e, m=8, k=16, dim=64)
+    return similarity.ivfpq_topk(e.where(F.col("vec_id") != 0), qvec,
+                                 books, cents, kk=10, n_probe=4)
+
+
+QUERIES["embedding_ann_ivfpq"] = (embedding_ann_ivfpq, None)

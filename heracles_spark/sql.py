@@ -488,8 +488,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
             spark, catalog, _resolve(session, m.group("name")),
             m.group("iname"))
         return spark.createDataFrame(
-            [(st["refreshed"], st["built_version"])],
-            "refreshed: boolean, built_version: int")
+            [(st["refreshed"], st["mode"], st["built_version"])],
+            "refreshed: boolean, mode: string, built_version: int")
 
     m = _ANALYZE.match(statement)
     if m:

@@ -110,3 +110,34 @@ def test_sql_surface(hsession, spark, catalog):
     assert out.refreshed is False              # fresh right after build
     hsession.sql("DROP INDEX vi ON base")
     assert not catalog.table_exists("base__idx_vi")
+
+
+def test_incremental_refresh_appends_only_new_files(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    n_idx_files_before = len(catalog.get_table("base__idx_v").files)
+    writer.insert_rows(spark, catalog, "base",
+                       [("9001", "123456", "x"), ("9002", "123457", "y")])
+    st = ix.refresh_index(spark, catalog, "base", "v")
+    assert st["mode"] == "incremental"
+    # appended exactly one new index file; old index files untouched
+    assert len(catalog.get_table("base__idx_v").files) == \
+        n_idx_files_before + 1
+    got = [(r.k, r.v) for r in
+           ix.indexed_lookup(spark, catalog, "base",
+                             ("=", "v", 123456)).collect()]
+    assert got == [(9001, 123456)]
+    assert ix.LAST_INDEX_STATS["mode"] == "index"
+
+
+def test_rewrite_triggers_full_rebuild(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    writer.optimize_table(spark, catalog, "base")   # rewrites every file
+    st = ix.refresh_index(spark, catalog, "base", "v")
+    assert st["mode"] == "rebuild"
+    got = [(r.k, r.v) for r in
+           ix.indexed_lookup(spark, catalog, "base",
+                             ("=", "v", 37)).collect()]
+    assert got == [(1, 37)]
+    assert ix.LAST_INDEX_STATS["mode"] == "index"

@@ -302,3 +302,17 @@ def test_pq_adc_recall(spark, vecs, pq_books):
     adc = [r["vec_id"] for r in
            similarity.pq_topk_adc(enc, q, pq_books, kk=10).collect()]
     assert len(set(exact) & set(adc)) >= 4   # 4 subspaces x 8 codes is coarse
+
+
+def test_ivfpq_recall(spark, vecs, pq_books):
+    """IVF-PQ composition: probing half the cells with coarse PQ codes
+    must still recover a good chunk of the true top-10."""
+    q = _vec(888)
+    cents = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=200)
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk(vecs, q, k=10).collect()]
+    got = [r["vec_id"] for r in
+           similarity.ivfpq_topk(vecs, q, pq_books, cents, kk=10,
+                                 n_probe=4).collect()]
+    assert len(got) == 10
+    assert len(set(exact) & set(got)) >= 3
