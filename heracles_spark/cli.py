@@ -32,6 +32,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   RESTORE TABLE t TO VERSION AS OF n  (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
   CREATE INDEX i ON t (col) | REFRESH INDEX i ON t | DROP INDEX i ON t
+  SHOW INDEXES [ON] t
   ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]
   CACHE TABLE t | UNCACHE TABLE t
   ALTER TABLE t ADD CONSTRAINT c CHECK (expr) | DROP CONSTRAINT c

@@ -1256,3 +1256,51 @@ def embedding_ann_ivfpq(spark, sf_dir):
 
 
 QUERIES["embedding_ann_ivfpq"] = (embedding_ann_ivfpq, None)
+
+
+def orders_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-bucketed join (writer.write_bucketed's mechanism,
+    ≙ the reference's dead-code shuffle-free aggregation and its
+    containExchange assertions, HBaseStrategies.scala:86-175 /
+    HBaseAdditionalQuerySuite.scala:262-308): lineitem and orders
+    bucketed+sorted on the join key plan a SortMergeJoin with NO join
+    exchange — the only shuffle left is the final small re-aggregation.
+    ``join_shuffle_free`` is pinned TRUE by the oracle, so the value
+    hash certifies the elision fired."""
+    import tempfile
+
+    from heracles_spark.plans import count_exchanges
+
+    base = tempfile.mkdtemp(prefix="heracles_bkt_")
+    l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (l.select("l_orderkey", "l_quantity").write
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", f"{base}/l").mode("overwrite")
+      .format("parquet").saveAsTable("l_bkt_q"))
+    (o.select("o_orderkey", "o_orderpriority").write
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", f"{base}/o").mode("overwrite")
+      .format("parquet").saveAsTable("o_bkt_q"))
+    lb, ob = spark.table("l_bkt_q"), spark.table("o_bkt_q")
+    joined = (lb.join(ob, lb.l_orderkey == ob.o_orderkey)
+                .groupBy("o_orderpriority")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                      .cast("double").alias("total_qty"),
+                     F.count(F.lit(1)).alias("n_lines")))
+    shuffle_free = count_exchanges(joined) <= 1   # only the final re-agg
+    return (joined.select("o_orderpriority", "total_qty", "n_lines",
+                          F.lit(shuffle_free).alias("join_shuffle_free"))
+                  .orderBy("o_orderpriority"))
+
+
+BKT_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_lines, TRUE AS join_shuffle_free
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES["orders_bucketed_join"] = (orders_bucketed_join, BKT_SQL)

@@ -124,6 +124,9 @@ _ADD_CONSTRAINT = re.compile(
 _DROP_CONSTRAINT = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+CONSTRAINT\s+"
     r"(?P<cname>\w+)\s*$", re.IGNORECASE)
+_SHOW_INDEXES = re.compile(
+    r"^\s*SHOW\s+INDEXES\s+(?:ON\s+|FOR\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
 _SHOW_FILES = re.compile(
     r"^\s*SHOW\s+FILES\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _COPY_TO = re.compile(
@@ -440,6 +443,18 @@ def dispatch(session, statement: str) -> DataFrame | None:
             name, tbl.files, append=False, op=f"drop-constraint:{cname}",
             properties={"constraints": _json.dumps(cons)})
         return None
+
+    m = _SHOW_INDEXES.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        import json as _json
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        idx = _json.loads(tbl.properties.get("indexes", "{}"))
+        rows = [(n, e["col"], e["table"],
+                 e["built_version"] == tbl.version)
+                for n, e in sorted(idx.items())]
+        return spark.createDataFrame(
+            rows, "index_name: string, column: string, "
+                  "index_table: string, fresh: boolean")
 
     m = _SHOW_FILES.match(statement)
     if m and catalog.table_exists(_resolve(session, m.group("name"))):

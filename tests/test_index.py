@@ -141,3 +141,16 @@ def test_rewrite_triggers_full_rebuild(spark, catalog):
                              ("=", "v", 37)).collect()]
     assert got == [(1, 37)]
     assert ix.LAST_INDEX_STATS["mode"] == "index"
+
+
+def test_show_indexes(hsession, spark, catalog):
+    _mk(spark, catalog)
+    catalog.read_table(spark, "base").createOrReplaceTempView(
+        catalog.view_name("base"))
+    hsession.sql("CREATE INDEX vi ON base (v)")
+    rows = hsession.sql("SHOW INDEXES ON base").collect()
+    assert [(r.index_name, r.column, r.fresh) for r in rows] == \
+        [("vi", "v", True)]
+    writer.insert_rows(spark, catalog, "base", [("9001", "5", "z")])
+    rows = hsession.sql("SHOW INDEXES ON base").collect()
+    assert rows[0].fresh is False
