@@ -284,3 +284,67 @@ FROM events WHERE event_id <= 50 ORDER BY event_id
 
 QUERIES["lateral_topn_per_nation"] = (lateral_topn_per_nation, LAT_SQL)
 QUERIES["interval_arithmetic"] = (interval_arithmetic, IVL_SQL)
+
+
+def recursive_cte_spine(spark, sf_dir):
+    """WITH RECURSIVE (Spark 4.x grammar): generate a month spine and
+    left-join monthly order counts — the gaps-filled time series every
+    reporting pipeline needs (months with zero orders appear). The
+    recursion is bounded (driver-checkable termination) and identical
+    SQL runs on both engines."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01' AS m
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < DATE '1996-12-01')
+        SELECT CAST(months.m AS STRING) AS month,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        FROM months LEFT JOIN orders_rec o
+          ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+        GROUP BY months.m ORDER BY month
+    """)
+
+
+REC_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT DATE '1995-01-01' AS m
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < DATE '1996-12-01')
+SELECT strftime(months.m, '%Y-%m-%d') AS month,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM months LEFT JOIN orders o
+  ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = months.m
+GROUP BY months.m ORDER BY month
+"""
+
+
+def map_functions(spark, sf_dir):
+    """Map-typed column plumbing: build a map per row, extract by key,
+    size it, null on missing key — scalar outputs so the oracle states
+    flat semantics while Spark exercises the MapType path."""
+    n = _t(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("nk"), F.col("n_nationkey").cast("long"),
+        F.lit("rk"), F.col("n_regionkey").cast("long"))
+    return (n.select(
+                "n_name",
+                F.element_at(m, "nk").alias("from_map_nk"),
+                F.element_at(m, "rk").alias("from_map_rk"),
+                F.size(m).alias("map_size"),
+                F.element_at(m, "missing").alias("absent"))
+             .orderBy("n_name"))
+
+
+MAPF_SQL = """
+SELECT n_name, CAST(n_nationkey AS BIGINT) AS from_map_nk,
+       CAST(n_regionkey AS BIGINT) AS from_map_rk,
+       2 AS map_size, CAST(NULL AS BIGINT) AS absent
+FROM nation ORDER BY n_name
+"""
+
+
+QUERIES["recursive_cte_spine"] = (recursive_cte_spine, REC_SQL)
+QUERIES["map_functions"] = (map_functions, MAPF_SQL)
