@@ -76,7 +76,8 @@ def table_changes(spark: SparkSession, catalog: HeraclesCatalog,
         return [*(F.col(f"{side}.{c}").alias(c) for c in schema.fieldNames()),
                 F.lit(ctype).alias("_change_type")]
 
-    j = j.persist()
+    from heracles_spark.operators.dedup import _persist
+    j = _persist(j)
     inserts = j.where(in_new & ~in_old).select(*_side("n", "insert"))
     deletes = j.where(in_old & ~in_new).select(*_side("o", "delete"))
     upd = j.where(in_old & in_new & ~same)

@@ -40,6 +40,22 @@ def _minhash_params(k: int) -> list[tuple[int, int]]:
 
 # -- exact dedup ----------------------------------------------------------
 
+_PERSIST_POOL: list = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """Persist with rotation: frames persisted by PREVIOUS calls are
+    unpersisted once the pool exceeds the depth one pipeline needs
+    (sigs + gram base). A long-lived session (the round driver runs the
+    whole corpus in one process) would otherwise accumulate a cached
+    relation per invocation. Unpersisting early only ever costs a
+    recompute — never correctness."""
+    while len(_PERSIST_POOL) > 2:
+        _PERSIST_POOL.pop(0).unpersist()
+    _PERSIST_POOL.append(df)
+    return df.persist()
+
+
 def _null_distinct(c) -> "F.Column":
     """Encode a column so NULL is distinct from every value AND from the
     empty string: NULL → 'n', value v → 'v' + v. Without this,
@@ -167,7 +183,7 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     # The signature relation feeds three consumers (banding + both sides
     # of the verify join); persist so the explode+agg runs once. At
     # cluster scale, materialize signatures as a table instead.
-    sigs = minhash_signatures(df, id_col, text_col, k, shingle_size).persist()
+    sigs = _persist(minhash_signatures(df, id_col, text_col, k, shingle_size))
     cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -269,7 +285,7 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # base feeds THREE consumers (sizes, dfreq, the filtered join) and
     # Spark does no cross-action CSE — unpersisted, the explode+distinct
     # shuffle would run three times.
-    base = base.persist()
+    base = _persist(base)
     sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
     filtered = (base.join(dfreq.where(F.col("df_g") <= max_doc_freq)
