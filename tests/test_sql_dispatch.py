@@ -237,3 +237,15 @@ def test_copy_to(hsession, spark, tmp_path):
     back = spark.read.option("header", "true").csv(f"{tmp_path}/out_csv")
     assert sorted((r.k, r.v) for r in back.collect()) == \
         [("1", "a"), ("2", "b")]
+
+
+def test_set_statement_passthrough(hsession):
+    """SET k=v semantics (≙ HBaseSQLQuerySuite.scala:576-610) — the
+    dispatcher hands SET to stock spark.sql and the value round-trips."""
+    old = hsession.spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        hsession.sql("SET spark.sql.shuffle.partitions=7")
+        row = hsession.sql("SET spark.sql.shuffle.partitions").collect()[0]
+        assert row.value == "7"
+    finally:
+        hsession.spark.conf.set("spark.sql.shuffle.partitions", old)
