@@ -63,8 +63,13 @@ def _index_table_name(table: str, name: str) -> str:
 
 
 def create_index(spark: SparkSession, catalog: HeraclesCatalog,
-                 table: str, col: str, name: str | None = None) -> str:
-    """Create + build a secondary index projection on ``col``."""
+                 table: str, col: str, name: str | None = None,
+                 include: list[str] | None = None) -> str:
+    """Create + build a secondary index projection on ``col``.
+
+    ``include`` adds COVERING columns (SQL Server/Postgres INCLUDE): a
+    lookup whose projection fits inside (col, keys, include) is answered
+    from the index alone — an INDEX-ONLY scan, zero base-table IO."""
     tbl = catalog.get_table(table)
     cols = {c: t for c, t in tbl.columns}
     if col not in cols:
@@ -72,19 +77,25 @@ def create_index(spark: SparkSession, catalog: HeraclesCatalog,
     if col in tbl.key_cols:
         raise ValueError(
             f"{col!r} is already a key column; the primary layout serves it")
+    include = [c for c in (include or [])
+               if c != col and c not in tbl.key_cols]
+    for c in include:
+        if c not in cols:
+            raise ValueError(f"no such INCLUDE column {c!r} in {table}")
     name = name or col
     idx = _indexes(tbl)
     if name in idx:
         raise ValueError(f"index {name!r} already exists on {table}")
 
     itable = _index_table_name(table, name)
-    schema = [(col, cols[col])] + [(k, cols[k]) for k in tbl.key_cols]
+    schema = ([(col, cols[col])] + [(k, cols[k]) for k in tbl.key_cols]
+              + [(c, cols[c]) for c in include])
     catalog.create_table(itable, schema, key_cols=[col])
-    _build(spark, catalog, table, itable, col)
+    _build(spark, catalog, table, itable, col, include)
     # The registration commit below bumps the base version by one (pure
     # metadata — no data change), so the index is built AS OF that
     # post-commit version.
-    idx[name] = {"col": col, "table": itable,
+    idx[name] = {"col": col, "table": itable, "include": include,
                  "built_version": catalog.get_table(table).version + 1}
     catalog.update_file_index(table, catalog.get_table(table).files,
                               append=False, op=f"create-index:{name}",
@@ -93,12 +104,13 @@ def create_index(spark: SparkSession, catalog: HeraclesCatalog,
 
 
 def _build(spark: SparkSession, catalog: HeraclesCatalog, table: str,
-           itable: str, col: str) -> None:
+           itable: str, col: str, include: list[str] | None = None) -> None:
     from heracles_spark import writer
 
     base = catalog.read_table(spark, table)
     tbl = catalog.get_table(table)
-    proj = base.select(col, *tbl.key_cols).where(F.col(col).isNotNull())
+    proj = (base.select(col, *tbl.key_cols, *(include or []))
+                .where(F.col(col).isNotNull()))
     writer.write_key_organized(spark, catalog, itable, proj,
                                mode="overwrite")
 
@@ -135,13 +147,15 @@ def refresh_index(spark: SparkSession, catalog: HeraclesCatalog,
         new_paths = sorted(cur_paths - old_paths)
         if new_paths:
             base = (spark.read.schema(tbl.schema()).parquet(*new_paths)
-                    .select(entry["col"], *tbl.key_cols)
+                    .select(entry["col"], *tbl.key_cols,
+                            *entry.get("include", []))
                     .where(F.col(entry["col"]).isNotNull()))
             writer.write_key_organized(spark, catalog, entry["table"],
                                        base, mode="append")
         mode = "incremental"
     else:
-        _build(spark, catalog, table, entry["table"], entry["col"])
+        _build(spark, catalog, table, entry["table"], entry["col"],
+               entry.get("include"))
         mode = "rebuild"
     # The stamp commit below bumps the base version by one without
     # changing data, so the index is fresh AS OF that version.
@@ -168,12 +182,18 @@ def drop_index(catalog: HeraclesCatalog, table: str, name: str) -> None:
 
 def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
                    table: str, pred: tuple,
-                   name: str | None = None) -> DataFrame:
+                   name: str | None = None,
+                   columns: list[str] | None = None) -> DataFrame:
     """Answer a predicate on an indexed non-key column via the index:
     probe the projection (pruned on its leading key), collect the
     pointer key set, prune the base table's files with it, re-apply the
     predicate as the residual. Falls back to a direct pruned scan when
     the index is missing/stale or the pointer set exceeds POINTER_CAP.
+
+    ``columns`` (optional) names the output projection. When it fits
+    inside the index's own columns (indexed col + keys + INCLUDE set)
+    the lookup is INDEX-ONLY: the probe's rows are the answer and the
+    base table is never read (mode='index-only' in LAST_INDEX_STATS).
 
     ``pred`` is a pruning-AST predicate over the indexed column (and
     only it) — e.g. ("between", "v", 10, 20)."""
@@ -194,7 +214,8 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
                                  "base_files_read": len(
                                      prune_files(tbl.files, to_nnf(pred),
                                                  tbl.key_cols))})
-        return scan(spark, catalog, table, pred)
+        out = scan(spark, catalog, table, pred)
+        return out.select(*columns) if columns else out
 
     if entry is None:
         return _direct("no-index")
@@ -207,12 +228,29 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
         return _direct("isnull-predicate")
 
     itbl = catalog.get_table(entry["table"])
+    icols = {c for c, _ in itbl.columns}
     npred = to_nnf(pred)
     ifiles = prune_files(itbl.files, npred, itbl.key_cols)
+
+    if columns is not None and set(columns) <= icols:
+        # Covered projection: the probe rows ARE the answer.
+        LAST_INDEX_STATS.update({"mode": "index-only",
+                                 "index_files_read": len(ifiles),
+                                 "base_files_read": 0})
+        if not ifiles:
+            return spark.createDataFrame([], itbl.schema()).select(*columns)
+        return (spark.read.schema(itbl.schema())
+                .parquet(*[f["path"] for f in ifiles])
+                .where(to_sql(pred))
+                .select(*columns))
+
+    def _proj(df: DataFrame) -> DataFrame:
+        return df.select(*columns) if columns else df
+
     if not ifiles:
         LAST_INDEX_STATS.update({"mode": "index", "index_files_read": 0,
                                  "base_files_read": 0, "pointers": 0})
-        return spark.createDataFrame([], tbl.schema())
+        return _proj(spark.createDataFrame([], tbl.schema()))
     probe = (spark.read.schema(itbl.schema())
              .parquet(*[f["path"] for f in ifiles])
              .where(to_sql(pred))
@@ -224,7 +262,7 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
         LAST_INDEX_STATS.update({"mode": "index",
                                  "index_files_read": len(ifiles),
                                  "base_files_read": 0, "pointers": 0})
-        return spark.createDataFrame([], tbl.schema())
+        return _proj(spark.createDataFrame([], tbl.schema()))
     conj = []
     for i, k in enumerate(tbl.key_cols):
         vals = sorted({r[i] for r in ptrs})
@@ -236,11 +274,11 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
                              "base_files_read": len(bfiles),
                              "pointers": len(ptrs)})
     if not bfiles:
-        return spark.createDataFrame([], tbl.schema())
-    return (spark.read.schema(tbl.schema())
-            .parquet(*[f["path"] for f in bfiles])
-            .where(to_sql(kpred))
-            .where(to_sql(pred)))
+        return _proj(spark.createDataFrame([], tbl.schema()))
+    return _proj(spark.read.schema(tbl.schema())
+                 .parquet(*[f["path"] for f in bfiles])
+                 .where(to_sql(kpred))
+                 .where(to_sql(pred)))
 
 
 def npred_or(pred: tuple) -> tuple:

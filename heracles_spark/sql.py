@@ -134,7 +134,8 @@ _COPY_TO = re.compile(
     r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
-    r"\(\s*(?P<col>\w+)\s*\)\s*$", re.IGNORECASE)
+    r"\(\s*(?P<col>\w+)\s*\)"
+    r"(?:\s+INCLUDE\s*\(\s*(?P<incl>[\w\s,]+)\s*\))?\s*$", re.IGNORECASE)
 _DROP_INDEX = re.compile(
     r"^\s*DROP\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
@@ -485,8 +486,10 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         from heracles_spark import index as index_mod
         name = _resolve(session, m.group("name"))
+        incl = [c.strip() for c in (m.group("incl") or "").split(",")
+                if c.strip()]
         index_mod.create_index(spark, catalog, name, m.group("col"),
-                               m.group("iname"))
+                               m.group("iname"), include=incl or None)
         return None
 
     m = _DROP_INDEX.match(statement)

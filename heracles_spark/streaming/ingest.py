@@ -30,7 +30,8 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       max_files_per_trigger: int = 16,
                       available_now: bool = False,
                       exactly_once: bool = True,
-                      refresh_rollups: list[str] | None = None
+                      refresh_rollups: list[str] | None = None,
+                      refresh_indexes: list[str] | None = None
                       ) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
     table, preserving the key-range layout per micro-batch.
@@ -69,6 +70,10 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
             from heracles_spark.rollup import refresh_rollup
             for r in refresh_rollups:
                 refresh_rollup(spark, catalog, r)
+        if refresh_indexes:
+            from heracles_spark.index import refresh_index
+            for i in refresh_indexes:
+                refresh_index(spark, catalog, table, i)
 
     w = (stream.writeStream
          .foreachBatch(sink)

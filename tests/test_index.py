@@ -154,3 +154,59 @@ def test_show_indexes(hsession, spark, catalog):
     writer.insert_rows(spark, catalog, "base", [("9001", "5", "z")])
     rows = hsession.sql("SHOW INDEXES ON base").collect()
     assert rows[0].fresh is False
+
+
+def test_covering_index_index_only_scan(hsession, spark, catalog):
+    _mk(spark, catalog)
+    catalog.read_table(spark, "base").createOrReplaceTempView(
+        catalog.view_name("base"))
+    hsession.sql("CREATE INDEX vp ON base (v) INCLUDE (payload)")
+    got = ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37),
+                            columns=["k", "v", "payload"]).collect()
+    assert [(r.k, r.v, r.payload) for r in got] == [(1, 37, "p1")]
+    assert ix.LAST_INDEX_STATS["mode"] == "index-only"
+    assert ix.LAST_INDEX_STATS["base_files_read"] == 0
+    # projection NOT covered -> normal pointer path, still correct
+    got2 = ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37),
+                             columns=None).collect()
+    assert ix.LAST_INDEX_STATS["mode"] == "index"
+    assert [(r.k, r.v, r.payload) for r in got2] == [(1, 37, "p1")]
+
+
+def test_covering_index_survives_rebuild(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v", name="vp",
+                    include=["payload"])
+    writer.optimize_table(spark, catalog, "base")
+    st = ix.refresh_index(spark, catalog, "base", "vp")
+    assert st["mode"] == "rebuild"
+    got = ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37),
+                            columns=["payload"]).collect()
+    assert [r.payload for r in got] == ["p1"]
+    assert ix.LAST_INDEX_STATS["mode"] == "index-only"
+
+
+def test_stream_ingest_keeps_index_fresh(spark, catalog, tmp_path):
+    from heracles_spark.streaming import ingest
+
+    catalog.create_table("sev", [("k", "int"), ("v", "int")], ["k"])
+    from heracles_spark import writer as w
+    w.write_key_organized(
+        spark, catalog, "sev",
+        spark.range(100).selectExpr("CAST(id AS INT) k",
+                                    "CAST(id * 7 % 100 AS INT) v"))
+    ix.create_index(spark, catalog, "sev", "v")
+    src = tmp_path / "sev_src"
+    src.mkdir()
+    spark.createDataFrame([(900, 41), (901, 52)], "k int, v int") \
+         .coalesce(1).write.parquet(str(src / "b1"))
+    q = ingest.stream_into_table(
+        spark, catalog, "sev", str(src / "*"),
+        checkpoint_dir=str(tmp_path / "ckpt_ix"), available_now=True,
+        refresh_indexes=["v"])
+    q.awaitTermination(180)
+    got = sorted((r.k, r.v) for r in
+                 ix.indexed_lookup(spark, catalog, "sev",
+                                   ("=", "v", 41)).collect())
+    assert (900, 41) in got
+    assert ix.LAST_INDEX_STATS["mode"] == "index"   # fresh, no fallback
