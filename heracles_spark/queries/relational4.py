@@ -348,3 +348,53 @@ FROM nation ORDER BY n_name
 
 QUERIES["recursive_cte_spine"] = (recursive_cte_spine, REC_SQL)
 QUERIES["map_functions"] = (map_functions, MAPF_SQL)
+
+
+def events_funnel(spark, sf_dir):
+    """Funnel / sequential-pattern analysis: per user, the first click
+    and the first purchase AFTER that click within 24h — conversion
+    counting, the workhorse of product analytics. One aggregation for
+    first-click, one conditional join + aggregation for the conversion
+    leg; both shuffle on user_id and co-partition."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    clicks = (e.where(F.col("event_type") == "click")
+               .groupBy("user_id")
+               .agg(F.min("ts_ns").alias("first_click_ns")))
+    purchases = e.where(F.col("event_type") == "purchase") \
+                 .select("user_id", F.col("ts_ns").alias("p_ns"))
+    conv = (clicks.join(purchases, "user_id", "left")
+                  .withColumn("ok",
+                              F.col("p_ns").isNotNull()
+                              & (F.col("p_ns") >= F.col("first_click_ns"))
+                              & (F.col("p_ns") - F.col("first_click_ns")
+                                 <= 24 * 3600 * 1_000_000_000))
+                  .groupBy("user_id")
+                  .agg(F.max(F.col("ok").cast("int")).alias("converted")))
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_users_clicked"),
+        F.sum("converted").cast("bigint").alias("n_converted"))
+
+
+FUNNEL_SQL = """
+WITH clicks AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS first_click_ns
+  FROM events WHERE event_type = 'click' GROUP BY user_id),
+ conv AS (
+  SELECT c.user_id,
+         MAX(CASE WHEN p.user_id IS NOT NULL
+                   AND epoch_ns(p.ts) >= c.first_click_ns
+                   AND epoch_ns(p.ts) - c.first_click_ns
+                       <= CAST(86400 AS BIGINT) * 1000000000
+              THEN 1 ELSE 0 END) AS converted
+  FROM clicks c LEFT JOIN events p
+    ON p.user_id = c.user_id AND p.event_type = 'purchase'
+  GROUP BY c.user_id)
+SELECT COUNT(*) AS n_users_clicked,
+       CAST(SUM(converted) AS BIGINT) AS n_converted
+FROM conv
+"""
+
+
+QUERIES["events_funnel"] = (events_funnel, FUNNEL_SQL)
