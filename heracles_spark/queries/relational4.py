@@ -398,3 +398,43 @@ FROM conv
 
 
 QUERIES["events_funnel"] = (events_funnel, FUNNEL_SQL)
+
+
+def events_cohort_retention(spark, sf_dir):
+    """Cohort retention: users cohorted by first-activity day, counted
+    by how many days later they return — the triangle matrix every
+    growth dashboard starts from. Two aggregations + one co-partitioned
+    join on user_id; the output is O(cohorts × offsets), tiny at any
+    input scale."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    day = F.to_date(F.col("ts"))
+    acts = e.select("user_id", day.alias("d")).distinct()
+    cohort = acts.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (acts.join(cohort, "user_id")
+                .withColumn("offset_days",
+                            F.datediff(F.col("d"), F.col("cohort_day")))
+                .where(F.col("offset_days") <= 7)
+                .groupBy("cohort_day", "offset_days")
+                .agg(F.countDistinct("user_id").alias("n_users"))
+                .withColumn("cohort_day",
+                            F.col("cohort_day").cast("string"))
+                .orderBy("cohort_day", "offset_days"))
+
+
+COHORT_SQL = """
+WITH acts AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+ cohort AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM acts GROUP BY user_id)
+SELECT CAST(c.cohort_day AS VARCHAR) AS cohort_day,
+       CAST(datediff('day', c.cohort_day, a.d) AS INT) AS offset_days,
+       CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+FROM acts a JOIN cohort c USING (user_id)
+WHERE datediff('day', c.cohort_day, a.d) <= 7
+GROUP BY 1, 2 ORDER BY cohort_day, offset_days
+"""
+
+
+QUERIES["events_cohort_retention"] = (events_cohort_retention, COHORT_SQL)
