@@ -31,7 +31,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   SELECT ... FROM t VERSION AS OF n   (time travel, joinable with current)
   RESTORE TABLE t TO VERSION AS OF n  (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS]  (reclaim files retired by copy-on-write)
-  CREATE INDEX i ON t (col) [INCLUDE (a, b)]  (covering: index-only scans)
+  CREATE INDEX i ON t (col[, col2...]) [INCLUDE (a, b)]  (covering/composite)
   REFRESH INDEX i ON t (incremental on appends) | DROP INDEX i ON t
   SHOW INDEXES [ON] t
   ANALYZE TABLE t COMPUTE STATISTICS [FOR ALL COLUMNS]

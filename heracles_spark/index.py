@@ -63,39 +63,49 @@ def _index_table_name(table: str, name: str) -> str:
 
 
 def create_index(spark: SparkSession, catalog: HeraclesCatalog,
-                 table: str, col: str, name: str | None = None,
+                 table: str, col: str | list[str],
+                 name: str | None = None,
                  include: list[str] | None = None) -> str:
-    """Create + build a secondary index projection on ``col``.
+    """Create + build a secondary index projection on ``col`` (a single
+    column or a COMPOSITE list — the projection sorts by the columns in
+    order, so prefix predicates prune tightly and deeper columns prune
+    as residuals, exactly like the primary key layout).
 
     ``include`` adds COVERING columns (SQL Server/Postgres INCLUDE): a
-    lookup whose projection fits inside (col, keys, include) is answered
-    from the index alone — an INDEX-ONLY scan, zero base-table IO."""
+    lookup whose projection fits inside (cols, keys, include) is
+    answered from the index alone — an INDEX-ONLY scan, zero base-table
+    IO."""
+    icols = [col] if isinstance(col, str) else list(col)
     tbl = catalog.get_table(table)
     cols = {c: t for c, t in tbl.columns}
-    if col not in cols:
-        raise ValueError(f"no such column {col!r} in {table}")
-    if col in tbl.key_cols:
+    for c in icols:
+        if c not in cols:
+            raise ValueError(f"no such column {c!r} in {table}")
+    if icols[0] in tbl.key_cols:
         raise ValueError(
-            f"{col!r} is already a key column; the primary layout serves it")
+            f"{icols[0]!r} is already a key column; the primary layout "
+            f"serves predicates leading with it")
     include = [c for c in (include or [])
-               if c != col and c not in tbl.key_cols]
+               if c not in icols and c not in tbl.key_cols]
     for c in include:
         if c not in cols:
             raise ValueError(f"no such INCLUDE column {c!r} in {table}")
-    name = name or col
+    name = name or "_".join(icols)
     idx = _indexes(tbl)
     if name in idx:
         raise ValueError(f"index {name!r} already exists on {table}")
 
     itable = _index_table_name(table, name)
-    schema = ([(col, cols[col])] + [(k, cols[k]) for k in tbl.key_cols]
+    schema = ([(c, cols[c]) for c in icols]
+              + [(k, cols[k]) for k in tbl.key_cols if k not in icols]
               + [(c, cols[c]) for c in include])
-    catalog.create_table(itable, schema, key_cols=[col])
-    _build(spark, catalog, table, itable, col, include)
+    catalog.create_table(itable, schema, key_cols=icols)
+    _build(spark, catalog, table, itable, icols, include)
     # The registration commit below bumps the base version by one (pure
     # metadata — no data change), so the index is built AS OF that
     # post-commit version.
-    idx[name] = {"col": col, "table": itable, "include": include,
+    idx[name] = {"col": icols[0], "cols": icols, "table": itable,
+                 "include": include,
                  "built_version": catalog.get_table(table).version + 1}
     catalog.update_file_index(table, catalog.get_table(table).files,
                               append=False, op=f"create-index:{name}",
@@ -104,13 +114,17 @@ def create_index(spark: SparkSession, catalog: HeraclesCatalog,
 
 
 def _build(spark: SparkSession, catalog: HeraclesCatalog, table: str,
-           itable: str, col: str, include: list[str] | None = None) -> None:
+           itable: str, col: str | list[str],
+           include: list[str] | None = None) -> None:
     from heracles_spark import writer
 
+    icols = [col] if isinstance(col, str) else list(col)
     base = catalog.read_table(spark, table)
     tbl = catalog.get_table(table)
-    proj = (base.select(col, *tbl.key_cols, *(include or []))
-                .where(F.col(col).isNotNull()))
+    rest = [k for k in tbl.key_cols if k not in icols]
+    proj = (base.select(*icols, *rest, *(include or []))
+                .where(F.expr(" AND ".join(
+                    f"`{c}` IS NOT NULL" for c in icols))))
     writer.write_key_organized(spark, catalog, itable, proj,
                                mode="overwrite")
 
@@ -146,16 +160,18 @@ def refresh_index(spark: SparkSession, catalog: HeraclesCatalog,
     if old_paths is not None and old_paths <= cur_paths:
         new_paths = sorted(cur_paths - old_paths)
         if new_paths:
+            icols = entry.get("cols", [entry["col"]])
+            rest = [k for k in tbl.key_cols if k not in icols]
             base = (spark.read.schema(tbl.schema()).parquet(*new_paths)
-                    .select(entry["col"], *tbl.key_cols,
-                            *entry.get("include", []))
-                    .where(F.col(entry["col"]).isNotNull()))
+                    .select(*icols, *rest, *entry.get("include", []))
+                    .where(F.expr(" AND ".join(
+                        f"`{c}` IS NOT NULL" for c in icols))))
             writer.write_key_organized(spark, catalog, entry["table"],
                                        base, mode="append")
         mode = "incremental"
     else:
-        _build(spark, catalog, table, entry["table"], entry["col"],
-               entry.get("include"))
+        _build(spark, catalog, table, entry["table"],
+               entry.get("cols", [entry["col"]]), entry.get("include"))
         mode = "rebuild"
     # The stamp commit below bumps the base version by one without
     # changing data, so the index is fresh AS OF that version.
@@ -205,7 +221,7 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
         entry = _indexes(tbl).get(name)
     else:
         for e in _indexes(tbl).values():
-            if e["col"] == pcol:
+            if pcol in e.get("cols", [e["col"]]):
                 entry = e
                 break
 

@@ -134,7 +134,7 @@ _COPY_TO = re.compile(
     r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
-    r"\(\s*(?P<col>\w+)\s*\)"
+    r"\(\s*(?P<col>[\w\s,]+?)\s*\)"
     r"(?:\s+INCLUDE\s*\(\s*(?P<incl>[\w\s,]+)\s*\))?\s*$", re.IGNORECASE)
 _DROP_INDEX = re.compile(
     r"^\s*DROP\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*$",
@@ -488,7 +488,9 @@ def dispatch(session, statement: str) -> DataFrame | None:
         name = _resolve(session, m.group("name"))
         incl = [c.strip() for c in (m.group("incl") or "").split(",")
                 if c.strip()]
-        index_mod.create_index(spark, catalog, name, m.group("col"),
+        icols = [c.strip() for c in m.group("col").split(",") if c.strip()]
+        index_mod.create_index(spark, catalog, name,
+                               icols[0] if len(icols) == 1 else icols,
                                m.group("iname"), include=incl or None)
         return None
 

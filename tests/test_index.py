@@ -210,3 +210,39 @@ def test_stream_ingest_keeps_index_fresh(spark, catalog, tmp_path):
                                    ("=", "v", 41)).collect())
     assert (900, 41) in got
     assert ix.LAST_INDEX_STATS["mode"] == "index"   # fresh, no fallback
+
+
+def test_composite_index(spark, catalog):
+    """Composite (v, payload-prefix) index: prefix predicate prunes on
+    the leading column; a second-column predicate still answers
+    correctly through the residual."""
+    catalog.create_table("comp", [("k", "int"), ("a", "int"),
+                                  ("b", "int")], ["k"])
+    df = spark.range(400).selectExpr(
+        "CAST(id AS INT) k", "CAST(id % 20 AS INT) a",
+        "CAST(id % 7 AS INT) b")
+    writer.write_key_organized(spark, catalog, "comp", df, n_buckets=4)
+    ix.create_index(spark, catalog, "comp", ["a", "b"], name="ab")
+    got = sorted((r.k, r.a, r.b) for r in
+                 ix.indexed_lookup(spark, catalog, "comp",
+                                   ("=", "a", 5), name="ab").collect())
+    want = sorted((r.k, r.a, r.b) for r in
+                  catalog.read_table(spark, "comp")
+                  .where("a = 5").collect())
+    assert got == want and len(got) == 20
+    assert ix.LAST_INDEX_STATS["mode"] == "index"
+    # second-column predicate: matched via cols list, correct answer
+    got_b = sorted(r.k for r in
+                   ix.indexed_lookup(spark, catalog, "comp",
+                                     ("=", "b", 3)).collect())
+    want_b = sorted(r.k for r in catalog.read_table(spark, "comp")
+                    .where("b = 3").collect())
+    assert got_b == want_b
+    # composite index survives an incremental refresh
+    writer.insert_rows(spark, catalog, "comp", [("900", "5", "6")])
+    st = ix.refresh_index(spark, catalog, "comp", "ab")
+    assert st["mode"] == "incremental"
+    got2 = {r.k for r in ix.indexed_lookup(spark, catalog, "comp",
+                                           ("=", "a", 5), name="ab")
+            .collect()}
+    assert 900 in got2
