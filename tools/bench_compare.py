@@ -22,6 +22,7 @@ HEADLINE = [
     "doc_ngram_jaccard", "doc_chunking",
     "doc_decontaminate", "embedding_quantized_knn", "doc_top_tfidf_term",
     "doc_global_shuffle", "doc_corpus_pipeline",
+    "events_funnel", "events_cohort_retention", "recursive_cte_spine",
 ]
 
 
