@@ -164,3 +164,20 @@ def test_dml_respects_time_travel(hsession, spark, catalog):
     old = catalog.read_table(spark, "t", version=v_before)
     assert old.count() == 2
     assert catalog.read_table(spark, "t").count() == 1
+
+
+def test_delete_inside_transaction_rollback(hsession):
+    _mk(hsession, rows="(1,'a',10),(2,'b',20)")
+    hsession.sql("BEGIN")
+    hsession.sql("DELETE FROM t WHERE k = 1")
+    hsession.sql("ROLLBACK")
+    assert _rows(hsession) == [(1, "a", 10), (2, "b", 20)]
+
+
+def test_update_inside_transaction_commit(hsession):
+    _mk(hsession, rows="(1,'a',10),(2,'b',20)")
+    hsession.sql("BEGIN")
+    hsession.sql("UPDATE t SET v = 99 WHERE k = 2")
+    hsession.sql("DELETE FROM t WHERE k = 1")
+    hsession.sql("COMMIT")
+    assert _rows(hsession) == [(2, "b", 99)]
