@@ -1304,3 +1304,62 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 
 QUERIES["orders_bucketed_join"] = (orders_bucketed_join, BKT_SQL)
+
+
+def doc_dedup_keep_best(spark, sf_dir):
+    """Curation composition: exact-duplicate groups (md5 of normalized
+    text) keep ONE canonical representative — the highest quality score,
+    doc_id as the tie-break. The select-the-best-copy step that follows
+    every dedup pass in a training pipeline; built from exact groups so
+    the oracle can replicate it bit-for-bit (the MinHash variant is the
+    approximate twin)."""
+    from pyspark.sql import Window
+
+    d = text.with_quality_score(_docs(spark, sf_dir))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = (Window.partitionBy("h")
+               .orderBy(F.desc("quality_score"), F.col("doc_id")))
+    ranked = (d.withColumn("h", F.md5(norm))
+               .withColumn("rn", F.row_number().over(w))
+               .withColumn("group_size",
+                           F.count(F.lit(1)).over(Window.partitionBy("h"))))
+    return (ranked.where(F.col("rn") == 1)
+                  .groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n_kept"),
+                       F.sum(F.col("group_size") - 1).cast("bigint")
+                        .alias("n_dropped"))
+                  .orderBy("lang"))
+
+
+KEEP_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang,
+         md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS h,
+         ROUND(0.4 * least(len(string_split_regex(trim(lower(text)),
+                                                  '\\s+')) / 100.0, 1.0)
+             + 0.4 * greatest(0.0, 1.0 - 2 * (
+                 (length(regexp_replace(text,
+                     '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE))
+               + (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE))))
+             + 0.2 * least(4.0 * len(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['the','and','of','to','in','is',
+                     'that','it','for','was','on','are','with','as','at',
+                     'this','have','from','or'], t)))
+                 / len(string_split_regex(trim(lower(text)), '\\s+')),
+                 1.0), 6) AS quality_score
+  FROM documents),
+ ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY h
+              ORDER BY quality_score DESC, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY h) AS group_size
+  FROM scored)
+SELECT lang, COUNT(*) AS n_kept,
+       CAST(SUM(group_size - 1) AS BIGINT) AS n_dropped
+FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["doc_dedup_keep_best"] = (doc_dedup_keep_best, KEEP_SQL)

@@ -438,3 +438,39 @@ GROUP BY 1, 2 ORDER BY cohort_day, offset_days
 
 
 QUERIES["events_cohort_retention"] = (events_cohort_retention, COHORT_SQL)
+
+
+def conditional_functions(spark, sf_dir):
+    """Conditional scalar batch: nullif / ifnull / coalesce chains /
+    nvl2-equivalent / greatest-least null behavior — the null-plumbing
+    functions §2.8's CASE/COALESCE queries don't isolate."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 30)
+    bal = F.col("c_acctbal")
+    return (c.select(
+                "c_custkey",
+                F.nullif(F.col("c_nationkey"), F.lit(3)).alias("nk_not3"),
+                F.ifnull(F.nullif(F.col("c_nationkey"), F.lit(3)),
+                         F.lit(-1)).alias("nk_or_neg1"),
+                F.coalesce(F.nullif(bal, bal), bal, F.lit(0.0))
+                 .alias("bal_coalesced"),
+                F.when(F.col("c_mktsegment").isNotNull(), F.lit("seg"))
+                 .otherwise(F.lit("noseg")).alias("nvl2_equiv"),
+                F.greatest(F.lit(None).cast("double"), bal)
+                 .alias("greatest_with_null"))
+             .orderBy("c_custkey"))
+
+
+CONDF_SQL = """
+SELECT c_custkey,
+       nullif(c_nationkey, 3) AS nk_not3,
+       ifnull(nullif(c_nationkey, 3), -1) AS nk_or_neg1,
+       coalesce(nullif(c_acctbal, c_acctbal), c_acctbal, 0.0)
+         AS bal_coalesced,
+       CASE WHEN c_mktsegment IS NOT NULL THEN 'seg' ELSE 'noseg' END
+         AS nvl2_equiv,
+       greatest(CAST(NULL AS DOUBLE), c_acctbal) AS greatest_with_null
+FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
+"""
+
+
+QUERIES["conditional_functions"] = (conditional_functions, CONDF_SQL)
