@@ -25,13 +25,24 @@ from pyspark.sql import functions as F
 
 def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
               right_cols: list[str] | None = None,
-              suffix: str = "_right") -> DataFrame:
-    """For each left row, attach the most recent right row with
-    right.on <= left.on, matching on ``by``. Backward as-of join.
+              suffix: str = "_right",
+              direction: str = "backward",
+              tolerance: int | None = None) -> DataFrame:
+    """For each left row, attach the matching right row by time:
+    ``direction='backward'`` (default) the most recent right.on <=
+    left.on; ``'forward'`` the earliest right.on >= left.on;
+    ``'nearest'`` whichever of the two is closer (backward wins exact
+    ties) — pandas merge_asof's direction semantics. ``tolerance``
+    (same units as ``on``) drops matches farther than the bound.
 
     ``on`` must be mutually comparable (timestamp/long); ``by`` is the
     equi-key (e.g. user_id). Right columns are carried with ``suffix``.
-    """
+
+    Shape: union-and-carry — ONE hash shuffle on ``by``; 'nearest' adds
+    a second window pass over the same partitioning (co-partitioned, no
+    extra exchange), never a join or point lookups."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"bad direction {direction!r}")
     rcols = right_cols or [c for c in right.columns if c not in (on, by)]
     lt = left.withColumn("__side", F.lit(1))
     rt = right.select(
@@ -47,17 +58,57 @@ def asof_join(left: DataFrame, right: DataFrame, on: str, by: str,
         rt = rt.withColumn(c, F.lit(None).cast(dict(lt.dtypes)[c]))
     order = [by, on] + lcols_only + [c + suffix for c in rcols] + ["__side"]
     u = lt.select(*order).unionByName(rt.select(*order))
+    # The matched right row's own timestamp, needed for tolerance and
+    # nearest-side selection.
+    u = u.withColumn("__ron", F.when(F.col("__side") == 0, F.col(on)))
 
     # Right rows sort before left rows at equal timestamps (__side asc)
-    # so right.on == left.on matches (<= semantics).
-    w = (Window.partitionBy(by).orderBy(F.col(on).asc(), F.col("__side").asc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = [F.last(F.when(F.col("__side") == 0, F.col(c + suffix)),
-                      ignorenulls=True).over(w).alias(c + suffix)
+    # so right.on == left.on matches in BOTH directions.
+    wb = (Window.partitionBy(by)
+                .orderBy(F.col(on).asc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(by)
+                .orderBy(F.col(on).desc(), F.col("__side").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+    def _carry(w, tag):
+        cols = [F.last(F.when(F.col("__side") == 0, F.col(c + suffix)),
+                       ignorenulls=True).over(w).alias(f"__{tag}_{c}")
+                for c in rcols]
+        return cols + [F.last("__ron", ignorenulls=True).over(w)
+                       .alias(f"__{tag}_on")]
+
+    proj = [F.col(by), F.col(on), *[F.col(c) for c in lcols_only],
+            F.col("__side")]
+    if direction in ("backward", "nearest"):
+        proj += _carry(wb, "b")
+    if direction in ("forward", "nearest"):
+        proj += _carry(wf, "f")
+    u = u.select(*proj).where(F.col("__side") == 1).drop("__side")
+
+    def _ok(tag):
+        got = F.col(f"__{tag}_on").isNotNull()
+        if tolerance is None:
+            return got
+        gap = (F.col(on) - F.col(f"__{tag}_on") if tag == "b"
+               else F.col(f"__{tag}_on") - F.col(on))
+        return got & (gap <= tolerance)
+
+    if direction == "backward":
+        out = [F.when(_ok("b"), F.col(f"__b_{c}")).alias(c + suffix)
                for c in rcols]
-    return (u.select(by, on, *lcols_only, F.col("__side"), *carried)
-             .where(F.col("__side") == 1)
-             .drop("__side"))
+    elif direction == "forward":
+        out = [F.when(_ok("f"), F.col(f"__f_{c}")).alias(c + suffix)
+               for c in rcols]
+    else:
+        take_b = _ok("b") & (~_ok("f")
+                             | ((F.col(on) - F.col("__b_on"))
+                                <= (F.col("__f_on") - F.col(on))))
+        out = [F.when(take_b, F.col(f"__b_{c}"))
+                .when(_ok("f"), F.col(f"__f_{c}"))
+                .alias(c + suffix)
+               for c in rcols]
+    return u.select(by, on, *lcols_only, *out)
 
 
 def range_join_binned(left: DataFrame, right: DataFrame, by: str,

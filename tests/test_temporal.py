@@ -60,3 +60,53 @@ def test_range_join_no_cross_product_plan(spark):
                                    -600, 0, 300)
     assert not has_node(j, "BroadcastNestedLoopJoin")
     assert not has_node(j, "CartesianProduct")
+
+
+def test_asof_forward_direction(spark):
+    from heracles_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 50), (2, 10)],
+                                 "u long, t long")
+    right = spark.createDataFrame([(1, 20, "a"), (1, 60, "b"),
+                                   (2, 5, "c")], "u long, t long, v string")
+    got = {(r.u, r.t): r.v_right for r in
+           asof_join(left, right, on="t", by="u",
+                     direction="forward").collect()}
+    assert got == {(1, 10): "a", (1, 50): "b", (2, 10): None}
+
+
+def test_asof_nearest_direction_and_ties(spark):
+    from heracles_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 30), (1, 41)], "u long, t long")
+    right = spark.createDataFrame([(1, 20, "b20"), (1, 40, "f40")],
+                                  "u long, t long, v string")
+    got = {(r.u, r.t): r.v_right for r in
+           asof_join(left, right, on="t", by="u",
+                     direction="nearest").collect()}
+    # t=30: gap 10 both ways -> backward wins ties; t=41: 40 is closer
+    assert got == {(1, 30): "b20", (1, 41): "f40"}
+
+
+def test_asof_tolerance(spark):
+    from heracles_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 100), (1, 200)], "u long, t long")
+    right = spark.createDataFrame([(1, 95, "near"), (1, 50, "far")],
+                                  "u long, t long, v string")
+    got = {(r.u, r.t): r.v_right for r in
+           asof_join(left, right, on="t", by="u",
+                     tolerance=10).collect()}
+    assert got == {(1, 100): "near", (1, 200): None}
+
+
+def test_asof_backward_unchanged(spark):
+    """Default semantics must match the pre-direction implementation."""
+    from heracles_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25)], "u long, t long")
+    right = spark.createDataFrame([(1, 10, "eq"), (1, 20, "mid")],
+                                  "u long, t long, v string")
+    got = {(r.u, r.t): r.v_right for r in
+           asof_join(left, right, on="t", by="u").collect()}
+    assert got == {(1, 10): "eq", (1, 25): "mid"}
