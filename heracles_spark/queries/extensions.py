@@ -105,3 +105,56 @@ QUERIES = {
     "events_range_join": (events_range_join, RANGE_SQL),
     "udf_where_filter": (udf_where_filter, UDF_SQL),
 }
+
+
+def events_asof_forward(spark, sf_dir):
+    """FORWARD as-of join (direction='forward'): each purchase picks up
+    the EARLIEST following click of the same user — "what did the buyer
+    do next". DuckDB has no forward ASOF; the oracle states the
+    semantics with a window-min over the time-ordered union, proving the
+    direction logic value-exact."""
+    e = _events(spark, sf_dir)
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", "ts_ns", "event_id"))
+    clicks = (e.where(F.col("event_type") == "click")
+               .select("user_id", "ts_ns",
+                       F.col("ts_ns").alias("click_ts_ns")))
+    j = temporal.asof_join(purchases, clicks, on="ts_ns", by="user_id",
+                           right_cols=["click_ts_ns"],
+                           direction="forward")
+    gap_s = F.expr("(click_ts_ns_right - ts_ns) div 1000000000")
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_purchases"),
+                  F.sum(F.when(F.col("click_ts_ns_right").isNotNull(), 1)
+                         .otherwise(0)).alias("n_with_next_click"),
+                  F.sum(F.coalesce(gap_s, F.lit(0)))
+                   .cast("bigint").alias("total_gap_s"))
+             .where(F.col("user_id") <= 300)
+             .orderBy("user_id"))
+
+
+ASOF_FWD_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_ns(ts) AS t, 0 AS side, epoch_ns(ts) AS ron
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_ns(ts) AS t, 1 AS side, NULL AS ron
+  FROM events WHERE event_type = 'purchase'),
+ carried AS (
+  SELECT user_id, t, side,
+         MIN(ron) OVER (PARTITION BY user_id ORDER BY t DESC, side ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS next_click
+  FROM u)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN next_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_with_next_click,
+       CAST(SUM(CASE WHEN next_click IS NOT NULL
+                     THEN (next_click - t) // 1000000000 ELSE 0 END)
+            AS BIGINT) AS total_gap_s
+FROM carried WHERE side = 1
+GROUP BY user_id HAVING user_id <= 300 ORDER BY user_id
+"""
+
+
+QUERIES["events_asof_forward"] = (events_asof_forward, ASOF_FWD_SQL)
