@@ -474,3 +474,43 @@ FROM customer WHERE c_custkey <= 30 ORDER BY c_custkey
 
 
 QUERIES["conditional_functions"] = (conditional_functions, CONDF_SQL)
+
+
+def string_functions3(spark, sf_dir):
+    """String batch 3: split_part / reverse / repeat / lpad / rpad /
+    translate / position / left-right slices — the remaining §2.8
+    string surface both engines implement identically."""
+    c = _t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 25)
+    nm = F.col("c_name")
+    return (c.select(
+                "c_custkey",
+                F.split_part(nm, F.lit("#"), F.lit(2)).alias("num_part"),
+                F.reverse(F.col("c_mktsegment")).alias("seg_rev"),
+                F.repeat(F.lit("ab"), 3).alias("abx3"),
+                F.lpad(F.col("c_custkey").cast("string"), 6, "0")
+                 .alias("key_lpad"),
+                F.rpad(F.col("c_mktsegment"), 12, ".").alias("seg_rpad"),
+                F.translate(F.col("c_mktsegment"), "AEIOU", "aeiou")
+                 .alias("seg_lower_vowels"),
+                F.instr(nm, F.lit("#")).alias("hash_pos"),
+                F.substring(nm, 1, 8).alias("left8"),
+                nm.substr(F.length(nm) - 3, F.lit(4)).alias("right4"))
+             .orderBy("c_custkey"))
+
+
+STRF3_SQL = """
+SELECT c_custkey,
+       split_part(c_name, '#', 2) AS num_part,
+       reverse(c_mktsegment) AS seg_rev,
+       repeat('ab', 3) AS abx3,
+       lpad(CAST(c_custkey AS VARCHAR), 6, '0') AS key_lpad,
+       rpad(c_mktsegment, 12, '.') AS seg_rpad,
+       translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_lower_vowels,
+       CAST(position('#' IN c_name) AS INT) AS hash_pos,
+       substring(c_name, 1, 8) AS left8,
+       substring(c_name, length(c_name) - 3, 4) AS right4
+FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey
+"""
+
+
+QUERIES["string_functions3"] = (string_functions3, STRF3_SQL)
