@@ -114,11 +114,55 @@ def _parse_literal(s: str):
     return None                            # not a recognizable literal
 
 
-def where_to_pruning_pred(where: str | None) -> tuple | None:
+# SQL timestamp literal separator: '2024-06-01 12:00:00'. File stats are
+# written via datetime.isoformat() (writer._jsonable), i.e. a 'T'
+# separator — lexicographic comparison of ' ' (0x20) vs 'T' (0x54)
+# misorders same-day values, so literals on temporal columns must be
+# normalized to the stats encoding before box comparison.
+_TS_SPACE_RE = re.compile(r"^(\d{4}-\d{2}-\d{2}) (\d)")
+
+_TEMPORAL = ("date", "timestamp")
+_NUMERIC = ("tinyint", "byte", "smallint", "short", "int", "integer",
+            "bigint", "long", "float", "double")
+
+
+def _coerce_literal(lit, col: str, col_types: dict[str, str] | None):
+    """Validate/normalize a parsed literal against the column's declared
+    SQL type. Returns the (possibly rewritten) literal, or None when the
+    literal's type can't be compared safely with the column's file stats
+    — dropping the conjunct prunes less but stays sound."""
+    if col_types is None:
+        return lit
+    t = col_types.get(col, "").lower()
+    if not t:
+        return lit
+    if t in _TEMPORAL:
+        if not isinstance(lit, str):
+            return None
+        return _TS_SPACE_RE.sub(r"\1T\2", lit)
+    if t in _NUMERIC:
+        return lit if isinstance(lit, (int, float)) \
+            and not isinstance(lit, bool) else None
+    if t == "string":
+        return lit if isinstance(lit, str) else None
+    if t == "boolean":
+        return lit if isinstance(lit, bool) else None
+    return lit
+
+
+def where_to_pruning_pred(where: str | None,
+                          col_types: dict[str, str] | None = None
+                          ) -> tuple | None:
     """Compile a WHERE clause into the pruning AST, keeping only the
     conjuncts it can prove equivalent (col-vs-literal comparisons, IN,
     BETWEEN, IS [NOT] NULL). Dropping a conjunct only loosens pruning
-    (sound); any OR/NOT/function shape yields None (prune nothing)."""
+    (sound); any OR/NOT/function shape yields None (prune nothing).
+
+    ``col_types`` (column → declared SQL type) enables typed literal
+    coercion: temporal literals are normalized to the isoformat encoding
+    the file stats use, and type-mismatched literals (e.g. ``k = '3'``
+    on an int key, which Spark implicitly casts row-level) drop their
+    conjunct instead of producing an unsound/throwing box comparison."""
     if not where:
         return None
     conjuncts = _split_top_and(where)
@@ -138,20 +182,28 @@ def where_to_pruning_pred(where: str | None) -> tuple | None:
         if m:
             lo, hi = _parse_literal(m.group(2)), _parse_literal(m.group(3))
             if lo is not None and hi is not None:
-                out.append(("between", m.group(1), lo, hi))
+                lo = _coerce_literal(lo, m.group(1), col_types)
+                hi = _coerce_literal(hi, m.group(1), col_types)
+                if lo is not None and hi is not None:
+                    out.append(("between", m.group(1), lo, hi))
             continue
         m = _IN_RE.match(c)
         if m:
             vals = [_parse_literal(v) for v in m.group(2).split(",")]
             if vals and all(v is not None for v in vals):
-                out.append(("in", m.group(1), vals))
+                vals = [_coerce_literal(v, m.group(1), col_types)
+                        for v in vals]
+                if all(v is not None for v in vals):
+                    out.append(("in", m.group(1), vals))
             continue
         m = _CMP_RE.match(c)
         if m and "(" not in m.group(1):
             lit = _parse_literal(m.group(3))
             if lit is not None:
-                op = {"<>": "!="}.get(m.group(2), m.group(2))
-                out.append((op, m.group(1), lit))
+                lit = _coerce_literal(lit, m.group(1), col_types)
+                if lit is not None:
+                    op = {"<>": "!="}.get(m.group(2), m.group(2))
+                    out.append((op, m.group(1), lit))
             continue
         # unrecognized conjunct: skip (prunes less, still sound)
     if not out:
@@ -160,7 +212,7 @@ def where_to_pruning_pred(where: str | None) -> tuple | None:
 
 
 def _touched_and_kept(tbl: KeyTable, where: str | None):
-    pred = where_to_pruning_pred(where)
+    pred = where_to_pruning_pred(where, dict(tbl.columns))
     if pred is None:
         return list(tbl.files), []
     touched = prune_files(tbl.files, pred, tbl.key_cols)

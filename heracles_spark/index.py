@@ -214,6 +214,9 @@ def indexed_lookup(spark: SparkSession, catalog: HeraclesCatalog,
     ``pred`` is a pruning-AST predicate over the indexed column (and
     only it) — e.g. ("between", "v", 10, 20)."""
     global LAST_INDEX_STATS
+    # Fresh stats per lookup: stale keys from a previous call (e.g. a
+    # prior 'index' mode's pointers) must not leak into this one's.
+    LAST_INDEX_STATS.clear()
     tbl = catalog.get_table(table)
     pcol = _pred_col(pred)
     entry = None

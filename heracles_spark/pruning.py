@@ -66,22 +66,28 @@ def may_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
         return MAY
     lo, hi = mins[col], maxs[col]
 
-    if op == "=":
-        return lo <= pred[2] <= hi
-    if op == "!=":
-        return not (lo == hi == pred[2])
-    if op == "<":
-        return lo < pred[2]
-    if op == "<=":
-        return lo <= pred[2]
-    if op == ">":
-        return hi > pred[2]
-    if op == ">=":
-        return hi >= pred[2]
-    if op == "in":
-        return any(lo <= v <= hi for v in pred[2])
-    if op == "between":
-        return not (pred[3] < lo or pred[2] > hi)
+    try:
+        if op == "=":
+            return lo <= pred[2] <= hi
+        if op == "!=":
+            return not (lo == hi == pred[2])
+        if op == "<":
+            return lo < pred[2]
+        if op == "<=":
+            return lo <= pred[2]
+        if op == ">":
+            return hi > pred[2]
+        if op == ">=":
+            return hi >= pred[2]
+        if op == "in":
+            return any(lo <= v <= hi for v in pred[2])
+        if op == "between":
+            return not (pred[3] < lo or pred[2] > hi)
+    except TypeError:
+        # Literal/stat type mismatch (e.g. a string literal probed
+        # against int stats — valid SQL, Spark casts row-level). The box
+        # can't decide: degrade to MAY, never abort the statement.
+        return MAY
     if op == "isnull":
         return NO if col in key_cols else MAY
     if op == "isnotnull":

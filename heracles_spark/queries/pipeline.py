@@ -962,7 +962,15 @@ WITH split AS (
  grams AS (
   SELECT doc_id, split,
          array_to_string(t[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
-  FROM toks, range(1, 20000) r(i) WHERE i + 4 <= len(t)),
+  FROM toks, range(1, 20000) r(i) WHERE i + 4 <= len(t)
+  UNION ALL
+  -- sub-n-token docs contribute their whole text as their only gram,
+  -- matching operators.text._gram_hashes (an identical short train/eval
+  -- pair is contaminated in both engines). A whole-text gram (<n
+  -- tokens) can never equal an n-gram (exactly n tokens), so the union
+  -- only adds short-vs-short matches.
+  SELECT doc_id, split, array_to_string(t, ' ') AS g
+  FROM toks WHERE len(t) < 5),
  contaminated AS (
   SELECT DISTINCT doc_id FROM grams
   WHERE split = 'train'

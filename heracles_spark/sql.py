@@ -92,11 +92,11 @@ _ALTER_DROP = re.compile(
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<sets>.+?)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.IGNORECASE | re.DOTALL)
+    r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<rest>.+)$",
+    re.IGNORECASE | re.DOTALL)
 _DELETE = re.compile(
-    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)"
-    r"(?:\s+WHERE\s+(?P<where>.+?))?\s*$", re.IGNORECASE | re.DOTALL)
+    r"^\s*DELETE\s+FROM\s+(?P<name>[\w.]+)(?P<rest>.*)$",
+    re.IGNORECASE | re.DOTALL)
 # CREATE ROLLUP r ON src GROUP BY a, b AGG n = COUNT(x), s = SUM(y), ...
 # Group items may be `alias = expr` for derived group columns.
 _CREATE_ROLLUP = re.compile(
@@ -324,14 +324,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m and catalog.table_exists(_resolve(session, m.group("name"))):
         from heracles_spark import dml
         name = _resolve(session, m.group("name"))
+        sets, where = _split_where(m.group("rest"))
         assignments: dict[str, str] = {}
-        for part in _split_top(m.group("sets"), ","):
+        for part in _split_top(sets, ","):
             am = re.match(r"^\s*(\w+)\s*=\s*(.+)$", part, re.DOTALL)
             if not am:
                 raise ValueError(f"UPDATE: bad assignment {part!r}")
             assignments[am.group(1)] = am.group(2).strip()
-        dml.update_table(spark, catalog, name, assignments,
-                         m.group("where"))
+        dml.update_table(spark, catalog, name, assignments, where)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         st = dml.LAST_DML_STATS
@@ -344,7 +344,11 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m and catalog.table_exists(_resolve(session, m.group("name"))):
         from heracles_spark import dml
         name = _resolve(session, m.group("name"))
-        dml.delete_from(spark, catalog, name, m.group("where"))
+        tail, where = _split_where(m.group("rest"))
+        if tail.strip():
+            raise ValueError(
+                f"DELETE: unexpected tokens before WHERE: {tail.strip()!r}")
+        dml.delete_from(spark, catalog, name, where)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         st = dml.LAST_DML_STATS
@@ -781,6 +785,34 @@ def _parse_value_rows(s: str) -> list[tuple]:
                 vals.append(raw)
         rows.append(tuple(vals))
     return rows
+
+
+def _split_where(s: str) -> tuple[str, str | None]:
+    """Split ``<body> [WHERE <pred>]`` at the first WHERE keyword sitting
+    at paren depth 0 and outside string literals — a SET value like
+    ``name = 'a WHERE b'`` must not split inside the literal."""
+    depth, q, i, n = 0, None, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if q:
+            if ch == q:
+                q = None
+            i += 1
+            continue
+        if ch in "'\"":
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i:i + 5].upper() == "WHERE":
+            before = s[i - 1] if i else " "
+            after = s[i + 5] if i + 5 < n else " "
+            if not (before.isalnum() or before == "_") \
+                    and not (after.isalnum() or after == "_"):
+                return s[:i], s[i + 5:].strip() or None
+        i += 1
+    return s, None
 
 
 def _split_top(s: str, sep: str) -> list[str]:

@@ -50,6 +50,40 @@ def test_where_pred_conservative_bailouts():
     assert where_to_pruning_pred("name = 'x AND y'") == ("=", "name", "x AND y")
 
 
+def test_where_pred_temporal_literal_normalized_to_stats_encoding():
+    # File stats store timestamps as isoformat ('T' separator); the SQL
+    # literal form uses a space. Without normalization, lexicographic
+    # 'T' (0x54) vs ' ' (0x20) misorders same-day values.
+    assert where_to_pruning_pred(
+        "ts < '2024-06-01 12:00:00'", {"ts": "timestamp"}) == \
+        ("<", "ts", "2024-06-01T12:00:00")
+    # Date literals have no separator to rewrite.
+    assert where_to_pruning_pred("d = '2024-06-01'", {"d": "date"}) == \
+        ("=", "d", "2024-06-01")
+    # Non-string literal on a temporal column: conjunct dropped (sound).
+    assert where_to_pruning_pred("ts < 42", {"ts": "timestamp"}) is None
+
+
+def test_where_pred_type_mismatch_drops_conjunct():
+    # k = '3' on an int key is valid SQL (Spark casts row-level) but the
+    # str-vs-int box comparison would throw or misorder — drop it.
+    assert where_to_pruning_pred("k = '3'", {"k": "int"}) is None
+    assert where_to_pruning_pred("name = 3", {"name": "string"}) is None
+    # The remaining typed conjunct still prunes.
+    assert where_to_pruning_pred("k = '3' AND v > 5",
+                                 {"k": "int", "v": "int"}) == (">", "v", 5)
+
+
+def test_may_match_type_mismatch_degrades_to_may():
+    from heracles_spark.pruning import may_match
+    # Literal/stat type mismatch must degrade to MAY, never raise.
+    assert may_match(("=", "k", "3"), {"k": 1}, {"k": 9}, ["k"]) is True
+    assert may_match(("in", "k", ["a", "b"]), {"k": 1}, {"k": 9}, ["k"]) \
+        is True
+    assert may_match(("between", "k", "a", "b"), {"k": 1}, {"k": 9},
+                     ["k"]) is True
+
+
 # -- DELETE ---------------------------------------------------------------
 
 def test_delete_where(hsession):
@@ -111,6 +145,43 @@ def test_update_unknown_column_rejected(hsession):
     _mk(hsession)
     with pytest.raises(ValueError, match="no such column"):
         hsession.sql("UPDATE t SET nope = 1")
+
+
+def test_update_where_keyword_inside_string_literal(hsession):
+    _mk(hsession, rows="(1,'a',10),(2,'b',20)")
+    # The WHERE split must scan at quote depth 0 — 'a WHERE b' is a value.
+    hsession.sql("UPDATE t SET name = 'a WHERE b'")
+    assert _rows(hsession) == [(1, "a WHERE b", 10), (2, "a WHERE b", 20)]
+    hsession.sql("UPDATE t SET name = 'x WHERE y' WHERE k = 2")
+    assert _rows(hsession) == [(1, "a WHERE b", 10), (2, "x WHERE y", 20)]
+
+
+def test_delete_string_literal_on_int_key(hsession):
+    _mk(hsession)
+    # Implicit cast: '2' probes int stats; must delete, not throw.
+    hsession.sql("DELETE FROM t WHERE k = '2'")
+    assert [r[0] for r in _rows(hsession)] == [1, 3, 4]
+
+
+def test_delete_timestamp_space_literal_prunes_correctly(
+        hsession, spark, catalog):
+    from heracles_spark import writer
+    hsession.sql("""CREATE TABLE ev (ts TIMESTAMP, v INT)
+                    TBLPROPERTIES('keyCols'='ts')""")
+    df = spark.sql("""
+        SELECT TIMESTAMP'2024-06-01 05:00:00' + make_interval(0,0,0,0,id)
+               AS ts, CAST(id AS INT) AS v
+        FROM range(12)""")
+    writer.write_key_organized(spark, catalog, "ev", df, n_buckets=2)
+    catalog.read_table(spark, "ev").createOrReplaceTempView(
+        catalog.view_name("ev"))
+    # File min '2024-06-01T05:00:00' vs literal '2024-06-01 12:00:00':
+    # unnormalized lexicographic compare classifies the file NO and the
+    # delete silently skips it.
+    hsession.sql("DELETE FROM ev WHERE ts < '2024-06-01 12:00:00'")
+    assert dml.LAST_DML_STATS["rows_affected"] == 7
+    left = hsession.sql("SELECT COUNT(*) AS n FROM ev").collect()[0].n
+    assert left == 5
 
 
 # -- copy-on-write file pruning -------------------------------------------

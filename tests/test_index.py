@@ -37,6 +37,19 @@ def test_create_probe_point(spark, catalog):
     assert st["index_files_read"] <= 2
 
 
+def test_stats_reset_between_lookups(spark, catalog):
+    _mk(spark, catalog)
+    ix.create_index(spark, catalog, "base", "v")
+    ix.indexed_lookup(spark, catalog, "base", ("=", "v", 37)).collect()
+    assert "pointers" in ix.LAST_INDEX_STATS
+    # A direct-fallback lookup must not inherit the prior call's
+    # index-mode counters (no-index on column k → direct).
+    ix.indexed_lookup(spark, catalog, "base", ("isnull", "v"))
+    st = ix.LAST_INDEX_STATS
+    assert st["mode"] == "direct"
+    assert "pointers" not in st and "index_files_read" not in st
+
+
 def test_probe_range_matches_full_scan(spark, catalog):
     _mk(spark, catalog)
     ix.create_index(spark, catalog, "base", "v")
