@@ -110,26 +110,32 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
     needed decimal(38) modular arithmetic to avoid 64-bit overflow and
     cost ~10× in the explode hot loop.
 
-    Shingling: posexplode tokens + window lead() — higher-order-function
-    lambdas (transform/slice) are NOT whole-stage-codegen'd in Spark and
-    measured 4× slower. The window shuffle on the id co-partitions with
-    the following groupBy(id), so Spark plans ONE exchange for both.
-    Duplicate shingles are kept: min() is multiset-insensitive, so the
-    distinct would only add cost."""
+    Shingling: posexplode tokens + element_at() against the RETAINED
+    token array — fully map-side, fused into one whole-stage-codegen
+    span with the scan and the partial aggregation. (Earlier designs:
+    higher-order-function lambdas (transform/slice) are not whole-stage-
+    codegen'd and measured 4× slower; a window lead() forced every
+    exploded token through a shuffle+sort BEFORE aggregation, defeating
+    map-side combine — at 100 TB that shuffle is a full-corpus token
+    pass, while this formulation shuffles only per-doc partial
+    signatures.) Duplicate shingles are kept: min() is
+    multiset-insensitive, so the distinct would only add cost."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, shingle_size)]
+    ex = (df.select(F.col(id_col), toks.alias("__t"))
+            .select(F.col(id_col), F.col("__t"),
+                    F.posexplode(F.col("__t")).alias("pos", "tok"))
+            .where(F.col("pos") + shingle_size <= F.array_size("__t")))
+    # element_at is 1-based; pos is 0-based → token j of the shingle sits
+    # at __t[pos + 1 + j].
+    rest = [F.element_at("__t", F.col("pos") + 1 + j)
+            for j in range(1, shingle_size)]
     # Hash each shingle ONCE (directly over the token columns — no
     # concat allocation), then derive the k minhashes from that fixed-
     # width long. Hashing the shingle STRING k times made the agg pay
     # k string hashes per shingle row (~32M at sf0.1 — it dominated the
     # bench entry).
-    sh = (ex.select(F.col(id_col),
-                    F.xxhash64(F.col("tok"), *leads).alias("bh"),
-                    (leads[-1] if leads else F.col("tok")).alias("__full"))
-            .where(F.col("__full").isNotNull())
-            .drop("__full"))
+    sh = ex.select(F.col(id_col),
+                   F.xxhash64(F.col("tok"), *rest).alias("bh"))
     # Docs shorter than the shingle size still need a signature: use the
     # whole text as their single shingle.
     short = (df.where(F.array_size(toks) < shingle_size)

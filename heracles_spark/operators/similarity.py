@@ -137,6 +137,30 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
               .limit(k))
 
 
+def cosine_topk_df(df: DataFrame, query_df: DataFrame, k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64) -> DataFrame:
+    """In-plan brute-force top-k: the query vector arrives as a 1-row
+    DataFrame (broadcast crossJoin) instead of a driver-fetched literal —
+    no job runs at plan-construction time, and at cluster scale the
+    query row rides the broadcast plan like any dimension table. Same
+    sequential f64 accumulation as ``cosine_topk`` (bit-identical
+    scores)."""
+    q = query_df.select(F.col(vec_col).alias("__qv"))
+    dot = "0.0D + " + " + ".join(
+        f"CAST(`{vec_col}`[{i}] AS DOUBLE) * CAST(__qv[{i}] AS DOUBLE)"
+        for i in range(dim))
+    nq = "0.0D + " + " + ".join(
+        f"CAST(__qv[{i}] AS DOUBLE) * CAST(__qv[{i}] AS DOUBLE)"
+        for i in range(dim))
+    cos = F.expr(dot) / (norm_flat(f"`{vec_col}`", dim)
+                         * F.sqrt(F.expr(nq)))
+    return (df.crossJoin(F.broadcast(q))
+              .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+              .orderBy(F.desc("cosine"), id_col)
+              .limit(k))
+
+
 def cosine_all_pairs(df: DataFrame, threshold: float,
                      id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
@@ -446,6 +470,35 @@ def quantized_cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                          f"CAST(__qdot AS DOUBLE) / "
                          f"(sqrt(CAST(__qnrm AS DOUBLE)) * {_flit(qnq)})"),
                          6).alias("qcosine"))
+             .orderBy(F.desc("qcosine"), id_col)
+             .limit(k))
+
+
+def quantized_cosine_topk_df(df: DataFrame, query_df: DataFrame,
+                             k: int = 10, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """In-plan variant of ``quantized_cosine_topk``: the query vector is
+    a 1-row DataFrame quantized INSIDE the plan and broadcast — no
+    driver action at plan-construction time. Scores are bit-identical
+    (same integer sums, same two final IEEE ops)."""
+    q = quantize_int8(df, id_col, vec_col, dim)
+    qq = (quantize_int8(query_df, id_col, vec_col, dim)
+          .select(F.col("qvec").alias("__qq")))
+    qdot = "0L + " + " + ".join(
+        f"CAST(qvec[{i}] AS BIGINT) * CAST(__qq[{i}] AS BIGINT)"
+        for i in range(dim))
+    qnrm = "0L + " + " + ".join(
+        f"CAST(qvec[{i}] AS BIGINT) * CAST(qvec[{i}] AS BIGINT)"
+        for i in range(dim))
+    qnq = "0L + " + " + ".join(
+        f"CAST(__qq[{i}] AS BIGINT) * CAST(__qq[{i}] AS BIGINT)"
+        for i in range(dim))
+    score = F.expr(
+        f"CAST(({qdot}) AS DOUBLE) / (sqrt(CAST(({qnrm}) AS DOUBLE)) "
+        f"* sqrt(CAST(({qnq}) AS DOUBLE)))")
+    return (q.crossJoin(F.broadcast(qq))
+             .select(F.col(id_col), F.round(score, 6).alias("qcosine"))
              .orderBy(F.desc("qcosine"), id_col)
              .limit(k))
 

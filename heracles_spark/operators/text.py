@@ -9,7 +9,7 @@ codegen expression evaluation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword heuristic
@@ -254,22 +254,20 @@ def term_frequencies(df: DataFrame, text_col: str = "text",
 
 def _gram_hashes(df: DataFrame, id_col: str, text_col: str,
                  n: int) -> DataFrame:
-    """(id, gh): 64-bit hash per word n-gram. posexplode + window lead
-    with a multi-column xxhash64 — no gram STRING is ever built
-    (higher-order-function shingling is interpreted per element and
-    measured ~5× slower; see minhash_signatures' identical choice,
-    dedup.py). Docs shorter than n hash their whole text (their only
-    gram)."""
+    """(id, gh): 64-bit hash per word n-gram. posexplode + element_at
+    against the retained token array, with a multi-column xxhash64 — no
+    gram STRING is ever built and no shuffle happens before the
+    consumer's aggregation (see minhash_signatures' identical choice and
+    its scale note, dedup.py). Docs shorter than n hash their whole text
+    (their only gram)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
-    w = Window.partitionBy(id_col).orderBy("pos")
-    leads = [F.lead("tok", j).over(w) for j in range(1, n)]
-    full = leads[-1] if leads else F.col("tok")
-    sh = (ex.select(F.col(id_col),
-                    F.xxhash64(F.col("tok"), *leads).alias("gh"),
-                    full.alias("__f"))
-            .where(F.col("__f").isNotNull())
-            .drop("__f"))
+    ex = (df.select(F.col(id_col), toks.alias("__t"))
+            .select(F.col(id_col), F.col("__t"),
+                    F.posexplode(F.col("__t")).alias("pos", "tok"))
+            .where(F.col("pos") + n <= F.array_size("__t")))
+    rest = [F.element_at("__t", F.col("pos") + 1 + j) for j in range(1, n)]
+    sh = ex.select(F.col(id_col),
+                   F.xxhash64(F.col("tok"), *rest).alias("gh"))
     short = (df.where(F.array_size(toks) < n)
                .select(F.col(id_col),
                        F.xxhash64(F.array_join(toks, " ")).alias("gh")))

@@ -163,11 +163,11 @@ FROM h GROUP BY 1, 2 ORDER BY lang, lang_pred
 
 def embedding_knn_brute(spark, sf_dir):
     """Brute-force cosine top-10 to vec_id=0's embedding — the exact ANN
-    baseline (operators.similarity.cosine_topk)."""
+    baseline (operators.similarity.cosine_topk_df: the query row joins
+    in-plan via broadcast; no driver action at build time)."""
     e = _embs(spark, sf_dir)
-    qvec = [float(v) for v in
-            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return similarity.cosine_topk(e.where(F.col("vec_id") != 0), qvec, k=10)
+    return similarity.cosine_topk_df(
+        e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10)
 
 
 KNN_SQL = """
@@ -1032,12 +1032,11 @@ FROM q GROUP BY vec_id ORDER BY vec_id
 def embedding_quantized_knn(spark, sf_dir):
     """Top-10 cosine in the QUANTIZED domain (scales cancel): integer
     dot/norms, two final IEEE ops — deterministic by construction
-    (operators.similarity.quantized_cosine_topk)."""
+    (operators.similarity.quantized_cosine_topk_df: query row quantized
+    in-plan and broadcast; no driver action at build time)."""
     e = _embs(spark, sf_dir)
-    qvec = [float(v) for v in
-            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
-    return similarity.quantized_cosine_topk(
-        e.where(F.col("vec_id") != 0), qvec, k=10)
+    return similarity.quantized_cosine_topk_df(
+        e.where(F.col("vec_id") != 0), e.where(F.col("vec_id") == 0), k=10)
 
 
 EQK_SQL = """

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from heracles_spark.queries.relational import _t, _dsum, _davg, _osum, _oavg
+from heracles_spark.queries.relational import (
+    _t, _dsum, _davg, _osum, _oavg, _fsum, _osum8, fast_exact_agg)
 
 
 def q2_top_supplier_per_nation(spark, sf_dir):
@@ -137,15 +138,18 @@ def q9_product_profit(spark, sf_dir):
              .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
              .join(o, l.l_orderkey == o.o_orderkey)
              .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-             .groupBy(F.col("n_name").alias("nation"),
-                      F.year("o_orderdate").alias("o_year"))
-             .agg(_dsum(profit, 8).alias("sum_profit"))
+             .withColumn("nation", F.col("n_name"))
+             .withColumn("o_year", F.year("o_orderdate"))
+             # nation x year groups grow with SF -> two-level refold
+             .transform(lambda j: fast_exact_agg(
+                 j, ["nation", "o_year"],
+                 sums=[("sum_profit", profit, 2)]))
              .orderBy("nation", F.desc("o_year")))
 
 
 Q9_SQL = f"""
 SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
-       {_osum('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01', 8)} AS sum_profit
+       {_osum8('l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.01')} AS sum_profit
 FROM lineitem JOIN part ON l_partkey = p_partkey
               JOIN supplier ON l_suppkey = s_suppkey
               JOIN orders ON l_orderkey = o_orderkey
@@ -225,7 +229,8 @@ def q18_large_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     big = (l.groupBy("l_orderkey")
-            .agg(_dsum(F.col("l_quantity")).alias("total_qty"))
+            # per-order group: bounded size -> single-level long path
+            .agg(_fsum(F.col("l_quantity")).alias("total_qty"))
             .where(F.col("total_qty") > 150))
     return (o.join(big, o.o_orderkey == big.l_orderkey)
              .join(c, o.o_custkey == c.c_custkey)
@@ -238,8 +243,8 @@ def q18_large_orders(spark, sf_dir):
 Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey, o_totalprice, total_qty
 FROM orders
-JOIN (SELECT l_orderkey, {_osum('l_quantity')} AS total_qty
-      FROM lineitem GROUP BY l_orderkey HAVING {_osum('l_quantity')} > 150) b
+JOIN (SELECT l_orderkey, {_osum8('l_quantity')} AS total_qty
+      FROM lineitem GROUP BY l_orderkey HAVING {_osum8('l_quantity')} > 150) b
   ON o_orderkey = b.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 ORDER BY total_qty DESC, o_orderkey LIMIT 20
