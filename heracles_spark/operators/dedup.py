@@ -265,42 +265,105 @@ def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
                         threshold: float = 0.5,
-                        max_doc_freq: int = 1000) -> DataFrame:
-    """All pairs with character-n-gram Jaccard ≥ threshold, via an
-    inverted-index join: explode distinct n-grams, drop stop-grams with
-    document frequency > max_doc_freq (bounds join fan-out — the skew
-    guard), self-join on n-gram, count intersections, compute
-    |A∩B| / (|A|+|B|-|A∩B|)."""
-    # HOF-free gram generation (transform lambdas are interpreted, not
-    # codegen'd): explode an index sequence, substring per index. Grams
-    # are hashed to 64-bit immediately so every downstream shuffle/join
+                        max_doc_freq: int = 1000,
+                        max_doc_frac: float | None = None,
+                        unit: str = "char") -> DataFrame:
+    """All pairs with n-gram Jaccard ≥ threshold (``unit``: "char" =
+    character substrings, "word" = lowercased whitespace-token windows —
+    word grams have far higher diversity, which is what makes the
+    inverted index selective on prose), via an
+    inverted-index join with PREFIX FILTERING (the PPJoin family):
+    explode distinct n-grams, drop stop-grams with document frequency >
+    max_doc_freq, self-join only each doc's ⌊(1-t)·|d|⌋+1 RAREST grams
+    (global (df, g) order) to find candidates, then verify candidates
+    against the full filtered gram sets.
+
+    The prefix filter is LOSSLESS: the reported score
+    |F_a∩F_b| / (|S_a|+|S_b|-|F_a∩F_b|) (F = df-filtered grams, S = all
+    grams) is ≤ Jaccard(F_a, F_b), so score ≥ t implies
+    Jaccard(F_a, F_b) ≥ t, and the classic prefix theorem then
+    guarantees the two (1-t)-prefixes share a gram. Replaces the naive
+    full inverted self-join whose candidate count is Σ_g df(g)² — at
+    corpus scale that term (mid-frequency grams) dominates everything
+    else in the pipeline; the prefix join touches only rare grams."""
+    # Gram generation stays codegen'd (explode an index sequence +
+    # substr + xxhash64 — HOF transform lambdas are interpreted and
+    # measured ~8× slower here); per-doc DEDUP happens in collect_set,
+    # whose partial aggregation dedups map-side (a doc's exploded grams
+    # are contiguous in one partition), so the exchange moves ONE gram
+    # set per doc instead of the full gram stream — a global .distinct()
+    # on the exploded pairs measured 2.2s at sf0.1 vs 0.4s for this, and
+    # at corpus scale that difference is a full token pass. Grams are
+    # hashed to 64-bit immediately so every downstream shuffle/join
     # moves fixed-width longs instead of strings (collision odds at
     # realistic gram cardinalities are ~G²/2⁶⁴ — negligible).
-    base = (df.select(F.col(id_col), F.col(text_col),
-                      F.explode(F.sequence(
-                          F.lit(1),
-                          F.greatest(F.length(F.col(text_col)) - (n - 1),
-                                     F.lit(1)))).alias("i"))
-              .select(F.col(id_col),
-                      F.when(F.col("i") <= F.length(F.col(text_col)) - (n - 1),
-                             F.xxhash64(F.col(text_col)
-                                         .substr(F.col("i"), F.lit(n))))
-                       .alias("g"))
-              .where(F.col("g").isNotNull())
-              .distinct())
-    # base feeds THREE consumers (sizes, dfreq, the filtered join) and
-    # Spark does no cross-action CSE — unpersisted, the explode+distinct
-    # shuffle would run three times.
-    base = _persist(base)
-    sizes = base.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if unit == "word":
+        toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        exd = (df.select(F.col(id_col), toks.alias("__t"))
+                 .select(F.col(id_col), F.col("__t"),
+                         F.posexplode("__t").alias("pos", "tok"))
+                 .where(F.col("pos") + n <= F.array_size("__t")))
+        rest = [F.element_at("__t", F.col("pos") + 1 + j)
+                for j in range(1, n)]
+        ex = exd.select(F.col(id_col),
+                        F.xxhash64(F.col("tok"), *rest).alias("g"))
+    else:
+        ex = (df.select(F.col(id_col), F.col(text_col),
+                        F.explode(F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length(F.col(text_col)) - (n - 1),
+                                       F.lit(1)))).alias("i"))
+                .select(F.col(id_col),
+                        F.when(F.col("i")
+                               <= F.length(F.col(text_col)) - (n - 1),
+                               F.xxhash64(F.col(text_col)
+                                           .substr(F.col("i"), F.lit(n))))
+                         .alias("g"))
+                .where(F.col("g").isNotNull()))
+    # docs_g feeds sizes and the exploded stream; persist the tiny
+    # one-row-per-doc relation so the explode+agg runs once.
+    docs_g = _persist(
+        ex.groupBy(id_col).agg(F.collect_set("g").alias("__garr")))
+    sizes = docs_g.select(F.col(id_col),
+                          F.array_size("__garr").alias("set_size"))
+    base = docs_g.select(F.col(id_col),
+                         F.explode("__garr").alias("g"))
     dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
-    filtered = (base.join(dfreq.where(F.col("df_g") <= max_doc_freq)
-                          .select("g"), "g"))
-    a = filtered.select(F.col(id_col).alias("id_a"), "g")
-    b = filtered.select(F.col(id_col).alias("id_b"), "g")
-    inter = (a.join(b, "g").where(F.col("id_a") < F.col("id_b"))
-              .groupBy("id_a", "id_b")
-              .agg(F.count(F.lit(1)).alias("n_common")))
+    if max_doc_frac is not None:
+        # Stop-gram cap as a CORPUS FRACTION (the scale-correct form: an
+        # absolute cap that is generous at one corpus size is degenerate
+        # at 100× — candidate volume is Σ_g df(g)², so the cap must
+        # track N). floor(frac·N), never below 2, computed in-plan (one
+        # broadcast row, no driver action).
+        ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
+        dfreq = (dfreq.join(F.broadcast(ndocs))
+                 .where(F.col("df_g") <= F.greatest(
+                     F.floor(max_doc_frac * F.col("__nd")), F.lit(2)))
+                 .drop("__nd"))
+    else:
+        dfreq = dfreq.where(F.col("df_g") <= max_doc_freq)
+    filtered = _persist(base.join(dfreq, "g"))
+    # Prefix index: each doc's rarest ⌊(1-t)·|F_d|⌋+1 filtered grams
+    # under the global (df, g) order. One window shuffle on the doc id.
+    w = Window.partitionBy(id_col).orderBy("df_g", "g")
+    prefix = (filtered.withColumn("__r", F.row_number().over(w))
+              .withColumn("__fn", F.count(F.lit(1)).over(
+                  Window.partitionBy(id_col)))
+              .where(F.col("__r") <=
+                     F.floor((1.0 - threshold) * F.col("__fn")) + 1)
+              .select(id_col, "g"))
+    cand = (prefix.select(F.col(id_col).alias("id_a"), "g")
+            .join(prefix.select(F.col(id_col).alias("id_b"), "g"), "g")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+    # Verify candidates against the full filtered sets: fan candidate
+    # pairs out by id_a's grams, probe id_b's grams on (id_b, g).
+    ga = filtered.select(F.col(id_col).alias("id_a"), "g")
+    gb = filtered.select(F.col(id_col).alias("id_b"), "g")
+    inter = (cand.join(ga, "id_a")
+                 .join(gb, ["id_b", "g"])
+                 .groupBy("id_a", "id_b")
+                 .agg(F.count(F.lit(1)).alias("n_common")))
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
     jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))

@@ -136,9 +136,11 @@ def doc_lang_id(spark, sf_dir):
              .orderBy("lang", "lang_pred"))
 
 
+# Distinct-presence hits (mirrors operators.text.with_lang_id's
+# array_intersect scoring; DuckDB list_intersect is likewise distinct).
 _HITS = {
-    lang: ("len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
-           f"t -> list_contains({words!r}, t)))").replace('"', "'")
+    lang: ("len(list_intersect(string_split_regex(trim(lower(text)), "
+           f"'\\s+'), {words!r}))").replace('"', "'")
     for lang, words in text.STOPWORDS.items()
 }
 
@@ -233,20 +235,32 @@ def doc_simhash_groups(spark, sf_dir):
 
 
 def doc_ngram_jaccard(spark, sf_dir):
-    """Character-3-gram Jaccard pairs ≥0.8 via inverted-index join —
-    SQL-expressible, so oracle-checked (unlike the LSH family)."""
+    """Word-3-gram Jaccard pairs ≥0.8 via prefix-filtered
+    inverted-index join — SQL-expressible, so oracle-checked (unlike the
+    LSH family). Word grams (not char grams: the synthetic corpus has
+    only ~400 distinct char-3-grams, which makes every doc collide with
+    every other — word trigram diversity is ~50× higher and the index
+    selective). Stop-gram cap = 1% of the corpus (fraction, not an
+    absolute — see ngram_jaccard_pairs)."""
     return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
-                                      threshold=0.8, max_doc_freq=400)
+                                      threshold=0.8, max_doc_frac=0.01,
+                                      unit="word")
             .orderBy("id_a", "id_b"))
 
 
 NGJ_SQL = """
-WITH grams AS (
-  SELECT DISTINCT doc_id, substring(text, CAST(i AS INT), 3) AS g
-  FROM documents, range(1, 10000) t(i)
-  WHERE i <= length(text) - 2),
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+ grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+  FROM toks, range(1, 20000) r(i)
+  WHERE i + 2 <= len(t)),
  sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM grams GROUP BY doc_id),
- keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 400),
+ keep AS (SELECT g FROM grams GROUP BY g
+          HAVING COUNT(*) <= greatest(
+            floor(0.01 * (SELECT COUNT(*) FROM documents)), 2)),
  filtered AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep)),
  inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
@@ -1070,18 +1084,19 @@ def doc_top_tfidf_term(spark, sf_dir):
     """Most-characteristic term per document (docs ≤ 50): argmax of
     tf · N/df — the TF-IDF shape with a RATIONAL idf (ln() is libm- and
     engine-specific; N/df is one exact IEEE division, so the value hash
-    is stable). Explode → tf agg + df agg → broadcast N → window argmax:
-    the standard distributed TF-IDF plan (two shuffles + one broadcast),
-    per-term state only."""
-    from pyspark.sql import Window
-
+    is stable). Explode → tf agg (target docs only — df/N stay
+    corpus-wide, so the output is unchanged) + df agg → broadcast N →
+    min_by argmax. min_by on a (-score, term) struct key replaces the
+    earlier per-doc window (a full shuffle+sort of every scored term);
+    as an aggregate it combines map-side and carries one row per doc."""
     d = _docs(spark, sf_dir)
     raw = F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("raw")
     term = F.lower(F.regexp_replace(F.col("raw"), "[^a-zA-Z]", ""))
     ex = (d.select("doc_id", raw)
            .select("doc_id", term.alias("term"))
            .where(F.length("term") >= 1))
-    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (ex.where(F.col("doc_id") <= 50)
+            .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     df_ = (ex.distinct().groupBy("term")
              .agg(F.count(F.lit(1)).alias("df")))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -1090,12 +1105,15 @@ def doc_top_tfidf_term(spark, sf_dir):
                 .withColumn("score",
                             (F.col("tf") * F.col("n_docs")).cast("double")
                             / F.col("df")))
-    w = Window.partitionBy("doc_id").orderBy(
-        F.desc("score"), F.col("term"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-                  .where((F.col("rn") == 1) & (F.col("doc_id") <= 50))
-                  .select("doc_id", "term", "tf", "df",
-                          F.round("score", 6).alias("score"))
+    # (doc_id, term) is unique after the tf agg, so the (-score, term)
+    # key has no ties — the argmax is deterministic.
+    return (scored.groupBy("doc_id")
+                  .agg(F.min_by(
+                      F.struct("term", "tf", "df", "score"),
+                      F.struct((-F.col("score")).alias("k1"),
+                               F.col("term").alias("k2"))).alias("b"))
+                  .select("doc_id", "b.term", "b.tf", "b.df",
+                          F.round("b.score", 6).alias("score"))
                   .orderBy("doc_id"))
 
 
