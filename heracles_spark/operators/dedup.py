@@ -379,14 +379,14 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              threshold: float = 0.95,
                              n_planes: int = 16,
-                             max_bucket_size: int = 500) -> DataFrame:
+                             max_bucket_size: int = 500,
+                             dim: int = 64) -> DataFrame:
     """Near-duplicate embeddings: random-hyperplane LSH bucket, then
     exact cosine within buckets. Deterministic planes (seeded). Returns
-    (id_a, id_b, cosine)."""
+    (id_a, id_b, cosine). ``dim`` is declared by the caller like the
+    rest of similarity.py — plan construction runs NO Spark job."""
     from heracles_spark.operators.similarity import (
         hyperplane_signature, dot_flat, norm_flat)
-
-    dim = len(df.select(vec_col).first()[0])
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
         hyperplane_signature(f"`{vec_col}`", n_planes, dim=dim).alias("bucket"),

@@ -163,14 +163,14 @@ def cosine_topk_df(df: DataFrame, query_df: DataFrame, k: int = 10,
 
 def cosine_all_pairs(df: DataFrame, threshold: float,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     dim: int = 64) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold — the ground-truth twin of the
     LSH-bucketed ``embedding_near_dup_pairs`` (which prunes candidate
     pairs and can miss; this one cannot). O(n²) BroadcastNestedLoopJoin:
     the correctness/recall baseline, NOT the scale path — at 100 TB use
     the LSH or IVF variants and measure their recall against a sampled
-    run of this."""
-    dim = len(df.select(vec_col).first()[0])
+    run of this. ``dim`` is declared (no job at plan construction)."""
     # Norms once per ROW (pre-join); the per-PAIR work is a single flat
     # codegen'd dot — the O(n²) stage carries no interpreted HOFs.
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
@@ -338,13 +338,13 @@ def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
 def cosine_topk_batch(cand: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
                       qid_col: str = "qid",
-                      qvec_col: str = "qvec") -> DataFrame:
+                      qvec_col: str = "qvec", dim: int = 64) -> DataFrame:
     """Exact top-k for a SET of query vectors in one plan: broadcast the
     query side, cross-join against candidates, per-query window top-k.
     Returns (qid, vec_id, cosine, rank). The exact baseline for batch
     retrieval — cost |queries|×|cand|; at scale use ``ivf_topk_batch``
-    (probe-cell equi-join instead of the cross join)."""
-    dim = len(queries.select(qvec_col).first()[0])
+    (probe-cell equi-join instead of the cross join). ``dim`` is
+    declared (no job at plan construction)."""
     q = queries.select(F.col(qid_col).alias("qid"),
                        F.col(qvec_col).alias("qv"),
                        norm_flat(f"`{qvec_col}`", dim).alias("qn"))

@@ -149,16 +149,22 @@ ORDER BY o_custkey, o_orderkey
 
 
 def ntile_percentiles(spark, sf_dir):
-    """ntile bucketing + percent_rank (distribution analytics)."""
-    from pyspark.sql import Window
+    """ntile bucketing + percent_rank (distribution analytics) — via the
+    two-pass global-rank operator (operators.ranking.with_global_ranks:
+    value-bucketed ranks + broadcast offsets), NOT a bare
+    Window.orderBy, which would sort the whole table in one task."""
+    from heracles_spark.operators.ranking import (
+        ntile_col, percent_rank_col, with_global_ranks)
 
     c = _t(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (c.select("c_custkey",
-                     F.ntile(4).over(w).alias("quartile"),
-                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
-             .where(F.col("c_custkey") <= 40)
-             .orderBy("c_custkey"))
+    ranked = with_global_ranks(c, ["c_acctbal", "c_custkey"])
+    rn, n = F.col("__rn"), F.col("__n")
+    return (ranked.select("c_custkey",
+                          ntile_col(rn, n, 4).alias("quartile"),
+                          F.round(percent_rank_col(rn, n), 6)
+                           .alias("pct_rank"))
+                  .where(F.col("c_custkey") <= 40)
+                  .orderBy("c_custkey"))
 
 
 NTILE_SQL = """
@@ -361,15 +367,18 @@ QUERIES["window_first_last"] = (window_first_last, WFL_SQL)
 
 def window_distribution_ranks(spark, sf_dir):
     """percent_rank + cume_dist (exact rational values — deterministic
-    across engines, unlike ntile's remainder placement)."""
-    from pyspark.sql.window import Window
+    across engines, unlike ntile's remainder placement) — two-pass
+    global ranks (operators.ranking), no single-partition window."""
+    from heracles_spark.operators.ranking import (
+        cume_dist_col, percent_rank_col, with_global_ranks)
 
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
-    w = Window.orderBy("o_orderkey")
-    return (o.select(
+    ranked = with_global_ranks(o, ["o_orderkey"])
+    rn, n = F.col("__rn"), F.col("__n")
+    return (ranked.select(
                 "o_orderkey",
-                F.round(F.percent_rank().over(w), 6).alias("pr"),
-                F.round(F.cume_dist().over(w), 6).alias("cd"))
+                F.round(percent_rank_col(rn, n), 6).alias("pr"),
+                F.round(cume_dist_col(rn, n), 6).alias("cd"))
              .orderBy("o_orderkey"))
 
 

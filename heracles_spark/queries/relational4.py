@@ -103,12 +103,17 @@ def window_range_frame(spark, sf_dir):
     the frame surface the ROWS queries don't touch. Decimal-exact sum
     keeps the hash cross-engine-stable."""
     o = _t(spark, sf_dir, "orders").where(F.col("o_custkey") <= 50)
-    w = (Window.orderBy(F.col("o_orderkey"))
-               .rangeBetween(-500, Window.currentRow))
-    return (o.select(
+    from heracles_spark.operators.ranking import range_frame_agg
+    # Ghost-row chunked RANGE frame (operators.ranking.range_frame_agg)
+    # instead of a single-partition global window — result-identical.
+    framed = range_frame_agg(
+        o.select("o_orderkey",
+                 F.col("o_totalprice").cast("decimal(38,6)").alias("__v")),
+        "o_orderkey", F.col("__v"), preceding=500,
+        out_col="__trail")
+    return (framed.select(
                 "o_orderkey",
-                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).over(w)
-                 .cast("double").alias("trailing_rev"))
+                F.col("__trail").cast("double").alias("trailing_rev"))
              .orderBy("o_orderkey"))
 
 

@@ -80,7 +80,7 @@ def test_embedding_near_dup(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     pairs = {(r["id_a"], r["id_b"])
              for r in dedup.embedding_near_dup_pairs(
-                 df, threshold=0.95, n_planes=4).collect()}
+                 df, threshold=0.95, n_planes=4, dim=4).collect()}
     # LSH bucketing may or may not co-locate 1&2 with few planes over 4 dims,
     # but orthogonal vectors must never pair.
     assert all(p == (1, 2) for p in pairs)

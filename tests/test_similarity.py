@@ -118,7 +118,7 @@ def test_batch_topk_matches_single(spark, vecs):
                    .select(F.col("vec_id").alias("qid"),
                            F.col("embedding").alias("qvec")))
     cand = vecs.where(F.col("vec_id") >= 3)
-    batch = similarity.cosine_topk_batch(cand, queries, k=5)
+    batch = similarity.cosine_topk_batch(cand, queries, k=5, dim=DIM)
     got = {}
     for r in batch.collect():
         got.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
@@ -138,7 +138,7 @@ def test_ivf_batch_full_probe_matches_brute(spark, vecs):
     cents = similarity.kmeans_centroids(cand, n_cells=8, sample_size=200)
     built = similarity.ivf_build(cand, centroids=cents)
     full = similarity.ivf_topk_batch(built, queries, cents, k=5, n_probe=8)
-    brute = similarity.cosine_topk_batch(cand, queries, k=5)
+    brute = similarity.cosine_topk_batch(cand, queries, k=5, dim=DIM)
     assert sorted(map(tuple, full.collect())) == \
         sorted(map(tuple, brute.collect()))
 
@@ -151,7 +151,7 @@ def test_ivf_batch_partial_probe_recall(spark, vecs):
     cents = similarity.kmeans_centroids(cand, n_cells=8, sample_size=200)
     built = similarity.ivf_build(cand, centroids=cents)
     part = similarity.ivf_topk_batch(built, queries, cents, k=5, n_probe=2)
-    brute = similarity.cosine_topk_batch(cand, queries, k=5)
+    brute = similarity.cosine_topk_batch(cand, queries, k=5, dim=DIM)
     exact = {(r["qid"], r["vec_id"]) for r in brute.collect()}
     got = {(r["qid"], r["vec_id"]) for r in part.collect()}
     # every query returns k rows; recall >= 50% on trained cells
