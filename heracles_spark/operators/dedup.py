@@ -224,21 +224,33 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 # -- SimHash --------------------------------------------------------------
 
 def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens: per bit position, sum +1/-1
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
+    """SimHash over whitespace tokens: per bit position, sum +1/-1
     weighted votes of each token hash; sign → bit. One explode + one
-    aggregation (64 agg expressions), fully JVM-side."""
+    aggregation (one agg expression per bit), fully JVM-side.
+
+    ``hash_fn``: "xxhash64" (64 bits — the fast production path) or
+    "md5" (60 bits from the md5 hex prefix — engine-portable, so the
+    whole signature is reproducible in any SQL engine with md5(); this
+    is what gives doc_simhash_groups a full value oracle)."""
     toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    ex = (df.select(F.col(id_col), F.explode(toks).alias("tok"))
-            .withColumn("th", F.xxhash64("tok")))
+    ex = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    if hash_fn == "md5":
+        n_bits = 60                    # 15 hex chars < 2^63: exact in a long
+        th = F.conv(F.substring(F.md5("tok"), 1, 15), 16, 10).cast("long")
+    else:
+        n_bits = 64
+        th = F.xxhash64("tok")
+    ex = ex.withColumn("th", th)
     one = F.lit(1).cast("long")
     bit_aggs = [
         F.sum(F.when(F.col("th").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
                .otherwise(-1)).alias(f"b{i}")
-        for i in range(64)]
+        for i in range(n_bits)]
     votes = ex.groupBy(id_col).agg(*bit_aggs)
     sig = None
-    for i in range(64):
+    for i in range(n_bits):
         # shiftleft keeps bit 63 in long range (Python 1 << 63 overflows
         # LongType as a literal)
         bit = F.when(F.col(f"b{i}") > 0,
@@ -248,12 +260,13 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text",
+                       hash_fn: str = "xxhash64") -> DataFrame:
     """Exact-signature SimHash duplicate groups (hamming-0). Banded
     hamming-k search is the minhash_candidate_pairs pattern applied to
     16-bit signature slices — see similarity.hyperplane_lsh for the
     generalization."""
-    sigs = simhash_signatures(df, id_col, text_col)
+    sigs = simhash_signatures(df, id_col, text_col, hash_fn)
     return (sigs.groupBy("simhash")
                 .agg(F.count(F.lit(1)).alias("n_dups"),
                      F.min(id_col).alias("keep_id"))
@@ -380,26 +393,50 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                              threshold: float = 0.95,
                              n_planes: int = 16,
                              max_bucket_size: int = 500,
-                             dim: int = 64) -> DataFrame:
-    """Near-duplicate embeddings: random-hyperplane LSH bucket, then
-    exact cosine within buckets. Deterministic planes (seeded). Returns
-    (id_a, id_b, cosine). ``dim`` is declared by the caller like the
-    rest of similarity.py — plan construction runs NO Spark job."""
+                             dim: int = 64,
+                             n_bands: int = 1) -> DataFrame:
+    """Near-duplicate embeddings: random-hyperplane LSH buckets, then
+    exact cosine on candidate pairs. Deterministic planes (seeded).
+    Returns (id_a, id_b, cosine). ``dim`` is declared by the caller like
+    the rest of similarity.py — plan construction runs NO Spark job.
+
+    ``n_bands`` > 1 splits the signature into bands (the minhash-LSH
+    banding trick applied to hyperplane bits): a pair is a candidate if
+    ANY band matches, boosting recall at moderate cosine thresholds —
+    P(candidate) = 1-(1-p^(n/b))^b with p = 1-θ/π per plane."""
     from heracles_spark.operators.similarity import (
         hyperplane_signature, dot_flat, norm_flat)
+    if n_planes % n_bands:
+        raise ValueError("n_planes must divide into n_bands")
+    bw = n_planes // n_bands
     sigs = df.select(
         F.col(id_col), F.col(vec_col),
-        hyperplane_signature(f"`{vec_col}`", n_planes, dim=dim).alias("bucket"),
+        hyperplane_signature(f"`{vec_col}`", n_planes, dim=dim).alias("sig"),
         norm_flat(f"`{vec_col}`", dim).alias("nrm"))
-    w = Window.partitionBy("bucket")
-    sigs = (sigs.withColumn("bn", F.count(F.lit(1)).over(w))
-                .where(F.col("bn") <= max_bucket_size).drop("bn"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftright("sig", b * bw)
+                  .bitwiseAND(F.lit((1 << bw) - 1)).alias("bsig"))
+        for b in range(n_bands)]
+    buckets = (sigs.select(F.col(id_col),
+                           F.explode(F.array(*band_structs)).alias("bb"))
+                   .select(F.col(id_col), F.col("bb.band").alias("band"),
+                           F.col("bb.bsig").alias("bsig")))
+    w = Window.partitionBy("band", "bsig")
+    buckets = (buckets.withColumn("bn", F.count(F.lit(1)).over(w))
+                      .where(F.col("bn") <= max_bucket_size).drop("bn"))
+    cand = (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
+            .join(buckets.select(F.col(id_col).alias("id_b"),
+                                 "band", "bsig"),
+                  ["band", "bsig"])
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
     a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                    F.col("nrm").alias("na"), "bucket")
+                    F.col("nrm").alias("na"))
     b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                    F.col("nrm").alias("nb"), "bucket")
+                    F.col("nrm").alias("nb"))
     cos = dot_flat("va", "vb", dim) / (F.col("na") * F.col("nb"))
-    return (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b"))
+    return (cand.join(a, "id_a").join(b, "id_b")
              .withColumn("cosine", F.round(cos, 6))
              .where(F.col("cosine") >= threshold)
              .select("id_a", "id_b", "cosine"))

@@ -202,17 +202,25 @@ def hyperplane_signature(vec: str, n_planes: int = 16,
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 n_planes: int = 8, seed: int = 42) -> DataFrame:
+                 n_planes: int = 8, seed: int = 42,
+                 radius: int = 1) -> DataFrame:
     """Approximate top-k: candidates = vectors whose hyperplane signature
-    is within hamming distance 1 of the query's, exact-reranked by
-    cosine. Recall grows with fewer planes / larger hamming radius."""
+    is within hamming distance ``radius`` of the query's (multi-probe
+    LSH), exact-reranked by cosine. Recall grows with fewer planes /
+    larger radius; candidate fraction ≈ Σ_{r≤radius} C(n_planes,r)/2^n —
+    radius 2 at 8 planes probes 37/256 ≈ 14% of buckets."""
     dim = len(query_vec)
     planes = _rng_matrix(n_planes, dim, seed)
     qsig = 0
     for i, p in enumerate(planes):
         if sum(a * b for a, b in zip(p, query_vec)) >= 0:
             qsig |= 1 << i
-    near = [qsig] + [qsig ^ (1 << i) for i in range(n_planes)]
+    near = {qsig}
+    frontier = {qsig}
+    for _ in range(radius):
+        frontier = {s ^ (1 << i) for s in frontier for i in range(n_planes)}
+        near |= frontier
+    near = sorted(near)
     sig = hyperplane_signature(f"`{vec_col}`", n_planes, seed, dim)
     cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
            / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
@@ -589,13 +597,20 @@ def pq_encode(df: DataFrame, codebooks: list[list[list[float]]],
 
 def pq_topk_adc(df_codes: DataFrame, query_vec: list[float],
                 codebooks: list[list[list[float]]], kk: int = 10,
-                id_col: str = "vec_id") -> DataFrame:
+                id_col: str = "vec_id", rerank: int = 0,
+                vec_col: str = "embedding") -> DataFrame:
     """Asymmetric-distance top-k: precompute the query's per-subspace
     dot-product lookup table driver-side (m·k doubles), then score each
     code word with m table lookups — no float vector is read at query
     time (the scan touches only the m-byte codes column). The classic
     IVF-PQ serving path; approximate, so correctness is recall-tested
-    (tests/test_similarity.py), not value-oracled."""
+    (tests/test_similarity.py) plus a recall-contract oracle.
+
+    ``rerank`` > 0 enables the standard two-stage serve (faiss
+    refine): ADC shortlists ``rerank`` candidates cheaply, then the
+    float vectors of ONLY those rows are read and exact-cosine
+    re-ranked — output becomes (id, cosine). At scale the refine stage
+    touches rerank·dim floats, independent of corpus size."""
     m = len(codebooks)
     k = len(codebooks[0])
     sub = len(codebooks[0][0])
@@ -609,17 +624,29 @@ def pq_topk_adc(df_codes: DataFrame, query_vec: list[float],
         arr = ", ".join(_flit(v) for v in luts[s])
         parts.append(f"element_at(array({arr}), codes[{s}] + 1)")
     score = F.expr("0.0D + " + " + ".join(parts))
-    return (df_codes
-            .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
-            .orderBy(F.desc("adc_score"), id_col)
-            .limit(kk))
+    if not rerank:
+        return (df_codes
+                .select(F.col(id_col), F.round(score, 6).alias("adc_score"))
+                .orderBy(F.desc("adc_score"), id_col)
+                .limit(kk))
+    dim = len(query_vec)
+    short = (df_codes
+             .select(F.col(id_col), F.col(vec_col),
+                     score.alias("__adc"))
+             .orderBy(F.desc("__adc"), id_col)
+             .limit(rerank))
+    cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
+           / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
+    return (short.select(F.col(id_col), F.round(cos, 6).alias("cosine"))
+                 .orderBy(F.desc("cosine"), id_col)
+                 .limit(kk))
 
 
 def ivfpq_topk(df: DataFrame, query_vec: list[float],
                codebooks: list[list[list[float]]],
                centroids: list[list[float]], kk: int = 10,
                n_probe: int = 4, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", rerank: int = 0) -> DataFrame:
     """IVF-PQ: the composition that serves billion-vector indexes —
     IVF cell pruning bounds the candidate set (read n_probe/n_cells of
     the data; with cell-partitioned storage the scan itself prunes),
@@ -639,4 +666,5 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float],
                             zip(centroids[ci], query_vec)) / qn)
     probe = order[:n_probe]
     return pq_topk_adc(enc.where(F.col("cell_id").isin(probe)),
-                       query_vec, codebooks, kk=kk, id_col=id_col)
+                       query_vec, codebooks, kk=kk, id_col=id_col,
+                       rerank=rerank, vec_col=vec_col)
