@@ -1,0 +1,113 @@
+"""Pure-numpy media codecs: WAV (PCM-16) and BMP (24-bit).
+
+The container has no PIL/librosa, but these two formats are simple
+enough to decode with struct + numpy alone — which turns one image and
+one audio path in operators.multimodal into REAL decoders (bytes in,
+pixels/samples out) instead of hash-derived stand-ins. Formats:
+
+* WAV: RIFF container, ``fmt `` chunk (PCM, mono/stereo, 16-bit),
+  ``data`` chunk of little-endian int16 samples.
+* BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (40 bytes), 24 bpp,
+  uncompressed, BGR byte order, rows bottom-up and padded to 4 bytes.
+
+Both encoders exist so tests can synthesize valid bytes without any
+external fixture; decode(encode(x)) == x exactly.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+# -- WAV (RIFF / PCM-16) ---------------------------------------------------
+
+def encode_wav_pcm16(samples, sample_rate: int,
+                     n_channels: int = 1) -> bytes:
+    """Encode int16 samples (flat, channel-interleaved) as a WAV blob."""
+    s = np.asarray(samples)
+    if s.dtype != np.int16:
+        s = np.clip(np.round(s), -32768, 32767).astype(np.int16)
+    data = s.astype("<i2").tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    block_align = n_channels * 2
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_channels,
+                                sample_rate, byte_rate, block_align, 16)
+    body = fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_pcm16(raw: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a PCM-16 WAV blob → (samples int16 [n, channels],
+    sample_rate, n_channels). Walks RIFF chunks; raises ValueError on
+    anything that is not uncompressed 16-bit PCM."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, n = 12, len(raw)
+    sample_rate = n_channels = None
+    data = None
+    while pos + 8 <= n:
+        cid = raw[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={audio_fmt}, "
+                    f"bits={bits}); only PCM-16 is implemented")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)   # chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[:len(samples) - len(samples) % n_channels] \
+            .reshape(-1, n_channels)
+    else:
+        samples = samples.reshape(-1, 1)
+    return samples, sample_rate, n_channels
+
+
+# -- BMP (24-bit uncompressed) --------------------------------------------
+
+def encode_bmp24(px) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a 24-bit BMP blob."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_bmp24 expects (h, w, 3) RGB")
+    pad = (4 - (w * 3) % 4) % 4
+    rows = []
+    for y in range(h - 1, -1, -1):          # bottom-up
+        rows.append(px[y, :, ::-1].tobytes() + b"\x00" * pad)
+    body = b"".join(rows)
+    file_header = b"BM" + struct.pack("<IHHI", 14 + 40 + len(body), 0, 0,
+                                      14 + 40)
+    info_header = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0)
+    return file_header + info_header + body
+
+
+def decode_bmp24(raw: bytes) -> np.ndarray:
+    """Decode a 24-bit uncompressed BMP blob → (h, w, 3) uint8 RGB."""
+    if len(raw) < 54 or raw[:2] != b"BM":
+        raise ValueError("not a BMP blob")
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    hdr_size, w, h_signed, _planes, bpp, compression = \
+        struct.unpack_from("<IiiHHI", raw, 14)
+    if bpp != 24 or compression != 0:
+        raise ValueError(
+            f"unsupported BMP (bpp={bpp}, compression={compression}); "
+            f"only 24-bit uncompressed is implemented")
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    body = np.frombuffer(raw, dtype=np.uint8,
+                         count=stride * h, offset=offset)
+    rows = body.reshape(h, stride)[:, :w * 3].reshape(h, w, 3)
+    if h_signed > 0:
+        rows = rows[::-1]                   # bottom-up → top-down
+    return rows[:, :, ::-1].copy()          # BGR → RGB

@@ -3,11 +3,13 @@ columns with typed metadata structs, processed via Arrow-batched
 ``mapInPandas`` — the Pandas-UDF slow path used only where built-ins
 genuinely can't express the work (byte decoding).
 
-The decode step is STUBBED (no image/audio libs in this container):
-``decoder="fake"`` produces deterministic features from the bytes'
-hash so the Spark-side plumbing — schema, batch iteration, partition
-behavior — is real and tested; ``decoder="pil"``/"librosa" raise
-NotImplementedError until the libs exist.
+Decoders: ``decoder="wav"``/``"bmp"`` are REAL (pure-numpy RIFF/PCM-16
+and 24-bit-BMP codecs in operators.media_codecs — bytes in,
+samples/pixels out, golden- and oracle-checked); ``decoder="fake"``
+produces deterministic features from the bytes' hash for formats with
+no in-container codec (the Spark-side plumbing — schema, batch
+iteration, partition behavior — is identical); ``decoder="pil"``/
+"librosa" raise NotImplementedError until those libs exist.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row pickling);
 binary blobs should be size-capped per batch via
@@ -63,30 +65,53 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id",
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
-                          decoder: Literal["fake", "pil"] = "fake",
+                          decoder: Literal["fake", "bmp", "pil"] = "fake",
                           feature_dim: int = 8) -> DataFrame:
-    """mapInPandas image decode → per-image features. The ``fake``
-    decoder derives features from byte content deterministically; the
-    real decoder slot shows where PIL/torchvision plugs in."""
+    """mapInPandas image decode → per-image features.
+
+    Decoders:
+      * "bmp"  — REAL decode (operators.media_codecs, pure numpy):
+        mean_luma = Rec.601 luma of the actual pixels in [0,1];
+        feature = the gray-level histogram (feature_dim equal bins,
+        normalized to sum 1).
+      * "fake" — deterministic features from the bytes' hash (plumbing
+        tests for formats without an in-container codec).
+      * "pil"  — the slot where PIL/torchvision plugs in; raises until
+        the lib exists."""
     if decoder == "pil":
         try:
             import PIL  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
-                "PIL is not available in this environment; use decoder='fake' "
-                "to exercise the pipeline plumbing") from e
+                "PIL is not available in this environment; use decoder='bmp' "
+                "(real, pure-numpy) or 'fake'") from e
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import numpy as np
+
+        from heracles_spark.operators.media_codecs import decode_bmp24
         for pdf in it:
             ids, nbytes, lumas, feats = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
-                digest = hashlib.sha256(raw).digest()
                 ids.append(i)
                 nbytes.append(len(raw))
-                lumas.append(digest[0] / 255.0)
-                feats.append([digest[j] / 255.0 for j in range(feature_dim)])
+                if decoder == "bmp":
+                    px = decode_bmp24(raw)
+                    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                            + 0.114 * px[:, :, 2])
+                    lumas.append(float(luma.mean()) / 255.0)
+                    hist, _ = np.histogram(luma, bins=feature_dim,
+                                           range=(0.0, 255.0 + 1e-9))
+                    feats.append((hist / max(luma.size, 1))
+                                 .astype("float32").tolist())
+                else:
+                    digest = hashlib.sha256(raw).digest()
+                    lumas.append(digest[0] / 255.0)
+                    feats.append([digest[j] / 255.0
+                                  for j in range(feature_dim)])
             yield pd.DataFrame({"doc_id": ids, "n_bytes": nbytes,
                                 "mean_luma": lumas, "feature": feats})
 
@@ -123,32 +148,53 @@ RESIZED_IMAGE = T.StructType([
 
 def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
-                          decoder: Literal["fake", "librosa"] = "fake",
+                          decoder: Literal["fake", "wav",
+                                           "librosa"] = "fake",
                           n_coeffs: int = 13) -> DataFrame:
     """mapInPandas audio decode → per-clip features (RMS + MFCC-ish
-    vector). Same contract as ``decode_image_features``: the ``fake``
-    decoder derives deterministic features from a content hash so the
-    Arrow batch plumbing is real; the librosa slot raises until the lib
-    exists."""
+    vector).
+
+    Decoders:
+      * "wav"  — REAL decode (operators.media_codecs, pure numpy):
+        PCM-16 samples → rms of the [-1,1] signal; mfcc_ish = log
+        energy of n_coeffs equal FFT magnitude bands (a deterministic
+        spectral profile — the MFCC shape without the mel/DCT stages).
+      * "fake" — hash-derived features (plumbing tests).
+      * "librosa" — raises until the lib exists."""
     if decoder == "librosa":
         try:
             import librosa  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
                 "librosa is not available in this environment; use "
-                "decoder='fake' to exercise the pipeline plumbing") from e
+                "decoder='wav' (real, pure-numpy) or 'fake'") from e
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import numpy as np
+
+        from heracles_spark.operators.media_codecs import decode_wav_pcm16
         for pdf in it:
             ids, nbytes, rms, coeffs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
-                digest = hashlib.sha256(b"audio" + raw).digest()
                 ids.append(i)
                 nbytes.append(len(raw))
-                rms.append(digest[1] / 255.0)
-                coeffs.append([digest[j] / 255.0 for j in range(n_coeffs)])
+                if decoder == "wav":
+                    samples, _rate, _ch = decode_wav_pcm16(raw)
+                    x = samples.mean(axis=1) / 32768.0   # downmix, [-1,1]
+                    rms.append(float(np.sqrt(np.mean(x * x)))
+                               if x.size else 0.0)
+                    mag = np.abs(np.fft.rfft(x))
+                    bands = np.array_split(mag, n_coeffs)
+                    coeffs.append([
+                        float(np.log1p(bd.sum())) for bd in bands])
+                else:
+                    digest = hashlib.sha256(b"audio" + raw).digest()
+                    rms.append(digest[1] / 255.0)
+                    coeffs.append([digest[j] / 255.0
+                                   for j in range(n_coeffs)])
             yield pd.DataFrame({"doc_id": ids, "n_bytes": nbytes,
                                 "rms": rms, "mfcc_ish": coeffs})
 
@@ -158,29 +204,45 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   id_col: str = "doc_id", content_col: str = "content",
-                  decoder: Literal["fake", "pil"] = "fake") -> DataFrame:
-    """mapInPandas image resize. The ``fake`` decoder emits a
-    deterministic out_w×out_h byte payload derived from the source hash
-    (length = out_w*out_h, modelling a single-channel thumbnail) so
-    batch shape, schema, and memory behavior match the real op; PIL
-    plugs into the same slot."""
+                  decoder: Literal["fake", "bmp", "pil"] = "fake") -> DataFrame:
+    """mapInPandas image resize.
+
+    Decoders:
+      * "bmp"  — REAL resize (operators.media_codecs): decode the 24-bit
+        BMP, nearest-neighbor sample to out_w×out_h, re-encode BMP.
+      * "fake" — deterministic out_w×out_h byte payload derived from the
+        source hash (single-channel thumbnail model) so batch shape,
+        schema, and memory behavior match the real op.
+      * "pil"  — raises until the lib exists."""
     if decoder == "pil":
         try:
             import PIL  # noqa: F401
         except ImportError as e:
             raise NotImplementedError(
                 "PIL is not available in this environment; use "
-                "decoder='fake' to exercise the pipeline plumbing") from e
+                "decoder='bmp' (real, pure-numpy) or 'fake'") from e
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
+
+        import numpy as np
+
+        from heracles_spark.operators.media_codecs import (
+            decode_bmp24, encode_bmp24)
         for pdf in it:
             ids, ws, hs, outs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
-                seed = hashlib.sha256(raw).digest()
-                need = out_w * out_h
-                buf = (seed * (need // len(seed) + 1))[:need]
+                if decoder == "bmp":
+                    px = decode_bmp24(raw)
+                    h, w = px.shape[:2]
+                    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+                    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+                    buf = encode_bmp24(px[ys][:, xs])
+                else:
+                    seed = hashlib.sha256(raw).digest()
+                    need = out_w * out_h
+                    buf = (seed * (need // len(seed) + 1))[:need]
                 ids.append(i); ws.append(out_w); hs.append(out_h)
                 outs.append(buf)
             yield pd.DataFrame({"doc_id": ids, "out_w": ws, "out_h": hs,

@@ -593,6 +593,50 @@ FROM documents WHERE doc_id <= 100 ORDER BY doc_id
 """
 
 
+def multimodal_wav_decode(spark, sf_dir):
+    """REAL audio decode, value-oracled end-to-end: per doc, synthesize
+    a PCM-16 WAV blob (64-sample square wave, amplitude a = doc_id*37 %
+    20000 + 1000) in a pandas UDF, then run it through the pure-numpy
+    RIFF decoder (operators.media_codecs via decode_audio_features
+    decoder="wav"). A square wave's RMS is exactly a/32768, so the SQL
+    oracle recomputes the expected value analytically — the hash
+    certifies the full encode → chunk-walk → numpy → feature path.
+    (sqrt((a/32768)²) is written identically on both sides so the two
+    engines round the same IEEE ops.)"""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_wav_pcm16
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                amp = int(i) * 37 % 20000 + 1000
+                s = np.full(64, amp, dtype=np.int16)
+                s[1::2] = -amp
+                blobs.append(encode_wav_pcm16(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_audio_features(media, decoder="wav")
+    return (feats.select("doc_id", "n_bytes",
+                         F.round("rms", 6).alias("rms"))
+                 .orderBy("doc_id"))
+
+
+MWD_SQL = """
+SELECT doc_id, CAST(172 AS INT) AS n_bytes,
+       ROUND(SQRT(((doc_id * 37 % 20000 + 1000) / 32768.0)
+                  * ((doc_id * 37 % 20000 + 1000) / 32768.0)), 6) AS rms
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_dedup_exact": (doc_dedup_exact, DDE_SQL),
     "doc_dedup_exact_text": (doc_dedup_exact_text, DDET_SQL),
@@ -614,6 +658,7 @@ QUERIES = {
     "embedding_near_dup": (embedding_near_dup, NEAR_DUP_CONTRACT_SQL),
     "embedding_near_dup_exact": (embedding_near_dup_exact, END_SQL),
     "multimodal_decode": (multimodal_decode, MMD_SQL),
+    "multimodal_wav_decode": (multimodal_wav_decode, MWD_SQL),
 }
 
 

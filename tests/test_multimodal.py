@@ -102,3 +102,93 @@ def test_real_decoders_gated(spark):
                lambda: mm.resize_images(media, 2, 2, decoder="pil")):
         with _pytest.raises(NotImplementedError):
             fn()
+
+
+# -- real pure-numpy codecs (operators.media_codecs) ----------------------
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+
+    rng = np.random.RandomState(3)
+    s = rng.randint(-32768, 32768, size=321).astype(np.int16)
+    raw = mc.encode_wav_pcm16(s, 16000)
+    back, rate, ch = mc.decode_wav_pcm16(raw)
+    assert rate == 16000 and ch == 1
+    assert np.array_equal(back[:, 0], s)
+    # stereo
+    st = rng.randint(-32768, 32768, size=64).astype(np.int16)
+    raw2 = mc.encode_wav_pcm16(st, 8000, n_channels=2)
+    back2, rate2, ch2 = mc.decode_wav_pcm16(raw2)
+    assert (rate2, ch2) == (8000, 2) and back2.shape == (32, 2)
+    assert np.array_equal(back2.reshape(-1), st)
+
+
+def test_wav_rejects_non_pcm():
+    import pytest as _pytest
+
+    from heracles_spark.operators import media_codecs as mc
+
+    with _pytest.raises(ValueError):
+        mc.decode_wav_pcm16(b"not a wav")
+
+
+def test_bmp_roundtrip_with_row_padding():
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+
+    # width 3 -> 9-byte rows padded to 12: exercises the pad path
+    rng = np.random.RandomState(5)
+    px = rng.randint(0, 256, size=(5, 3, 3)).astype(np.uint8)
+    assert np.array_equal(mc.decode_bmp24(mc.encode_bmp24(px)), px)
+
+
+def test_bmp_image_features_golden(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators import multimodal as mm
+
+    # Uniform mid-gray image: luma == 100 exactly, histogram all in one bin.
+    px = np.full((4, 4, 3), 100, dtype=np.uint8)
+    raw = mc.encode_bmp24(px)
+    df = spark.createDataFrame([(7, bytearray(raw))],
+                               "doc_id long, content binary")
+    r = mm.decode_image_features(df, decoder="bmp", feature_dim=4).collect()[0]
+    assert r["n_bytes"] == len(raw)
+    assert abs(r["mean_luma"] - 100.0 / 255.0) < 1e-9
+    assert [round(v, 6) for v in r["feature"]] == [0.0, 1.0, 0.0, 0.0]
+
+
+def test_wav_audio_features_golden(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators import multimodal as mm
+
+    amp = 12345
+    s = np.full(64, amp, dtype=np.int16)
+    s[1::2] = -amp
+    raw = mc.encode_wav_pcm16(s, 8000)
+    df = spark.createDataFrame([(9, bytearray(raw))],
+                               "doc_id long, content binary")
+    r = mm.decode_audio_features(df, decoder="wav").collect()[0]
+    assert r["n_bytes"] == 44 + 128
+    assert abs(r["rms"] - amp / 32768.0) < 1e-12
+
+
+def test_bmp_resize_nearest_golden(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(4, 4, 3)).astype(np.uint8)
+    df = spark.createDataFrame([(1, bytearray(mc.encode_bmp24(px)))],
+                               "doc_id long, content binary")
+    r = mm.resize_images(df, out_w=2, out_h=2, decoder="bmp").collect()[0]
+    out = mc.decode_bmp24(bytes(r["content"]))
+    assert np.array_equal(out, px[::2, ::2])
