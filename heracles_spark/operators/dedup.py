@@ -280,7 +280,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         threshold: float = 0.5,
                         max_doc_freq: int = 1000,
                         max_doc_frac: float | None = None,
-                        unit: str = "char") -> DataFrame:
+                        unit: str = "char",
+                        prefix_order: str = "df") -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold (``unit``: "char" =
     character substrings, "word" = lowercased whitespace-token windows —
     word grams have far higher diversity, which is what makes the
@@ -298,7 +299,14 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     guarantees the two (1-t)-prefixes share a gram. Replaces the naive
     full inverted self-join whose candidate count is Σ_g df(g)² — at
     corpus scale that term (mid-frequency grams) dominates everything
-    else in the pipeline; the prefix join touches only rare grams."""
+    else in the pipeline; the prefix join touches only rare grams.
+
+    ``prefix_order``: "df" (default) orders prefixes by global gram
+    rarity (needs a document-frequency pass; minimizes candidates);
+    "hash" uses the hashed-gram value order — the prefix theorem holds
+    for ANY fixed global order, so this stays lossless while skipping
+    the df pass entirely (the right choice for EXACT mode, i.e. no
+    stop-gram cap)."""
     # Gram generation stays codegen'd (explode an index sequence +
     # substr + xxhash64 — HOF transform lambdas are interpreted and
     # measured ~8× slower here); per-doc DEDUP happens in collect_set,
@@ -333,57 +341,77 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                                            .substr(F.col("i"), F.lit(n))))
                          .alias("g"))
                 .where(F.col("g").isNotNull()))
-    # docs_g feeds sizes and the exploded stream; persist the tiny
-    # one-row-per-doc relation so the explode+agg runs once.
-    docs_g = _persist(
-        ex.groupBy(id_col).agg(F.collect_set("g").alias("__garr")))
-    sizes = docs_g.select(F.col(id_col),
-                          F.array_size("__garr").alias("set_size"))
-    base = docs_g.select(F.col(id_col),
-                         F.explode("__garr").alias("g"))
-    dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
-    if max_doc_frac is not None:
-        # Stop-gram cap as a CORPUS FRACTION (the scale-correct form: an
-        # absolute cap that is generous at one corpus size is degenerate
-        # at 100× — candidate volume is Σ_g df(g)², so the cap must
-        # track N). floor(frac·N), never below 2, computed in-plan (one
-        # broadcast row, no driver action).
-        ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
-        dfreq = (dfreq.join(F.broadcast(ndocs))
-                 .where(F.col("df_g") <= F.greatest(
-                     F.floor(max_doc_frac * F.col("__nd")), F.lit(2)))
-                 .drop("__nd"))
+    # Per-doc distinct gram ARRAYS (one shuffle; collect_set dedups
+    # map-side). Everything downstream works on these arrays in-row:
+    # the old formulation re-exploded them through a window sort (one
+    # more full shuffle) and verified candidates by fanning each pair
+    # out over its grams and re-aggregating (three more shuffles); both
+    # are replaced by array ops inside the join row.
+    docs_g = ex.groupBy(id_col).agg(F.collect_set("g").alias("__garr"))
+    if prefix_order == "hash":
+        # EXACT mode: the prefix theorem holds for ANY fixed global
+        # order, so hashed-gram order (array_sort of the 64-bit gram
+        # hashes) works without computing document frequencies at all —
+        # rarity order is only a candidate-count heuristic, and when no
+        # stop-gram cap is wanted the df pass is pure overhead.
+        fdocs = docs_g.select(
+            F.col(id_col), F.array_sort("__garr").alias("__farr"),
+            F.array_size("__garr").alias("set_size"))
     else:
-        dfreq = dfreq.where(F.col("df_g") <= max_doc_freq)
-    filtered = _persist(base.join(dfreq, "g"))
-    # Prefix index: each doc's rarest ⌊(1-t)·|F_d|⌋+1 filtered grams
-    # under the global (df, g) order. One window shuffle on the doc id.
-    w = Window.partitionBy(id_col).orderBy("df_g", "g")
-    prefix = (filtered.withColumn("__r", F.row_number().over(w))
-              .withColumn("__fn", F.count(F.lit(1)).over(
-                  Window.partitionBy(id_col)))
-              .where(F.col("__r") <=
-                     F.floor((1.0 - threshold) * F.col("__fn")) + 1)
-              .select(id_col, "g"))
+        docs_g = _persist(docs_g)
+        sizes = docs_g.select(F.col(id_col),
+                              F.array_size("__garr").alias("set_size"))
+        base = docs_g.select(F.col(id_col), F.explode("__garr").alias("g"))
+        dfreq = base.groupBy("g").agg(F.count(F.lit(1)).alias("df_g"))
+        if max_doc_frac is not None:
+            # Stop-gram cap as a CORPUS FRACTION (the scale-correct
+            # form: an absolute cap that is generous at one corpus size
+            # is degenerate at 100× — candidate volume is Σ_g df(g)², so
+            # the cap must track N). floor(frac·N), never below 2,
+            # computed in-plan (one broadcast row, no driver action).
+            ndocs = df.agg(F.count(F.lit(1)).alias("__nd"))
+            dfreq = (dfreq.join(F.broadcast(ndocs))
+                     .where(F.col("df_g") <= F.greatest(
+                         F.floor(max_doc_frac * F.col("__nd")), F.lit(2)))
+                     .drop("__nd"))
+        else:
+            dfreq = dfreq.where(F.col("df_g") <= max_doc_freq)
+        # Filtered per-doc arrays sorted by global (df, g) rarity order;
+        # full set_size rides along for the exact-denominator Jaccard.
+        fdocs = (base.join(dfreq, "g")
+                 .groupBy(id_col)
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("df_g", "g"))).alias("__s"))
+                 .select(F.col(id_col),
+                         F.expr("transform(__s, x -> x.g)").alias("__farr"))
+                 .join(sizes, id_col))
+    fdocs = _persist(fdocs)
+    # Prefix index, map-side: each doc's first ⌊(1-t)·|F_d|⌋+1 grams in
+    # the global order — no window, no extra shuffle.
+    prefix = fdocs.select(
+        F.col(id_col),
+        F.explode(F.slice(
+            "__farr", 1,
+            (F.floor((1.0 - threshold) * F.array_size("__farr")) + 1)
+            .cast("int"))).alias("g"))
     cand = (prefix.select(F.col(id_col).alias("id_a"), "g")
             .join(prefix.select(F.col(id_col).alias("id_b"), "g"), "g")
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    # Verify candidates against the full filtered sets: fan candidate
-    # pairs out by id_a's grams, probe id_b's grams on (id_b, g).
-    ga = filtered.select(F.col(id_col).alias("id_a"), "g")
-    gb = filtered.select(F.col(id_col).alias("id_b"), "g")
-    inter = (cand.join(ga, "id_a")
-                 .join(gb, ["id_b", "g"])
-                 .groupBy("id_a", "id_b")
-                 .agg(F.count(F.lit(1)).alias("n_common")))
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
-    return (inter.join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("jaccard", F.round(jac, 6))
-                 .where(F.col("jaccard") >= threshold)
-                 .select("id_a", "id_b", "jaccard"))
+    # Verify in-row: join both docs' filtered gram arrays onto the pair
+    # and intersect them with array_intersect — no fan-out, no re-agg.
+    fa = fdocs.select(F.col(id_col).alias("id_a"),
+                      F.col("__farr").alias("__fa"),
+                      F.col("set_size").alias("size_a"))
+    fb = fdocs.select(F.col(id_col).alias("id_b"),
+                      F.col("__farr").alias("__fb"),
+                      F.col("set_size").alias("size_b"))
+    n_common = F.array_size(F.array_intersect("__fa", "__fb"))
+    jac = n_common / (F.col("size_a") + F.col("size_b") - n_common)
+    return (cand.join(fa, "id_a").join(fb, "id_b")
+                .withColumn("jaccard", F.round(jac, 6))
+                .where(F.col("jaccard") >= threshold)
+                .select("id_a", "id_b", "jaccard"))
 
 
 # -- embedding near-dup ---------------------------------------------------

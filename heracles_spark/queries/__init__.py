@@ -18,9 +18,17 @@ def _registries():
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry with per-session plan reuse: each entry is wrapped in
+    :func:`heracles_spark.plancache.cached_query`, so re-running a query
+    in one session returns the SAME DataFrame (analysis + codegen cache
+    hit) — the prepared-plan behavior a long-lived engine session has.
+    Direct module access (``relational.QUERIES[...]``) stays uncached
+    for tests that want fresh plan construction."""
+    from heracles_spark.plancache import cached_query
+
     out: dict[str, Callable] = {}
     for reg in _registries():
-        out.update({k: v[0] for k, v in reg.items()})
+        out.update({k: cached_query(k, v[0]) for k, v in reg.items()})
     return out
 
 

@@ -17,11 +17,15 @@ from heracles_spark.operators import dedup, similarity, text
 
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from heracles_spark import plancache
+
+    return plancache.table(spark, f"{sf_dir}/documents.parquet")
 
 
 def _embs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from heracles_spark import plancache
+
+    return plancache.table(spark, f"{sf_dir}/embeddings.parquet")
 
 
 # -- exact dedup ----------------------------------------------------------
@@ -270,7 +274,8 @@ def doc_minhash_pairs(spark, sf_dir):
     d = _docs(spark, sf_dir)
     mh = dedup.minhash_dedup_pairs(d, threshold=0.5)
     exact = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.7, unit="word",
-                                      max_doc_freq=1 << 60)
+                                      max_doc_freq=1 << 60,
+                                      prefix_order="hash")
     hits = (mh.select("id_a", "id_b")
               .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                     "left_semi")

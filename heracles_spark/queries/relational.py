@@ -35,7 +35,9 @@ from pyspark.sql import functions as F
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from heracles_spark import plancache
+
+    return plancache.table(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -48,18 +50,23 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     every downstream query is layout-independent and, because everything
     stays NTZ, session-timezone-independent (DuckDB's TIMESTAMP is naive
     too)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ts_type = dict(e.dtypes)["ts"]
-    if ts_type in ("bigint", "long"):
-        return (e.withColumn("ts_ns", F.col("ts").cast("long"))
-                 .withColumn("ts", F.expr(
-                     "timestampadd(MICROSECOND, ts div 1000, "
-                     "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
-    return (e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
-             .withColumn("ts_ns", F.expr(
-                 "timestampdiff(MICROSECOND, "
-                 "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")))
+    from heracles_spark import plancache
+
+    def build() -> DataFrame:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        e = plancache.table(spark, f"{sf_dir}/events.parquet")
+        ts_type = dict(e.dtypes)["ts"]
+        if ts_type in ("bigint", "long"):
+            return (e.withColumn("ts_ns", F.col("ts").cast("long"))
+                     .withColumn("ts", F.expr(
+                         "timestampadd(MICROSECOND, ts div 1000, "
+                         "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+        return (e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+                 .withColumn("ts_ns", F.expr(
+                     "timestampdiff(MICROSECOND, "
+                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")))
+
+    return plancache.memo(spark, ("events-normalized", sf_dir), build)
 
 
 def _dsum(col, scale: int = 6):

@@ -55,6 +55,14 @@ def get_session(app_name: str = "heracles_spark", master: str | None = None,
         # still fan out across cores (one split would serialize the scan
         # + partial agg). At cluster scale maxPartitionBytes governs.
         .config("spark.sql.files.minPartitionNum", str(cpus))
+        # Coalesce post-shuffle partitions by target size rather than
+        # padding to max parallelism (the Spark-docs-recommended
+        # setting): kilobyte reduce stages collapse to one task instead
+        # of scheduling 32, and at scale the advisory size governs.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                "false")
+        # No data locality to wait for on object-store/local reads.
+        .config("spark.locality.wait", "0")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
