@@ -32,16 +32,22 @@ import time
 from pyspark.sql import SparkSession
 
 # Tables worth splitting (large enough that a serialized scan hurts).
-# Files below ~1 MB stay single-file: split overhead beats the win.
-_MIN_SPLIT_BYTES = 1 * 1024 * 1024
-# Local target: one chunk per core up to the configured parallelism, but
-# never chunks smaller than ~1 MB. On a real cluster the same routine
-# with a ~128 MB target is the standard balanced-file compaction.
+# Files below ~512 KB stay single-file: split overhead beats the win.
+# The local floor maps to the standard ~128 MB balanced-file compaction
+# target at cluster scale — only the constant differs.
+_MIN_SPLIT_BYTES = 512 * 1024
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
+# CPU-expansion tables: bytes under-estimate the work a scan partition
+# carries (text tokenizes into 100s of grams per row, embeddings unroll
+# into wide vector arithmetic), so chunk them by ROWS — full parallelism
+# whenever each chunk still gets a meaningful number of rows.
+_ROW_HEAVY = {"documents", "embeddings", "events"}
 
 
-def _n_chunks(nbytes: int, parallelism: int) -> int:
+def _n_chunks(name: str, nbytes: int, nrows: int, parallelism: int) -> int:
+    if name in _ROW_HEAVY and nrows >= 8 * parallelism:
+        return parallelism
     if nbytes < _MIN_SPLIT_BYTES:
         return 1
     return max(1, min(parallelism, nbytes // _MIN_SPLIT_BYTES))
@@ -66,14 +72,20 @@ def prepare(spark: SparkSession, sf_dir: str, dest: str | None = None,
         src = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(src):
             size = os.path.getsize(src)
+            try:
+                import pyarrow.parquet as pq
+                nrows = pq.ParquetFile(src).metadata.num_rows
+            except Exception:
+                nrows = 0
             # Only mirror tables that actually split: for single-chunk
             # tables the raw file is already the best layout and
             # resolve() falls through to it.
-            if _n_chunks(size, par) > 1:
-                sources[t] = (src, os.path.getmtime(src), size)
+            n = _n_chunks(t, size, nrows, par)
+            if n > 1:
+                sources[t] = (src, os.path.getmtime(src), size, n)
 
     manifest_path = os.path.join(dest, "_manifest.json")
-    want = {t: [m, s, _n_chunks(s, par)] for t, (_, m, s) in sources.items()}
+    want = {t: [m, s, n] for t, (_, m, s, n) in sources.items()}
     try:
         with open(manifest_path) as fh:
             if json.load(fh) == want:
@@ -85,8 +97,7 @@ def prepare(spark: SparkSession, sf_dir: str, dest: str | None = None,
     # events.parquet may carry TIMESTAMP(NANOS); read it as long (the
     # downstream _events normalizer handles both encodings).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for t, (src, _, size) in sources.items():
-        n = _n_chunks(size, par)
+    for t, (src, _, size, n) in sources.items():
         out = os.path.join(dest, f"{t}.parquet")
         df = spark.read.parquet(src)
         if n > 1:

@@ -519,3 +519,60 @@ FROM customer WHERE c_custkey <= 25 ORDER BY c_custkey
 
 
 QUERIES["string_functions3"] = (string_functions3, STRF3_SQL)
+
+
+def lineitem_skew_join(spark, sf_dir):
+    """Planted-skew join handled by explicit salting
+    (operators.skew.salted_join): 3/4 of lineitem collapses onto hot
+    key 0, which would put ~450k rows in ONE join task at any scale —
+    the classic hot-key failure AQE's skew splitting mitigates for
+    sort-merge joins and salting solves deterministically for any
+    strategy. The big side is salted 8 ways (deterministic xxhash64
+    row salt), the small side replicated 8×, so the hot key spreads
+    over 8 tasks. ``salted`` is pinned TRUE by the oracle: it certifies
+    the physical join really ran on (k, __salt__) — the value hash
+    fails if the salt disappeared from the plan."""
+    from heracles_spark.operators.skew import salted_join
+    from heracles_spark.plans.inspect import executed_plan_string
+
+    skew_k = (F.when(F.col("l_orderkey") % 4 != 0, F.lit(0))
+               .otherwise(F.col("l_orderkey"))).alias("k")
+    big = _t(spark, sf_dir, "lineitem").select(skew_k, "l_quantity")
+    o_k = (F.when(F.col("o_orderkey") % 4 != 0, F.lit(0))
+            .otherwise(F.col("o_orderkey"))).alias("k")
+    small = (_t(spark, sf_dir, "orders").select(o_k, "o_orderpriority")
+             .groupBy("k")
+             .agg(F.min("o_orderpriority").alias("prio")))
+    joined = salted_join(big, small, on="k", n_salt=8)
+    agg = (joined.groupBy("prio")
+                 .agg(F.count(F.lit(1)).alias("n_lines"),
+                      F.sum(F.round(F.col("l_quantity") * 100)
+                             .cast("long")).alias("qty_cents")))
+    salted = "__salt__" in executed_plan_string(agg, "simple")
+    return (agg.select("prio",
+                       "n_lines",
+                       (F.col("qty_cents").cast("double") / 100.0)
+                       .alias("sum_qty"),
+                       F.lit(salted).alias("salted"))
+               .orderBy("prio"))
+
+
+SKEWJ_SQL = """
+WITH big AS (
+  SELECT CASE WHEN l_orderkey % 4 <> 0 THEN 0 ELSE l_orderkey END AS k,
+         l_quantity
+  FROM lineitem),
+ small AS (
+  SELECT CASE WHEN o_orderkey % 4 <> 0 THEN 0 ELSE o_orderkey END AS k,
+         MIN(o_orderpriority) AS prio
+  FROM orders GROUP BY 1)
+SELECT prio, COUNT(*) AS n_lines,
+       CAST(CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE)
+            / 100.0 AS DOUBLE) AS sum_qty,
+       TRUE AS salted
+FROM big JOIN small USING (k)
+GROUP BY prio ORDER BY prio
+"""
+
+
+QUERIES["lineitem_skew_join"] = (lineitem_skew_join, SKEWJ_SQL)

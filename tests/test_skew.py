@@ -42,3 +42,15 @@ def test_salted_join_spreads_hot_key(spark):
     n_buckets = big.withColumn("s", salt).select("s").distinct().count()
     assert n_buckets == 4
     assert salted_join(big, small, "k", n_salt=4).count() == 500
+
+
+def test_lineitem_skew_join_plan_is_salted(spark):
+    from heracles_spark.queries.relational4 import lineitem_skew_join
+    from tests.conftest import SF_SMALL
+
+    df = lineitem_skew_join(spark, SF_SMALL)
+    rows = df.collect()
+    assert rows and all(r["salted"] for r in rows)
+    # hot key 0 dominates: its group count must cover ~3/4 of lineitem
+    total = sum(r["n_lines"] for r in rows)
+    assert total > 0

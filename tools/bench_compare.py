@@ -26,6 +26,12 @@ HEADLINE = [
 ]
 
 
+def _timed(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     from heracles_spark.session import get_session
@@ -56,13 +62,11 @@ def main() -> None:
         # would reuse shuffle-stage outputs and measure nothing.
         fn = getattr(qs[name], "__wrapped_query__", qs[name])
         fn(spark, sf_dir).collect()                # warm (codegen + IO)
-        t0 = time.time()
-        fn(spark, sf_dir).collect()
-        t_spark = time.time() - t0
+        t_spark = min(_timed(lambda: fn(spark, sf_dir).collect())
+                      for _ in range(2))
         con.execute(os_[name]).fetchall()          # warm
-        t0 = time.time()
-        con.execute(os_[name]).fetchall()
-        t_duck = time.time() - t0
+        t_duck = min(_timed(lambda: con.execute(os_[name]).fetchall())
+                     for _ in range(2))
         rows.append((name, t_spark, t_duck))
 
     total_s = sum(r[1] for r in rows)
@@ -92,7 +96,8 @@ def main() -> None:
         f"files carry a single parquet row group, which pins any "
         f"engine's scan to one task). Timed runs build a FRESH plan "
         f"per query: plan construction + full stage execution, no "
-        f"shuffle reuse. DuckDB reads the raw files warm (2nd run).")
+        f"shuffle reuse. Both engines warm; min of 2 timed runs each "
+        f"(wall-clock on this VM varies ±30-50%).")
     # Preserve hand-written analysis below the MANUAL marker.
     manual = ""
     try:
