@@ -416,24 +416,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
 
 # -- embedding near-dup ---------------------------------------------------
 
-def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
-                             vec_col: str = "embedding",
-                             threshold: float = 0.95,
-                             n_planes: int = 16,
-                             max_bucket_size: int = 500,
-                             dim: int = 64,
-                             n_bands: int = 1) -> DataFrame:
-    """Near-duplicate embeddings: random-hyperplane LSH buckets, then
-    exact cosine on candidate pairs. Deterministic planes (seeded).
-    Returns (id_a, id_b, cosine). ``dim`` is declared by the caller like
-    the rest of similarity.py — plan construction runs NO Spark job.
-
-    ``n_bands`` > 1 splits the signature into bands (the minhash-LSH
-    banding trick applied to hyperplane bits): a pair is a candidate if
-    ANY band matches, boosting recall at moderate cosine thresholds —
-    P(candidate) = 1-(1-p^(n/b))^b with p = 1-θ/π per plane."""
+def hyperplane_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               n_planes: int = 16,
+                               max_bucket_size: int = 500,
+                               dim: int = 64,
+                               n_bands: int = 1) -> DataFrame:
+    """UNVERIFIED hyperplane-LSH candidate pairs (id_a, id_b): same
+    banding/bucketing as :func:`embedding_near_dup_pairs` without the
+    cosine pass — for recall accounting (candidates ∩ exact ==
+    verified ∩ exact, so a contract query never needs the verify) and
+    for callers that verify downstream anyway."""
     from heracles_spark.operators.similarity import (
-        hyperplane_signature, dot_flat, norm_flat)
+        hyperplane_signature, norm_flat)
     if n_planes % n_bands:
         raise ValueError("n_planes must divide into n_bands")
     bw = n_planes // n_bands
@@ -453,18 +448,50 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     w = Window.partitionBy("band", "bsig")
     buckets = (buckets.withColumn("bn", F.count(F.lit(1)).over(w))
                       .where(F.col("bn") <= max_bucket_size).drop("bn"))
-    cand = (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    return (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
             .join(buckets.select(F.col(id_col).alias("id_b"),
                                  "band", "bsig"),
                   ["band", "bsig"])
             .where(F.col("id_a") < F.col("id_b"))
             .select("id_a", "id_b").distinct())
-    a = sigs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                    F.col("nrm").alias("na"))
-    b = sigs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                    F.col("nrm").alias("nb"))
-    cos = dot_flat("va", "vb", dim) / (F.col("na") * F.col("nb"))
-    return (cand.join(a, "id_a").join(b, "id_b")
-             .withColumn("cosine", F.round(cos, 6))
-             .where(F.col("cosine") >= threshold)
-             .select("id_a", "id_b", "cosine"))
+
+
+def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             threshold: float = 0.95,
+                             n_planes: int = 16,
+                             max_bucket_size: int = 500,
+                             dim: int = 64,
+                             n_bands: int = 1) -> DataFrame:
+    """Near-duplicate embeddings: random-hyperplane LSH buckets
+    (:func:`hyperplane_candidate_pairs`), then exact cosine on the
+    candidates. Deterministic planes (seeded). Returns
+    (id_a, id_b, cosine); plan construction runs NO Spark job.
+
+    ``n_bands`` > 1 splits the signature into bands (the minhash-LSH
+    banding trick applied to hyperplane bits): a pair is a candidate if
+    ANY band matches, boosting recall at moderate cosine thresholds —
+    P(candidate) = 1-(1-p^(n/b))^b with p = 1-θ/π per plane.
+
+    Candidate verification runs on the Arrow path
+    (similarity.pair_dot_pandas): an expression-tree dot lands in the
+    join's post-condition and is evaluated INTERPRETED per candidate
+    pair; the vectorized per-dim numpy accumulation reproduces the same
+    sequential f64 fold bit-for-bit, and ROUND + threshold stay
+    engine-side."""
+    from heracles_spark.operators.similarity import (
+        norm_flat, pair_dot_pandas)
+
+    cand = hyperplane_candidate_pairs(df, id_col, vec_col, n_planes,
+                                      max_bucket_size, dim, n_bands)
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                  norm_flat(f"`{vec_col}`", dim).alias("na"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                  norm_flat(f"`{vec_col}`", dim).alias("nb"))
+    joined = cand.join(a, "id_a").join(b, "id_b")
+    dotted = pair_dot_pandas(joined, "va", "vb", dim,
+                             keep=["id_a", "id_b", "na", "nb"])
+    cos = F.col("__dot") / (F.col("na") * F.col("nb"))
+    return (dotted.withColumn("cosine", F.round(cos, 6))
+                  .where(F.col("cosine") >= threshold)
+                  .select("id_a", "id_b", "cosine"))

@@ -405,11 +405,13 @@ def embedding_near_dup(spark, sf_dir):
     the hardest case for sign-LSH; at the ≥0.95 design point the same
     banding recovers ~100% (tests/test_dedup.py)."""
     e = _embs(spark, sf_dir)
-    lsh = dedup.embedding_near_dup_pairs(e, threshold=0.42,
-                                         n_planes=16, n_bands=4)
+    # Recall accounting uses UNVERIFIED candidates: verified ∩ exact ==
+    # candidates ∩ exact (verification only drops sub-threshold pairs,
+    # which exact excludes anyway), so the contract skips the LSH
+    # side's cosine pass entirely.
+    lsh = dedup.hyperplane_candidate_pairs(e, n_planes=16, n_bands=4)
     exact = similarity.cosine_all_pairs(e, threshold=0.42)
-    hits = (lsh.select("id_a", "id_b")
-               .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
+    hits = (lsh.join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                      "left_semi")
                .agg(F.count(F.lit(1)).alias("__h")))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))
