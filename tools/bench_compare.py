@@ -23,6 +23,10 @@ HEADLINE = [
     "doc_decontaminate", "embedding_quantized_knn", "doc_top_tfidf_term",
     "doc_global_shuffle", "doc_corpus_pipeline",
     "events_funnel", "events_cohort_retention", "recursive_cte_spine",
+    # round-4 additions: the near-dup family (block-pair GEMM + banded
+    # LSH) and the remaining text-quality flagships
+    "doc_dedup_keep_best", "doc_quality_filter", "doc_simhash_groups",
+    "embedding_near_dup_exact", "embedding_near_dup",
 ]
 
 
