@@ -48,7 +48,58 @@ HELP = """Supported statements (≙ reference CLI HELP):
 """
 
 
-def run_statement(session, stmt: str, out=sys.stdout) -> None:
+KEYWORDS = sorted({
+    w for line in HELP.splitlines()
+    for w in line.replace("|", " ").split()
+    if w.isalpha() and w.upper() == w and len(w) > 1
+} | {"SELECT", "FROM", "WHERE", "GROUP", "ORDER", "BY", "LIMIT", "JOIN",
+     "LEFT", "RIGHT", "FULL", "INNER", "CROSS", "UNION", "EXCEPT",
+     "INTERSECT", "HAVING", "WITH", "AS", "ON", "AND", "OR", "NOT",
+     "NULL", "LIKE", "BETWEEN", "IN", "EXISTS", "CASE", "WHEN", "THEN",
+     "ELSE", "END", "DISTINCT", "VALUES", "INTO", "SET", "SOURCE"})
+
+
+def _install_completer(session) -> None:
+    """Tab completion over keywords + live catalog table/column names —
+    the rebuild's jline completer stack (reference
+    HBaseSQLCliDriver.scala:36-304 wires ArgumentCompleter/
+    StringsCompleter over the same vocabulary). Gated behind readline
+    availability (absent on some platforms; the REPL works without)."""
+    try:
+        import readline
+    except ImportError:
+        return
+
+    def vocab() -> list[str]:
+        names: list[str] = list(KEYWORDS)
+        try:
+            for t in session.catalog.list_tables():
+                names.append(t)
+                try:
+                    for f in session.catalog.get_table(t).schema().fields:
+                        names.append(f.name)
+                except Exception:
+                    pass
+        except Exception:
+            pass
+        return names
+
+    def complete(text: str, state: int):
+        matches = [w for w in vocab()
+                   if w.lower().startswith(text.lower())]
+        return matches[state] if state < len(matches) else None
+
+    readline.set_completer(complete)
+    readline.set_completer_delims(" \t\n(),;=")
+    readline.parse_and_bind("tab: complete")
+
+
+def _color(s: str, code: str, enabled: bool) -> str:
+    return f"\033[{code}m{s}\033[0m" if enabled else s
+
+
+def run_statement(session, stmt: str, out=None) -> None:
+    out = out if out is not None else sys.stdout
     t0 = time.time()
     df = session.sql(stmt)
     if df is not None:
@@ -80,11 +131,15 @@ def main(argv: list[str] | None = None) -> int:
             run_statement(session, stmt)
         return 0
 
+    _install_completer(session)
+    tty = sys.stdout.isatty()
     sys.stdout.write("heracles-sql (PySpark). Type HELP for help, EXIT to quit.\n")
+    prompt1 = _color("heracles> ", "1;36", tty)
+    prompt2 = _color("       -> ", "36", tty)
     buf: list[str] = []
     while True:
         try:
-            line = input("heracles> " if not buf else "       -> ")
+            line = input(prompt1 if not buf else prompt2)
         except (EOFError, KeyboardInterrupt):
             break
         token = line.strip()
@@ -93,6 +148,21 @@ def main(argv: list[str] | None = None) -> int:
         if not buf and token.upper() == "HELP":
             sys.stdout.write(HELP)
             continue
+        if not buf and token.upper().startswith("SOURCE "):
+            # run statements from a script file (reference CLI parity)
+            path = token[7:].strip().strip("'\"").rstrip(";")
+            try:
+                script = open(path).read()
+            except OSError as e:
+                sys.stdout.write(_color(f"Error: {e}\n", "31", tty))
+                continue
+            for stmt in filter(None,
+                               (s.strip() for s in script.split(";"))):
+                try:
+                    run_statement(session, stmt)
+                except Exception as e:
+                    sys.stdout.write(_color(f"Error: {e}\n", "31", tty))
+            continue
         buf.append(line)
         if token.endswith(";"):
             stmt = "\n".join(buf).rstrip().rstrip(";")
@@ -100,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
             try:
                 run_statement(session, stmt)
             except Exception as e:
-                sys.stdout.write(f"Error: {e}\n")
+                sys.stdout.write(_color(f"Error: {e}\n", "31", tty))
     return 0
 
 

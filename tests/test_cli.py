@@ -26,3 +26,31 @@ def test_run_statement_ddl_flow(hsession, tmp_path):
 def test_help_mentions_surface():
     for kw in ("CREATE TABLE", "LOAD DATA", "keyCols", "DESCRIBE"):
         assert kw in HELP
+
+
+def test_keyword_vocab_and_color():
+    from heracles_spark import cli
+
+    assert "SELECT" in cli.KEYWORDS and "MERGE" in cli.KEYWORDS
+    assert cli._color("x", "31", True) == "\033[31mx\033[0m"
+    assert cli._color("x", "31", False) == "x"
+
+
+def test_source_command(hsession, tmp_path, capsys, monkeypatch):
+    from heracles_spark import cli
+    import heracles_spark.session as S
+
+    script = tmp_path / "s.sql"
+    script.write_text(
+        "CREATE TABLE src_t (k INT, v STRING) "
+        "TBLPROPERTIES('keyCols'='k');\n"
+        "INSERT INTO src_t VALUES (1, 'a');\n"
+        "SELECT * FROM src_t;\n")
+    inputs = iter([f"SOURCE {script};", "EXIT"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(inputs))
+    monkeypatch.setattr(cli, "_install_completer", lambda s: None)
+    monkeypatch.setattr(S, "get_session", lambda *a, **k: hsession.spark)
+    monkeypatch.setattr(S, "HeraclesSession", lambda *a, **k: hsession)
+    assert cli.main([]) == 0
+    out = capsys.readouterr().out
+    assert "1\ta" in out and "Time taken" in out
