@@ -144,7 +144,8 @@ def main() -> None:
     from heracles_spark import layout
 
     names = [a for a in sys.argv[1:] if not a.startswith("--")] or QUERIES
-    spark = get_session("scale-check")
+    spark = get_session("scale-check", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
 
     if "--regen" in sys.argv or not os.path.exists(
