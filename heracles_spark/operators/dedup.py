@@ -46,11 +46,12 @@ _PERSIST_POOL: list = []
 def _persist(df: DataFrame) -> DataFrame:
     """Persist with rotation: frames persisted by PREVIOUS calls are
     unpersisted once the pool exceeds the depth one pipeline needs
-    (sigs + gram base). A long-lived session (the round driver runs the
+    (sigs + gram arrays + a contract query's exact ground-truth
+    relation). A long-lived session (the round driver runs the
     whole corpus in one process) would otherwise accumulate a cached
     relation per invocation. Unpersisting early only ever costs a
     recompute — never correctness."""
-    while len(_PERSIST_POOL) > 2:
+    while len(_PERSIST_POOL) > 4:
         _PERSIST_POOL.pop(0).unpersist()
     _PERSIST_POOL.append(df)
     return df.persist()

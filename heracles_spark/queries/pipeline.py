@@ -273,9 +273,13 @@ def doc_minhash_pairs(spark, sf_dir):
     the exact ground truth AND the sketch's recall."""
     d = _docs(spark, sf_dir)
     mh = dedup.minhash_dedup_pairs(d, threshold=0.5)
-    exact = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.7, unit="word",
-                                      max_doc_freq=1 << 60,
-                                      prefix_order="hash")
+    # The exact relation feeds THREE consumers (recall semi-join, total
+    # count, final output) — persist or the whole ground-truth pipeline
+    # re-executes per consumer.
+    exact = dedup._persist(
+        dedup.ngram_jaccard_pairs(d, n=3, threshold=0.7, unit="word",
+                                  max_doc_freq=1 << 60,
+                                  prefix_order="hash"))
     hits = (mh.select("id_a", "id_b")
               .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                     "left_semi")
@@ -410,7 +414,9 @@ def embedding_near_dup(spark, sf_dir):
     # which exact excludes anyway), so the contract skips the LSH
     # side's cosine pass entirely.
     lsh = dedup.hyperplane_candidate_pairs(e, n_planes=16, n_bands=4)
-    exact = similarity.cosine_all_pairs(e, threshold=0.42)
+    # three consumers (semi-join, count, output) — persist the exact
+    # ground truth so the GEMM runs once
+    exact = dedup._persist(similarity.cosine_all_pairs(e, threshold=0.42))
     hits = (lsh.join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                      "left_semi")
                .agg(F.count(F.lit(1)).alias("__h")))
