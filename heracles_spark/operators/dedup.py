@@ -244,20 +244,19 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
         n_bits = 64
         th = F.xxhash64("tok")
     ex = ex.withColumn("th", th)
-    one = F.lit(1).cast("long")
+    # One F.expr per aggregate and ONE for the bit-fold: n_bits chained
+    # Column trees cost hundreds of py4j round-trips per plan build
+    # (the minhash/dot_flat lesson). shiftleft keeps bit 63 in long
+    # range (a Python 1 << 63 literal overflows LongType).
     bit_aggs = [
-        F.sum(F.when(F.col("th").bitwiseAND(F.shiftleft(one, i)) != 0, 1)
-               .otherwise(-1)).alias(f"b{i}")
+        F.expr(f"SUM(IF((th & shiftleft(CAST(1 AS BIGINT), {i})) != 0, "
+               f"1, -1)) AS b{i}")
         for i in range(n_bits)]
     votes = ex.groupBy(id_col).agg(*bit_aggs)
-    sig = None
-    for i in range(n_bits):
-        # shiftleft keeps bit 63 in long range (Python 1 << 63 overflows
-        # LongType as a literal)
-        bit = F.when(F.col(f"b{i}") > 0,
-                     F.shiftleft(one, i)).otherwise(F.lit(0).cast("long"))
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+    sig = " | ".join(
+        f"IF(b{i} > 0, shiftleft(CAST(1 AS BIGINT), {i}), CAST(0 AS BIGINT))"
+        for i in range(n_bits))
+    return votes.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",

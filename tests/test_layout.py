@@ -1,0 +1,54 @@
+"""Bulk-load scan layout (heracles_spark.layout): chunking policy,
+manifest idempotence, resolve() routing."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from heracles_spark import layout
+from tests.conftest import SF_SMALL
+
+
+def test_chunking_policy():
+    par = 16
+    # tiny relational file: stays single-chunk
+    assert layout._n_chunks("customer", 100_000, 10_000, par) == 1
+    # big relational file: bytes-based, capped at parallelism
+    assert layout._n_chunks("lineitem", 10 * 1024 * 1024, 600_000, par) == 16
+    assert layout._n_chunks("orders", 1536 * 1024, 150_000, par) == 3
+    # row-heavy tables: full parallelism once rows >= 8*par
+    assert layout._n_chunks("documents", 600_000, 5_000, par) == 16
+    assert layout._n_chunks("documents", 600_000, 100, par) == 1
+    assert layout._n_chunks("events", 2 * 1024 * 1024, 100_000, par) == 16
+
+
+def test_prepare_idempotent_and_resolve(spark, tmp_path, monkeypatch):
+    dest = str(tmp_path / "mirror")
+    d, t1 = layout.prepare(spark, SF_SMALL, dest=dest, parallelism=4)
+    # sf0.001 files are all tiny -> nothing mirrored, resolve falls back
+    monkeypatch.setenv("HERACLES_LAYOUT_DIR", d)
+    raw = f"{SF_SMALL}/region.parquet"
+    assert layout.resolve(raw) == raw
+    # second call is a manifest hit
+    d2, t2 = layout.prepare(spark, SF_SMALL, dest=dest, parallelism=4)
+    assert d2 == d and t2 == 0.0
+
+
+def test_prepare_mirrors_row_heavy(spark, tmp_path, monkeypatch):
+    # force documents to mirror by dropping the row threshold via
+    # parallelism: sf0.001 documents has ~500 rows -> par=8 gives
+    # rows >= 8*par -> full parallelism... 500 >= 64 ok with par=8
+    dest = str(tmp_path / "mirror2")
+    d, _ = layout.prepare(spark, SF_SMALL, dest=dest, parallelism=8)
+    docs_mirror = os.path.join(d, "documents.parquet")
+    if os.path.isdir(docs_mirror):
+        monkeypatch.setenv("HERACLES_LAYOUT_DIR", d)
+        assert layout.resolve(f"{SF_SMALL}/documents.parquet") == docs_mirror
+        a = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        b = spark.read.parquet(docs_mirror)
+        assert a.count() == b.count()
+        assert b.rdd.getNumPartitions() > 1
+    else:
+        pytest.skip("documents below row threshold at this SF")
