@@ -16,6 +16,7 @@ import time
 
 HELP = """Supported statements (≙ reference CLI HELP):
   CREATE TABLE t (col TYPE, ...) TBLPROPERTIES('keyCols'='a;b'[, ...])
+  CREATE TABLE t TBLPROPERTIES('keyCols'='k') AS SELECT ...  (CTAS)
   DROP TABLE [IF EXISTS] t
   LOAD DATA [LOCAL] INPATH '<path>' [OVERWRITE] INTO TABLE t
   INSERT INTO t VALUES (...), (...)

@@ -53,6 +53,11 @@ _CREATE = re.compile(
     r"\((?P<cols>.*?)\)\s*"
     r"TBLPROPERTIES\s*\((?P<props>.*)\)\s*$",
     re.IGNORECASE | re.DOTALL)
+_CTAS = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(?P<if_not_exists>IF\s+NOT\s+EXISTS\s+)?(?P<name>[\w.]+)\s+"
+    r"TBLPROPERTIES\s*\((?P<props>.*?)\)\s+"
+    r"AS\s+(?P<select>SELECT\s+.*)$",
+    re.IGNORECASE | re.DOTALL)
 _DROP = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<if_exists>IF\s+EXISTS\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
@@ -248,6 +253,33 @@ def dispatch(session, statement: str) -> DataFrame | None:
         catalog.clone_table(_resolve(session, m.group("src")), dst)
         catalog.read_table(spark, dst).createOrReplaceTempView(
             catalog.view_name(dst))
+        return None
+
+    m = _CTAS.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        if m.group("if_not_exists") and catalog.table_exists(name):
+            return None
+        props = _parse_props(m.group("props"))
+        key_cols = [k for k in props.get("keyCols", "").split(";") if k]
+        if not key_cols:
+            raise ValueError("CREATE TABLE AS requires TBLPROPERTIES keyCols")
+        df = spark.sql(m.group("select"))
+        from heracles_spark.catalog import SUPPORTED_TYPES
+        cols = []
+        for f in df.schema.fields:
+            t = f.dataType.simpleString()
+            if t not in SUPPORTED_TYPES:
+                raise ValueError(
+                    f"CTAS column {f.name!r} has unsupported type {t}; "
+                    f"CAST it to one of {sorted(SUPPORTED_TYPES)} in the "
+                    f"SELECT")
+            cols.append((f.name, t))
+        tbl = catalog.create_table(name, cols, key_cols, properties=props)
+        writer.write_key_organized(spark, catalog, tbl.name, df,
+                                   mode="overwrite")
+        catalog.read_table(spark, tbl.name).createOrReplaceTempView(
+            catalog.view_name(tbl.name))
         return None
 
     m = _CREATE.match(statement)

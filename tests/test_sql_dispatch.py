@@ -249,3 +249,25 @@ def test_set_statement_passthrough(hsession):
         assert row.value == "7"
     finally:
         hsession.spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_ctas_creates_and_populates(hsession):
+    hsession.sql("CREATE TABLE ctas_src (k INT, v STRING) "
+                 "TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("INSERT INTO ctas_src VALUES (1,'a'), (2,'b'), (3,'c')")
+    hsession.sql("CREATE TABLE ctas_dst TBLPROPERTIES('keyCols'='k') AS "
+                 "SELECT k, upper(v) AS vu FROM ctas_src WHERE k <= 2")
+    rows = {r["k"]: r["vu"]
+            for r in hsession.sql("SELECT * FROM ctas_dst").collect()}
+    assert rows == {1: "A", 2: "B"}
+    # IF NOT EXISTS is a no-op on existing
+    hsession.sql("CREATE TABLE IF NOT EXISTS ctas_dst "
+                 "TBLPROPERTIES('keyCols'='k') AS SELECT 9 AS k")
+    assert hsession.sql("SELECT * FROM ctas_dst").count() == 2
+    # unsupported type -> clear error
+    import pytest
+    with pytest.raises(ValueError, match="unsupported type"):
+        hsession.sql("CREATE TABLE ctas_bad TBLPROPERTIES('keyCols'='k') "
+                     "AS SELECT 1 AS k, array(1,2) AS a")
+    hsession.sql("DROP TABLE ctas_dst")
+    hsession.sql("DROP TABLE ctas_src")
