@@ -151,7 +151,7 @@ def main(argv: list[str] | None = None) -> int:
             continue
         if not buf and token.upper().startswith("SOURCE "):
             # run statements from a script file (reference CLI parity)
-            path = token[7:].strip().strip("'\"").rstrip(";")
+            path = token[7:].strip().rstrip(";").strip().strip("'\"")
             try:
                 script = open(path).read()
             except OSError as e:

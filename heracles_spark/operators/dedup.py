@@ -421,12 +421,18 @@ def hyperplane_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                                n_planes: int = 16,
                                max_bucket_size: int = 500,
                                dim: int = 64,
-                               n_bands: int = 1) -> DataFrame:
+                               n_bands: int = 1,
+                               dedup_pairs: bool = True) -> DataFrame:
     """UNVERIFIED hyperplane-LSH candidate pairs (id_a, id_b): same
     banding/bucketing as :func:`embedding_near_dup_pairs` without the
     cosine pass — for recall accounting (candidates ∩ exact ==
     verified ∩ exact, so a contract query never needs the verify) and
-    for callers that verify downstream anyway."""
+    for callers that verify downstream anyway.
+
+    ``dedup_pairs=False`` skips the global ``distinct()`` (a pair can
+    appear once per matching band): callers that only probe membership
+    — e.g. a recall contract semi-joining the SMALL exact side against
+    this relation — don't pay the full-candidate-set shuffle."""
     from heracles_spark.operators.similarity import (
         hyperplane_signature, norm_flat)
     if n_planes % n_bands:
@@ -448,12 +454,13 @@ def hyperplane_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
     w = Window.partitionBy("band", "bsig")
     buckets = (buckets.withColumn("bn", F.count(F.lit(1)).over(w))
                       .where(F.col("bn") <= max_bucket_size).drop("bn"))
-    return (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
+    cand = (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
             .join(buckets.select(F.col(id_col).alias("id_b"),
                                  "band", "bsig"),
                   ["band", "bsig"])
             .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b").distinct())
+            .select("id_a", "id_b"))
+    return cand.distinct() if dedup_pairs else cand
 
 
 def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
