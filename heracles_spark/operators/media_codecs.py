@@ -111,3 +111,127 @@ def decode_bmp24(raw: bytes) -> np.ndarray:
     if h_signed > 0:
         rows = rows[::-1]                   # bottom-up → top-down
     return rows[:, :, ::-1].copy()          # BGR → RGB
+
+
+# -- G.711 μ-law (WAV format code 7) ---------------------------------------
+
+_MU_BIAS = 0x84
+_MU_CLIP = 32635
+
+
+def encode_mulaw(samples) -> np.ndarray:
+    """Compress int16 samples → uint8 G.711 μ-law codes (the standard
+    bias-0x84 segmented encoder)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.clip(np.abs(x), 0, _MU_CLIP) + _MU_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int64)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def decode_mulaw(codes) -> np.ndarray:
+    """Expand uint8 G.711 μ-law codes → int16 samples (exact inverse of
+    the standard segmented table: magnitude = ((2m+33) << e) - 33,
+    scaled by 4)."""
+    u = (~np.asarray(codes, dtype=np.uint8)) & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = ((((mant.astype(np.int32) << 1) + 33) << exp) - 33) << 2
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+def encode_wav_mulaw(samples, sample_rate: int,
+                     n_channels: int = 1) -> bytes:
+    """Encode int16 samples as a WAV blob with format code 7 (μ-law)."""
+    codes = encode_mulaw(samples)
+    data = codes.tobytes()
+    byte_rate = sample_rate * n_channels
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 7, n_channels,
+                                sample_rate, byte_rate, n_channels, 8)
+    body = fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+def decode_wav_any(raw: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode PCM-16 (fmt 1) or μ-law (fmt 7) WAV → (int16 samples
+    [n, channels], rate, channels). The multimodal audio path routes
+    here so both encodings share one entry point."""
+    if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE blob")
+    pos, n = 12, len(raw)
+    sample_rate = n_channels = audio_fmt = None
+    data = None
+    while pos + 8 <= n:
+        cid = raw[pos:pos + 4]
+        (clen,) = struct.unpack_from("<I", raw, pos + 4)
+        body = raw[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = \
+                struct.unpack_from("<HHIIHH", body, 0)
+            if (audio_fmt, bits) not in ((1, 16), (7, 8)):
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={audio_fmt}, "
+                    f"bits={bits}); PCM-16 and G.711 mu-law implemented")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)
+    if sample_rate is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    if audio_fmt == 7:
+        samples = decode_mulaw(np.frombuffer(data, dtype=np.uint8))
+    else:
+        samples = np.frombuffer(data, dtype="<i2")
+    if n_channels > 1:
+        samples = samples[:len(samples) - len(samples) % n_channels] \
+            .reshape(-1, n_channels)
+    else:
+        samples = samples.reshape(-1, 1)
+    return samples, sample_rate, n_channels
+
+
+# -- netpbm (PPM P6 / PGM P5, binary, maxval 255) --------------------------
+
+def encode_ppm(px) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → binary PPM (P6)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, c = px.shape
+    if c != 3:
+        raise ValueError("encode_ppm expects (h, w, 3) RGB")
+    return f"P6\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def encode_pgm(px) -> bytes:
+    """Encode (h, w) uint8 grayscale → binary PGM (P5)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w = px.shape
+    return f"P5\n{w} {h}\n255\n".encode() + px.tobytes()
+
+
+def decode_netpbm(raw: bytes) -> np.ndarray:
+    """Decode binary PPM (P6) → (h, w, 3) RGB or PGM (P5) → (h, w)
+    grayscale, uint8, maxval 255. Handles whitespace + '#' comments in
+    the header (the format's only wrinkle)."""
+    if raw[:2] not in (b"P6", b"P5"):
+        raise ValueError("not a binary PPM/PGM blob")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(raw) and raw[pos:pos + 1].isspace():
+            pos += 1
+        if raw[pos:pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(raw[start:pos]))
+    pos += 1                                   # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval 255 netpbm is implemented")
+    ch = 3 if raw[:2] == b"P6" else 1
+    body = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=pos)
+    return body.reshape(h, w, 3) if ch == 3 else body.reshape(h, w)

@@ -65,7 +65,7 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id",
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
-                          decoder: Literal["fake", "bmp", "pil"] = "fake",
+                          decoder: Literal["fake", "bmp", "ppm", "pil"] = "fake",
                           feature_dim: int = 8) -> DataFrame:
     """mapInPandas image decode → per-image features.
 
@@ -74,6 +74,8 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
         mean_luma = Rec.601 luma of the actual pixels in [0,1];
         feature = the gray-level histogram (feature_dim equal bins,
         normalized to sum 1).
+      * "ppm"  — REAL decode of binary netpbm (PPM P6 RGB / PGM P5
+        gray), same features as "bmp".
       * "fake" — deterministic features from the bytes' hash (plumbing
         tests for formats without an in-container codec).
       * "pil"  — the slot where PIL/torchvision plugs in; raises until
@@ -91,17 +93,22 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
         import numpy as np
 
-        from heracles_spark.operators.media_codecs import decode_bmp24
+        from heracles_spark.operators.media_codecs import (decode_bmp24,
+                                                           decode_netpbm)
         for pdf in it:
             ids, nbytes, lumas, feats = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
                 ids.append(i)
                 nbytes.append(len(raw))
-                if decoder == "bmp":
-                    px = decode_bmp24(raw)
-                    luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
-                            + 0.114 * px[:, :, 2])
+                if decoder in ("bmp", "ppm"):
+                    px = (decode_bmp24(raw) if decoder == "bmp"
+                          else decode_netpbm(raw))
+                    if px.ndim == 2:          # PGM grayscale
+                        luma = px.astype("float64")
+                    else:
+                        luma = (0.299 * px[:, :, 0] + 0.587 * px[:, :, 1]
+                                + 0.114 * px[:, :, 2])
                     lumas.append(float(luma.mean()) / 255.0)
                     hist, _ = np.histogram(luma, bins=feature_dim,
                                            range=(0.0, 255.0 + 1e-9))
@@ -155,8 +162,8 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
     vector).
 
     Decoders:
-      * "wav"  — REAL decode (operators.media_codecs, pure numpy):
-        PCM-16 samples → rms of the [-1,1] signal; mfcc_ish = log
+      * "wav"  — REAL decode (operators.media_codecs, pure numpy;
+        PCM-16 or G.711 μ-law format-7 blobs): int16 samples → rms of the [-1,1] signal; mfcc_ish = log
         energy of n_coeffs equal FFT magnitude bands (a deterministic
         spectral profile — the MFCC shape without the mel/DCT stages).
       * "fake" — hash-derived features (plumbing tests).
@@ -174,7 +181,7 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
 
         import numpy as np
 
-        from heracles_spark.operators.media_codecs import decode_wav_pcm16
+        from heracles_spark.operators.media_codecs import decode_wav_any
         for pdf in it:
             ids, nbytes, rms, coeffs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
@@ -182,7 +189,7 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
                 ids.append(i)
                 nbytes.append(len(raw))
                 if decoder == "wav":
-                    samples, _rate, _ch = decode_wav_pcm16(raw)
+                    samples, _rate, _ch = decode_wav_any(raw)
                     x = samples.mean(axis=1) / 32768.0   # downmix, [-1,1]
                     rms.append(float(np.sqrt(np.mean(x * x)))
                                if x.size else 0.0)
@@ -204,12 +211,13 @@ def decode_audio_features(df: DataFrame, id_col: str = "doc_id",
 
 def resize_images(df: DataFrame, out_w: int, out_h: int,
                   id_col: str = "doc_id", content_col: str = "content",
-                  decoder: Literal["fake", "bmp", "pil"] = "fake") -> DataFrame:
+                  decoder: Literal["fake", "bmp", "ppm", "pil"] = "fake") -> DataFrame:
     """mapInPandas image resize.
 
     Decoders:
-      * "bmp"  — REAL resize (operators.media_codecs): decode the 24-bit
-        BMP, nearest-neighbor sample to out_w×out_h, re-encode BMP.
+      * "bmp"/"ppm" — REAL resize (operators.media_codecs): decode the
+        24-bit BMP / binary PPM (P6), nearest-neighbor sample to
+        out_w×out_h, re-encode in the same format.
       * "fake" — deterministic out_w×out_h byte payload derived from the
         source hash (single-channel thumbnail model) so batch shape,
         schema, and memory behavior match the real op.
@@ -228,17 +236,22 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
         import numpy as np
 
         from heracles_spark.operators.media_codecs import (
-            decode_bmp24, encode_bmp24)
+            decode_bmp24, decode_netpbm, encode_bmp24, encode_ppm)
         for pdf in it:
             ids, ws, hs, outs = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
-                if decoder == "bmp":
-                    px = decode_bmp24(raw)
+                if decoder in ("bmp", "ppm"):
+                    px = (decode_bmp24(raw) if decoder == "bmp"
+                          else decode_netpbm(raw))
+                    if px.ndim == 2:          # PGM -> RGB for re-encode
+                        px = np.stack([px, px, px], axis=-1)
                     h, w = px.shape[:2]
                     ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
                     xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
-                    buf = encode_bmp24(px[ys][:, xs])
+                    small = px[ys][:, xs]
+                    buf = (encode_bmp24(small) if decoder == "bmp"
+                           else encode_ppm(small))
                 else:
                     seed = hashlib.sha256(raw).digest()
                     need = out_w * out_h

@@ -192,3 +192,56 @@ def test_bmp_resize_nearest_golden(spark):
     r = mm.resize_images(df, out_w=2, out_h=2, decoder="bmp").collect()[0]
     out = mc.decode_bmp24(bytes(r["content"]))
     assert np.array_equal(out, px[::2, ::2])
+
+
+def test_ppm_pgm_decode_features(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators.multimodal import decode_image_features
+
+    rgb = np.zeros((4, 4, 3), dtype=np.uint8)
+    rgb[..., 0] = 255                        # pure red
+    gray = np.full((3, 5), 100, dtype=np.uint8)
+    df = spark.createDataFrame(
+        [(1, bytearray(mc.encode_ppm(rgb))),
+         (2, bytearray(mc.encode_pgm(gray)))],
+        "doc_id long, content binary")
+    out = {r.doc_id: r for r in
+           decode_image_features(df, decoder="ppm").collect()}
+    assert abs(out[1].mean_luma - 0.299) < 1e-6     # red luma
+    assert abs(out[2].mean_luma - 100 / 255.0) < 1e-6
+    assert abs(sum(out[1].feature) - 1.0) < 1e-6
+
+
+def test_mulaw_wav_decode_features(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators.multimodal import decode_audio_features
+
+    x = (np.sin(np.linspace(0, 30, 800)) * 15000).astype(np.int16)
+    blob = mc.encode_wav_mulaw(x, 8000)
+    df = spark.createDataFrame([(1, bytearray(blob))],
+                               "doc_id long, content binary")
+    row = decode_audio_features(df, decoder="wav").collect()[0]
+    want_rms = float(np.sqrt(np.mean(
+        (mc.decode_mulaw(mc.encode_mulaw(x)).astype(np.float64)
+         / 32768.0) ** 2)))
+    assert abs(row.rms - want_rms) < 1e-9
+    assert len(row.mfcc_ish) == 13
+
+
+def test_resize_ppm_roundtrip(spark):
+    import numpy as np
+
+    from heracles_spark.operators import media_codecs as mc
+    from heracles_spark.operators.multimodal import resize_images
+
+    px = (np.arange(8 * 8 * 3) % 256).astype(np.uint8).reshape(8, 8, 3)
+    df = spark.createDataFrame([(1, bytearray(mc.encode_ppm(px)))],
+                               "doc_id long, content binary")
+    row = resize_images(df, 4, 4, decoder="ppm").collect()[0]
+    small = mc.decode_netpbm(bytes(row.content))
+    assert small.shape == (4, 4, 3)
+    assert (small == px[::2][:, ::2]).all()
