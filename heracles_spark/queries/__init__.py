@@ -33,7 +33,8 @@ SHOWCASE = [
     "doc_chunking", "doc_pack_sequences", "doc_corpus_mix",
     "doc_train_test_split", "doc_global_shuffle", "doc_top_tfidf_term",
     "doc_corpus_pipeline", "doc_term_frequencies", "multimodal_decode",
-    "multimodal_wav_decode", "events_asof_join", "events_asof_forward",
+    "multimodal_wav_decode", "multimodal_ppm_decode",
+    "multimodal_mulaw_decode", "events_asof_join", "events_asof_forward",
     "events_range_join", "events_funnel", "events_cohort_retention",
     "lateral_topn_per_nation", "recursive_cte_spine", "ntile_percentiles",
     "window_distribution_ranks", "window_range_frame", "skew_salted_distinct",

@@ -650,6 +650,97 @@ FROM documents WHERE doc_id <= 50 ORDER BY doc_id
 """
 
 
+def multimodal_ppm_decode(spark, sf_dir):
+    """REAL image decode, value-oracled end-to-end: per doc, synthesize
+    a solid-color 8×8 binary PPM (r,g,b = doc_id·{11,29,53} mod 256) in
+    a pandas UDF, decode it with the pure-numpy netpbm decoder
+    (decode_image_features decoder="ppm"). A solid image's mean luma is
+    exactly (0.299r + 0.587g + 0.114b)/255 — the SQL oracle recomputes
+    it analytically with the same IEEE expression order, so the hash
+    certifies header parse → pixel reshape → luma → histogram."""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_ppm
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                r, g, b = int(i) * 11 % 256, int(i) * 29 % 256, int(i) * 53 % 256
+                px = np.empty((8, 8, 3), dtype=np.uint8)
+                px[..., 0], px[..., 1], px[..., 2] = r, g, b
+                blobs.append(encode_ppm(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_image_features(media, decoder="ppm")
+    return (feats.select("doc_id", "n_bytes",
+                         F.round("mean_luma", 6).alias("mean_luma"))
+                 .orderBy("doc_id"))
+
+
+MPD_SQL = """
+SELECT doc_id, CAST(203 AS INT) AS n_bytes,
+       ROUND((0.299 * (doc_id * 11 % 256) + 0.587 * (doc_id * 29 % 256)
+              + 0.114 * (doc_id * 53 % 256)) / 255.0, 6) AS mean_luma
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
+def multimodal_mulaw_decode(spark, sf_dir):
+    """REAL G.711 μ-law decode, value-oracled end-to-end: synthesize a
+    64-sample ±a square wave, μ-law-compress it into a format-7 WAV
+    (encode_wav_mulaw), decode through decode_wav_any. The quantized
+    amplitude â is analytically recomputable (e = ⌊log2(a+132)⌋−7,
+    m = ((a+132) >> (e+3)) & 15, â = ((2m+33)·2^e − 33)·4), so the SQL
+    oracle derives RMS = â/32768 itself — the hash certifies compression
+    tables, RIFF walk, and expansion, not just plumbing."""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_wav_mulaw
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                amp = int(i) * 37 % 20000 + 1000
+                s = np.full(64, amp, dtype=np.int16)
+                s[1::2] = -amp
+                blobs.append(encode_wav_mulaw(s, 8000))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_audio_features(media, decoder="wav")
+    return (feats.select("doc_id", "n_bytes",
+                         F.round("rms", 6).alias("rms"))
+                 .orderBy("doc_id"))
+
+
+MMU_SQL = """
+WITH amp AS (
+  SELECT doc_id, doc_id * 37 % 20000 + 1000 AS a
+  FROM documents WHERE doc_id <= 50),
+ q AS (
+  SELECT doc_id,
+         ((2 * (((a + 132) // CAST(POWER(2, CAST(FLOOR(LOG2(a + 132)) AS BIGINT) - 4) AS BIGINT)) % 16) + 33)
+          * CAST(POWER(2, CAST(FLOOR(LOG2(a + 132)) AS BIGINT) - 7) AS BIGINT) - 33) * 4 AS ahat
+  FROM amp)
+SELECT doc_id, CAST(108 AS INT) AS n_bytes,
+       ROUND(SQRT((ahat / 32768.0) * (ahat / 32768.0)), 6) AS rms
+FROM q ORDER BY doc_id
+"""
+
+
 QUERIES = {
     "doc_dedup_exact": (doc_dedup_exact, DDE_SQL),
     "doc_dedup_exact_text": (doc_dedup_exact_text, DDET_SQL),
@@ -672,6 +763,8 @@ QUERIES = {
     "embedding_near_dup_exact": (embedding_near_dup_exact, END_SQL),
     "multimodal_decode": (multimodal_decode, MMD_SQL),
     "multimodal_wav_decode": (multimodal_wav_decode, MWD_SQL),
+    "multimodal_ppm_decode": (multimodal_ppm_decode, MPD_SQL),
+    "multimodal_mulaw_decode": (multimodal_mulaw_decode, MMU_SQL),
 }
 
 
