@@ -313,3 +313,51 @@ def contaminated_ids(train: DataFrame, eval_df: DataFrame,
             .join(eval_grams, "gh", "left_semi")
             .select(id_col)
             .distinct())
+
+
+def lm_score(df: DataFrame, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """Corpus-trained bigram language-model quality score: per doc, the
+    average integer SURPRISAL CLASS of its bigrams,
+
+        class(w1, w2) = floor(log2((c1(w1) + V) / (c2(w1, w2) + 1)))
+
+    with c1/c2 the corpus unigram/bigram counts and V the vocabulary
+    size (add-one smoothing). Lower = more predictable under the
+    corpus's own statistics — the classic perplexity quality signal for
+    pretraining-data filtering, in a CROSS-ENGINE-EXACT form: the ratio
+    is rational (pure integers), and floor(log2(·)) only sits on a
+    boundary when the ratio is an exact power of two, where IEEE log2
+    is exact in every engine — no libm last-ulp hazard, unlike ln-based
+    perplexity.
+
+    Scale: bigram extraction is map-only (posexplode + element_at on
+    the retained token array — the minhash shingling formulation);
+    counts are two hash aggregations; the probability join keys on
+    (w1, w2) and w1 (vocabulary-sized relations — broadcastable at
+    moderate vocab, key-partitioned joins beyond); the per-doc average
+    is one more combinable aggregation. Docs with < 2 tokens carry no
+    bigrams and drop out (no score is defined for them).
+
+    Returns (id, n_bigrams, avg_surprisal: double)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    big = (df.select(F.col(id_col), toks.alias("__t"))
+             .select(F.col(id_col), F.col("__t"),
+                     F.posexplode("__t").alias("pos", "w1"))
+             .where(F.col("pos") + 2 <= F.array_size("__t"))
+             .select(F.col(id_col), F.col("w1"),
+                     F.element_at("__t", F.col("pos") + 2).alias("w2")))
+    uni = (df.select(F.explode(toks).alias("w1"))
+             .groupBy("w1").agg(F.count(F.lit(1)).alias("c1")))
+    bic = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    cls = F.floor(F.log2((F.col("c1") + F.col("__v")).cast("double")
+                         / (F.col("c2") + 1).cast("double")))
+    return (big.join(bic, ["w1", "w2"])
+               .join(uni, "w1")
+               .join(F.broadcast(vocab))
+               .select(F.col(id_col), cls.alias("__cls"))
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                    (F.sum("__cls").cast("double")
+                     / F.count(F.lit(1))).alias("avg_surprisal")))

@@ -29,6 +29,7 @@ SHOWCASE = [
     "doc_dedup_exact_text", "doc_dedup_keep_best", "embedding_near_dup_exact",
     "embedding_knn_brute", "embedding_knn_batch", "embedding_quantized_knn",
     "embedding_ann_ivf_fullprobe", "doc_decontaminate", "doc_lang_id",
+    "doc_lm_score",
     "doc_quality_filter", "doc_token_stats", "doc_fingerprint",
     "doc_chunking", "doc_pack_sequences", "doc_corpus_mix",
     "doc_train_test_split", "doc_global_shuffle", "doc_top_tfidf_term",

@@ -741,6 +741,41 @@ FROM q ORDER BY doc_id
 """
 
 
+def doc_lm_score(spark, sf_dir):
+    """Bigram-LM quality scoring (operators.text.lm_score): the 25 most
+    statistically predictable docs under the corpus's own bigram model.
+    Integer surprisal classes keep the score cross-engine exact (see
+    the operator docstring); ties broken by doc_id."""
+    return (text.lm_score(_docs(spark, sf_dir))
+            .select("doc_id", "n_bigrams",
+                    F.round("avg_surprisal", 6).alias("avg_surprisal"))
+            .orderBy("avg_surprisal", "doc_id").limit(25))
+
+
+LMS_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+ uni AS (
+  SELECT u.w1, COUNT(*) AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM toks) u GROUP BY 1),
+ vocab AS (SELECT COUNT(*) AS v FROM uni),
+ big AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, range(1, 200000) r(i) WHERE i + 1 <= len(t)),
+ bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+ scored AS (
+  SELECT doc_id,
+         FLOOR(LOG2(CAST(c1 + v AS DOUBLE) / CAST(c2 + 1 AS DOUBLE)))
+           AS cls
+  FROM big JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(CAST(SUM(cls) AS DOUBLE) / COUNT(*), 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+ORDER BY avg_surprisal, doc_id LIMIT 25
+"""
+
+
 QUERIES = {
     "doc_dedup_exact": (doc_dedup_exact, DDE_SQL),
     "doc_dedup_exact_text": (doc_dedup_exact_text, DDET_SQL),
@@ -748,6 +783,7 @@ QUERIES = {
     "doc_fingerprint": (doc_fingerprint, DFP_SQL),
     "doc_quality_filter": (doc_quality_filter, DQF_SQL),
     "doc_lang_id": (doc_lang_id, DLI_SQL),
+    "doc_lm_score": (doc_lm_score, LMS_SQL),
     "doc_redact": (doc_redact, DRD_SQL),
     "doc_repetition": (doc_repetition, DRP_SQL),
     "embedding_knn_brute": (embedding_knn_brute, KNN_SQL),

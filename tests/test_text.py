@@ -214,3 +214,27 @@ def test_term_frequencies_strip_then_lower(spark):
     got2 = {r.term: r.n
             for r in term_frequencies(df, min_len=4).collect()}
     assert got2 == {"dogs": 1}
+
+
+def test_lm_score_hand_computed(spark):
+    from heracles_spark.operators.text import lm_score
+
+    # corpus: "a b" x3 and "a c" x1 -> V=3; c1(a)=4; c2(a,b)=3, c2(a,c)=1
+    docs = [(1, "a b"), (2, "a b"), (3, "a b"), (4, "a c")]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, r.avg_surprisal)
+           for r in lm_score(df).collect()}
+    import math
+    # doc 1-3: class = floor(log2((4+3)/(3+1))) = floor(log2(1.75)) = 0
+    # doc 4:   class = floor(log2((4+3)/(1+1))) = floor(log2(3.5))  = 1
+    assert out[1] == (1, 0.0) and out[2] == (1, 0.0) and out[3] == (1, 0.0)
+    assert out[4] == (1, 1.0)
+
+
+def test_lm_score_short_docs_dropped(spark):
+    from heracles_spark.operators.text import lm_score
+
+    df = spark.createDataFrame([(1, "only"), (2, "two words")],
+                               "doc_id long, text string")
+    out = lm_score(df).collect()
+    assert [r.doc_id for r in out] == [2]
