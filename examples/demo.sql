@@ -1,0 +1,39 @@
+-- heracles_spark end-to-end demo (run: python -m heracles_spark.cli
+-- then `SOURCE examples/demo.sql;`, or:
+--   python -m heracles_spark.cli -e "$(cat examples/demo.sql)")
+-- Mirrors the reference's examples/spark-hbase-demo*.md flow on the
+-- key-organized store: create → load → query → mutate → time travel.
+
+CREATE TABLE sales (id INT, product STRING, region STRING, amount DOUBLE)
+  TBLPROPERTIES('keyCols'='id');
+
+INSERT INTO sales VALUES
+  (1, 'widget', 'east', 10.5),
+  (2, 'widget', 'west', 12.0),
+  (3, 'gadget', 'east', 99.0),
+  (4, 'gadget', 'west', 45.0),
+  (5, 'widget', 'east', 11.0);
+
+SELECT product, COUNT(*) AS n, SUM(amount) AS total
+FROM sales GROUP BY product ORDER BY product;
+
+-- CTAS into a derived key-organized table
+CREATE TABLE sales_east TBLPROPERTIES('keyCols'='id') AS
+  SELECT id, product, amount FROM sales WHERE region = 'east';
+
+SELECT * FROM sales_east;
+
+-- copy-on-write mutations + versioning
+UPDATE sales SET amount = amount * 1.1 WHERE product = 'widget';
+DELETE FROM sales WHERE id = 4;
+DESCRIBE HISTORY sales;
+SELECT COUNT(*) AS n_now FROM sales;
+
+-- secondary index + point lookup through it
+CREATE INDEX by_product ON sales (product);
+SELECT id, amount FROM sales WHERE product = 'gadget';
+
+SHOW TABLES;
+DROP INDEX by_product ON sales;
+DROP TABLE sales_east;
+DROP TABLE sales;

@@ -157,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
             except OSError as e:
                 sys.stdout.write(_color(f"Error: {e}\n", "31", tty))
                 continue
+            # drop whole-line `--` comments (safe: never touches string
+            # literals, unlike stripping trailing comments)
+            script = "\n".join(l for l in script.splitlines()
+                               if not l.lstrip().startswith("--"))
             for stmt in filter(None,
                                (s.strip() for s in script.split(";"))):
                 try:
