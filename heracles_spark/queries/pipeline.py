@@ -926,7 +926,7 @@ c AS (
              PARTITION BY shard ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS excl
   FROM t)
-SELECT shard, excl // 256 AS seq,
+SELECT shard, CAST(excl // 256 AS BIGINT) AS seq,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc

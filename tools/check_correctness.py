@@ -47,6 +47,15 @@ def compare(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
         return [f"row count: spark={len(sdf)} oracle={len(odf)}"]
     if sorted(sdf.columns) != sorted(odf.columns):
         return [f"columns: spark={sorted(sdf.columns)} oracle={sorted(odf.columns)}"]
+    # The driver hashes stringified values, so int 0 vs float 0.0 (e.g. a
+    # DuckDB HUGEINT window sum fetched as float64) is a driver FAIL even
+    # though == passes. Flag any int-vs-float dtype-kind split up front.
+    for c in sorted(sdf.columns):
+        sk, ok = sdf[c].dtype.kind, odf[c].dtype.kind
+        if {sk, ok} == {"i", "f"} or {sk, ok} == {"u", "f"}:
+            problems.append(
+                f"col {c}: HASH-RISK dtype split spark={sdf[c].dtype} "
+                f"oracle={odf[c].dtype} (cast the oracle projection)")
     s, o = normalize(sdf), normalize(odf)
     for c in s.columns:
         sv, ov = s[c].tolist(), o[c].tolist()
