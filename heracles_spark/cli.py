@@ -99,18 +99,53 @@ def _color(s: str, code: str, enabled: bool) -> str:
     return f"\033[{code}m{s}\033[0m" if enabled else s
 
 
-def run_statement(session, stmt: str, out=None) -> None:
+def _split_statements(script: str) -> list[str]:
+    """Split a script on ';' outside string literals. Quote-aware: a
+    semicolon inside '...' or "..." (with '' / \\' escapes) does not
+    terminate the statement."""
+    stmts, cur, quote, i = [], [], None, 0
+    while i < len(script):
+        ch = script[i]
+        if quote:
+            cur.append(ch)
+            if ch == "\\" and i + 1 < len(script):
+                cur.append(script[i + 1])
+                i += 2
+                continue
+            if ch == quote:
+                # doubled quote = escaped quote, stay in the literal
+                if i + 1 < len(script) and script[i + 1] == quote:
+                    cur.append(script[i + 1])
+                    i += 2
+                    continue
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+            cur.append(ch)
+        elif ch == ";":
+            stmts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    stmts.append("".join(cur))
+    return [s.strip() for s in stmts if s.strip()]
+
+
+def run_statement(session, stmt: str, out=None, max_rows: int = 100) -> None:
     out = out if out is not None else sys.stdout
     t0 = time.time()
     df = session.sql(stmt)
     if df is not None:
-        rows = df.collect()
+        # Fetch at most max_rows+1: enough to know "there were more"
+        # without collecting an unbounded result set onto the driver.
+        rows = df.limit(max_rows + 1).collect()
         cols = df.columns
         out.write("\t".join(cols) + "\n")
-        for r in rows[:100]:
+        for r in rows[:max_rows]:
             out.write("\t".join("NULL" if v is None else str(v) for v in r) + "\n")
-        if len(rows) > 100:
-            out.write(f"... ({len(rows)} rows total)\n")
+        if len(rows) > max_rows:
+            out.write(f"... (more than {max_rows} rows)\n")
     out.write(f"Time taken: {time.time() - t0:.3f} seconds\n")
 
 
@@ -128,7 +163,7 @@ def main(argv: list[str] | None = None) -> int:
     session.spark.sparkContext.setLogLevel("ERROR")
 
     if args.execute:
-        for stmt in filter(None, (s.strip() for s in args.execute.split(";"))):
+        for stmt in _split_statements(args.execute):
             run_statement(session, stmt)
         return 0
 
@@ -161,8 +196,7 @@ def main(argv: list[str] | None = None) -> int:
             # literals, unlike stripping trailing comments)
             script = "\n".join(l for l in script.splitlines()
                                if not l.lstrip().startswith("--"))
-            for stmt in filter(None,
-                               (s.strip() for s in script.split(";"))):
+            for stmt in _split_statements(script):
                 try:
                     run_statement(session, stmt)
                 except Exception as e:

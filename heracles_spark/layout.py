@@ -110,13 +110,32 @@ def prepare(spark: SparkSession, sf_dir: str, dest: str | None = None,
 
 def resolve(path: str) -> str:
     """Map a raw table path to its mirror when HERACLES_LAYOUT_DIR is
-    set and holds a prepared copy of that table; else return ``path``.
-    The mirror dir layout is flat: <dir>/<table>.parquet."""
+    set and holds a prepared copy of THAT source file; else return
+    ``path``. The mirror dir layout is flat: <dir>/<table>.parquet.
+
+    The mirror is keyed by table basename, so before redirecting we
+    check the manifest's recorded (mtime, size) against the actual
+    source at ``path`` — otherwise a read against a different sf_dir
+    than the one the mirror was prepared from (same table name,
+    different scale) would silently return the wrong scale's rows."""
     root = os.environ.get("HERACLES_LAYOUT_DIR")
     if not root:
         return path
-    cand = os.path.join(root, os.path.basename(path.rstrip("/")))
-    if os.path.exists(os.path.join(cand, "_SUCCESS")) or (
-            os.path.isdir(cand) and os.listdir(cand)):
-        return cand
-    return path
+    base = os.path.basename(path.rstrip("/"))
+    cand = os.path.join(root, base)
+    if not (os.path.exists(os.path.join(cand, "_SUCCESS")) or (
+            os.path.isdir(cand) and os.listdir(cand))):
+        return path
+    table = base[:-len(".parquet")] if base.endswith(".parquet") else base
+    try:
+        with open(os.path.join(root, "_manifest.json")) as fh:
+            rec = json.load(fh).get(table)
+        if rec is None:
+            return path
+        mtime, size, _ = rec
+        if (os.path.getmtime(path) != mtime
+                or os.path.getsize(path) != size):
+            return path
+    except (OSError, ValueError):
+        return path
+    return cand

@@ -281,7 +281,8 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
                         max_doc_freq: int = 1000,
                         max_doc_frac: float | None = None,
                         unit: str = "char",
-                        prefix_order: str = "df") -> DataFrame:
+                        prefix_order: str = "df",
+                        pair_filter=None) -> DataFrame:
     """All pairs with n-gram Jaccard ≥ threshold (``unit``: "char" =
     character substrings, "word" = lowercased whitespace-token windows —
     word grams have far higher diversity, which is what makes the
@@ -306,7 +307,19 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     "hash" uses the hashed-gram value order — the prefix theorem holds
     for ANY fixed global order, so this stays lossless while skipping
     the df pass entirely (the right choice for EXACT mode, i.e. no
-    stop-gram cap)."""
+    stop-gram cap).
+
+    ``pair_filter``: optional boolean Column over the doc columns
+    (e.g. a deterministic hash-sample of ids). When set, the LINEAR
+    passes (gram stats, document frequencies, per-doc filtered arrays)
+    still see the FULL corpus, but the QUADRATIC work (prefix
+    candidate join + verification) runs only over docs matching the
+    filter. Because a pair's score depends only on the two docs' own
+    filtered arrays and set sizes — per-doc quantities driven by
+    GLOBAL df — the output equals the full-corpus result restricted to
+    filter×filter pairs EXACTLY. This is the 100 TB recall-audit
+    shape: global statistics linear, all-pairs cost bounded by the
+    sample."""
     # Gram generation stays codegen'd (explode an index sequence +
     # substr + xxhash64 — HOF transform lambdas are interpreted and
     # measured ~8× slower here); per-doc DEDUP happens in collect_set,
@@ -318,6 +331,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     # hashed to 64-bit immediately so every downstream shuffle/join
     # moves fixed-width longs instead of strings (collision odds at
     # realistic gram cardinalities are ~G²/2⁶⁴ — negligible).
+    if pair_filter is not None and prefix_order == "hash":
+        # hash order uses no global statistic, so sampling the input
+        # up front is exactly equivalent to sampling the pair work —
+        # and skips gram generation for the unsampled docs entirely.
+        df = df.where(pair_filter)
+        pair_filter = None
     if unit == "word":
         toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         exd = (df.select(F.col(id_col), toks.alias("__t"))
@@ -378,6 +397,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
             dfreq = dfreq.where(F.col("df_g") <= max_doc_freq)
         # Filtered per-doc arrays sorted by global (df, g) rarity order;
         # full set_size rides along for the exact-denominator Jaccard.
+        # Pair sampling slots in HERE: dfreq above is a full-corpus
+        # statistic, but the join-back + per-doc array build (and all
+        # quadratic work downstream) only needs the sampled docs.
+        if pair_filter is not None:
+            base = base.join(df.where(pair_filter).select(id_col),
+                             id_col, "left_semi")
         fdocs = (base.join(dfreq, "g")
                  .groupBy(id_col)
                  .agg(F.array_sort(

@@ -263,23 +263,42 @@ def embedding_ann_lsh(spark, sf_dir):
 
 # -- near-dup families (LSH — rows-only driver checks) --------------------
 
+def _doc_sample_pred():
+    """Deterministic 1-in-8 doc sample (md5 bucket of doc_id — the
+    engine-portable split_bucket hash, so DuckDB reproduces it
+    exactly). The SAMPLED-EXACT contract pattern: ground truth is
+    O(sample²), the sketch under test runs over the FULL corpus."""
+    from heracles_spark.operators.sampling import split_bucket
+
+    return split_bucket(F.col("doc_id"), 8) == 0
+
+
+_SAMPLE_WHERE = ("CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), "
+                 "1, 8)) AS BIGINT) % 8 = 0")
+
+
 def doc_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs with a RECALL-CONTRACT oracle (the
-    approx_distinct pattern): the sketch values are engine-specific, so
-    the query emits the EXACT word-3-gram Jaccard ≥ 0.7 pairs (computed
-    in-plan by the prefix-filtered set-similarity join, which the SQL
-    oracle reproduces) plus a boolean pinning that the MinHash+LSH
-    pipeline recovered ≥ 80% of them. The hash therefore certifies both
-    the exact ground truth AND the sketch's recall."""
+    """MinHash+LSH near-dup pairs with a SAMPLED RECALL-CONTRACT oracle
+    (the approx_distinct pattern): the sketch values are
+    engine-specific, so the query emits the EXACT word-3-gram Jaccard
+    ≥ 0.7 pairs over a deterministic 1-in-8 hash-sample of docs (which
+    the SQL oracle reproduces) plus a boolean pinning that the
+    MinHash+LSH pipeline — run over the FULL corpus — recovered ≥ 80%
+    of the sampled ground-truth pairs. The hash therefore certifies
+    both the exact sampled ground truth AND the sketch's recall, while
+    the O(n²) exact side stays O(sample²): the 100 TB recall-audit
+    shape (before sampling, the exact side alone was 69s at sf1; the
+    banded LSH under test is ~linear)."""
     d = _docs(spark, sf_dir)
     mh = dedup.minhash_dedup_pairs(d, threshold=0.5)
     # The exact relation feeds THREE consumers (recall semi-join, total
     # count, final output) — persist or the whole ground-truth pipeline
     # re-executes per consumer.
     exact = dedup._persist(
-        dedup.ngram_jaccard_pairs(d, n=3, threshold=0.7, unit="word",
+        dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
+                                  threshold=0.7, unit="word",
                                   max_doc_freq=1 << 60,
-                                  prefix_order="hash"))
+                                  prefix_order="df"))
     hits = (mh.select("id_a", "id_b")
               .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                     "left_semi")
@@ -292,10 +311,10 @@ def doc_minhash_pairs(spark, sf_dir):
                  .orderBy("id_a", "id_b"))
 
 
-MINHASH_CONTRACT_SQL = """
+MINHASH_CONTRACT_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents),
+  FROM documents WHERE {_SAMPLE_WHERE}),
  grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
@@ -358,40 +377,65 @@ ORDER BY keep_id
 
 
 def doc_ngram_jaccard(spark, sf_dir):
-    """Word-3-gram Jaccard pairs ≥0.8 via prefix-filtered
-    inverted-index join — SQL-expressible, so oracle-checked (unlike the
-    LSH family). Word grams (not char grams: the synthetic corpus has
-    only ~400 distinct char-3-grams, which makes every doc collide with
-    every other — word trigram diversity is ~50× higher and the index
-    selective). Stop-gram cap = 1% of the corpus (fraction, not an
-    absolute — see ngram_jaccard_pairs)."""
-    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
-                                      threshold=0.8, max_doc_frac=0.01,
-                                      unit="word")
-            .orderBy("id_a", "id_b"))
+    """Word-3-gram Jaccard ≥0.8 set-similarity join, graded by a
+    SAMPLED-EXACT recall contract: the query emits the TRUE (uncapped,
+    exact) Jaccard ≥0.8 pairs over a deterministic 1-in-8 hash-sample
+    of docs — which the SQL oracle reproduces — plus a boolean pinning
+    that the PRODUCTION path (stop-gram-capped, prefix-filtered join;
+    global document frequencies computed over the FULL corpus, pair
+    work restricted to the same sample — bit-identical to the
+    full-corpus run filtered to sample×sample, see
+    ngram_jaccard_pairs' pair_filter) recovered ≥ 80% of them.
+
+    Word grams, not char grams: the synthetic corpus has only ~400
+    distinct char-3-grams (every doc collides with every other); word
+    trigram diversity is ~50× higher and the index selective.
+    Stop-gram cap = 1% of the corpus (a fraction, not an absolute —
+    see ngram_jaccard_pairs). The production path's score is a LOWER
+    bound on true Jaccard (precision 1), so recovered ⊆ exact and the
+    flag measures pure recall."""
+    d = _docs(spark, sf_dir)
+    # Exact side: sampled input up front + rarity (df) prefix order
+    # over the sample's own stats — any fixed global order is lossless
+    # for the UNCAPPED join, and rarity order minimizes candidates.
+    exact = dedup._persist(
+        dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
+                                  threshold=0.8, unit="word",
+                                  max_doc_freq=1 << 60,
+                                  prefix_order="df"))
+    prod = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.8,
+                                     max_doc_frac=0.01, unit="word",
+                                     pair_filter=_doc_sample_pred())
+    hits = (prod.select("id_a", "id_b")
+                .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
+                      "left_semi")
+                .agg(F.count(F.lit(1)).alias("__h")))
+    tot = exact.agg(F.count(F.lit(1)).alias("__t"))
+    flag = (hits.crossJoin(tot)
+                .select((F.col("__h") >= 0.8 * F.col("__t"))
+                        .alias("recall_ok")))
+    return (exact.crossJoin(F.broadcast(flag))
+                 .orderBy("id_a", "id_b"))
 
 
-NGJ_SQL = """
+NGJ_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
-  FROM documents),
+  FROM documents WHERE {_SAMPLE_WHERE}),
  grams AS (
   SELECT DISTINCT doc_id,
          array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
   FROM toks, range(1, 20000) r(i)
   WHERE i + 2 <= len(t)),
  sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM grams GROUP BY doc_id),
- keep AS (SELECT g FROM grams GROUP BY g
-          HAVING COUNT(*) <= greatest(
-            floor(0.01 * (SELECT COUNT(*) FROM documents)), 2)),
- filtered AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep)),
  inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
-  FROM filtered a JOIN filtered b ON a.g = b.g AND a.doc_id < b.doc_id
+  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
   GROUP BY 1, 2)
 SELECT id_a, id_b,
        ROUND(CAST(n_common AS DOUBLE)
-             / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+             / (sa.set_size + sb.set_size - n_common), 6) AS jaccard,
+       TRUE AS recall_ok
 FROM inter JOIN sizes sa ON id_a = sa.doc_id
            JOIN sizes sb ON id_b = sb.doc_id
 WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8

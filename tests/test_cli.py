@@ -54,3 +54,45 @@ def test_source_command(hsession, tmp_path, capsys, monkeypatch):
     assert cli.main([]) == 0
     out = capsys.readouterr().out
     assert "1\ta" in out and "Time taken" in out
+
+
+def test_run_statement_bounds_collect(hsession):
+    # A large SELECT must not collect the full result set driver-side:
+    # only max_rows+1 rows come back, with a "more" marker.
+    out = io.StringIO()
+    run_statement(hsession, "SELECT id FROM range(100000)", out)
+    text = out.getvalue()
+    assert "more than 100 rows" in text
+    # header + 100 data rows + marker + timing
+    assert len(text.strip().splitlines()) == 103
+
+
+def test_split_statements_quote_aware():
+    from heracles_spark.cli import _split_statements
+
+    stmts = _split_statements(
+        "INSERT INTO t VALUES ('a;b');\n"
+        "SELECT 'it''s; fine' AS v; SELECT \";\" AS w;")
+    assert stmts == ["INSERT INTO t VALUES ('a;b')",
+                     "SELECT 'it''s; fine' AS v",
+                     'SELECT ";" AS w']
+
+
+def test_source_semicolon_in_literal(hsession, tmp_path, capsys, monkeypatch):
+    from heracles_spark import cli
+    import heracles_spark.session as S
+
+    script = tmp_path / "lit.sql"
+    script.write_text(
+        "CREATE TABLE lit_t (k INT, v STRING) "
+        "TBLPROPERTIES('keyCols'='k');\n"
+        "INSERT INTO lit_t VALUES (1, 'a;b');\n"
+        "SELECT * FROM lit_t;\n")
+    inputs = iter([f"SOURCE {script};", "EXIT"])
+    monkeypatch.setattr("builtins.input", lambda *_: next(inputs))
+    monkeypatch.setattr(cli, "_install_completer", lambda s: None)
+    monkeypatch.setattr(S, "get_session", lambda *a, **k: hsession.spark)
+    monkeypatch.setattr(S, "HeraclesSession", lambda *a, **k: hsession)
+    assert cli.main([]) == 0
+    out = capsys.readouterr().out
+    assert "1\ta;b" in out and "Error" not in out

@@ -52,3 +52,22 @@ def test_prepare_mirrors_row_heavy(spark, tmp_path, monkeypatch):
         assert b.rdd.getNumPartitions() > 1
     else:
         pytest.skip("documents below row threshold at this SF")
+
+
+def test_resolve_rejects_mismatched_source(spark, tmp_path, monkeypatch):
+    # A mirror prepared from one sf_dir must NOT capture reads of the
+    # same table name from a DIFFERENT source (e.g. another scale).
+    dest = str(tmp_path / "mirror3")
+    d, _ = layout.prepare(spark, SF_SMALL, dest=dest, parallelism=8)
+    docs_mirror = os.path.join(d, "documents.parquet")
+    if not os.path.isdir(docs_mirror):
+        pytest.skip("documents below row threshold at this SF")
+    monkeypatch.setenv("HERACLES_LAYOUT_DIR", d)
+    # matching source redirects
+    assert layout.resolve(f"{SF_SMALL}/documents.parquet") == docs_mirror
+    # same basename, different source file (different mtime/size):
+    # falls back to the raw path
+    other = tmp_path / "othersf" / "documents.parquet"
+    other.parent.mkdir()
+    spark.range(3).toDF("doc_id").write.mode("overwrite").parquet(str(other))
+    assert layout.resolve(str(other)) == str(other)

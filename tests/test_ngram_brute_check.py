@@ -57,3 +57,31 @@ def test_matches_brute_force(spark, order):
     want = _brute(docs, 0.3)
     assert got == want
     assert any(k >= (100, 0) or k[1] >= 100 for k in want)  # dups found
+
+
+@pytest.mark.parametrize("order", ["hash", "df"])
+def test_pair_filter_equals_restricted_full_run(spark, order):
+    """pair_filter must equal the FULL-corpus run filtered to
+    sample x sample — global df statistics unchanged, only the
+    quadratic pair work restricted (the 100 TB recall-audit shape)."""
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(25)]
+    docs = [(i, " ".join(rng.choice(vocab) for _ in range(18)))
+            for i in range(30)]
+    for j, src in enumerate([0, 2, 4, 6, 8]):
+        base = docs[src][1].split()
+        base[rng.randrange(len(base))] = rng.choice(vocab)
+        docs.append((100 + j, " ".join(base)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    pred = F.col("doc_id") % 2 == 0
+    kw = dict(threshold=0.3, unit="word", max_doc_frac=0.2,
+              prefix_order=order)
+    full = {(r.id_a, r.id_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(df, **kw).collect()
+            if r.id_a % 2 == 0 and r.id_b % 2 == 0}
+    sampled = {(r.id_a, r.id_b): r.jaccard
+               for r in dedup.ngram_jaccard_pairs(
+                   df, pair_filter=pred, **kw).collect()}
+    assert sampled == full and full  # non-vacuous
