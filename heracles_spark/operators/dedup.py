@@ -259,13 +259,64 @@ def simhash_signatures(df: DataFrame, id_col: str = "doc_id",
     return votes.select(F.col(id_col), F.expr(sig).alias("simhash"))
 
 
+def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3,
+                           hash_fn: str = "xxhash64",
+                           max_bucket_size: int | None = None) -> DataFrame:
+    """All pairs within SimHash hamming distance ≤ k: the
+    minhash_candidate_pairs banding pattern applied to signature
+    slices. The signature's n_bits are split into k+1 equal-width
+    bands; by pigeonhole, two signatures with ≤ k differing bits agree
+    on at least one whole band, so the band equi-join has RECALL 1 —
+    candidate generation is a hash shuffle on (band_id, band_bits),
+    never O(n²), and the exact hamming verify (bit_count of xor) runs
+    only on candidates. Returns (id_a, id_b, hamming).
+
+    ``max_bucket_size``: optional skew guard (drop degenerate buckets,
+    e.g. empty docs all hashing alike — recall on those is better
+    served by exact dedup first). None = exact: with the md5 flavor the
+    full result is engine-reproducible in SQL, which is what gives
+    doc_simhash_hamming its value oracle."""
+    n_bits = 60 if hash_fn == "md5" else 64
+    n_bands = k + 1
+    sigs = _persist(simhash_signatures(df, id_col, text_col, hash_fn))
+    # Bands must cover EVERY bit (an uncovered differing bit would void
+    # the pigeonhole guarantee), so widths round to cover the remainder.
+    bounds = [i * n_bits // n_bands for i in range(n_bands + 1)]
+    band_arr = ", ".join(
+        f"(shiftrightunsigned(simhash, {bounds[i]}) "
+        f"& {(1 << (bounds[i + 1] - bounds[i])) - 1}L)"
+        for i in range(n_bands))
+    b = sigs.select(
+        id_col,
+        F.posexplode(F.expr(f"array({band_arr})"))
+         .alias("band_id", "band_bits"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("band_id", "band_bits")
+        b = (b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+              .where(F.col("bucket_n") <= max_bucket_size)
+              .drop("bucket_n"))
+    left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_bits")
+    right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_bits")
+    cand = (left.join(right, ["band_id", "band_bits"])
+                .where(F.col("id_a") < F.col("id_b"))
+                .select("id_a", "id_b").distinct())
+    sa = sigs.select(F.col(id_col).alias("id_a"),
+                     F.col("simhash").alias("__sa"))
+    sb = sigs.select(F.col(id_col).alias("id_b"),
+                     F.col("simhash").alias("__sb"))
+    ham = F.bit_count(F.expr("__sa ^ __sb")).cast("long")
+    return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("hamming", ham)
+                .where(F.col("hamming") <= k)
+                .select("id_a", "id_b", "hamming"))
+
+
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text",
                        hash_fn: str = "xxhash64") -> DataFrame:
     """Exact-signature SimHash duplicate groups (hamming-0). Banded
-    hamming-k search is the minhash_candidate_pairs pattern applied to
-    16-bit signature slices — see similarity.hyperplane_lsh for the
-    generalization."""
+    hamming-k PAIR search is simhash_near_dup_pairs."""
     sigs = simhash_signatures(df, id_col, text_col, hash_fn)
     return (sigs.groupBy("simhash")
                 .agg(F.count(F.lit(1)).alias("n_dups"),

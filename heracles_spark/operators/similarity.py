@@ -225,7 +225,10 @@ def cosine_all_pairs(df: DataFrame, threshold: float,
     against a sampled run of this."""
     import pandas as pd
 
-    out_schema = (f"id_a long, id_b long, __dot double, "
+    # id type follows the input column (string/int ids work, not just
+    # long — same derivation as pair_dot_pandas)
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = (f"id_a {id_type}, id_b {id_type}, __dot double, "
                   f"__na double, __nb double")
     margin = threshold - 1e-6
 

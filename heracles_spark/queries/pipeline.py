@@ -376,6 +376,38 @@ ORDER BY keep_id
 """
 
 
+def doc_simhash_hamming(spark, sf_dir):
+    """Banded SimHash hamming-≤3 near-dup pairs
+    (dedup.simhash_near_dup_pairs): the signature is split into k+1
+    bands, so by pigeonhole the band equi-join has recall 1 — the
+    banded SCALE path must therefore EQUAL the O(n²) brute force, and
+    with the md5-bit signature flavor the oracle recomputes identical
+    signatures and brute-forces hamming in SQL: a full value oracle
+    for an LSH-style operator."""
+    return (dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), k=3,
+                                         hash_fn="md5")
+            .orderBy("id_a", "id_b"))
+
+
+SIMHASH_HAM_SQL = f"""
+WITH ex AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+ th AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM ex),
+ votes AS (SELECT doc_id, {_SH_VOTES} FROM th GROUP BY doc_id),
+ sigs AS (SELECT doc_id, {_SH_SIG} AS simhash FROM votes)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
 def doc_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard ≥0.8 set-similarity join, graded by a
     SAMPLED-EXACT recall contract: the query emits the TRUE (uncapped,
@@ -870,6 +902,7 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, split
 """
 
 
+QUERIES["doc_simhash_hamming"] = (doc_simhash_hamming, SIMHASH_HAM_SQL)
 QUERIES["doc_train_test_split"] = (doc_train_test_split, SPLIT_SQL)
 
 

@@ -88,3 +88,27 @@ def test_pair_dot_pandas_matches_sql_fold(spark):
         for x, y in zip(_f32(va), _f32(vb)):
             acc += float(x) * float(y)
         assert out[pid] == acc
+
+
+def test_all_pairs_string_ids(spark):
+    """id type follows the input column — string ids must survive the
+    Arrow panel round-trip with correct pair orientation."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(f"doc-{i:03d}", [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(25)]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_all_pairs(df, threshold=0.2, dim=6,
+                                     n_blocks=3).collect()}
+    want = {}
+    for i in range(25):
+        for j in range(i + 1, 25):
+            c = round(_py_cosine([float(f) for f in _f32(rows[i][1])],
+                                 [float(f) for f in _f32(rows[j][1])]), 6)
+            if c >= 0.2:
+                a, b = sorted((rows[i][0], rows[j][0]))
+                want[(a, b)] = c
+    assert got == want and want
+    assert all(a < b for a, b in got)

@@ -160,3 +160,52 @@ def test_exact_dedup_null_distinct(spark):
     assert len(dup) == 1 and dup[0].keep_id == 1
     kept = dedup.exact_dedup(df, "id", ["c1", "c2", "c3"])
     assert sorted(r.id for r in kept.collect()) == [1, 2, 3, 5]
+
+
+def _brute_hamming(sig_rows, k):
+    out = {}
+    for i, (ida, sa) in enumerate(sig_rows):
+        for idb, sb in sig_rows[i + 1:]:
+            h = bin((sa ^ sb) & ((1 << 64) - 1)).count("1")
+            if h <= k:
+                a, b = sorted((ida, idb))
+                out[(a, b)] = h
+    return out
+
+
+@pytest.mark.parametrize("hash_fn,k", [("md5", 3), ("xxhash64", 2)])
+def test_simhash_hamming_pairs_match_brute(spark, hash_fn, k):
+    """Banded hamming-k pairs must EQUAL the brute force (pigeonhole
+    recall 1), including with uneven band widths (64 bits / 3 bands)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(40)]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in range(60)))
+            for i in range(20)]
+    # planted: exact copy (hamming 0) and a one-token mutation
+    rows.append((100, rows[0][1]))
+    mut = rows[3][1].split()
+    mut[5] = "zzz"
+    rows.append((101, " ".join(mut)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in dedup.simhash_near_dup_pairs(
+               df, k=k, hash_fn=hash_fn).collect()}
+    sig_rows = [(r.doc_id, r.simhash) for r in dedup.simhash_signatures(
+        df, hash_fn=hash_fn).collect()]
+    assert got == _brute_hamming(sig_rows, k)
+    assert got[(0, 100)] == 0  # exact copy recovered
+
+
+def test_simhash_hamming_skew_guard(spark):
+    """max_bucket_size drops degenerate buckets (all-identical docs)
+    without affecting unrelated pairs."""
+    rows = [(i, "same text everywhere here") for i in range(30)]
+    rows += [(100, "alpha beta gamma delta"), (101, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.id_a, r.id_b)
+           for r in dedup.simhash_near_dup_pairs(
+               df, k=3, max_bucket_size=10).collect()}
+    assert (100, 101) in got
+    assert not any(a < 100 for a, _ in got)
