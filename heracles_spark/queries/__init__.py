@@ -17,36 +17,34 @@ def _registries():
             relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES)
 
 
-# Registry ordering: external harnesses that sample a PREFIX of the
-# registry (the round driver hashes the first 50 entries) should see a
-# cross-section of the engine, not whichever module happened to load
-# first. SHOWCASE pins a curated spread — LLM-pipeline operators,
-# temporal joins, global windows, skew/bucketed/index access paths, and
-# the later TPC-H shapes — ahead of the remaining entries (which keep
-# module order). Membership is unchanged: every query is always present.
-SHOWCASE = [
-    "doc_minhash_pairs", "doc_ngram_jaccard", "doc_simhash_groups",
-    "doc_dedup_exact_text", "doc_dedup_keep_best", "embedding_near_dup_exact",
-    "embedding_knn_brute", "embedding_knn_batch", "embedding_quantized_knn",
-    "embedding_ann_ivf_fullprobe", "doc_decontaminate", "doc_lang_id",
-    "doc_lm_score",
-    "doc_quality_filter", "doc_token_stats", "doc_fingerprint",
-    "doc_chunking", "doc_pack_sequences", "doc_corpus_mix",
-    "doc_train_test_split", "doc_global_shuffle", "doc_top_tfidf_term",
-    "doc_corpus_pipeline", "doc_term_frequencies", "multimodal_decode",
-    "multimodal_wav_decode", "multimodal_ppm_decode",
-    "multimodal_mulaw_decode", "events_asof_join", "events_asof_forward",
-    "events_range_join", "events_funnel", "events_cohort_retention",
-    "lateral_topn_per_nation", "recursive_cte_spine", "ntile_percentiles",
-    "window_distribution_ranks", "window_range_frame", "skew_salted_distinct",
-    "lineitem_skew_join",
-    "orders_bucketed_join", "orders_zorder_lookup", "customer_bloom_lookup",
-    "customer_index_range", "doc_rollup_rewrite", "q16_supplier_cnt",
-    "q17_small_quantity_revenue", "q20_excess_stock_suppliers",
-    "q21_sole_supplier_orders", "q13_order_count_distribution",
-    "grouping_sets", "percentile_exact", "set_except_all",
-    "udf_where_filter",
-]
+# Registry ordering: external harnesses sample a PREFIX of the registry
+# (the round driver checks the first 50 entries), so the order must not
+# bias what gets sampled. Entries are sorted by an md5 hash of
+# (salt, name) — a content-blind pseudo-random permutation, not a
+# curated list — where the salt is the number of committed driver-round
+# artifacts (CORRECTNESS_r*.json). The salt rotates the permutation
+# each round so the UNION of sampled prefixes converges to full
+# registry coverage; within a round the order is deterministic and
+# reproducible by anyone from the repo contents alone. Membership is
+# unchanged: every query is always present.
+
+
+def _round_salt() -> int:
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    return len(glob.glob(os.path.join(root, "CORRECTNESS_r*.json")))
+
+
+def _hash_order(names) -> list[str]:
+    import hashlib
+
+    salt = _round_salt()
+    return sorted(
+        names,
+        key=lambda n: hashlib.md5(f"{salt}:{n}".encode()).hexdigest())
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -61,12 +59,7 @@ def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged: dict[str, Callable] = {}
     for reg in _registries():
         merged.update({k: cached_query(k, v[0]) for k, v in reg.items()})
-    out: dict[str, Callable] = {}
-    for k in SHOWCASE:
-        if k in merged:
-            out[k] = merged.pop(k)
-    out.update(merged)
-    return out
+    return {k: merged[k] for k in _hash_order(merged)}
 
 
 def all_oracles() -> dict[str, str]:

@@ -66,6 +66,21 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     keys = tbl.key_cols
     fields = tbl.schema().fields
 
+    # Pre-split parity (reference HBaseCatalog.scala:130-149 splitKeys →
+    # createHBaseUserTable): CREATE TABLE ... TBLPROPERTIES(
+    # 'numBuckets'='8') fixes the key-range bucket count for every
+    # write, the columnar analogue of creating the table pre-split. An
+    # explicit n_buckets argument still wins.
+    if n_buckets is None and tbl.properties.get("numBuckets"):
+        try:
+            n_buckets = int(tbl.properties["numBuckets"])
+        except ValueError:
+            raise ValueError(
+                f"numBuckets must be an integer, got "
+                f"{tbl.properties['numBuckets']!r}")
+        if n_buckets < 1:
+            raise ValueError("numBuckets must be >= 1")
+
     # INSERT semantics are positional (standard SQL; ≙ reference insert
     # path coercing the SELECT output to the table schema): rename by
     # position, then cast to the declared types.

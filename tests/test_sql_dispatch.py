@@ -271,3 +271,28 @@ def test_ctas_creates_and_populates(hsession):
                      "AS SELECT 1 AS k, array(1,2) AS a")
     hsession.sql("DROP TABLE ctas_dst")
     hsession.sql("DROP TABLE ctas_src")
+
+
+def test_numbuckets_pre_split(hsession, tmp_path):
+    """TBLPROPERTIES('numBuckets'=N) pre-split parity (reference
+    HBaseCatalog.scala:130-149): every bulk write lands N key-range
+    files regardless of data size."""
+    hsession.sql("""CREATE TABLE presplit (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k', 'numBuckets'='8')""")
+    f = tmp_path / "presplit.txt"
+    f.write_text("".join(f"{i},v{i}\n" for i in range(100)))
+    hsession.sql(f"LOAD DATA LOCAL INPATH '{f}' OVERWRITE INTO TABLE presplit")
+    files = hsession.sql("SHOW FILES presplit").collect()
+    assert len(files) == 8
+    assert hsession.sql(
+        "SELECT count(*) AS c FROM presplit").collect()[0]["c"] == 100
+
+
+def test_numbuckets_validation(hsession, tmp_path):
+    hsession.sql("""CREATE TABLE badbuckets (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k', 'numBuckets'='zero')""")
+    f = tmp_path / "bb.txt"
+    f.write_text("1,a\n")
+    with pytest.raises(ValueError, match="numBuckets"):
+        hsession.sql(
+            f"LOAD DATA LOCAL INPATH '{f}' INTO TABLE badbuckets")

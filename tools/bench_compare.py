@@ -27,6 +27,8 @@ HEADLINE = [
     # LSH) and the remaining text-quality flagships
     "doc_dedup_keep_best", "doc_quality_filter", "doc_simhash_groups",
     "embedding_near_dup_exact", "embedding_near_dup",
+    # round-5 additions: sampled-exact recall contract + banded hamming-k
+    "doc_minhash_pairs", "doc_simhash_hamming",
 ]
 
 
@@ -55,10 +57,26 @@ def main() -> None:
     layout_dir, load_sec = layout.prepare(spark, sf_dir)
     _os.environ["HERACLES_LAYOUT_DIR"] = layout_dir
 
+    # Two DuckDB setups for a symmetric comparison:
+    #  - raw: views over the original single-row-group parquet (the
+    #    prior-round methodology, kept for round-over-round
+    #    comparability) — this layout serializes DuckDB's per-row-group
+    #    scan parallelism the same way it serialized Spark's.
+    #  - loaded: NATIVE DuckDB tables (CREATE TABLE AS), i.e. DuckDB
+    #    querying its own bulk-loaded store exactly like the engine
+    #    queries its mirror. This is the fair "both engines loaded"
+    #    number the ratio gate should be judged on.
+    tables = ("region nation customer supplier part orders lineitem events "
+              "documents embeddings").split()
     con = duckdb.connect()
-    for t in ("region nation customer supplier part orders lineitem events "
-              "documents embeddings").split():
+    for t in tables:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    con_l = duckdb.connect()
+    t0 = time.time()
+    for t in tables:
+        con_l.execute(f"CREATE TABLE {t} AS SELECT * "
+                      f"FROM '{sf_dir}/{t}.parquet'")
+    duck_load_sec = time.time() - t0
 
     rows = []
     for name in HEADLINE:
@@ -71,10 +89,14 @@ def main() -> None:
         con.execute(os_[name]).fetchall()          # warm
         t_duck = min(_timed(lambda: con.execute(os_[name]).fetchall())
                      for _ in range(2))
-        rows.append((name, t_spark, t_duck))
+        con_l.execute(os_[name]).fetchall()        # warm
+        t_duck_l = min(_timed(lambda: con_l.execute(os_[name]).fetchall())
+                       for _ in range(2))
+        rows.append((name, t_spark, t_duck, t_duck_l))
 
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows)
+    total_dl = sum(r[3] for r in rows)
     lines = [
         "# BENCH_NOTES — Spark engine vs DuckDB oracle, warm, same machine",
         "",
@@ -84,23 +106,33 @@ def main() -> None:
         "2×-of-baseline gate; Spark carries distributed-execution "
         "scaffolding that amortizes at cluster scale.",
         "",
-        "| query | spark s | duckdb s | ratio |",
-        "|---|---|---|---|",
+        "| query | spark s | duckdb-raw s | duckdb-loaded s | "
+        "ratio (vs loaded) |",
+        "|---|---|---|---|---|",
     ]
-    for name, ts, td in rows:
-        ratio = ts / td if td > 0 else float("inf")
-        lines.append(f"| {name} | {ts:.3f} | {td:.3f} | {ratio:.1f}x |")
-    lines.append(f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
-                 f"**{total_s / total_d:.1f}x** |")
+    for name, ts, td, tdl in rows:
+        ratio = ts / tdl if tdl > 0 else float("inf")
+        lines.append(f"| {name} | {ts:.3f} | {td:.3f} | {tdl:.3f} | "
+                     f"{ratio:.1f}x |")
+    lines.append(
+        f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
+        f"**{total_dl:.2f}** | **{total_s / total_dl:.1f}x** |")
     lines.append("")
     lines.append(
-        f"Engine scans run against the bulk-loaded multi-file layout "
-        f"(one-time load: {load_sec:.1f}s, amortized across every "
-        f"subsequent query; see heracles_spark/layout.py — the source "
-        f"files carry a single parquet row group, which pins any "
-        f"engine's scan to one task). Timed runs build a FRESH plan "
-        f"per query: plan construction + full stage execution, no "
-        f"shuffle reuse. Both engines warm; min of 2 timed runs each "
+        f"SYMMETRIC layouts: the engine scans its bulk-loaded "
+        f"multi-file mirror (one-time load {load_sec:.1f}s; see "
+        f"heracles_spark/layout.py — the source files carry a single "
+        f"parquet row group, which pins any engine's scan parallelism "
+        f"to one task), and duckdb-loaded queries NATIVE DuckDB tables "
+        f"(one-time CREATE TABLE AS load {duck_load_sec:.1f}s) — each "
+        f"engine against its own store. duckdb-raw (views over the "
+        f"original single-row-group files) is retained for "
+        f"round-over-round comparability. Headline ratio = spark / "
+        f"duckdb-loaded (the fair both-loaded comparison); both-raw "
+        f"ratio = {total_s:.2f}/{total_d:.2f} = "
+        f"{total_s / total_d:.1f}x. Timed runs build a FRESH plan per "
+        f"query: plan construction + full stage execution, no shuffle "
+        f"reuse. Both engines warm; min of 2 timed runs each "
         f"(wall-clock on this VM varies ±30-50%).")
     # Preserve hand-written analysis below the MANUAL marker.
     manual = ""
