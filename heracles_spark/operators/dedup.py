@@ -151,13 +151,43 @@ def minhash_signatures(df: DataFrame, id_col: str = "doc_id",
               .agg(F.expr(f"array({arr})").alias("sig")))
 
 
+def _bucket_pairs(b: DataFrame, id_col: str,
+                  max_bucket_size: int) -> DataFrame:
+    """(band_id, bucket_key) rows → unordered candidate pairs
+    (id_a < id_b), generated IN-ROW from per-bucket id arrays: one
+    groupBy(collect_list) shuffle replaces the window-count skew guard
+    + bucket self-join + global pair distinct (3 shuffles) of the
+    join formulation. The skew guard is the same size cap, now a plain
+    filter on the bucket array. Pairs are NOT globally deduped (a pair
+    can appear once per matching band) — callers verify downstream and
+    dedup the (much smaller) verified output, or only probe
+    membership."""
+    buckets = (b.groupBy("band_id", "bucket_key")
+                .agg(F.sort_array(F.collect_list(id_col)).alias("__ids")))
+    n = F.array_size("__ids")
+    cond = n >= 2
+    if max_bucket_size is not None:
+        cond = cond & (n <= max_bucket_size)
+    buckets = buckets.where(cond)
+    pairs = F.expr(
+        "flatten(transform(sequence(1, size(__ids) - 1), "
+        "i -> transform(slice(__ids, i + 1, size(__ids) - i), "
+        "x -> struct(element_at(__ids, i) AS id_a, x AS id_b))))")
+    return (buckets.select(F.explode(pairs).alias("__p"))
+                   .select(F.col("__p.id_a").alias("id_a"),
+                           F.col("__p.id_b").alias("id_b")))
+
+
 def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
                             bands: int = 8, rows_per_band: int = 4,
-                            max_bucket_size: int = 200) -> DataFrame:
+                            max_bucket_size: int = 200,
+                            dedup_pairs: bool = True) -> DataFrame:
     """LSH banding: equal band-slices → same bucket → candidate pair.
     Buckets larger than ``max_bucket_size`` are dropped (skew guard;
     they are near-duplicates of a degenerate value and are better
-    handled by exact dedup first)."""
+    handled by exact dedup first). ``dedup_pairs=False`` skips the
+    global pair distinct for callers that tolerate per-band duplicates
+    (downstream verify + final dedup, or membership probes)."""
     # Band hashes as one F.expr (see minhash_signatures): xxhash64 over
     # the band index + the band's signature slice, all JVM-native.
     band_arr = ", ".join(
@@ -167,16 +197,9 @@ def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     b = sigs.select(
         id_col,
         F.posexplode(F.expr(f"array({band_arr})"))
-         .alias("band_id", "band_hash"))
-    w = Window.partitionBy("band_id", "band_hash")
-    b = (b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-          .where(F.col("bucket_n") <= max_bucket_size)
-          .drop("bucket_n"))
-    left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_hash")
-    right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_hash")
-    return (left.join(right, ["band_id", "band_hash"])
-                .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
+         .alias("band_id", "bucket_key"))
+    pairs = _bucket_pairs(b, id_col, max_bucket_size)
+    return pairs.distinct() if dedup_pairs else pairs
 
 
 def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -191,7 +214,12 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     # of the verify join); persist so the explode+agg runs once. At
     # cluster scale, materialize signatures as a table instead.
     sigs = _persist(minhash_signatures(df, id_col, text_col, k, shingle_size))
-    cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    # Per-band duplicate candidates are verified redundantly (bounded
+    # ×bands) and deduped AFTER the threshold filter — the verified
+    # pair set is far smaller than the candidate set, so the global
+    # distinct moves to the cheap side.
+    cand = minhash_candidate_pairs(sigs, id_col, bands, rows_per_band,
+                                   dedup_pairs=False)
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.expr(
@@ -200,7 +228,8 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("est_jaccard", F.round(est, 6))
                 .where(F.col("est_jaccard") >= threshold)
-                .select("id_a", "id_b", "est_jaccard"))
+                .select("id_a", "id_b", "est_jaccard")
+                .distinct())
 
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
@@ -290,17 +319,11 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     b = sigs.select(
         id_col,
         F.posexplode(F.expr(f"array({band_arr})"))
-         .alias("band_id", "band_bits"))
-    if max_bucket_size is not None:
-        w = Window.partitionBy("band_id", "band_bits")
-        b = (b.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-              .where(F.col("bucket_n") <= max_bucket_size)
-              .drop("bucket_n"))
-    left = b.select(F.col(id_col).alias("id_a"), "band_id", "band_bits")
-    right = b.select(F.col(id_col).alias("id_b"), "band_id", "band_bits")
-    cand = (left.join(right, ["band_id", "band_bits"])
-                .where(F.col("id_a") < F.col("id_b"))
-                .select("id_a", "id_b").distinct())
+         .alias("band_id", "bucket_key"))
+    # In-row pair generation per bucket (see _bucket_pairs): per-band
+    # duplicate candidates are verified redundantly and deduped after
+    # the hamming filter, where the set is smallest.
+    cand = _bucket_pairs(b, id_col, max_bucket_size)
     sa = sigs.select(F.col(id_col).alias("id_a"),
                      F.col("simhash").alias("__sa"))
     sb = sigs.select(F.col(id_col).alias("id_b"),
@@ -309,7 +332,8 @@ def simhash_near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("hamming", ham)
                 .where(F.col("hamming") <= k)
-                .select("id_a", "id_b", "hamming"))
+                .select("id_a", "id_b", "hamming")
+                .distinct())
 
 
 def simhash_dup_groups(df: DataFrame, id_col: str = "doc_id",
@@ -360,8 +384,9 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     the df pass entirely (the right choice for EXACT mode, i.e. no
     stop-gram cap).
 
-    ``pair_filter``: optional boolean Column over the doc columns
-    (e.g. a deterministic hash-sample of ids). When set, the LINEAR
+    ``pair_filter``: optional boolean Column over the ID COLUMN ONLY
+    (e.g. a deterministic hash-sample of ids — it is re-applied to
+    derived relations that carry just ``id_col``). When set, the LINEAR
     passes (gram stats, document frequencies, per-doc filtered arrays)
     still see the FULL corpus, but the QUADRATIC work (prefix
     candidate join + verification) runs only over docs matching the
@@ -450,10 +475,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
         # full set_size rides along for the exact-denominator Jaccard.
         # Pair sampling slots in HERE: dfreq above is a full-corpus
         # statistic, but the join-back + per-doc array build (and all
-        # quadratic work downstream) only needs the sampled docs.
+        # quadratic work downstream) only needs the sampled docs. A
+        # direct predicate (pair_filter references id_col only), not a
+        # semi-join — no extra join stage, fuses into base's scan.
         if pair_filter is not None:
-            base = base.join(df.where(pair_filter).select(id_col),
-                             id_col, "left_semi")
+            base = base.where(pair_filter)
         fdocs = (base.join(dfreq, "g")
                  .groupBy(id_col)
                  .agg(F.array_sort(
@@ -523,19 +549,11 @@ def hyperplane_candidate_pairs(df: DataFrame, id_col: str = "vec_id",
                  F.shiftright("sig", b * bw)
                   .bitwiseAND(F.lit((1 << bw) - 1)).alias("bsig"))
         for b in range(n_bands)]
-    buckets = (sigs.select(F.col(id_col),
-                           F.explode(F.array(*band_structs)).alias("bb"))
-                   .select(F.col(id_col), F.col("bb.band").alias("band"),
-                           F.col("bb.bsig").alias("bsig")))
-    w = Window.partitionBy("band", "bsig")
-    buckets = (buckets.withColumn("bn", F.count(F.lit(1)).over(w))
-                      .where(F.col("bn") <= max_bucket_size).drop("bn"))
-    cand = (buckets.select(F.col(id_col).alias("id_a"), "band", "bsig")
-            .join(buckets.select(F.col(id_col).alias("id_b"),
-                                 "band", "bsig"),
-                  ["band", "bsig"])
-            .where(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b"))
+    b = (sigs.select(F.col(id_col),
+                     F.explode(F.array(*band_structs)).alias("bb"))
+             .select(F.col(id_col), F.col("bb.band").alias("band_id"),
+                     F.col("bb.bsig").alias("bucket_key")))
+    cand = _bucket_pairs(b, id_col, max_bucket_size)
     return cand.distinct() if dedup_pairs else cand
 
 

@@ -294,11 +294,14 @@ def doc_minhash_pairs(spark, sf_dir):
     # The exact relation feeds THREE consumers (recall semi-join, total
     # count, final output) — persist or the whole ground-truth pipeline
     # re-executes per consumer.
+    # hash prefix order: no document-frequency pass — at sample size
+    # the df pass is pure stage overhead (and ~4 extra codegen units),
+    # and any fixed global order is lossless for the uncapped join.
     exact = dedup._persist(
         dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
                                   threshold=0.7, unit="word",
                                   max_doc_freq=1 << 60,
-                                  prefix_order="df"))
+                                  prefix_order="hash"))
     hits = (mh.select("id_a", "id_b")
               .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
                     "left_semi")
@@ -307,8 +310,11 @@ def doc_minhash_pairs(spark, sf_dir):
     flag = (hits.crossJoin(tot)
                 .select((F.col("__h") >= 0.8 * F.col("__t"))
                         .alias("recall_ok")))
+    # local sort only: a global orderBy costs an extra range-sample
+    # job per run, and both the driver compare and the local checker
+    # are order-insensitive.
     return (exact.crossJoin(F.broadcast(flag))
-                 .orderBy("id_a", "id_b"))
+                 .sortWithinPartitions("id_a", "id_b"))
 
 
 MINHASH_CONTRACT_SQL = f"""
@@ -477,27 +483,31 @@ def doc_ngram_jaccard(spark, sf_dir):
     bound on true Jaccard (precision 1), so recovered ⊆ exact and the
     flag measures pure recall."""
     d = _docs(spark, sf_dir)
-    # Exact side: sampled input up front + rarity (df) prefix order
-    # over the sample's own stats — any fixed global order is lossless
-    # for the UNCAPPED join, and rarity order minimizes candidates.
+    # Exact side: sampled input up front + hash prefix order (any
+    # fixed global order is lossless for the UNCAPPED join, and at
+    # sample size the df-rarity pass costs more in stages than its
+    # candidate savings).
     exact = dedup._persist(
         dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
                                   threshold=0.8, unit="word",
                                   max_doc_freq=1 << 60,
-                                  prefix_order="df"))
+                                  prefix_order="hash"))
     prod = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.8,
                                      max_doc_frac=0.01, unit="word",
                                      pair_filter=_doc_sample_pred())
-    hits = (prod.select("id_a", "id_b")
-                .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
-                      "left_semi")
-                .agg(F.count(F.lit(1)).alias("__h")))
+    # prod ⊆ exact by construction (the capped score lower-bounds true
+    # Jaccard, and both sides' pair work is sample-restricted), so
+    # recall needs no semi-join: |prod| / |exact|.
+    hits = prod.agg(F.count(F.lit(1)).alias("__h"))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))
     flag = (hits.crossJoin(tot)
                 .select((F.col("__h") >= 0.8 * F.col("__t"))
                         .alias("recall_ok")))
+    # local sort only: a global orderBy costs an extra range-sample
+    # job per run, and both the driver compare and the local checker
+    # are order-insensitive.
     return (exact.crossJoin(F.broadcast(flag))
-                 .orderBy("id_a", "id_b"))
+                 .sortWithinPartitions("id_a", "id_b"))
 
 
 NGJ_SQL = f"""
@@ -539,19 +549,26 @@ def embedding_near_dup(spark, sf_dir):
     # candidates ∩ exact (verification only drops sub-threshold pairs,
     # which exact excludes anyway), so the contract skips the LSH
     # side's cosine pass entirely.
-    lsh = dedup.hyperplane_candidate_pairs(e, n_planes=16, n_bands=4)
+    # dedup_pairs=False: a semi-join with the SMALL exact side on the
+    # left only probes candidate membership, so the LSH side skips its
+    # global pair-distinct shuffle entirely.
+    lsh = dedup.hyperplane_candidate_pairs(e, n_planes=16, n_bands=4,
+                                           dedup_pairs=False)
     # three consumers (semi-join, count, output) — persist the exact
     # ground truth so the GEMM runs once
     exact = dedup._persist(similarity.cosine_all_pairs(e, threshold=0.42))
-    hits = (lsh.join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
-                     "left_semi")
-               .agg(F.count(F.lit(1)).alias("__h")))
+    hits = (exact.select("id_a", "id_b")
+                 .join(lsh, ["id_a", "id_b"], "left_semi")
+                 .agg(F.count(F.lit(1)).alias("__h")))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))
     flag = (hits.crossJoin(tot)
                 .select((F.col("__h") >= 0.3 * F.col("__t"))
                         .alias("recall_ok")))
+    # local sort only: a global orderBy costs an extra range-sample
+    # job per run, and both the driver compare and the local checker
+    # are order-insensitive.
     return (exact.crossJoin(F.broadcast(flag))
-                 .orderBy("id_a", "id_b"))
+                 .sortWithinPartitions("id_a", "id_b"))
 
 
 def embedding_near_dup_exact(spark, sf_dir):

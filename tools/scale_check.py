@@ -38,6 +38,8 @@ QUERIES = [
     "doc_corpus_pipeline", "doc_pack_sequences",
     "embedding_knn_brute", "embedding_quantized_knn",
     "lineitem_skew_join",
+    # round-5 additions
+    "doc_simhash_hamming", "doc_dup_components",
 ]
 
 # key shifts: one namespace per replica, far above any real key
