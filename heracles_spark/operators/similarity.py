@@ -316,20 +316,38 @@ def cosine_all_pairs(df: DataFrame, threshold: float,
                .select("id_a", "id_b", "cosine"))
 
 
+_SIG_CACHE: dict = {}
+
+
 def hyperplane_signature(vec: str, n_planes: int = 16,
                          seed: int = 42, dim: int = 64) -> Column:
     """LSH bucket id: sign bits against n_planes fixed hyperplanes,
     packed into an int. ``vec`` is a SQL expression for the array
     column; the planes are inlined double literals — no side table, no
     broadcast, and the whole signature is ONE F.expr (n_planes×dim
-    Column ops would be that many py4j round-trips)."""
+    Column ops would be that many py4j round-trips).
+
+    The parsed Column is MEMOIZED per SparkContext: the n_planes×dim
+    literal string costs ~1.7s to parse through py4j, which would
+    otherwise be paid on every fresh plan build (an unresolved Column
+    is plan-independent and safely reusable across DataFrames of the
+    same context)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    key = (id(sc), vec, n_planes, seed, dim)
+    col = _SIG_CACHE.get(key)
+    if col is not None:
+        return col
     planes = _rng_matrix(n_planes, dim, seed)
     bits = []
     for i, p in enumerate(planes):
         dot = " + ".join(f"CAST({vec}[{j}] AS DOUBLE) * {_flit(p[j])}"
                          for j in range(dim))
         bits.append(f"IF(0.0D + {dot} >= 0.0D, {1 << i}, 0)")
-    return F.expr(" | ".join(bits))
+    col = F.expr(" | ".join(bits))
+    _SIG_CACHE[key] = col
+    return col
 
 
 def ann_topk_lsh(df: DataFrame, query_vec: list[float], k: int = 10,

@@ -549,16 +549,23 @@ def embedding_near_dup(spark, sf_dir):
     # candidates ∩ exact (verification only drops sub-threshold pairs,
     # which exact excludes anyway), so the contract skips the LSH
     # side's cosine pass entirely.
-    # dedup_pairs=False: a semi-join with the SMALL exact side on the
-    # left only probes candidate membership, so the LSH side skips its
-    # global pair-distinct shuffle entirely.
-    lsh = dedup.hyperplane_candidate_pairs(e, n_planes=16, n_bands=4,
-                                           dedup_pairs=False)
-    # three consumers (semi-join, count, output) — persist the exact
-    # ground truth so the GEMM runs once
+    # Candidate MEMBERSHIP probe: the exact side is tiny, so instead of
+    # materializing the O(Σ n_bucket²) candidate pair set, join each
+    # exact pair to both endpoints' surviving band sets (skew cap
+    # included) and test arrays_overlap — same membership semantics as
+    # the candidate join, at the cost of one broadcast lookup.
+    bands = dedup.hyperplane_band_sets(e, n_planes=16, n_bands=4)
+    # three consumers (membership probe, count, output) — persist the
+    # exact ground truth so the GEMM runs once
     exact = dedup._persist(similarity.cosine_all_pairs(e, threshold=0.42))
+    ba = bands.select(F.col("vec_id").alias("id_a"),
+                      F.col("bands").alias("__ba"))
+    bb = bands.select(F.col("vec_id").alias("id_b"),
+                      F.col("bands").alias("__bb"))
     hits = (exact.select("id_a", "id_b")
-                 .join(lsh, ["id_a", "id_b"], "left_semi")
+                 .join(F.broadcast(ba), "id_a")
+                 .join(F.broadcast(bb), "id_b")
+                 .where(F.arrays_overlap("__ba", "__bb"))
                  .agg(F.count(F.lit(1)).alias("__h")))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))
     flag = (hits.crossJoin(tot)
