@@ -169,13 +169,21 @@ def _bucket_pairs(b: DataFrame, id_col: str,
     if max_bucket_size is not None:
         cond = cond & (n <= max_bucket_size)
     buckets = buckets.where(cond)
-    pairs = F.expr(
-        "flatten(transform(sequence(1, size(__ids) - 1), "
-        "i -> transform(slice(__ids, i + 1, size(__ids) - i), "
-        "x -> struct(element_at(__ids, i) AS id_a, x AS id_b))))")
-    return (buckets.select(F.explode(pairs).alias("__p"))
-                   .select(F.col("__p.id_a").alias("id_a"),
-                           F.col("__p.id_b").alias("id_b")))
+    # Two-stage explode, NOT a single flattened pair array: one row per
+    # (bucket, left-position) first, then the right-side slice — both
+    # explodes fuse into one map-side pipeline (no exchange between
+    # them) and every intermediate value is O(bucket), so an uncapped
+    # degenerate bucket streams its pairs instead of materializing all
+    # n²/2 of them inside a single row.
+    lefts = buckets.select(
+        "__ids",
+        F.posexplode(F.slice("__ids", 1, (n - 1).cast("int")))
+         .alias("__i", "id_a"))
+    return (lefts.select(
+        F.col("id_a"),
+        F.explode(F.slice("__ids", F.col("__i") + 2,
+                          F.array_size("__ids")))
+         .alias("id_b")))
 
 
 def minhash_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",

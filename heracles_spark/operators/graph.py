@@ -39,10 +39,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     """
     if algorithm == "star":
         return _star_components(edges, src, dst, max_iter=max(max_iter, 20))
+    # Materialize the symmetric edge set ONCE (eager localCheckpoint):
+    # every propagation round joins against it, and without the cut
+    # each round would re-derive the whole upstream pipeline (e.g. an
+    # LSH candidate generation) — and plan with no size statistics,
+    # which at scale drives Spark to broadcast a relation it badly
+    # misestimates (observed: broadcast OOM on a 200k-edge graph whose
+    # un-materialized plan was guessed tiny).
     sym = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
                 .union(edges.select(F.col(dst).alias("u"),
                                     F.col(src).alias("v")))
-                .distinct())
+                .distinct()
+                .localCheckpoint(eager=True))
     labels = (sym.select("u").distinct()
                  .select(F.col("u").alias("id"), F.col("u").alias("component")))
     for _ in range(max_iter):
