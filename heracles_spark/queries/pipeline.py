@@ -510,6 +510,47 @@ def doc_ngram_jaccard(spark, sf_dir):
                  .sortWithinPartitions("id_a", "id_b"))
 
 
+def doc_ngram_jaccard_full(spark, sf_dir):
+    """FULL-CORPUS production set-similarity join (the round-4 query
+    shape, kept alongside the sampled contract): word-3-gram Jaccard
+    ≥0.8 via the stop-gram-capped, prefix-filtered inverted-index join
+    over every doc — SQL-expressible, so a FULL value oracle (score =
+    |F_a∩F_b| / (|S_a|+|S_b|-|F_a∩F_b|) with df-capped gram sets F and
+    full sets S, reproduced exactly by the capped SQL below)."""
+    return (dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), n=3,
+                                      threshold=0.8, max_doc_frac=0.01,
+                                      unit="word")
+            .sortWithinPartitions("id_a", "id_b"))
+
+
+NGJ_FULL_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+ grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(t[CAST(i AS INT):CAST(i + 2 AS INT)], ' ') AS g
+  FROM toks, range(1, 20000) r(i)
+  WHERE i + 2 <= len(t)),
+ sizes AS (SELECT doc_id, COUNT(*) AS set_size FROM grams GROUP BY doc_id),
+ keep AS (SELECT g FROM grams GROUP BY g
+          HAVING COUNT(*) <= greatest(
+            floor(0.01 * (SELECT COUNT(*) FROM documents)), 2)),
+ filtered AS (SELECT doc_id, g FROM grams WHERE g IN (SELECT g FROM keep)),
+ inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_common
+  FROM filtered a JOIN filtered b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b,
+       ROUND(CAST(n_common AS DOUBLE)
+             / (sa.set_size + sb.set_size - n_common), 6) AS jaccard
+FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           JOIN sizes sb ON id_b = sb.doc_id
+WHERE CAST(n_common AS DOUBLE) / (sa.set_size + sb.set_size - n_common) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 NGJ_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
@@ -977,6 +1018,7 @@ FROM documents GROUP BY 1, 2 ORDER BY lang, split
 
 
 QUERIES["doc_simhash_hamming"] = (doc_simhash_hamming, SIMHASH_HAM_SQL)
+QUERIES["doc_ngram_jaccard_full"] = (doc_ngram_jaccard_full, NGJ_FULL_SQL)
 QUERIES["doc_dup_components"] = (doc_dup_components, DUP_COMPONENTS_SQL)
 QUERIES["doc_train_test_split"] = (doc_train_test_split, SPLIT_SQL)
 

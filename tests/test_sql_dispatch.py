@@ -296,3 +296,24 @@ def test_numbuckets_validation(hsession, tmp_path):
     with pytest.raises(ValueError, match="numBuckets"):
         hsession.sql(
             f"LOAD DATA LOCAL INPATH '{f}' INTO TABLE badbuckets")
+
+
+def test_bulk_load_131_pre_split_regions(hsession, tmp_path):
+    """Reference parity: HBaseBulkLoadIntoTableSuite.scala:434-482 bulk
+    loads into a table pre-split into 131 regions (131_regions.txt).
+    Columnar analogue: numBuckets=131 + LOAD -> 131 key-range files,
+    all rows queryable with ranges covering the key space."""
+    hsession.sql("""CREATE TABLE regions131 (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k', 'numBuckets'='131')""")
+    f = tmp_path / "bulk131.txt"
+    f.write_text("".join(f"{i},v{i}\n" for i in range(1000)))
+    hsession.sql(
+        f"LOAD DATA LOCAL INPATH '{f}' OVERWRITE INTO TABLE regions131")
+    files = hsession.sql("SHOW FILES regions131").collect()
+    assert len(files) == 131
+    assert hsession.sql(
+        "SELECT count(*) AS c FROM regions131").collect()[0]["c"] == 1000
+    # key-range pruning still holds on the pre-split layout
+    assert hsession.sql(
+        "SELECT count(*) AS c FROM regions131 WHERE k BETWEEN 100 AND 199"
+    ).collect()[0]["c"] == 100
