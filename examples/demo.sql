@@ -4,8 +4,10 @@
 -- Mirrors the reference's examples/spark-hbase-demo*.md flow on the
 -- key-organized store: create → load → query → mutate → time travel.
 
+-- numBuckets pre-splits the key-range layout (reference: pre-split
+-- regions via splitKeys); every write to this table lands 4 files.
 CREATE TABLE sales (id INT, product STRING, region STRING, amount DOUBLE)
-  TBLPROPERTIES('keyCols'='id');
+  TBLPROPERTIES('keyCols'='id', 'numBuckets'='4');
 
 INSERT INTO sales VALUES
   (1, 'widget', 'east', 10.5),

@@ -102,10 +102,16 @@ def _color(s: str, code: str, enabled: bool) -> str:
 def _split_statements(script: str) -> list[str]:
     """Split a script on ';' outside string literals. Quote-aware: a
     semicolon inside '...' or "..." (with '' / \\' escapes) does not
-    terminate the statement."""
+    terminate the statement. Comment-aware: `--` to end-of-line is
+    skipped when outside a literal (an apostrophe in a comment must
+    not open a phantom string)."""
     stmts, cur, quote, i = [], [], None, 0
     while i < len(script):
         ch = script[i]
+        if not quote and ch == "-" and script[i:i + 2] == "--":
+            j = script.find("\n", i)
+            i = len(script) if j < 0 else j
+            continue
         if quote:
             cur.append(ch)
             if ch == "\\" and i + 1 < len(script):

@@ -96,3 +96,16 @@ def test_source_semicolon_in_literal(hsession, tmp_path, capsys, monkeypatch):
     assert cli.main([]) == 0
     out = capsys.readouterr().out
     assert "1\ta;b" in out and "Error" not in out
+
+
+def test_split_statements_comment_with_apostrophe():
+    from heracles_spark.cli import _split_statements
+
+    stmts = _split_statements(
+        "-- the reference's demo; has an apostrophe and a semicolon\n"
+        "SELECT 1 AS a;\n"
+        "SELECT 'don''t; split' AS b; -- trailing comment's fine\n"
+        "SELECT 2 AS c;")
+    assert stmts == ["SELECT 1 AS a",
+                     "SELECT 'don''t; split' AS b",
+                     "SELECT 2 AS c"]
