@@ -110,3 +110,67 @@ def global_shuffle(df: DataFrame, on: str, salt: str = "",
     partitions balance without sampling skew."""
     key = F.md5(F.concat(F.col(on).cast("string"), F.lit(salt)))
     return df.withColumn(out_col, key).orderBy(out_col)
+
+
+def _md5_u32(col: Column) -> Column:
+    """First 8 md5 hex digits of ``col`` as a uniform integer in
+    [0, 2^32). Pure function of the value — same number on any engine
+    (DuckDB: ``CAST(('0x' || substring(md5(v), 1, 8)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16,
+                  10).cast("long")
+
+
+def weighted_sample(df: DataFrame, weight_col: str, k: int,
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic weighted sampling without replacement — priority
+    sampling (Duffield/Lund/Thorup): each row gets priority
+    ``u / w`` where ``u`` is the row's md5-uniform and ``w`` its
+    weight; the k smallest priorities win (≡ the k largest ``w/u``),
+    so inclusion probability grows with weight. Quality-weighted
+    corpus subsetting (keep 1M docs, favor high-quality) needs exactly
+    this: reproducible across engines/runs/partitionings, unlike
+    seeded RNG.
+
+    Cross-engine determinism: ``u`` is an exact integer < 2^32, the
+    priority is ONE correctly-rounded IEEE division — bit-identical
+    on any IEEE-754 engine; ties broken by id.
+
+    Scale: priority is a codegen'd map expression; the top-k is
+    ``orderBy(...).limit(k)`` → TakeOrderedAndProject (per-partition
+    heap + driver merge of k-row heads), NOT a global sort — no
+    shuffle of the full table at any size."""
+    pri = (_md5_u32(F.col(id_col)).cast("double")
+           / F.col(weight_col).cast("double"))
+    return (df.withColumn("__pri", pri)
+              .orderBy("__pri", id_col).limit(k).drop("__pri"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, k: int,
+                  id_col: str = "doc_id",
+                  n_salt: int | None = None) -> DataFrame:
+    """Keep at most ``k`` rows per group, chosen deterministically by
+    md5 hash order of the id (RefinedWeb-style per-domain cap: no
+    single domain may dominate the corpus, and WHICH docs survive must
+    not depend on scan order).
+
+    Scale: the naive plan (row_number over the group) sorts each
+    group inside one task — a mega-domain with 10^9 rows makes one
+    straggler. ``n_salt`` enables the two-phase cap: phase 1 keeps the
+    k hash-smallest rows per (group, salt-bucket) — per-task state is
+    bounded by k — phase 2 re-ranks the ≤ k·n_salt survivors per
+    group. Both phases keep "the k hash-smallest ids of the group", so
+    the two-phase result EQUALS the single-phase result row-for-row
+    (tested), while the heavy sort happens on the salted key space."""
+    from pyspark.sql import Window
+
+    key = F.md5(F.col(id_col).cast("string"))
+    out = df
+    if n_salt:
+        w1 = Window.partitionBy(
+            group_col,
+            _md5_u32(F.col(id_col)) % F.lit(n_salt)).orderBy(key, id_col)
+        out = (out.withColumn("__rn1", F.row_number().over(w1))
+                  .where(F.col("__rn1") <= k).drop("__rn1"))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (out.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") <= k).drop("__rn"))

@@ -361,3 +361,73 @@ def lm_score(df: DataFrame, id_col: str = "doc_id",
                .agg(F.count(F.lit(1)).alias("n_bigrams"),
                     (F.sum("__cls").cast("double")
                      / F.count(F.lit(1))).alias("avg_surprisal")))
+
+
+def duplicate_ngram_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 8,
+                          min_count: int = 2) -> DataFrame:
+    """Corpus-level exact-substring duplication signal: find every
+    word ``n``-gram that occurs ≥ ``min_count`` times ANYWHERE in the
+    corpus (across documents or repeated inside one), map the hits
+    back to their token positions, and merge overlapping/adjacent hits
+    into spans — the distributed analogue of suffix-array substring
+    dedup ("train data repeated verbatim elsewhere"), reported per doc
+    instead of rewritten text so the filter policy stays downstream.
+
+    Returns (id, n_dup_grams, n_spans, dup_tokens, n_tokens,
+    dup_fraction) for every doc with at least one duplicated gram.
+    Two gram hits merge into one span when their start positions are
+    ≤ n apart (their [pos, pos+n-1] token windows overlap or touch).
+
+    Scale: gram extraction is map-only (sequence+transform — no
+    Python); grams travel as xxhash64 longs, not strings, so the
+    shuffle carries 8 bytes per gram. Three shuffles total: the
+    frequency hash-agg (map-side combinable), the hits join (both
+    sides partitioned on gram_hash — AQE's skew-join split handles a
+    degenerate stop-gram), and the per-doc window. Gram-hash
+    collisions conflate two distinct grams with probability
+    ~(#grams)²/2^64 — negligible below ~10^8 grams per corpus and
+    advisory (a false span, never a crash); swap in the gram string
+    for forensic exactness."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+              .where(F.array_size("__toks") >= n))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, array_size(__toks) - {n}), "
+            f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {n}))))"
+        )).alias("pos", "gram_hash"))
+    dup = (grams.groupBy("gram_hash")
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .where(F.col("__n") >= min_count)
+                .select("gram_hash"))
+    hits = grams.join(dup, "gram_hash").select(id_col, "pos")
+
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (hits
+               .withColumn("__prev", F.lag("pos").over(w))
+               .withColumn("__brk",
+                           F.when(F.col("__prev").isNull()
+                                  | (F.col("pos") - F.col("__prev") > n),
+                                  1).otherwise(0))
+               .withColumn("__isl", F.sum("__brk").over(w)))
+    spans = (islands.groupBy(id_col, "__isl")
+                    .agg(F.min("pos").alias("__s"),
+                         (F.max("pos") + n - 1).alias("__e")))
+    per_doc = (spans.groupBy(id_col)
+                    .agg(F.count(F.lit(1)).alias("n_spans"),
+                         F.sum(F.col("__e") - F.col("__s") + 1)
+                          .alias("dup_tokens")))
+    counts = hits.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_grams"))
+    ntok = base.select(F.col(id_col),
+                       F.array_size("__toks").cast("long")
+                        .alias("n_tokens"))
+    return (counts.join(per_doc, id_col).join(ntok, id_col)
+                  .select(id_col, "n_dup_grams", "n_spans", "dup_tokens",
+                          "n_tokens",
+                          F.round(F.col("dup_tokens").cast("double")
+                                  / F.col("n_tokens"), 6)
+                           .alias("dup_fraction")))

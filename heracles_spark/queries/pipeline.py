@@ -1917,3 +1917,108 @@ FROM ranked WHERE rn = 1 GROUP BY lang ORDER BY lang
 
 
 QUERIES["doc_dedup_keep_best"] = (doc_dedup_keep_best, KEEP_SQL)
+
+
+# -- corpus-level duplicate n-gram spans (exact-substring dedup signal) ---
+
+def doc_duplicate_spans(spark, sf_dir):
+    """Exact-substring duplication signal: word 8-grams occurring ≥ 2
+    times corpus-wide, merged into per-doc spans
+    (text.duplicate_ngram_spans — the suffix-array-dedup signal as
+    three bounded shuffles)."""
+    return (text.duplicate_ngram_spans(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+SPAN_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 8),
+pos AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt - 7)) AS gs FROM base),
+grams AS (
+  SELECT doc_id, gs - 1 AS pos,
+         array_to_string(list_slice(t, gs, gs + 7), ' ') AS gram
+  FROM pos),
+dup AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+hits AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)),
+isl AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL
+                   OR pos - lag(pos) OVER w > 8 THEN 1 ELSE 0 END AS brk
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+isl2 AS (SELECT doc_id, pos,
+                SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+         FROM isl),
+spans AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 7 AS e
+          FROM isl2 GROUP BY 1, 2),
+perdoc AS (SELECT doc_id, COUNT(*) AS n_spans,
+                  CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+           FROM spans GROUP BY 1),
+cnt AS (SELECT doc_id, COUNT(*) AS n_dup_grams FROM hits GROUP BY 1)
+SELECT c.doc_id, c.n_dup_grams, p.n_spans, p.dup_tokens,
+       CAST(b.nt AS BIGINT) AS n_tokens,
+       round(CAST(p.dup_tokens AS DOUBLE) / b.nt, 6) AS dup_fraction
+FROM cnt c JOIN perdoc p USING (doc_id) JOIN base b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_duplicate_spans"] = (doc_duplicate_spans, SPAN_SQL)
+
+
+# -- deterministic weighted sampling (priority sampling) ------------------
+
+def doc_weighted_sample(spark, sf_dir):
+    """Quality-weighted corpus subset: 60 docs by priority sampling
+    with weight = n_chars (sampling.weighted_sample — top-k, no global
+    sort)."""
+    from heracles_spark.operators import sampling
+
+    return (sampling.weighted_sample(_docs(spark, sf_dir), "n_chars", 60)
+            .select("doc_id", "source", "n_chars")
+            .orderBy("doc_id"))
+
+
+WSAMPLE_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS DOUBLE) / n_chars AS pri
+  FROM documents
+  ORDER BY pri, doc_id LIMIT 60)
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_weighted_sample"] = (doc_weighted_sample, WSAMPLE_SQL)
+
+
+# -- per-source cap (RefinedWeb-style per-domain cap) ----------------------
+
+def doc_source_cap(spark, sf_dir):
+    """Keep ≤ 10 docs per source, chosen by md5 hash order of the id —
+    the per-domain anti-dominance cap. Runs the two-phase (salted)
+    variant: identical survivors to the naive per-group row_number,
+    with per-task state bounded by k (sampling.cap_per_group)."""
+    from heracles_spark.operators import sampling
+
+    return (sampling.cap_per_group(_docs(spark, sf_dir), "source", 10,
+                                   n_salt=4)
+            .select("doc_id", "source", "lang")
+            .orderBy("doc_id"))
+
+
+SRCCAP_SQL = """
+SELECT doc_id, source, lang FROM (
+  SELECT doc_id, source, lang,
+         ROW_NUMBER() OVER (PARTITION BY source
+             ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) WHERE rn <= 10
+ORDER BY doc_id
+"""
+
+
+QUERIES["doc_source_cap"] = (doc_source_cap, SRCCAP_SQL)

@@ -238,3 +238,112 @@ def test_lm_score_short_docs_dropped(spark):
                                "doc_id long, text string")
     out = lm_score(df).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+# -- duplicate n-gram spans -------------------------------------------------
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    rows = [
+        # doc 10 and 11 share the 8-gram verbatim (cross-doc dup)
+        (10, f"{shared} unique1 unique2 unique3 unique4"),
+        (11, f"prefix1 prefix2 {shared} tail1 tail2"),
+        # doc 12 repeats its own 8-gram twice (intra-doc dup)
+        (12, f"{shared} filler {shared}"),
+        # doc 13 has no duplicated 8-gram
+        (13, "one two three four five six seven eight nine ten"),
+        # doc 14 too short for an 8-gram
+        (14, "tiny doc"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_duplicate_spans_cross_and_intra_doc(spark, span_docs):
+    got = {r["doc_id"]: r.asDict()
+           for r in text.duplicate_ngram_spans(span_docs).collect()}
+    assert set(got) == {10, 11, 12}        # 13 clean, 14 too short
+    # doc 10: the shared gram starts at pos 0 only -> 1 hit, 1 span, 8 toks
+    assert got[10]["n_dup_grams"] == 1
+    assert got[10]["n_spans"] == 1
+    assert got[10]["dup_tokens"] == 8
+    assert got[10]["n_tokens"] == 12
+    assert got[10]["dup_fraction"] == pytest.approx(8 / 12, abs=1e-6)
+    # doc 11: same gram at pos 2
+    assert got[11]["n_dup_grams"] == 1 and got[11]["dup_tokens"] == 8
+    # doc 12: gram at pos 0 and pos 9 -> gap 9 > n=8 -> TWO spans
+    assert got[12]["n_dup_grams"] == 2
+    assert got[12]["n_spans"] == 2
+    assert got[12]["dup_tokens"] == 16
+
+
+def test_duplicate_spans_merge_overlapping(spark):
+    # doc 20 == doc 21: every 8-gram duplicates, all hits merge into
+    # ONE span covering the whole doc.
+    t = " ".join(f"w{i}" for i in range(20))
+    df = spark.createDataFrame([(20, t), (21, t)],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r.asDict()
+           for r in text.duplicate_ngram_spans(df).collect()}
+    for d in (20, 21):
+        assert got[d]["n_dup_grams"] == 13    # 20 - 8 + 1
+        assert got[d]["n_spans"] == 1
+        assert got[d]["dup_tokens"] == 20
+        assert got[d]["dup_fraction"] == 1.0
+
+
+# -- weighted sampling / per-group cap ---------------------------------------
+
+def test_weighted_sample_matches_manual_priority(spark):
+    import hashlib
+
+    from heracles_spark.operators.sampling import weighted_sample
+
+    rows = [(i, 10 + (i * 7) % 90) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = [r["doc_id"]
+           for r in weighted_sample(df, "w", 25).orderBy("doc_id").collect()]
+
+    def pri(i, w):
+        u = int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+        return float(u) / w
+
+    want = sorted(sorted(rows, key=lambda t: (pri(*t), t[0]))[:25])
+    assert got == [i for i, _ in want]
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from heracles_spark.operators.sampling import weighted_sample
+
+    # one row with overwhelming weight is (near-)certain to be kept
+    rows = [(i, 1) for i in range(500)] + [(999, 10_000_000)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+    assert 999 in kept and len(kept) == 10
+
+
+def test_cap_per_group_two_phase_equals_naive(spark):
+    from heracles_spark.operators.sampling import cap_per_group
+
+    rows = [(i, f"g{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    naive = sorted((r["doc_id"], r["source"])
+                   for r in cap_per_group(df, "source", 7).collect())
+    salted = sorted((r["doc_id"], r["source"])
+                    for r in cap_per_group(df, "source", 7,
+                                           n_salt=8).collect())
+    assert naive == salted
+    per = {}
+    for _, g in naive:
+        per[g] = per.get(g, 0) + 1
+    assert all(v == 7 for v in per.values())
+
+
+def test_cap_per_group_small_groups_untouched(spark):
+    from heracles_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([(1, "a"), (2, "a"), (3, "b")],
+                               "doc_id long, source string")
+    got = sorted(r["doc_id"]
+                 for r in cap_per_group(df, "source", 5).collect())
+    assert got == [1, 2, 3]
