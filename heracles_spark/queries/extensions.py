@@ -158,3 +158,92 @@ GROUP BY user_id HAVING user_id <= 300 ORDER BY user_id
 
 
 QUERIES["events_asof_forward"] = (events_asof_forward, ASOF_FWD_SQL)
+
+
+# -- streaming queries, driver-checkable ------------------------------------
+# Finite availableNow streams through the REAL Structured Streaming
+# operators (watermark + window / session_window), materialized via a
+# memory sink and compared against batch SQL oracles — converting the
+# streaming subsystem from pytest-only to value-oracle-checked.
+
+_STREAM_SEQ = [0]
+
+
+def _sink_name(base: str) -> str:
+    _STREAM_SEQ[0] += 1
+    return f"{base}_{_STREAM_SEQ[0]}"
+
+
+def stream_hourly_agg(spark, sf_dir):
+    """Watermarked tumbling-hour streaming aggregation run to
+    completion (streaming.ingest.windowed_event_counts over an
+    availableNow file stream, complete-mode memory sink). Epoch-micros
+    window starts and decimal-exact value sums make the result
+    bit-comparable to the batch GROUP BY oracle."""
+    from heracles_spark.streaming import ingest
+
+    evt = ingest.stream_events(spark, sf_dir)
+    evt = evt.withColumn("value", F.col("value").cast("decimal(38,6)"))
+    out = ingest.windowed_event_counts(evt, ts_col="ts_evt",
+                                       key_col="event_type",
+                                       value_col="value")
+    out = out.select(
+        F.unix_micros(F.col("window_start")).alias("hour_epoch_us"),
+        "event_type", "n_events",
+        F.col("total_value").cast("double").alias("total_value"))
+    res = ingest.run_to_completion(out, _sink_name("stream_hourly"))
+    return res.orderBy("hour_epoch_us", "event_type")
+
+
+STREAM_HOURLY_SQL = """
+SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch_us,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+QUERIES["stream_hourly_agg"] = (stream_hourly_agg, STREAM_HOURLY_SQL)
+
+
+def stream_sessionize(spark, sf_dir):
+    """Streaming SESSION WINDOWS (gap-close semantics, watermarked
+    state) run to completion — the stateful streaming twin of
+    events_sessionize. Session bounds come out as epoch micros; the
+    oracle reproduces Spark's session rule (an event at exactly
+    last_ts + gap starts a NEW session) with gaps-and-islands SQL."""
+    from heracles_spark.streaming import ingest
+
+    evt = (ingest.stream_events(spark, sf_dir)
+           .where(F.col("user_id") <= 100))
+    out = ingest.sessionized_counts(evt, ts_col="ts_evt",
+                                    user_col="user_id",
+                                    gap="30 minutes")
+    out = out.select(
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "user_id", "n_events")
+    res = ingest.run_to_completion(out, _sink_name("stream_sessions"))
+    return res.orderBy("user_id", "session_start_us")
+
+
+STREAM_SESS_SQL = """
+WITH e AS (SELECT user_id, ts FROM events WHERE user_id <= 100),
+ m AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+ s AS (SELECT user_id, ts,
+              SUM(brk) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+       FROM m)
+SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       CAST(epoch_us(MAX(ts) + INTERVAL 30 MINUTE) AS BIGINT)
+         AS session_end_us,
+       user_id, COUNT(*) AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
+"""
+
+
+QUERIES["stream_sessionize"] = (stream_sessionize, STREAM_SESS_SQL)

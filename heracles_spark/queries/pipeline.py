@@ -302,9 +302,12 @@ def doc_minhash_pairs(spark, sf_dir):
                                   threshold=0.7, unit="word",
                                   max_doc_freq=1 << 60,
                                   prefix_order="hash"))
+    # broadcast the sampled ground truth (O(sample²) pairs, tiny by
+    # construction) — the recall probe is then a map-side semi join
+    # over the LSH output, no exchange on either side.
     hits = (mh.select("id_a", "id_b")
-              .join(exact.select("id_a", "id_b"), ["id_a", "id_b"],
-                    "left_semi")
+              .join(F.broadcast(exact.select("id_a", "id_b")),
+                    ["id_a", "id_b"], "left_semi")
               .agg(F.count(F.lit(1)).alias("__h")))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))
     flag = (hits.crossJoin(tot)

@@ -61,10 +61,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .withColumn("ts", F.expr(
                          "timestampadd(MICROSECOND, ts div 1000, "
                          "TIMESTAMP_NTZ '1970-01-01 00:00:00')")))
+        # Epoch micros via FIELD EXTRACTION, not timestampdiff: Spark
+        # promotes timestampdiff's TIMESTAMP_NTZ args to TIMESTAMP in
+        # the SESSION timezone, so on a DST-having session tz the
+        # result shifts an hour around transitions (a value inside the
+        # spring-forward gap lands 1h off). unix_date/hour/minute/
+        # extract(SECOND) read NTZ fields directly — tz-free.
         return (e.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
                  .withColumn("ts_ns", F.expr(
-                     "timestampdiff(MICROSECOND, "
-                     "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000")))
+                     "(unix_date(cast(ts as date)) * 86400000000"
+                     " + cast(hour(ts) as bigint) * 3600000000"
+                     " + cast(minute(ts) as bigint) * 60000000"
+                     " + cast(extract(SECOND from ts) * 1000000"
+                     "        as bigint)) * 1000")))
 
     return plancache.memo(spark, ("events-normalized", sf_dir), build)
 

@@ -270,8 +270,12 @@ def interval_arithmetic(spark, sf_dir):
                 F.col("ts"),
                 F.expr("ts + INTERVAL 90 MINUTE").alias("plus90m"),
                 F.expr("ts - INTERVAL 1 DAY").alias("minus1d"),
-                F.expr("timestampdiff(MINUTE, "
-                       "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+                # field extraction, not timestampdiff: the latter
+                # promotes NTZ args to session-tz TIMESTAMP (DST
+                # hazard; see relational._events)
+                F.expr("unix_date(cast(ts as date)) * 1440"
+                       " + cast(hour(ts) as bigint) * 60"
+                       " + cast(minute(ts) as bigint)")
                  .alias("minutes_since_epoch"))
              .orderBy("event_id"))
 

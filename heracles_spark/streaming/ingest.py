@@ -237,3 +237,70 @@ def streaming_dedup_within_watermark(events: DataFrame,
     ids = id_cols or ["event_id"]
     return (events.withWatermark(ts_col, watermark)
                   .dropDuplicatesWithinWatermark(ids))
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open events.parquet as a FILE-SOURCE STREAM normalized to
+    (ts_evt TIMESTAMP, event_id, user_id, event_type, value) — the
+    streaming twin of queries.relational._events.
+
+    - The file stream source requires a DIRECTORY: the single source
+      file is exposed through a symlink in a per-(path) temp dir (no
+      copy; idempotent per session).
+    - Watermarks require TimestampType, so the naive NTZ wall time is
+      mapped to an instant as epoch-micros-assuming-UTC via FIELD
+      EXTRACTION (tz-free; timestampdiff would shift around DST in a
+      non-UTC session — see relational._events) and timestamp_micros.
+      The same naive-as-UTC reading is what DuckDB's epoch_us()
+      oracle-side uses, so downstream epoch outputs compare exactly.
+    - Handles both physical layouts the driver has shipped
+      (TIMESTAMP(NANOS) read as long under nanosAsLong;
+      TIMESTAMP(MICROS) read as TIMESTAMP_NTZ)."""
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "events.parquet")
+    link_dir = os.path.join(tempfile.gettempdir(), "heracles_stream_src",
+                            str(abs(hash(os.path.abspath(src)))))
+    os.makedirs(link_dir, exist_ok=True)
+    link = os.path.join(link_dir, "events.parquet")
+    if not os.path.islink(link):
+        os.symlink(os.path.abspath(src), link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+    sdf = spark.readStream.schema(schema).parquet(link_dir)
+    ts_type = dict(sdf.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
+        us = F.expr("ts div 1000")
+    else:
+        us = F.expr(
+            "unix_date(cast(cast(ts as timestamp_ntz) as date))"
+            " * 86400000000"
+            " + cast(hour(cast(ts as timestamp_ntz)) as bigint)"
+            " * 3600000000"
+            " + cast(minute(cast(ts as timestamp_ntz)) as bigint)"
+            " * 60000000"
+            " + cast(extract(SECOND from cast(ts as timestamp_ntz))"
+            "        * 1000000 as bigint)")
+    return sdf.select(
+        F.timestamp_micros(us).alias("ts_evt"),
+        "event_id", "user_id", "event_type", "value")
+
+
+def run_to_completion(out: DataFrame, name: str,
+                      mode: str = "complete",
+                      timeout_s: int = 300) -> "DataFrame":
+    """Execute a finite stream (availableNow) into a memory sink and
+    return the materialized result table. The driver-facing bridge
+    that lets streaming operators be ORACLE-CHECKED like any batch
+    query: same plan, bounded input, complete-mode emission (append
+    mode would hold back windows newer than the final watermark)."""
+    spark = out.sparkSession
+    q = (out.writeStream.format("memory").queryName(name)
+            .outputMode(mode).trigger(availableNow=True).start())
+    try:
+        q.awaitTermination(timeout_s)
+    finally:
+        q.stop()
+    return spark.table(name)

@@ -110,3 +110,27 @@ def test_asof_backward_unchanged(spark):
     got = {(r.u, r.t): r.v_right for r in
            asof_join(left, right, on="t", by="u").collect()}
     assert got == {(1, 10): "eq", (1, 25): "mid"}
+
+
+def test_events_ts_ns_session_tz_independent(spark):
+    """ts_ns must be a pure function of the NTZ value: timestampdiff
+    promotes NTZ to session-tz TIMESTAMP (an hour off inside DST
+    transitions), so _events derives epoch micros by field extraction.
+    Pin that under a DST-having session timezone."""
+    from tests.conftest import SF_SMALL
+    from heracles_spark.queries.relational import _events
+    from heracles_spark import plancache
+
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        vals = {}
+        for tz in ("UTC", "America/New_York"):
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            plancache.clear()
+            vals[tz] = {r["event_id"]: r["ts_ns"] for r in
+                        _events(spark, SF_SMALL)
+                        .select("event_id", "ts_ns").limit(500).collect()}
+        assert vals["UTC"] == vals["America/New_York"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+        plancache.clear()
