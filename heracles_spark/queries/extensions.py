@@ -247,3 +247,86 @@ FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us
 
 
 QUERIES["stream_sessionize"] = (stream_sessionize, STREAM_SESS_SQL)
+
+
+def stream_click_attribution(spark, sf_dir):
+    """Stream-stream event-time INTERVAL JOIN run to completion: each
+    purchase joins the same user's clicks in the preceding 30 minutes
+    (streaming.ingest.stream_stream_interval_join — two watermarked
+    file streams, two-sided time bound so the state store expires).
+    Output: the attribution pairs as epoch micros."""
+    from heracles_spark.streaming import ingest
+
+    evt = ingest.stream_events(spark, sf_dir)
+    clicks = (evt.where((F.col("event_type") == "click")
+                        & (F.col("user_id") <= 100))
+                 .select("user_id", F.col("ts_evt").alias("ts")))
+    evt2 = ingest.stream_events(spark, sf_dir)
+    purchases = (evt2.where((F.col("event_type") == "purchase")
+                            & (F.col("user_id") <= 100))
+                     .select("user_id", F.col("ts_evt").alias("ts")))
+    j = ingest.stream_stream_interval_join(clicks, purchases,
+                                           key_col="user_id",
+                                           ts_col="ts", within="30 minutes")
+    out = j.select("user_id",
+                   F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+                   F.unix_micros(F.col("click_ts")).alias("click_us"))
+    res = ingest.run_to_completion(out, _sink_name("stream_attr"),
+                                   mode="append")
+    return res.orderBy("user_id", "purchase_us", "click_us")
+
+
+STREAM_ATTR_SQL = """
+SELECT p.user_id,
+       CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+       CAST(epoch_us(c.ts) AS BIGINT) AS click_us
+FROM (SELECT user_id, ts FROM events
+      WHERE event_type = 'purchase' AND user_id <= 100) p
+JOIN (SELECT user_id, ts FROM events
+      WHERE event_type = 'click' AND user_id <= 100) c
+  ON p.user_id = c.user_id
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+ORDER BY p.user_id, purchase_us, click_us
+"""
+
+
+QUERIES["stream_click_attribution"] = (stream_click_attribution,
+                                       STREAM_ATTR_SQL)
+
+
+def stream_user_stats(spark, sf_dir):
+    """Custom stateful streaming operator driver-checked: per-user
+    running (count, total) via applyInPandasWithState
+    (streaming.stateful.running_user_stats). Values are pre-scaled to
+    integral doubles (round(value·10⁶)) so the Python-side float
+    accumulation is EXACT in any order below 2^53 — the final state
+    equals the batch aggregate bit-for-bit after one division."""
+    from heracles_spark.streaming import ingest, stateful
+    from pyspark.sql import Window
+
+    evt = (ingest.stream_events(spark, sf_dir)
+           .where(F.col("user_id") <= 300)
+           .select("user_id", F.round(F.col("value") * 1e6).alias("value")))
+    out = stateful.running_user_stats(evt, timeout=None)
+    res = ingest.run_to_completion(out, _sink_name("stream_ustats"),
+                                   mode="update")
+    # update mode emits one row per (key, micro-batch); the FINAL row
+    # per key (max n_events — counts are monotone) is the answer.
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (res.withColumn("__rn", F.row_number().over(w))
+               .where(F.col("__rn") == 1)
+               .select("user_id", "n_events",
+                       (F.col("total_value") / 1e6).alias("total_value"))
+               .orderBy("user_id"))
+
+
+STREAM_USTATS_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS DOUBLE)
+         / 1000000 AS total_value
+FROM events WHERE user_id <= 300
+GROUP BY user_id ORDER BY user_id
+"""
+
+
+QUERIES["stream_user_stats"] = (stream_user_stats, STREAM_USTATS_SQL)

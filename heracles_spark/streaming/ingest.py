@@ -300,7 +300,13 @@ def run_to_completion(out: DataFrame, name: str,
     q = (out.writeStream.format("memory").queryName(name)
             .outputMode(mode).trigger(availableNow=True).start())
     try:
-        q.awaitTermination(timeout_s)
+        # processAllAvailable returns once every available row is
+        # processed — unlike awaitTermination, it does not wait out
+        # operators that keep the query alive for future triggers
+        # (e.g. applyInPandasWithState holding processing-time
+        # timeouts).
+        q.processAllAvailable()
     finally:
         q.stop()
+        q.awaitTermination(timeout_s)
     return spark.table(name)

@@ -45,16 +45,27 @@ def _update_user_stats(key: Tuple[Any], pdfs: Iterator[pd.DataFrame],
         n += len(pdf)
         total += float(pdf["value"].sum())
     state.update((n, total))
-    state.setTimeoutDuration(60 * 60 * 1000)
+    try:
+        state.setTimeoutDuration(60 * 60 * 1000)
+    except Exception:
+        pass   # NoTimeout runs reject timeout registration
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n],
                         "total_value": [total]})
 
 
 def running_user_stats(events: DataFrame,
-                       user_col: str = "user_id") -> DataFrame:
+                       user_col: str = "user_id",
+                       timeout: str | None = "processing") -> DataFrame:
     """Arbitrary stateful per-key aggregation over a stream: counts and
     value totals carried across micro-batches, processing-time timeout
-    for state cleanup. Input needs columns (user_id, value)."""
+    for state cleanup. Input needs columns (user_id, value).
+
+    ``timeout=None`` disables state timeouts — REQUIRED for finite
+    availableNow runs: registered processing-time timeouts keep
+    scheduling (empty) micro-batches after the data is exhausted, so
+    the query never quiesces and processAllAvailable spins."""
+    conf = (GroupStateTimeout.ProcessingTimeTimeout
+            if timeout == "processing" else GroupStateTimeout.NoTimeout)
     return (events
             .groupBy(user_col)
             .applyInPandasWithState(
@@ -62,7 +73,7 @@ def running_user_stats(events: DataFrame,
                 outputStructType=STATS_SCHEMA,
                 stateStructType=STATE_SCHEMA,
                 outputMode="update",
-                timeoutConf=GroupStateTimeout.ProcessingTimeTimeout))
+                timeoutConf=conf))
 
 
 def streaming_exact_dedup(events: DataFrame, id_cols: list[str],
