@@ -29,6 +29,10 @@ HEADLINE = [
     "embedding_near_dup_exact", "embedding_near_dup",
     # round-5 additions: sampled-exact recall contract + banded hamming-k
     "doc_minhash_pairs", "doc_simhash_hamming",
+    # round-6 additions: substring-dup spans, priority sampling,
+    # per-source cap (streaming queries excluded: a DuckDB batch join
+    # vs a Structured Streaming run is not an engine-vs-engine number)
+    "doc_duplicate_spans", "doc_weighted_sample", "doc_source_cap",
 ]
 
 
