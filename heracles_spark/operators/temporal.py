@@ -140,3 +140,54 @@ def range_join_binned(left: DataFrame, right: DataFrame, by: str,
     return (l2.join(r2, [by, "__bin"])
               .where(cond)
               .drop("__bin"))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame, by: str,
+                          left_start: str, left_end: str,
+                          right_start: str, right_end: str,
+                          bin_width: int,
+                          how: str = "inner") -> DataFrame:
+    """Join rows of the same ``by`` key whose HALF-OPEN intervals
+    [start, end) overlap: l.start < r.end AND r.start < l.end — the
+    interval×interval shape that as-of (point×point) and range join
+    (point×window) don't cover. Bounds columns must be numeric (epoch
+    seconds/micros); ``bin_width`` in the same unit.
+
+    Rewrite: each interval explodes to the time bins it covers and the
+    overlap test becomes an equi-join on (by, bin) plus an exact
+    residual — no BroadcastNestedLoopJoin at any size. A pair sharing
+    several bins would match repeatedly, so a pair is KEPT only in the
+    first bin both intervals cover (max of the two start bins) — a
+    codegen'd guard instead of a distinct shuffle.
+
+    Shuffle volume = Σ interval_len/bin_width per side; pick bin_width
+    ≈ typical interval length so each row lands in O(1) bins."""
+    if how != "inner":
+        raise ValueError("interval_overlap_join supports inner only")
+    w = F.lit(bin_width)
+
+    def bins(start, end):
+        return F.explode(F.sequence(
+            (F.col(start) / w).cast("long"),
+            (((F.col(end) - 1) / w)).cast("long")))
+
+    rs, re_ = right_start, right_end
+    renamed = {}
+    for c in (right_start, right_end):
+        if c in (left_start, left_end) or c in left.columns:
+            renamed[c] = c + "_right"
+    for old, new in renamed.items():
+        right = right.withColumnRenamed(old, new)
+    rs = renamed.get(right_start, right_start)
+    re_ = renamed.get(right_end, right_end)
+
+    l2 = left.withColumn("__bin", bins(left_start, left_end))
+    r2 = right.withColumn("__bin", bins(rs, re_))
+    overlap = ((F.col(left_start) < F.col(re_))
+               & (F.col(rs) < F.col(left_end)))
+    first_shared = (F.col("__bin") == F.greatest(
+        (F.col(left_start) / w).cast("long"),
+        (F.col(rs) / w).cast("long")))
+    return (l2.join(r2, [by, "__bin"])
+              .where(overlap & first_shared)
+              .drop("__bin"))

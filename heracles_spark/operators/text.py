@@ -431,3 +431,57 @@ def duplicate_ngram_spans(df: DataFrame, id_col: str = "doc_id",
                           F.round(F.col("dup_tokens").cast("double")
                                   / F.col("n_tokens"), 6)
                            .alias("dup_fraction")))
+
+
+def corrupt_spans(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", span_len: int = 3,
+                  rate_denom: int = 20,
+                  sentinel_prefix: str = "<extra_id_") -> DataFrame:
+    """T5-style deterministic span corruption: ~1/rate_denom of token
+    positions TRIGGER a corruption span covering themselves and the
+    next span_len-1 tokens; overlapping spans merge; each merged run is
+    replaced by ONE numbered sentinel (<extra_id_0>, <extra_id_1>, …).
+    Trigger selection is an md5 of (id, position) — a pure function of
+    the row, so the corrupted corpus is identical across engines, runs
+    and partitionings (seeded RNG is none of those).
+
+    Returns (id, n_tokens, n_masked, n_sentinels, corrupted) with the
+    reconstructed corrupted text — the masked-LM pretraining input.
+
+    Scale: posexplode + two windows + one grouped reassembly, all
+    partitioned by doc id — a single hash shuffle; every expression is
+    codegen'd. Reassembly state is per-doc (bounded by doc length, the
+    same bound tokenization itself needs)."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    pos = df.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    trig = (F.conv(F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                               F.col("pos").cast("string"))), 1, 8),
+                16, 10).cast("long") % rate_denom == 0).cast("int")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    wn = w.rowsBetween(-(span_len - 1), 0)
+    stage = (pos.withColumn("__trig", trig)
+                .withColumn("__masked",
+                            (F.max("__trig").over(wn) == 1).cast("int"))
+                .withColumn("__start",
+                            F.when((F.col("__masked") == 1)
+                                   & (F.coalesce(F.lag("__masked").over(w),
+                                                 F.lit(0)) == 0),
+                                   1).otherwise(0))
+                .withColumn("__sid", F.sum("__start").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0))))
+    piece = (F.when(F.col("__masked") == 0, F.col("tok"))
+              .when(F.col("__start") == 1,
+                    F.concat(F.lit(sentinel_prefix),
+                             (F.col("__sid") - 1).cast("string"),
+                             F.lit(">"))))
+    return (stage.withColumn("__piece", piece)
+                 .groupBy(id_col)
+                 .agg(F.count(F.lit(1)).alias("n_tokens"),
+                      F.sum("__masked").alias("n_masked"),
+                      F.sum("__start").alias("n_sentinels"),
+                      F.expr("array_join(transform(array_sort("
+                             "collect_list(struct(pos, __piece))),"
+                             " s -> s.__piece), ' ')").alias("corrupted")))

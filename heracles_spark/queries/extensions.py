@@ -330,3 +330,74 @@ GROUP BY user_id ORDER BY user_id
 
 
 QUERIES["stream_user_stats"] = (stream_user_stats, STREAM_USTATS_SQL)
+
+
+def events_session_overlap(spark, sf_dir):
+    """Interval×interval join: per-user click-session intervals overlap-
+    joined with view-session intervals (operators.temporal.
+    interval_overlap_join — bin-bucketed equi-rewrite + first-shared-bin
+    dedup guard, no nested loop). Sessions = 30-min-gap islands, the
+    events_sessionize convention; intervals are [first_event,
+    last_event + 1ns) half-open."""
+    from pyspark.sql import Window
+
+    from heracles_spark.operators.temporal import interval_overlap_join
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir).where(F.col("user_id") <= 200)
+    gap = 1800 * 1_000_000_000
+
+    def sessions(etype, tag):
+        s = e.where(F.col("event_type") == etype).select("user_id", "ts_ns")
+        w = Window.partitionBy("user_id").orderBy("ts_ns")
+        brk = F.when(F.lag("ts_ns").over(w).isNull()
+                     | (F.col("ts_ns") - F.lag("ts_ns").over(w) > gap),
+                     1).otherwise(0)
+        return (s.withColumn("__b", brk)
+                 .withColumn("__sid", F.sum("__b").over(
+                     w.rowsBetween(Window.unboundedPreceding, 0)))
+                 .groupBy("user_id", "__sid")
+                 .agg(F.min("ts_ns").alias(f"{tag}_start"),
+                      (F.max("ts_ns") + gap).alias(f"{tag}_end"))
+                 .drop("__sid"))
+
+    j = interval_overlap_join(
+        sessions("click", "c"), sessions("view", "v"), "user_id",
+        "c_start", "c_end", "v_start", "v_end",
+        bin_width=3600 * 1_000_000_000)
+    return (j.select("user_id", "c_start", "c_end", "v_start", "v_end")
+             .orderBy("user_id", "c_start", "v_start"))
+
+
+SESS_OVERLAP_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, epoch_us(ts) * 1000 AS ts_ns
+  FROM events WHERE user_id <= 200
+    AND event_type IN ('click', 'view')),
+ m AS (
+  SELECT user_id, event_type, ts_ns,
+         CASE WHEN lag(ts_ns) OVER w IS NULL
+                   OR ts_ns - lag(ts_ns) OVER w > 1800000000000
+              THEN 1 ELSE 0 END AS brk
+  FROM base WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts_ns)),
+ s AS (SELECT user_id, event_type, ts_ns,
+              SUM(brk) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts_ns) AS sid
+       FROM m),
+ iv AS (SELECT user_id, event_type,
+               MIN(ts_ns) AS s_start,
+               MAX(ts_ns) + 1800000000000 AS s_end
+        FROM s GROUP BY user_id, event_type, sid)
+SELECT c.user_id,
+       c.s_start AS c_start, c.s_end AS c_end,
+       v.s_start AS v_start, v.s_end AS v_end
+FROM (SELECT * FROM iv WHERE event_type = 'click') c
+JOIN (SELECT * FROM iv WHERE event_type = 'view') v
+  ON c.user_id = v.user_id
+ AND c.s_start < v.s_end AND v.s_start < c.s_end
+ORDER BY c.user_id, c_start, v_start
+"""
+
+
+QUERIES["events_session_overlap"] = (events_session_overlap,
+                                     SESS_OVERLAP_SQL)

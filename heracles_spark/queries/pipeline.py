@@ -2025,3 +2025,86 @@ ORDER BY doc_id
 
 
 QUERIES["doc_source_cap"] = (doc_source_cap, SRCCAP_SQL)
+
+
+# -- T5-style span corruption ---------------------------------------------
+
+def doc_span_corruption(spark, sf_dir):
+    """Deterministic masked-span pretraining input: ~5% of positions
+    trigger a 3-token corruption span, merged runs become numbered
+    sentinels (text.corrupt_spans). The oracle rebuilds the corrupted
+    text in SQL, so the value hash certifies token-exact
+    reconstruction."""
+    return (text.corrupt_spans(_docs(spark, sf_dir))
+            .orderBy("doc_id"))
+
+
+CORRUPT_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+  FROM documents),
+ posed AS (
+  SELECT doc_id, gs - 1 AS pos, t[gs] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS gs)),
+ trig AS (
+  SELECT doc_id, pos, tok,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)
+                       || ':' || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 20 = 0 THEN 1 ELSE 0 END AS trg
+  FROM posed),
+ msk AS (
+  SELECT doc_id, pos, tok,
+         MAX(trg) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS masked
+  FROM trig),
+ st AS (
+  SELECT doc_id, pos, tok, masked,
+         CASE WHEN masked = 1 AND COALESCE(lag(masked) OVER
+                  (PARTITION BY doc_id ORDER BY pos), 0) = 0
+              THEN 1 ELSE 0 END AS strt
+  FROM msk),
+ sid AS (
+  SELECT doc_id, pos, tok, masked, strt,
+         SUM(strt) OVER (PARTITION BY doc_id ORDER BY pos) AS s
+  FROM st),
+ pieces AS (
+  SELECT doc_id, pos, masked, strt,
+         CASE WHEN masked = 0 THEN tok
+              WHEN strt = 1 THEN '<extra_id_' || CAST(s - 1 AS VARCHAR)
+                                 || '>' END AS piece
+  FROM sid)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(masked) AS BIGINT) AS n_masked,
+       CAST(SUM(strt) AS BIGINT) AS n_sentinels,
+       string_agg(piece, ' ' ORDER BY pos) AS corrupted
+FROM pieces GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["doc_span_corruption"] = (doc_span_corruption, CORRUPT_SQL)
+
+
+# -- corpus profiling: equi-width length histogram -------------------------
+
+def doc_length_histogram(spark, sf_dir):
+    """Equi-width histogram of document length (50-char buckets,
+    clamped) × lang — the profiling scan a corpus build starts with.
+    One map expression + one combinable aggregation; no shuffle beyond
+    the group-by."""
+    d = _docs(spark, sf_dir)
+    bkt = F.least(F.greatest((F.col("n_chars") / 50).cast("long"),
+                             F.lit(0)), F.lit(11))
+    return (d.groupBy(bkt.alias("bucket"), F.col("lang"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_chars").alias("sum_chars"))
+             .orderBy("bucket", "lang"))
+
+
+LEN_HIST_SQL = """
+SELECT least(greatest(n_chars // 50, 0), 11) AS bucket, lang,
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY 1, 2 ORDER BY bucket, lang
+"""
+
+
+QUERIES["doc_length_histogram"] = (doc_length_histogram, LEN_HIST_SQL)

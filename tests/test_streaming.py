@@ -70,12 +70,20 @@ def test_stateful_running_stats(spark, tmp_path):
               .schema("user_id long, value double")
               .option("maxFilesPerTrigger", "1")
               .parquet(str(src / "*")))
-    out = running_user_stats(stream)
+    # timeout=None: a finite availableNow run with registered
+    # processing-time timeouts never quiesces (empty micro-batches keep
+    # scheduling), so awaitTermination only returns at its own timeout.
+    out = running_user_stats(stream, timeout=None)
+    import time
+    t0 = time.time()
     q = (out.writeStream.format("memory").queryName("running_stats")
             .outputMode("update")
             .option("checkpointLocation", str(tmp_path / "ckpt"))
             .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    q.processAllAvailable()
+    q.stop()
+    q.awaitTermination(60)
+    assert time.time() - t0 < 120   # regression: used to wait out 180s
     rows = spark.sql("SELECT * FROM running_stats").collect()
     # last emitted update per user carries the running total
     final = {}
@@ -273,3 +281,42 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     got = sorted((r["event_id"], r["v"])
                  for r in spark.sql("SELECT * FROM wmd_out").collect())
     assert got == [(10, "x"), (11, "y")]
+
+
+def test_stream_events_nanos_layout(spark, tmp_path):
+    """stream_events must normalize BOTH physical timestamp layouts the
+    driver has shipped; fabricate the TIMESTAMP(NANOS) variant (read as
+    long under nanosAsLong) and check the streamed window agg equals
+    the batch computation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    base = 1_700_000_000_000_000_000            # epoch nanos
+    tbl = pa.table({
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([base, base + 10 * 60 * 1_000_000_000,
+                        base + 2 * 3600 * 1_000_000_000],
+                       pa.timestamp("ns")),
+        "user_id": pa.array([1, 1, 1], pa.int64()),
+        "event_type": pa.array(["click"] * 3),
+        "value": pa.array([1.0, 2.0, 4.0], pa.float64()),
+        "props": pa.array(["{}"] * 3),
+    })
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet",
+                   use_deprecated_int96_timestamps=False,
+                   coerce_timestamps=None)
+    evt = ingest.stream_events(spark, str(sf))
+    out = ingest.windowed_event_counts(evt, ts_col="ts_evt",
+                                       key_col="event_type",
+                                       value_col="value")
+    res = ingest.run_to_completion(
+        out.select(F.unix_micros("window_start").alias("ws"),
+                   "n_events", "total_value"),
+        "nanos_layout_check")
+    got = sorted((r["ws"], r["n_events"], r["total_value"])
+                 for r in res.collect())
+    h = 3600 * 1_000_000
+    start = (base // 1000) // h * h
+    assert got == [(start, 2, 3.0), (start + 2 * h, 1, 4.0)]

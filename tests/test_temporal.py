@@ -134,3 +134,50 @@ def test_events_ts_ns_session_tz_independent(spark):
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
         plancache.clear()
+
+
+# -- interval overlap join --------------------------------------------------
+
+def test_interval_overlap_join_matches_brute(spark):
+    import itertools
+    import random
+
+    from heracles_spark.operators.temporal import interval_overlap_join
+
+    rng = random.Random(7)
+    mk = lambda n: [(i, rng.randrange(0, 500),) for i in range(n)]
+    lrows = [(k % 3, s, s + rng.randrange(1, 80), i)
+             for i, (k, s) in enumerate((i % 3, rng.randrange(0, 500))
+                                        for i in range(60))]
+    rrows = [(k % 3, s, s + rng.randrange(1, 80), i)
+             for i, (k, s) in enumerate((i % 3, rng.randrange(0, 500))
+                                        for i in range(60))]
+    l = spark.createDataFrame(lrows, "k long, ls long, le long, lid long")
+    r = spark.createDataFrame(rrows, "k long, rs long, re long, rid long")
+    got = sorted((x["lid"], x["rid"]) for x in
+                 interval_overlap_join(l, r, "k", "ls", "le", "rs", "re",
+                                       bin_width=32).collect())
+    want = sorted((a[3], b[3]) for a, b in itertools.product(lrows, rrows)
+                  if a[0] == b[0] and a[1] < b[2] and b[1] < a[2])
+    assert got == want
+
+
+def test_interval_overlap_join_no_duplicate_pairs(spark):
+    from heracles_spark.operators.temporal import interval_overlap_join
+
+    # long intervals span many bins — each pair must appear ONCE
+    l = spark.createDataFrame([(1, 0, 1000, 1)], "k long, ls long, le long, lid long")
+    r = spark.createDataFrame([(1, 500, 2000, 2)], "k long, rs long, re long, rid long")
+    rows = interval_overlap_join(l, r, "k", "ls", "le", "rs", "re",
+                                 bin_width=10).collect()
+    assert len(rows) == 1
+
+
+def test_interval_overlap_join_half_open(spark):
+    from heracles_spark.operators.temporal import interval_overlap_join
+
+    # touching intervals [0,10) and [10,20) do NOT overlap
+    l = spark.createDataFrame([(1, 0, 10, 1)], "k long, ls long, le long, lid long")
+    r = spark.createDataFrame([(1, 10, 20, 2)], "k long, rs long, re long, rid long")
+    assert interval_overlap_join(l, r, "k", "ls", "le", "rs", "re",
+                                 bin_width=8).count() == 0

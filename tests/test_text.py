@@ -347,3 +347,48 @@ def test_cap_per_group_small_groups_untouched(spark):
     got = sorted(r["doc_id"]
                  for r in cap_per_group(df, "source", 5).collect())
     assert got == [1, 2, 3]
+
+
+# -- span corruption --------------------------------------------------------
+
+def test_corrupt_spans_structure(spark):
+    import hashlib
+
+    t = " ".join(f"w{i}" for i in range(40))
+    df = spark.createDataFrame([(7, t)], "doc_id long, text string")
+    row = text.corrupt_spans(df).collect()[0]
+
+    def trig(doc, pos):
+        h = hashlib.md5(f"{doc}:{pos}".encode()).hexdigest()
+        return int(h[:8], 16) % 20 == 0
+
+    masked = [any(trig(7, j) for j in range(max(0, i - 2), i + 1))
+              for i in range(40)]
+    n_runs = sum(1 for i in range(40)
+                 if masked[i] and (i == 0 or not masked[i - 1]))
+    assert row["n_tokens"] == 40
+    assert row["n_masked"] == sum(masked)
+    assert row["n_sentinels"] == n_runs
+    # rebuild expected corrupted string in python
+    out, run = [], 0
+    for i in range(40):
+        if not masked[i]:
+            out.append(f"w{i}")
+        elif i == 0 or not masked[i - 1]:
+            out.append(f"<extra_id_{run}>")
+            run += 1
+    assert row["corrupted"] == " ".join(out)
+
+
+def test_corrupt_spans_no_trigger_is_identity(spark):
+    import hashlib
+
+    # find a short doc id/text whose positions never trigger
+    for doc in range(1000):
+        if not any(int(hashlib.md5(f"{doc}:{p}".encode())
+                       .hexdigest()[:8], 16) % 20 == 0 for p in range(5)):
+            break
+    t = "a b c d e"
+    df = spark.createDataFrame([(doc, t)], "doc_id long, text string")
+    row = text.corrupt_spans(df).collect()[0]
+    assert row["n_masked"] == 0 and row["corrupted"] == t
