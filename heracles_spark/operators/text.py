@@ -485,3 +485,59 @@ def corrupt_spans(df: DataFrame, id_col: str = "doc_id",
                       F.expr("array_join(transform(array_sort("
                              "collect_list(struct(pos, __piece))),"
                              " s -> s.__piece), ' ')").alias("corrupted")))
+
+
+def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", n: int = 8,
+                           min_count: int = 2,
+                           keep: str = "first_doc") -> DataFrame:
+    """The REWRITE step of exact-substring dedup: drop every token
+    covered by a corpus-duplicated word n-gram and reassemble the
+    cleaned text. ``keep='first_doc'`` preserves each duplicated
+    gram's occurrences in its lowest-id document (one canonical copy
+    survives, the classic suffix-array-dedup policy);
+    ``keep='none'`` removes all occurrences (boilerplate stripping).
+
+    Returns (id, n_tokens, n_removed, cleaned).
+
+    Scale: same three bounded shuffles as duplicate_ngram_spans plus
+    one left join of the token grid against the hit markers (both
+    sides partitioned by id) and the per-doc reassembly window —
+    nothing quadratic, grams travel as longs."""
+    from pyspark.sql import Window
+
+    toks = tokens(F.col(text_col))
+    grid = df.select(F.col(id_col),
+                     F.posexplode(toks).alias("pos", "tok"))
+    base = (df.select(F.col(id_col), toks.alias("__toks"))
+              .where(F.array_size("__toks") >= n))
+    grams = base.select(
+        F.col(id_col),
+        F.posexplode(F.expr(
+            f"transform(sequence(0, array_size(__toks) - {n}), "
+            f"i -> xxhash64(concat_ws(' ', slice(__toks, i + 1, {n}))))"
+        )).alias("pos", "gram_hash"))
+    stats = (grams.groupBy("gram_hash")
+                  .agg(F.count(F.lit(1)).alias("__n"),
+                       F.min(id_col).alias("__first"))
+                  .where(F.col("__n") >= min_count))
+    hits = grams.join(stats, "gram_hash")
+    if keep == "first_doc":
+        hits = hits.where(F.col(id_col) != F.col("__first"))
+    elif keep != "none":
+        raise ValueError(f"bad keep policy {keep!r}")
+    marks = (hits.select(id_col, "pos")
+                 .withColumn("__hit", F.lit(1)))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    masked = (F.max("__hit").over(
+        w.rowsBetween(-(n - 1), 0)) == 1).cast("int")
+    staged = (grid.join(marks, [id_col, "pos"], "left")
+                  .withColumn("__m", F.coalesce(masked, F.lit(0)))
+                  .withColumn("__piece",
+                              F.when(F.col("__m") == 0, F.col("tok"))))
+    return (staged.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_tokens"),
+                       F.sum("__m").alias("n_removed"),
+                       F.expr("array_join(transform(array_sort("
+                              "collect_list(struct(pos, __piece))), "
+                              "s -> s.__piece), ' ')").alias("cleaned")))

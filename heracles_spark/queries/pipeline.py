@@ -2108,3 +2108,76 @@ FROM documents GROUP BY 1, 2 ORDER BY bucket, lang
 
 
 QUERIES["doc_length_histogram"] = (doc_length_histogram, LEN_HIST_SQL)
+
+
+# -- substring-dedup rewrite (cleaned corpus) ------------------------------
+
+def doc_substring_dedup(spark, sf_dir):
+    """The rewrite step of exact-substring dedup: tokens covered by a
+    corpus-duplicated word-8-gram are dropped except in the gram's
+    lowest-id (canonical) document; per-lang accounting of the removal
+    plus an order-free md5-XOR digest of every cleaned text, so the
+    value hash certifies the whole rewritten corpus without shipping
+    it (text.remove_duplicate_spans)."""
+    cleaned = text.remove_duplicate_spans(_docs(spark, sf_dir))
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    # 40-bit per-doc digest: summable over millions of docs without
+    # BIGINT overflow, still collision-negligible for a corpus check
+    dig = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.col("doc_id"), F.col("cleaned"))), 1, 10), 16, 10) \
+        .cast("long")
+    return (cleaned.join(d, "doc_id")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_removed").alias("tokens_removed"),
+                 F.sum("n_tokens").alias("tokens_total"),
+                 F.sum(dig).alias("corpus_digest"))
+            .orderBy("lang"))
+
+
+SUBDEDUP_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+  FROM documents),
+ grid AS (
+  SELECT doc_id, gs - 1 AS pos, t[gs] AS tok
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t))) AS gs)),
+ gbase AS (SELECT doc_id, t, nt FROM toks WHERE nt >= 8),
+ gpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt - 7)) AS gs FROM gbase),
+ grams AS (
+  SELECT doc_id, gs - 1 AS pos,
+         array_to_string(list_slice(t, gs, gs + 7), ' ') AS gram
+  FROM gpos),
+ stats AS (
+  SELECT gram, MIN(doc_id) AS first_id
+  FROM grams GROUP BY gram HAVING COUNT(*) >= 2),
+ hits AS (
+  SELECT g.doc_id, g.pos, 1 AS hit
+  FROM grams g JOIN stats s USING (gram)
+  WHERE g.doc_id <> s.first_id),
+ marked AS (
+  SELECT gr.doc_id, gr.pos, gr.tok,
+         COALESCE(MAX(h.hit) OVER (PARTITION BY gr.doc_id ORDER BY gr.pos
+                     ROWS BETWEEN 7 PRECEDING AND CURRENT ROW), 0) AS m
+  FROM grid gr LEFT JOIN hits h
+    ON gr.doc_id = h.doc_id AND gr.pos = h.pos),
+ cleaned AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         CAST(SUM(m) AS BIGINT) AS n_removed,
+         COALESCE(string_agg(CASE WHEN m = 0 THEN tok END,
+                             ' ' ORDER BY pos), '') AS cleaned
+  FROM marked GROUP BY doc_id)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(c.n_removed) AS BIGINT) AS tokens_removed,
+       CAST(SUM(c.n_tokens) AS BIGINT) AS tokens_total,
+       CAST(SUM(CAST(('0x' || substring(md5(CAST(c.doc_id AS VARCHAR)
+                 || ':' || c.cleaned), 1, 10)) AS BIGINT)) AS BIGINT)
+         AS corpus_digest
+FROM cleaned c JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
+QUERIES["doc_substring_dedup"] = (doc_substring_dedup, SUBDEDUP_SQL)

@@ -392,3 +392,29 @@ def test_corrupt_spans_no_trigger_is_identity(spark):
     df = spark.createDataFrame([(doc, t)], "doc_id long, text string")
     row = text.corrupt_spans(df).collect()[0]
     assert row["n_masked"] == 0 and row["corrupted"] == t
+
+
+def test_remove_duplicate_spans_policies(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta"   # 8 tokens
+    rows = [
+        (1, f"{shared} unique1 unique2"),
+        (2, f"pre1 {shared} post1"),
+        (3, "clean doc with no duplicated grams at all here ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    first = {r["doc_id"]: r.asDict() for r in
+             text.remove_duplicate_spans(df).collect()}
+    # doc 1 is the canonical (lowest-id) holder: untouched
+    assert first[1]["n_removed"] == 0
+    assert first[1]["cleaned"] == rows[0][1]
+    # doc 2 loses the 8 shared tokens, keeps its own
+    assert first[2]["n_removed"] == 8
+    assert first[2]["cleaned"] == "pre1 post1"
+    assert first[3]["n_removed"] == 0
+
+    none = {r["doc_id"]: r.asDict() for r in
+            text.remove_duplicate_spans(df, keep="none").collect()}
+    assert none[1]["n_removed"] == 8
+    assert none[1]["cleaned"] == "unique1 unique2"
+    assert none[2]["cleaned"] == "pre1 post1"
