@@ -401,3 +401,49 @@ ORDER BY c.user_id, c_start, v_start
 
 QUERIES["events_session_overlap"] = (events_session_overlap,
                                      SESS_OVERLAP_SQL)
+
+
+def stream_near_dup_ingest(spark, sf_dir):
+    """Dedup-at-the-door contract: even-id docs are ingested as batch 0
+    (building the persistent LSH bucket store), then batch 1 arrives
+    carrying 30 VERBATIM copies of batch-0 docs (ids shifted +100000)
+    plus the odd-id docs (streaming.dedup_ingest.flag_near_dups_batch).
+    Identical text ⇒ identical MinHash signatures ⇒ identical band
+    hashes, so every planted copy MUST be flagged — recall 1
+    deterministically; the oracle pins n_planted and
+    planted_all_flagged=TRUE. (Additional near-dup flags among the
+    organic odd-id docs are sketch-specific and deliberately not part
+    of the contract.)"""
+    import tempfile
+
+    from heracles_spark.streaming.dedup_ingest import flag_near_dups_batch
+    from heracles_spark.queries.pipeline import _docs
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    first = d.where(F.col("doc_id") % 2 == 0)
+    planted = (first.where(F.col("doc_id") < 60)
+                    .select((F.col("doc_id") + 100000).alias("doc_id"),
+                            "text"))
+    second = d.where(F.col("doc_id") % 2 == 1).unionByName(planted)
+
+    store = tempfile.mkdtemp(prefix="heracles_ingest_store_")
+    flag_near_dups_batch(spark, first, store, batch_id=0)
+    flagged = flag_near_dups_batch(spark, second, store, batch_id=1)
+
+    n_planted = planted.count()
+    missed = (planted.select("doc_id")
+                     .join(flagged.select("doc_id"), "doc_id",
+                           "left_anti").count())
+    return spark.createDataFrame(
+        [(n_planted, missed == 0)],
+        "n_planted long, planted_all_flagged boolean")
+
+
+NEAR_DUP_INGEST_SQL = """
+SELECT COUNT(*) AS n_planted, TRUE AS planted_all_flagged
+FROM documents WHERE doc_id % 2 = 0 AND doc_id < 60
+"""
+
+
+QUERIES["stream_near_dup_ingest"] = (stream_near_dup_ingest,
+                                     NEAR_DUP_INGEST_SQL)

@@ -320,3 +320,53 @@ def test_stream_events_nanos_layout(spark, tmp_path):
     h = 3600 * 1_000_000
     start = (base // 1000) // h * h
     assert got == [(start, 2, 3.0), (start + 2 * h, 1, 4.0)]
+
+
+def test_stream_flag_near_dups(spark, tmp_path):
+    """LSH dedup-at-ingest: batch 2 contains a near-copy of a batch-1
+    doc and a fresh doc — only the near-copy is flagged; a replay of
+    batch 2 must not self-flag (store probe excludes own batch)."""
+    from heracles_spark.streaming.dedup_ingest import (
+        flag_near_dups_batch, stream_flag_near_dups)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    b1 = spark.createDataFrame([(1, base), (2, "completely different "
+                                "words about spark and parquet files "
+                                "with nothing shared at all here")],
+                               "doc_id long, text string")
+    b2 = spark.createDataFrame([(3, base + " extra"),
+                                (4, "another unrelated document talking "
+                                    "about streams windows and state "
+                                    "stores only")],
+                               "doc_id long, text string")
+    b1.coalesce(1).write.parquet(str(src / "f1"))
+    store = str(tmp_path / "store")
+
+    q = stream_flag_near_dups(
+        spark, str(src) + "/*", "doc_id long, text string", store,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.processAllAvailable(); q.stop()
+    # batch 1 alone: nothing prior, nothing flagged
+    flags = spark.read.parquet(store + "/flags")
+    assert flags.count() == 0
+
+    b2.coalesce(1).write.parquet(str(src / "f2"))
+    q = stream_flag_near_dups(
+        spark, str(src) + "/*", "doc_id long, text string", store,
+        checkpoint_dir=str(tmp_path / "ckpt"))
+    q.processAllAvailable(); q.stop()
+    flags = spark.read.parquet(store + "/flags")
+    got = {r["doc_id"]: r["n_bucket_hits"] for r in flags.collect()}
+    assert 3 in got and got[3] >= 1        # near-copy flagged
+    assert 4 not in got                    # fresh doc clean
+
+    # replay batch 2 (same batch id) directly: doc 3 still collides
+    # with batch 1's doc 1, but doc 4 must stay clean — if the probe
+    # saw the replayed batch's OWN store entries, doc 4 would
+    # self-flag through them.
+    replay = flag_near_dups_batch(spark, b2, store, batch_id=1)
+    got2 = {r["doc_id"] for r in replay.collect()}
+    assert 3 in got2 and 4 not in got2
