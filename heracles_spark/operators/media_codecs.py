@@ -235,3 +235,116 @@ def decode_netpbm(raw: bytes) -> np.ndarray:
     ch = 3 if raw[:2] == b"P6" else 1
     body = np.frombuffer(raw, dtype=np.uint8, count=w * h * ch, offset=pos)
     return body.reshape(h, w, 3) if ch == 3 else body.reshape(h, w)
+
+
+# -- QOI (Quite OK Image format, qoiformat.org spec) -----------------------
+
+_QOI_MAGIC = b"qoif"
+
+
+def _qoi_hash(px) -> int:
+    r, g, b, a = int(px[0]), int(px[1]), int(px[2]), int(px[3])
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def encode_qoi(px) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w, 4) RGBA uint8 → QOI bytes.
+    Emits the full op set (RUN / INDEX / DIFF / LUMA / RGB / RGBA)."""
+    px = np.asarray(px, dtype=np.uint8)
+    h, w, ch = px.shape
+    if ch not in (3, 4):
+        raise ValueError("encode_qoi expects (h, w, 3|4)")
+    flat = px.reshape(-1, ch)
+    if ch == 3:
+        flat = np.concatenate(
+            [flat, np.full((flat.shape[0], 1), 255, np.uint8)], axis=1)
+    out = bytearray(_QOI_MAGIC)
+    out += struct.pack(">IIBB", w, h, ch, 0)
+    index = np.zeros((64, 4), dtype=np.uint8)
+    prev = np.array([0, 0, 0, 255], dtype=np.uint8)
+    run = 0
+    for p in flat:
+        if (p == prev).all():
+            run += 1
+            if run == 62:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            continue
+        if run:
+            out.append(0xC0 | (run - 1))
+            run = 0
+        i = _qoi_hash(p)
+        if (index[i] == p).all():
+            out.append(i)
+        else:
+            index[i] = p
+            if p[3] == prev[3]:
+                dr = (int(p[0]) - int(prev[0]) + 128) % 256 - 128
+                dg = (int(p[1]) - int(prev[1]) + 128) % 256 - 128
+                db = (int(p[2]) - int(prev[2]) + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2)
+                               | (db + 2))
+                elif (-32 <= dg <= 31 and -8 <= dr - dg <= 7
+                        and -8 <= db - dg <= 7):
+                    out.append(0x80 | (dg + 32))
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out += bytes((0xFE, p[0], p[1], p[2]))
+            else:
+                out += bytes((0xFF, p[0], p[1], p[2], p[3]))
+        prev = p.copy()
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += b"\x00" * 7 + b"\x01"
+    return bytes(out)
+
+
+def decode_qoi(raw: bytes) -> np.ndarray:
+    """Decode QOI bytes → (h, w, 3) or (h, w, 4) uint8 per the header's
+    channel count. Full op set. (Sequential chunk walk by spec design —
+    fine for the Arrow-batched per-row decode path where each row is
+    one modest image; it is not a bulk-pixel vector op like BMP.)"""
+    if raw[:4] != _QOI_MAGIC:
+        raise ValueError("not a QOI blob")
+    w, h, ch, _cs = struct.unpack(">IIBB", raw[4:14])
+    if ch not in (3, 4):
+        raise ValueError(f"bad QOI channel count {ch}")
+    n = w * h
+    out = np.empty((n, 4), dtype=np.uint8)
+    index = np.zeros((64, 4), dtype=np.uint8)
+    px = np.array([0, 0, 0, 255], dtype=np.uint8)
+    pos, i = 14, 0
+    while i < n:
+        b0 = raw[pos]; pos += 1
+        if b0 == 0xFE:
+            px = np.array([raw[pos], raw[pos + 1], raw[pos + 2], px[3]],
+                          dtype=np.uint8)
+            pos += 3
+        elif b0 == 0xFF:
+            px = np.frombuffer(raw[pos:pos + 4], np.uint8).copy()
+            pos += 4
+        elif b0 >> 6 == 0:                      # INDEX
+            px = index[b0 & 0x3F].copy()
+        elif b0 >> 6 == 1:                      # DIFF
+            px = px.copy()
+            px[0] += ((b0 >> 4) & 3) - 2
+            px[1] += ((b0 >> 2) & 3) - 2
+            px[2] += (b0 & 3) - 2
+        elif b0 >> 6 == 2:                      # LUMA
+            b1 = raw[pos]; pos += 1
+            dg = (b0 & 0x3F) - 32
+            px = px.copy()
+            px[0] += dg + ((b1 >> 4) & 0x0F) - 8
+            px[1] += dg
+            px[2] += dg + (b1 & 0x0F) - 8
+        else:                                   # RUN
+            run = (b0 & 0x3F) + 1
+            out[i:i + run] = px
+            i += run
+            continue
+        index[_qoi_hash(px)] = px
+        out[i] = px
+        i += 1
+    return out.reshape(h, w, 4)[:, :, :ch] if ch == 3 \
+        else out.reshape(h, w, 4)

@@ -65,7 +65,8 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id",
 
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
-                          decoder: Literal["fake", "bmp", "ppm", "pil"] = "fake",
+                          decoder: Literal["fake", "bmp", "ppm", "qoi",
+                                           "pil"] = "fake",
                           feature_dim: int = 8) -> DataFrame:
     """mapInPandas image decode → per-image features.
 
@@ -76,6 +77,9 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
         normalized to sum 1).
       * "ppm"  — REAL decode of binary netpbm (PPM P6 RGB / PGM P5
         gray), same features as "bmp".
+      * "qoi"  — REAL decode of QOI (qoiformat.org; full op set in
+        operators.media_codecs), same features; RGBA alpha is ignored
+        for luma.
       * "fake" — deterministic features from the bytes' hash (plumbing
         tests for formats without an in-container codec).
       * "pil"  — the slot where PIL/torchvision plugs in; raises until
@@ -94,16 +98,18 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
         import numpy as np
 
         from heracles_spark.operators.media_codecs import (decode_bmp24,
-                                                           decode_netpbm)
+                                                           decode_netpbm,
+                                                           decode_qoi)
         for pdf in it:
             ids, nbytes, lumas, feats = [], [], [], []
             for i, b in zip(pdf[id_col], pdf[content_col]):
                 raw = bytes(b) if b is not None else b""
                 ids.append(i)
                 nbytes.append(len(raw))
-                if decoder in ("bmp", "ppm"):
+                if decoder in ("bmp", "ppm", "qoi"):
                     px = (decode_bmp24(raw) if decoder == "bmp"
-                          else decode_netpbm(raw))
+                          else decode_netpbm(raw) if decoder == "ppm"
+                          else decode_qoi(raw)[:, :, :3])
                     if px.ndim == 2:          # PGM grayscale
                         luma = px.astype("float64")
                     else:

@@ -2181,3 +2181,58 @@ GROUP BY d.lang ORDER BY d.lang
 
 
 QUERIES["doc_substring_dedup"] = (doc_substring_dedup, SUBDEDUP_SQL)
+
+
+def multimodal_qoi_decode(spark, sf_dir):
+    """REAL QOI decode (qoiformat.org; full op set), value-oracled
+    end-to-end: per doc, synthesize an 8×8 two-color checkerboard
+    (c1 = id·{11,29,53}, c2 = id·{7,13,17} mod 256), encode with the
+    pure-numpy QOI encoder (RUN/INDEX/DIFF/LUMA/RGB ops all reachable),
+    decode via decode_image_features(decoder="qoi"). A checkerboard's
+    mean luma is exactly (luma(c1)+luma(c2))/2 — np.mean's pairwise
+    summation over alternating values reduces to the same single
+    rounding the SQL expression performs, so the hash certifies the
+    whole chunk-walk decode. n_bytes is format-internal (first-pixel op
+    length varies by color) and deliberately not emitted."""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_qoi
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c1 = (i * 11 % 256, i * 29 % 256, i * 53 % 256)
+                c2 = (i * 7 % 256, i * 13 % 256, i * 17 % 256)
+                px = np.empty((8, 8, 3), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        px[y, x] = c1 if (x + y) % 2 == 0 else c2
+                blobs.append(encode_qoi(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_image_features(media, decoder="qoi")
+    return (feats.select("doc_id",
+                         F.round("mean_luma", 6).alias("mean_luma"))
+                 .orderBy("doc_id"))
+
+
+MQOI_SQL = """
+SELECT doc_id,
+       ROUND(((0.299 * (doc_id * 11 % 256) + 0.587 * (doc_id * 29 % 256)
+               + 0.114 * (doc_id * 53 % 256))
+            + (0.299 * (doc_id * 7 % 256) + 0.587 * (doc_id * 13 % 256)
+               + 0.114 * (doc_id * 17 % 256))) / 2 / 255.0, 6)
+         AS mean_luma
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
+QUERIES["multimodal_qoi_decode"] = (multimodal_qoi_decode, MQOI_SQL)

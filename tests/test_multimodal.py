@@ -245,3 +245,57 @@ def test_resize_ppm_roundtrip(spark):
     small = mc.decode_netpbm(bytes(row.content))
     assert small.shape == (4, 4, 3)
     assert (small == px[::2][:, ::2]).all()
+
+
+def test_qoi_roundtrip_all_ops():
+    import numpy as np
+
+    from heracles_spark.operators.media_codecs import (decode_qoi,
+                                                       encode_qoi)
+
+    rng = np.random.default_rng(42)
+    for shape in [(5, 7, 3), (4, 4, 4), (1, 1, 3), (8, 3, 4)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        img[1:3] = img[0]                       # runs
+        out = decode_qoi(encode_qoi(img))
+        assert out.shape == img.shape and (out == img).all()
+    # smooth gradient: DIFF/LUMA ops dominate
+    g = np.zeros((16, 16, 3), np.uint8)
+    for y in range(16):
+        for x in range(16):
+            g[y, x] = (x * 2 + y, x * 2 + y + 1, x * 2 + y)
+    assert (decode_qoi(encode_qoi(g)) == g).all()
+    # alpha changes force RGBA ops
+    a = rng.integers(0, 256, (3, 3, 4), dtype=np.uint8)
+    a[..., 3] = rng.integers(0, 256, (3, 3), dtype=np.uint8)
+    assert (decode_qoi(encode_qoi(a)) == a).all()
+
+
+def test_qoi_header_and_run_encoding():
+    import numpy as np
+    import struct
+
+    from heracles_spark.operators.media_codecs import encode_qoi
+
+    img = np.full((8, 8, 3), 0, np.uint8)       # solid black
+    raw = encode_qoi(img)
+    assert raw[:4] == b"qoif"
+    w, h, ch, cs = struct.unpack(">IIBB", raw[4:14])
+    assert (w, h, ch, cs) == (8, 8, 3, 0)
+    # black == QOI initial state: the whole image is runs (62 + 2)
+    assert raw[14] == 0xC0 | 61 and raw[15] == 0xC0 | 1
+    assert raw[-8:] == b"\x00" * 7 + b"\x01"
+
+
+def test_qoi_decode_through_operator(spark):
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_qoi
+
+    img = np.full((4, 4, 3), 100, np.uint8)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "content": [encode_qoi(img)]}))
+    row = multimodal.decode_image_features(df, decoder="qoi").collect()[0]
+    assert row["mean_luma"] == 100.0 / 255.0
