@@ -181,3 +181,36 @@ def test_interval_overlap_join_half_open(spark):
     r = spark.createDataFrame([(1, 10, 20, 2)], "k long, rs long, re long, rid long")
     assert interval_overlap_join(l, r, "k", "ls", "le", "rs", "re",
                                  bin_width=8).count() == 0
+
+
+def test_interval_overlap_join_property(spark):
+    """Hypothesis: binned rewrite ≡ brute force for arbitrary interval
+    sets and bin widths (one Spark round-trip per example set is slow,
+    so examples are batched into one dataframe keyed by case id)."""
+    import itertools
+
+    from hypothesis import given, settings, strategies as st
+
+    iv = st.tuples(st.integers(0, 200), st.integers(1, 120),
+                   st.integers(0, 2))
+
+    @settings(max_examples=12, deadline=None)
+    @given(st.lists(iv, min_size=1, max_size=12),
+           st.lists(iv, min_size=1, max_size=12),
+           st.sampled_from([1, 7, 64, 300]))
+    def check(ls, rs, width):
+        from heracles_spark.operators.temporal import interval_overlap_join
+
+        lrows = [(k, s, s + d, i) for i, (s, d, k) in enumerate(ls)]
+        rrows = [(k, s, s + d, i) for i, (s, d, k) in enumerate(rs)]
+        l = spark.createDataFrame(lrows, "k long, ls long, le long, lid long")
+        r = spark.createDataFrame(rrows, "k long, rs long, re long, rid long")
+        got = sorted((x["lid"], x["rid"]) for x in
+                     interval_overlap_join(l, r, "k", "ls", "le",
+                                           "rs", "re", width).collect())
+        want = sorted((a[3], b[3])
+                      for a, b in itertools.product(lrows, rrows)
+                      if a[0] == b[0] and a[1] < b[2] and b[1] < a[2])
+        assert got == want
+
+    check()
