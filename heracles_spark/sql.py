@@ -95,7 +95,9 @@ _ALTER_DROP = re.compile(
     r"^\s*ALTER\s+TABLE\s+(?P<name>[\w.]+)\s+DROP\s+(?:COLUMN\s+)?"
     r"(?P<col>\w+)\s*$", re.IGNORECASE)
 _OPTIMIZE = re.compile(
-    r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+    r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w\s,]+?)\s*\)"
+    r"(?:\s+CURVE\s+(?P<curve>HILBERT|MORTON))?)?\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL)
@@ -136,7 +138,9 @@ _SHOW_FILES = re.compile(
     r"^\s*SHOW\s+FILES\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _COPY_TO = re.compile(
     r"^\s*COPY\s+(?P<name>[\w.]+)\s+TO\s+'(?P<path>[^']+)'"
-    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?\s*$", re.IGNORECASE)
+    r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
+    r"(?:\s+PARTITION\s+BY\s*\(\s*(?P<pcols>[\w\s,]+?)\s*\))?"
+    r"\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
     r"\(\s*(?P<col>[\w\s,]+?)\s*\)"
@@ -392,7 +396,28 @@ def dispatch(session, statement: str) -> DataFrame | None:
     m = _OPTIMIZE.match(statement)
     if m:
         name = _resolve(session, m.group("name"))
-        writer.optimize_table(spark, catalog, name)
+        if m.group("zcols"):
+            # OPTIMIZE t ZORDER BY (k1, k2) [CURVE HILBERT]: rewrite
+            # through the space-filling-curve layout (zorder.py) so
+            # min/max boxes tighten on EVERY named dimension. The curve
+            # dims ARE the table's key columns in this storage model —
+            # naming anything else is an error, not a silent subset.
+            from heracles_spark import zorder as zorder_mod
+
+            zcols = [c.strip() for c in m.group("zcols").split(",")
+                     if c.strip()]
+            tbl = catalog.get_table(name)
+            if sorted(zcols) != sorted(tbl.key_cols):
+                raise ValueError(
+                    f"OPTIMIZE ZORDER BY columns {zcols} must be exactly "
+                    f"the table's key columns {tbl.key_cols} (the curve "
+                    f"replaces the lexicographic key layout)")
+            curve = (m.group("curve") or "hilbert").lower()
+            df = catalog.read_table(spark, name)
+            zorder_mod.write_zordered(spark, catalog, name, df,
+                                      curve=curve)
+        else:
+            writer.optimize_table(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -512,6 +537,15 @@ def dispatch(session, statement: str) -> DataFrame | None:
             raise ValueError(f"COPY: unsupported format {fmt!r}")
         df = catalog.read_table(spark, name)
         w = df.write.mode("overwrite")
+        if m.group("pcols"):
+            # hive-style sharded export: one subdir per partition value
+            pcols = [c.strip() for c in m.group("pcols").split(",")
+                     if c.strip()]
+            missing = [c for c in pcols if c not in df.columns]
+            if missing:
+                raise ValueError(f"COPY PARTITION BY: no such column(s) "
+                                 f"{missing}")
+            w = w.partitionBy(*pcols)
         if fmt == "csv":
             w = w.option("header", "true")
         getattr(w, fmt)(m.group("path"))

@@ -317,3 +317,42 @@ def test_bulk_load_131_pre_split_regions(hsession, tmp_path):
     assert hsession.sql(
         "SELECT count(*) AS c FROM regions131 WHERE k BETWEEN 100 AND 199"
     ).collect()[0]["c"] == 100
+
+
+def test_copy_to_partition_by(hsession, spark, tmp_path):
+    import os
+
+    hsession.sql("""CREATE TABLE cpp (k INT, lang STRING, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO cpp VALUES (1,'en','a'),(2,'de','b'),"
+                 "(3,'en','c')")
+    out = hsession.sql(
+        f"COPY cpp TO '{tmp_path}/shard' PARTITION BY (lang)").collect()[0]
+    assert out.rows_copied == 3
+    subdirs = {d for d in os.listdir(f"{tmp_path}/shard")
+               if d.startswith("lang=")}
+    assert subdirs == {"lang=en", "lang=de"}
+    back = spark.read.parquet(f"{tmp_path}/shard")
+    assert sorted((r.k, r.lang, r.v) for r in back.collect()) == \
+        [(1, "en", "a"), (2, "de", "b"), (3, "en", "c")]
+    import pytest
+    with pytest.raises(ValueError, match="no such column"):
+        hsession.sql(f"COPY cpp TO '{tmp_path}/bad' PARTITION BY (nope)")
+
+
+def test_optimize_zorder_by(hsession, spark):
+    import pytest
+
+    hsession.sql("""CREATE TABLE zt (a INT, b INT, v STRING)
+                    TBLPROPERTIES('keyCols'='a;b')""")
+    vals = ",".join(f"({i % 7},{i % 11},'v{i}')" for i in range(200))
+    hsession.sql(f"INSERT INTO zt VALUES {vals}")
+    hsession.sql("OPTIMIZE zt ZORDER BY (a, b) CURVE HILBERT")
+    rows = hsession.sql("SELECT COUNT(*) AS n FROM zt").collect()
+    assert rows[0].n == 200
+    got = hsession.sql(
+        "SELECT v FROM zt WHERE a = 3 AND b = 5").collect()
+    want = {f"v{i}" for i in range(200) if i % 7 == 3 and i % 11 == 5}
+    assert {r.v for r in got} == want
+    with pytest.raises(ValueError, match="key columns"):
+        hsession.sql("OPTIMIZE zt ZORDER BY (a)")
