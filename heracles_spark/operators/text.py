@@ -541,3 +541,51 @@ def remove_duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                        F.expr("array_join(transform(array_sort("
                               "collect_list(struct(pos, __piece))), "
                               "s -> s.__piece), ' ')").alias("cleaned")))
+
+
+def build_vocab(df: DataFrame, text_col: str = "text",
+                size: int = 1000, min_freq: int = 1) -> DataFrame:
+    """Frequency-ranked vocabulary: (term, id) with ids 0..size-1
+    assigned by (count DESC, term ASC) — the deterministic tie-break
+    makes the id assignment identical on any engine/partitioning.
+
+    Scale: one explode + combinable count agg; the ranking window runs
+    over at most ``size`` + ties rows after a cheap count filter."""
+    from pyspark.sql import Window
+
+    counts = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
+                .groupBy("term")
+                .agg(F.count(F.lit(1)).alias("freq"))
+                .where(F.col("freq") >= min_freq))
+    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
+    return (counts.withColumn("id", F.row_number().over(w) - 1)
+                  .where(F.col("id") < size)
+                  .select("term", "id", "freq"))
+
+
+def encode_ids(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", oov_id: int = -1) -> DataFrame:
+    """Tokenize-to-ids — the last step before a training corpus ships:
+    each doc's tokens become vocabulary ids (OOV → ``oov_id``),
+    position order preserved.
+
+    Returns (id, n_tokens, n_oov, ids: array<int>).
+
+    Scale: posexplode + one equi-join against the vocabulary (size-
+    bounded → Spark broadcasts it) + per-doc ordered reassembly; at
+    vocabularies beyond broadcast size the same plan degrades to a
+    shuffle join on term — no code change."""
+    toks = (df.select(F.col(id_col),
+                      F.posexplode(tokens(F.col(text_col)))
+                       .alias("pos", "term")))
+    joined = toks.join(F.broadcast(vocab.select("term", "id")),
+                       "term", "left")
+    enc = F.coalesce(F.col("id"), F.lit(oov_id)).cast("int")
+    return (joined.withColumn("__id", enc)
+                  .groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_tokens"),
+                       F.sum((F.col("__id") == oov_id).cast("long"))
+                        .alias("n_oov"),
+                       F.expr("transform(array_sort(collect_list("
+                              "struct(pos, __id))), s -> s.__id)")
+                        .alias("ids")))

@@ -2236,3 +2236,49 @@ FROM documents WHERE doc_id <= 50 ORDER BY doc_id
 
 
 QUERIES["multimodal_qoi_decode"] = (multimodal_qoi_decode, MQOI_SQL)
+
+
+# -- tokenize-to-ids (vocab induction + encoding) --------------------------
+
+def doc_tokenize_ids(spark, sf_dir):
+    """The last pipeline step before training: build a 500-term
+    frequency-ranked vocabulary over the corpus (deterministic
+    (freq DESC, term) tie-break) and encode each doc ≤ 100 to id
+    sequences, OOV → -1 (text.build_vocab + text.encode_ids —
+    broadcast vocab join, ordered reassembly). Ids ship as a CSV
+    string so the value hash certifies every position of every
+    sequence."""
+    d = _docs(spark, sf_dir)
+    vocab = text.build_vocab(d, size=500)
+    enc = text.encode_ids(d.where(F.col("doc_id") <= 100), vocab)
+    return (enc.select("doc_id", "n_tokens", "n_oov",
+                       F.concat_ws(",", F.col("ids").cast("array<string>"))
+                        .alias("ids_csv"))
+               .orderBy("doc_id"))
+
+
+TOKIDS_SQL = r"""
+WITH vterms AS (
+  SELECT term, COUNT(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+    FROM documents) GROUP BY term),
+ vocab AS (
+  SELECT term, rn - 1 AS id FROM (
+    SELECT term, ROW_NUMBER() OVER (ORDER BY freq DESC, term) AS rn
+    FROM vterms) WHERE rn <= 500),
+ posed AS (
+  SELECT doc_id, gs - 1 AS pos, t[gs] AS term
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        FROM documents WHERE doc_id <= 100) base,
+       LATERAL (SELECT unnest(generate_series(1, len(t))) AS gs)),
+ enc AS (
+  SELECT p.doc_id, p.pos, COALESCE(v.id, -1) AS id
+  FROM posed p LEFT JOIN vocab v USING (term))
+SELECT doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN id = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+FROM enc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+QUERIES["doc_tokenize_ids"] = (doc_tokenize_ids, TOKIDS_SQL)

@@ -418,3 +418,17 @@ def test_remove_duplicate_spans_policies(spark):
     assert none[1]["n_removed"] == 8
     assert none[1]["cleaned"] == "unique1 unique2"
     assert none[2]["cleaned"] == "pre1 post1"
+
+
+def test_build_vocab_and_encode_ids(spark):
+    rows = [(1, "a b c a a"), (2, "b c d"), (3, "a zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = {r["term"]: (r["id"], r["freq"])
+             for r in text.build_vocab(df, size=3).collect()}
+    # freq: a=4, b=2, c=2, d=1, zz=1 -> ids a=0, b=1, c=2 (tie b<c)
+    assert vocab == {"a": (0, 4), "b": (1, 2), "c": (2, 2)}
+    enc = {r["doc_id"]: r for r in
+           text.encode_ids(df, text.build_vocab(df, size=3)).collect()}
+    assert list(enc[1]["ids"]) == [0, 1, 2, 0, 0]
+    assert list(enc[2]["ids"]) == [1, 2, -1] and enc[2]["n_oov"] == 1
+    assert list(enc[3]["ids"]) == [0, -1]
