@@ -35,6 +35,13 @@ SELECT COUNT(*) AS n_now FROM sales;
 CREATE INDEX by_product ON sales (product);
 SELECT id, amount FROM sales WHERE product = 'gadget';
 
+-- compaction through the space-filling-curve layout (multi-key tables
+-- prune on EVERY key dimension afterwards; see zorder.py)
+OPTIMIZE sales;
+
+-- hive-style sharded export: one subdir per region value
+COPY sales TO '/tmp/heracles_demo_export' PARTITION BY (region);
+
 SHOW TABLES;
 DROP INDEX by_product ON sales;
 DROP TABLE sales_east;
