@@ -432,3 +432,26 @@ def test_build_vocab_and_encode_ids(spark):
     assert list(enc[1]["ids"]) == [0, 1, 2, 0, 0]
     assert list(enc[2]["ids"]) == [1, 2, -1] and enc[2]["n_oov"] == 1
     assert list(enc[3]["ids"]) == [0, -1]
+
+
+def test_cap_per_group_two_phase_property(spark):
+    """Hypothesis: salted two-phase cap ≡ naive row_number cap for
+    arbitrary group shapes, k, and salt counts."""
+    from hypothesis import given, settings, strategies as st
+
+    from heracles_spark.operators.sampling import cap_per_group
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(st.integers(0, 4), min_size=1, max_size=60),
+           st.integers(1, 6), st.integers(1, 9))
+    def check(groups, k, n_salt):
+        rows = [(i, f"g{g}") for i, g in enumerate(groups)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        naive = sorted((r["doc_id"], r["source"]) for r in
+                       cap_per_group(df, "source", k).collect())
+        salted = sorted((r["doc_id"], r["source"]) for r in
+                        cap_per_group(df, "source", k,
+                                      n_salt=n_salt).collect())
+        assert naive == salted
+
+    check()
