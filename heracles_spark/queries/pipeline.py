@@ -2282,3 +2282,74 @@ FROM enc GROUP BY doc_id ORDER BY doc_id
 
 
 QUERIES["doc_tokenize_ids"] = (doc_tokenize_ids, TOKIDS_SQL)
+
+
+# -- runtime bloom-filter join pruning -------------------------------------
+
+def lineitem_bloom_filter_join(spark, sf_dir):
+    """Runtime filtering for selective shuffle joins: Spark injects a
+    bloom filter built from the SELECTIVE side (high-value orders) into
+    the probe side's scan, so lineitem rows that cannot join are
+    dropped BEFORE the join exchange — at 100 TB that is the difference
+    between shuffling the full fact table and shuffling the ~matching
+    slice. The tiny test corpus sits under the 10 GB
+    application-side default, so the threshold conf is lowered to let
+    the optimizer fire here; at production scale it fires on the
+    defaults. ``runtime_filter_applied`` is pinned TRUE by the oracle —
+    the value hash certifies the bloom actually landed in the plan
+    (might_contain + bloom_filter_agg). Broadcast is disabled while
+    THIS plan is constructed (runtime filters target shuffle joins; a
+    broadcast join needs none) and restored after the executed plan is
+    cached."""
+    from heracles_spark.plans import executed_plan_string
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        # the runtime filter targets shuffle joins; disable broadcast
+        # while THIS plan is constructed (restored in finally — the
+        # executed plan is cached before restore)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .where(F.col("o_totalprice") > 400000))
+        j = (l.join(o, l.l_orderkey == o.o_orderkey)
+              .groupBy("o_orderpriority")
+              .agg(F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+                    .cast("double").alias("total_qty"),
+                   F.count(F.lit(1)).alias("n_lines")))
+        # Forcing the executed plan CACHES it in the QueryExecution, so
+        # the conf restore below cannot un-inject the filter later.
+        plan = executed_plan_string(j, "simple")
+        applied = "bloomfilter" in plan.lower().replace("_", "")
+        out = (j.select("o_orderpriority", "total_qty", "n_lines",
+                        F.lit(applied).alias("runtime_filter_applied"))
+                .orderBy("o_orderpriority"))
+        executed_plan_string(out, "simple")       # cache final plan too
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+BLOOMJ_SQL = """
+SELECT o_orderpriority,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total_qty,
+       COUNT(*) AS n_lines, TRUE AS runtime_filter_applied
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > 400000
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES["lineitem_bloom_filter_join"] = (lineitem_bloom_filter_join,
+                                         BLOOMJ_SQL)
