@@ -2353,3 +2353,60 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["lineitem_bloom_filter_join"] = (lineitem_bloom_filter_join,
                                          BLOOMJ_SQL)
+
+
+# -- dynamic partition pruning ---------------------------------------------
+
+def orders_partition_pruned_join(spark, sf_dir):
+    """Dynamic partition pruning: orders re-written hive-partitioned by
+    o_orderpriority (the COPY ... PARTITION BY layout), joined to a
+    filtered dimension — Spark injects the dim's surviving keys into
+    the fact scan's PartitionFilters (dynamicpruningexpression), so
+    whole partition directories are skipped at runtime. At 100 TB this
+    is the first-line scan eliminator for star joins on partitioned
+    facts. ``dpp_applied`` is pinned TRUE by the oracle, certifying the
+    pruning expression landed in the executed plan."""
+    import tempfile
+
+    from heracles_spark.plans import executed_plan_string
+
+    base = tempfile.mkdtemp(prefix="heracles_dpp_")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    (o.write.partitionBy("o_orderpriority").mode("overwrite")
+      .parquet(f"{base}/fact"))
+    (o.select("o_orderpriority").distinct()
+      .withColumn("rank",
+                  F.substring("o_orderpriority", 1, 1).cast("int"))
+      .write.mode("overwrite").parquet(f"{base}/dim"))
+
+    fact = spark.read.parquet(f"{base}/fact")
+    dim = (spark.read.parquet(f"{base}/dim")
+                .where(F.col("rank") <= 2)
+                .select(F.col("o_orderpriority").alias("pri")))
+    j = (fact.join(dim, fact.o_orderpriority == dim.pri)
+             .groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                   .cast("double").alias("total_price")))
+    plan = executed_plan_string(j, "simple")
+    applied = "dynamicpruning" in plan.lower()
+    out = (j.select("o_orderpriority", "n_orders", "total_price",
+                    F.lit(applied).alias("dpp_applied"))
+            .orderBy("o_orderpriority"))
+    executed_plan_string(out, "simple")
+    return out
+
+
+DPP_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+         AS total_price,
+       TRUE AS dpp_applied
+FROM orders
+WHERE CAST(substring(o_orderpriority, 1, 1) AS INTEGER) <= 2
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+QUERIES["orders_partition_pruned_join"] = (orders_partition_pruned_join,
+                                           DPP_SQL)
