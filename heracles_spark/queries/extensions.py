@@ -447,3 +447,70 @@ FROM documents WHERE doc_id % 2 = 0 AND doc_id < 60
 
 QUERIES["stream_near_dup_ingest"] = (stream_near_dup_ingest,
                                      NEAR_DUP_INGEST_SQL)
+
+
+def events_kmv_users(spark, sf_dir):
+    """KMV distinct-set sketch algebra (operators/sketches.py): the
+    256-minimum-hash sketches of click-users and purchase-users yield
+    union/Jaccard/intersection ESTIMATES that are pure functions of
+    md5 hashes — the DuckDB oracle reproduces the estimator
+    bit-for-bit (not just an error contract), alongside the exact
+    intersection for reference."""
+    from heracles_spark.operators import sketches
+    from heracles_spark.queries.relational import _events
+
+    e = (_events(spark, sf_dir)
+         .where(F.col("event_type").isin("click", "purchase"))
+         .select("event_type", "user_id"))
+    sk = sketches.kmv_sketch(e, "event_type", "user_id", k=256)
+    est = sketches.kmv_compare(sk, "event_type", "click", "purchase",
+                               k=256)
+    exact = (e.groupBy("user_id")
+              .agg(F.count_distinct("event_type").alias("nt"))
+              .where(F.col("nt") == 2)
+              .agg(F.count(F.lit(1)).alias("exact_intersection")))
+    return est.crossJoin(exact)
+
+
+KMV_SQL = """
+WITH m AS (
+  SELECT DISTINCT event_type AS s,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS h
+  FROM events WHERE event_type IN ('click', 'purchase')),
+ sk AS (
+  SELECT s, h FROM (
+    SELECT s, h, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h) AS rn
+    FROM m) WHERE rn <= 256),
+ sa AS (SELECT h FROM sk WHERE s = 'click'),
+ sb AS (SELECT h FROM sk WHERE s = 'purchase'),
+ u AS (SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT h FROM (
+        SELECT h FROM sa UNION ALL SELECT h FROM sb)))
+   WHERE rn <= 256),
+ th AS (SELECT MAX(h) AS theta, COUNT(*) AS ku FROM u),
+ mt AS (SELECT COUNT(*) AS m FROM u
+        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)),
+ ex AS (SELECT COUNT(*) AS exact_intersection FROM (
+    SELECT user_id FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY user_id HAVING COUNT(DISTINCT event_type) = 2))
+SELECT
+  ROUND(CASE WHEN th.ku < 256 THEN CAST(th.ku AS DOUBLE)
+        ELSE 255 * 1152921504606846976.0 / th.theta END, 4) AS est_union,
+  ROUND(CAST(mt.m AS DOUBLE)
+        / CASE WHEN th.ku < 256 THEN CAST(th.ku AS DOUBLE)
+          ELSE 256.0 END, 6) AS est_jaccard,
+  ROUND(ROUND(CAST(mt.m AS DOUBLE)
+              / CASE WHEN th.ku < 256 THEN CAST(th.ku AS DOUBLE)
+                ELSE 256.0 END, 6)
+        * ROUND(CASE WHEN th.ku < 256 THEN CAST(th.ku AS DOUBLE)
+                ELSE 255 * 1152921504606846976.0 / th.theta END, 4), 4)
+    AS est_intersection,
+  ex.exact_intersection
+FROM th, mt, ex
+"""
+
+
+QUERIES["events_kmv_users"] = (events_kmv_users, KMV_SQL)

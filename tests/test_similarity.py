@@ -316,3 +316,47 @@ def test_ivfpq_recall(spark, vecs, pq_books):
                                  n_probe=4).collect()]
     assert len(got) == 10
     assert len(set(exact) & set(got)) >= 3
+
+
+# -- KMV distinct sketches ---------------------------------------------------
+
+def test_kmv_sketch_exact_when_small(spark):
+    from heracles_spark.operators import sketches
+
+    rows = ([("a", i) for i in range(40)]           # A = 0..39
+            + [("b", i) for i in range(20, 70)])    # B = 20..69
+    df = spark.createDataFrame(rows, "s string, member long")
+    sk = sketches.kmv_sketch(df, "s", "member", k=256)
+    est = sketches.kmv_compare(sk, "s", "a", "b", k=256).collect()[0]
+    # union 70 < k: everything exact
+    assert est["est_union"] == 70.0
+    assert est["est_jaccard"] == round(20 / 70, 6)
+    assert est["est_intersection"] == round(round(20 / 70, 6) * 70, 4)
+
+
+def test_kmv_sketch_estimates_large_sets(spark):
+    from heracles_spark.operators import sketches
+
+    rows = ([("a", i) for i in range(4000)]
+            + [("b", i) for i in range(2000, 6000)])
+    df = spark.createDataFrame(rows, "s string, member long")
+    sk = sketches.kmv_sketch(df, "s", "member", k=256)
+    est = sketches.kmv_compare(sk, "s", "a", "b", k=256).collect()[0]
+    # true union 6000, jaccard 2000/6000=0.333, intersection 2000
+    assert abs(est["est_union"] - 6000) / 6000 < 0.25
+    assert abs(est["est_jaccard"] - 1 / 3) < 0.12
+    assert abs(est["est_intersection"] - 2000) / 2000 < 0.35
+
+
+def test_kmv_sketch_partition_independent(spark):
+    from heracles_spark.operators import sketches
+
+    rows = [("a", i * 7) for i in range(1000)] + \
+           [("b", i * 11) for i in range(1000)]
+    df = spark.createDataFrame(rows, "s string, member long")
+    e1 = sketches.kmv_compare(
+        sketches.kmv_sketch(df, "s", "member"), "s", "a", "b").collect()[0]
+    e2 = sketches.kmv_compare(
+        sketches.kmv_sketch(df.repartition(13), "s", "member"),
+        "s", "a", "b").collect()[0]
+    assert e1.asDict() == e2.asDict()
