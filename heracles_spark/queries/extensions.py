@@ -514,3 +514,37 @@ FROM th, mt, ex
 
 
 QUERIES["events_kmv_users"] = (events_kmv_users, KMV_SQL)
+
+
+def stream_sliding_counts(spark, sf_dir):
+    """SLIDING windows (1h window, 15min slide — each event lands in 4
+    overlapping windows): the streaming window shape tumbling queries
+    don't touch, run to completion with a watermark. The oracle
+    expands each event into its 4 window starts arithmetically."""
+    from heracles_spark.streaming import ingest
+
+    evt = ingest.stream_events(spark, sf_dir).where(
+        F.col("event_type") == "purchase")
+    out = (evt.withWatermark("ts_evt", "2 hours")
+              .groupBy(F.window("ts_evt", "1 hour", "15 minutes")
+                        .alias("win"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    out = out.select(F.unix_micros(F.col("win.start"))
+                      .alias("window_start_us"), "n_events")
+    res = ingest.run_to_completion(out, _sink_name("stream_sliding"))
+    return res.orderBy("window_start_us")
+
+
+SLIDING_SQL = """
+WITH e AS (
+  SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+ w AS (
+  SELECT ((t // 900000000) - j) * 900000000 AS ws
+  FROM e, LATERAL (SELECT unnest(generate_series(0, 3)) AS j))
+SELECT CAST(ws AS BIGINT) AS window_start_us,
+       COUNT(*) AS n_events
+FROM w GROUP BY ws ORDER BY window_start_us
+"""
+
+
+QUERIES["stream_sliding_counts"] = (stream_sliding_counts, SLIDING_SQL)
