@@ -548,3 +548,47 @@ FROM w GROUP BY ws ORDER BY window_start_us
 
 
 QUERIES["stream_sliding_counts"] = (stream_sliding_counts, SLIDING_SQL)
+
+
+def events_rolling_dau(spark, sf_dir):
+    """Rolling 7-day distinct users per day — EXACT, via the
+    expand-and-distinct shape: each (day, user) pair replicates to the
+    7 window-end days it contributes to, then one distinct + count.
+    Rolling COUNT(DISTINCT) has no window-function form (distinct
+    state isn't mergeable across frames); the 7× replication is the
+    standard exact rewrite and shuffles O(7·|daily actives|), not
+    O(events). Day arithmetic in epoch days keeps both engines
+    integer-exact."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("long")
+    daily = (e.select(day.alias("d"), "user_id").distinct())
+    expanded = (daily.withColumn(
+        "window_end",
+        F.explode(F.expr("sequence(d, d + 6)")))
+        .select("window_end", "user_id").distinct())
+    days = daily.select("d").distinct()
+    return (expanded.join(days, expanded.window_end == days.d)
+                    .groupBy("window_end")
+                    .agg(F.count(F.lit(1)).alias("rolling_users"))
+                    .select(F.col("window_end").alias("epoch_day"),
+                            "rolling_users")
+                    .orderBy("epoch_day"))
+
+
+ROLLING_DAU_SQL = """
+WITH daily AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+ expanded AS (
+  SELECT DISTINCT d + j AS window_end, user_id
+  FROM daily, LATERAL (SELECT unnest(generate_series(0, 6)) AS j)),
+ days AS (SELECT DISTINCT d FROM daily)
+SELECT CAST(e.window_end AS BIGINT) AS epoch_day,
+       COUNT(*) AS rolling_users
+FROM expanded e JOIN days ON e.window_end = days.d
+GROUP BY e.window_end ORDER BY epoch_day
+"""
+
+
+QUERIES["events_rolling_dau"] = (events_rolling_dau, ROLLING_DAU_SQL)
