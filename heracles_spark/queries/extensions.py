@@ -592,3 +592,74 @@ GROUP BY e.window_end ORDER BY epoch_day
 
 
 QUERIES["events_rolling_dau"] = (events_rolling_dau, ROLLING_DAU_SQL)
+
+
+def events_variant_extract(spark, sf_dir):
+    """Spark 4 VARIANT ingestion: parse_json(props) → VARIANT,
+    variant_get typed extraction, aggregated per event_type — the
+    semi-structured column path (≙ modern lakehouse JSON handling;
+    the reference has no semi-structured type at all). The oracle uses
+    DuckDB's JSON extraction; integer k keeps the agg exact."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (e.select("event_type", k.alias("k"))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("k").alias("sum_k"),
+                  F.min("k").alias("min_k"),
+                  F.max("k").alias("max_k"))
+             .orderBy("event_type"))
+
+
+VARIANT_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["events_variant_extract"] = (events_variant_extract, VARIANT_SQL)
+
+
+def events_hll_union_contract(spark, sf_dir):
+    """Mergeable sketch workflow (Datasketches HLL, Spark 3.5+): build
+    one user-distinct sketch PER DAY (hll_sketch_agg), then UNION the
+    daily sketches (hll_union_agg) to answer "distinct users over the
+    whole range" — the store-daily/query-any-range pattern that makes
+    distinct counts re-aggregatable at 100 TB. Sketch bytes are
+    engine-specific, so the oracle is a CONTRACT: the union estimate
+    must sit within 3·rsd of the exact distinct count (pinned TRUE),
+    alongside the exact value."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("long")
+    daily = (e.select(day.alias("d"), "user_id")
+              .groupBy("d")
+              .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk")))
+    unioned = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, false))")
+         .alias("est"))
+    exact = e.agg(F.count_distinct("user_id").alias("exact_users"))
+    rsd = 1.04 / (2 ** 6)          # lgK=12 → rsd ≈ 1.04/sqrt(4096)
+    return (unioned.crossJoin(exact)
+            .select("exact_users",
+                    (F.abs(F.col("est") - F.col("exact_users"))
+                     <= F.lit(3 * rsd) * F.col("exact_users"))
+                    .alias("union_within_bound")))
+
+
+HLL_UNION_SQL = """
+SELECT COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS union_within_bound
+FROM events
+"""
+
+
+QUERIES["events_hll_union_contract"] = (events_hll_union_contract,
+                                        HLL_UNION_SQL)
