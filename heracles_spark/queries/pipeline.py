@@ -2410,3 +2410,45 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 
 QUERIES["orders_partition_pruned_join"] = (orders_partition_pruned_join,
                                            DPP_SQL)
+
+
+# -- approximate frequent items (approx_top_k sketch) -----------------------
+
+def doc_approx_topk_terms(spark, sf_dir):
+    """Frequent-items sketch (Spark 4 approx_top_k over exploded
+    tokens). The returned ITEM SET at the k-th boundary is
+    tie-nondeterministic, so the contract pins what is invariant:
+    (1) every returned (item, count) matches the exact term count;
+    (2) every term strictly more frequent than the least-returned
+    count is in the returned set; (3) exactly k items return. All
+    three booleans pinned TRUE by the oracle."""
+    d = _docs(spark, sf_dir)
+    terms = d.select(F.explode(text.tokens(F.col("text"))).alias("term"))
+    sk = (terms.agg(F.expr("approx_top_k(term, 10, 10000)").alias("tk"))
+               .select(F.explode("tk").alias("e"))
+               .select(F.col("e.item").alias("term"),
+                       F.col("e.count").alias("cnt")))
+    sk = sk.localCheckpoint()   # one sketch evaluation, three consumers
+    exact = terms.groupBy("term").agg(F.count(F.lit(1)).alias("xcnt"))
+    counts_match = (sk.join(exact, "term", "left")
+                      .agg((F.count(F.lit(1)) == F.sum(
+                          (F.col("cnt") == F.col("xcnt")).cast("int")))
+                          .alias("ok")))
+    min_ret = sk.agg(F.min("cnt").alias("mn"))
+    covers = (exact.crossJoin(min_ret)
+                   .where(F.col("xcnt") > F.col("mn"))
+                   .join(sk.select("term"), "term", "left_anti")
+                   .agg((F.count(F.lit(1)) == 0).alias("covers")))
+    n = sk.agg(F.count(F.lit(1)).alias("n_returned"))
+    return (n.crossJoin(counts_match).crossJoin(covers)
+             .select("n_returned", F.col("ok").alias("counts_match"),
+                     F.col("covers").alias("covers_strict")))
+
+
+TOPK_SQL = """
+SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS counts_match,
+       TRUE AS covers_strict
+"""
+
+
+QUERIES["doc_approx_topk_terms"] = (doc_approx_topk_terms, TOPK_SQL)
