@@ -663,3 +663,68 @@ FROM events
 
 QUERIES["events_hll_union_contract"] = (events_hll_union_contract,
                                         HLL_UNION_SQL)
+
+
+def events_asof_nearest(spark, sf_dir):
+    """NEAREST as-of join (direction='nearest', backward wins exact
+    ties — pandas merge_asof semantics): each purchase takes whichever
+    click is closer in time. Completes the driver-checked direction
+    matrix (backward r1+, forward r4+). The oracle carries BOTH the
+    latest-preceding and earliest-following click through the
+    union-window trick and picks the closer side with the same tie
+    rule."""
+    e = _events(spark, sf_dir)
+    purchases = (e.where(F.col("event_type") == "purchase")
+                  .select("user_id", "ts_ns", "event_id"))
+    clicks = (e.where(F.col("event_type") == "click")
+               .select("user_id", "ts_ns",
+                       F.col("ts_ns").alias("click_ts_ns")))
+    j = temporal.asof_join(purchases, clicks, on="ts_ns", by="user_id",
+                           right_cols=["click_ts_ns"],
+                           direction="nearest")
+    gap_s = F.expr("abs(ts_ns - click_ts_ns_right) div 1000000000")
+    return (j.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_purchases"),
+                  F.sum(F.when(F.col("click_ts_ns_right").isNotNull(), 1)
+                         .otherwise(0)).alias("n_matched"),
+                  F.sum(F.coalesce(gap_s, F.lit(0)))
+                   .cast("bigint").alias("total_gap_s"))
+             .where(F.col("user_id") <= 300)
+             .orderBy("user_id"))
+
+
+ASOF_NEAR_SQL = """
+WITH u AS (
+  SELECT user_id, epoch_ns(ts) AS t, 0 AS side
+  FROM events WHERE event_type = 'click'
+  UNION ALL
+  SELECT user_id, epoch_ns(ts) AS t, 1 AS side
+  FROM events WHERE event_type = 'purchase'),
+ c AS (
+  SELECT user_id, t, side,
+         MAX(CASE WHEN side = 0 THEN t END) OVER
+           (PARTITION BY user_id ORDER BY t ASC, side ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS prev_click,
+         MIN(CASE WHEN side = 0 THEN t END) OVER
+           (PARTITION BY user_id ORDER BY t DESC, side ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS next_click
+  FROM u),
+ g AS (
+  SELECT user_id,
+         CASE WHEN prev_click IS NOT NULL
+                   AND (next_click IS NULL
+                        OR t - prev_click <= next_click - t)
+              THEN t - prev_click
+              WHEN next_click IS NOT NULL THEN next_click - t END AS gap
+  FROM c WHERE side = 1)
+SELECT user_id, COUNT(*) AS n_purchases,
+       CAST(SUM(CASE WHEN gap IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(COALESCE(gap // 1000000000, 0)) AS BIGINT) AS total_gap_s
+FROM g GROUP BY user_id HAVING user_id <= 300 ORDER BY user_id
+"""
+
+
+QUERIES["events_asof_nearest"] = (events_asof_nearest, ASOF_NEAR_SQL)
