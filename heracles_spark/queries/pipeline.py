@@ -2452,3 +2452,83 @@ SELECT CAST(10 AS BIGINT) AS n_returned, TRUE AS counts_match,
 
 
 QUERIES["doc_approx_topk_terms"] = (doc_approx_topk_terms, TOPK_SQL)
+
+
+# -- BM25 ranking (rational-idf, engine-stable) ------------------------------
+
+def doc_bm25_ranking(spark, sf_dir):
+    """BM25 retrieval scoring for the query {vector, stream, merge}
+    (k1=1.2, b=0.75). Engine-stable form: the idf uses the RATIONAL
+    core (N - df + 0.5)/(df + 0.5) + 1 without the log wrapper (same
+    ranking direction, no libm last-ulp hazard — the doc_top_tfidf_term
+    precedent), and the 3 per-term scores add in FIXED column order
+    (conditional-aggregation pivot), so every float op is one
+    correctly-rounded IEEE step reproduced identically by the oracle.
+    Top 15 docs by (score DESC, doc_id)."""
+    d = _docs(spark, sf_dir)
+    qterms = ["merge", "stream", "vector"]
+
+    toks = d.select("doc_id",
+                    F.explode(text.tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("len").alias("sum_len"))
+    tf = (toks.where(F.col("term").isin(qterms))
+              .groupBy("doc_id", "term")
+              .agg(F.count(F.lit(1)).alias("tf")))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    base = (tf.join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    avglen = F.col("sum_len").cast("double") / F.col("n_docs")
+    idf = ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    tfs = (F.col("tf") * F.lit(2.2)
+           / (F.col("tf") + F.lit(1.2)
+              * (F.lit(0.25) + F.lit(0.75) * F.col("len") / avglen)))
+    scored = base.select("doc_id", "term", (idf * tfs).alias("s"))
+    per_doc = scored.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+          for t in qterms])
+    total = (F.coalesce(F.col("s_merge"), F.lit(0.0))
+             + F.coalesce(F.col("s_stream"), F.lit(0.0))
+             + F.coalesce(F.col("s_vector"), F.lit(0.0)))
+    return (per_doc.select("doc_id", F.round(total, 6).alias("bm25"))
+                   .orderBy(F.desc("bm25"), "doc_id").limit(15))
+
+
+BM25_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+ dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+ stats AS (SELECT COUNT(*) AS n_docs,
+                  CAST(SUM(len) AS BIGINT) AS sum_len FROM dl),
+ tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+        WHERE term IN ('merge', 'stream', 'vector')
+        GROUP BY doc_id, term),
+ dfr AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+ scored AS (
+  SELECT t.doc_id, t.term,
+         ((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+         * (t.tf * 2.2
+            / (t.tf + 1.2 * (0.25 + 0.75 * l.len
+                             / (CAST(s.sum_len AS DOUBLE) / s.n_docs))))
+           AS sc
+  FROM tf t JOIN dfr d USING (term) JOIN dl l USING (doc_id), stats s),
+ per_doc AS (
+  SELECT doc_id,
+         MAX(CASE WHEN term = 'merge' THEN sc END) AS s_merge,
+         MAX(CASE WHEN term = 'stream' THEN sc END) AS s_stream,
+         MAX(CASE WHEN term = 'vector' THEN sc END) AS s_vector
+  FROM scored GROUP BY doc_id)
+SELECT doc_id,
+       ROUND(COALESCE(s_merge, 0.0) + COALESCE(s_stream, 0.0)
+             + COALESCE(s_vector, 0.0), 6) AS bm25
+FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 15
+"""
+
+
+QUERIES["doc_bm25_ranking"] = (doc_bm25_ranking, BM25_SQL)
