@@ -97,7 +97,8 @@ _ALTER_DROP = re.compile(
 _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w\s,]+?)\s*\)"
-    r"(?:\s+CURVE\s+(?P<curve>HILBERT|MORTON))?)?\s*$", re.IGNORECASE)
+    r"(?:\s+CURVE\s+(?P<curve>HILBERT|MORTON))?)?"
+    r"(?:\s+REPARTITION\s+(?P<nbuckets>\d+))?\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL)
@@ -417,7 +418,10 @@ def dispatch(session, statement: str) -> DataFrame | None:
             zorder_mod.write_zordered(spark, catalog, name, df,
                                       curve=curve)
         else:
-            writer.optimize_table(spark, catalog, name)
+            # REPARTITION n re-sizes the key-range layout (≙ region
+            # split/merge in the reference's storage model)
+            nb = int(m.group("nbuckets")) if m.group("nbuckets") else None
+            writer.optimize_table(spark, catalog, name, n_buckets=nb)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None

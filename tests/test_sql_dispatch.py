@@ -356,3 +356,16 @@ def test_optimize_zorder_by(hsession, spark):
     assert {r.v for r in got} == want
     with pytest.raises(ValueError, match="key columns"):
         hsession.sql("OPTIMIZE zt ZORDER BY (a)")
+
+
+def test_optimize_repartition(hsession):
+    hsession.sql("""CREATE TABLE rp (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k', 'numBuckets'='4')""")
+    vals = ",".join(f"({i},'v{i}')" for i in range(100))
+    hsession.sql(f"INSERT INTO rp VALUES {vals}")
+    # plain OPTIMIZE re-lays out at the table's declared numBuckets
+    hsession.sql("OPTIMIZE rp")
+    assert len(hsession.sql("SHOW FILES FOR rp").collect()) == 4
+    hsession.sql("OPTIMIZE rp REPARTITION 8")
+    assert len(hsession.sql("SHOW FILES FOR rp").collect()) == 8
+    assert hsession.sql("SELECT COUNT(*) AS n FROM rp").collect()[0].n == 100
