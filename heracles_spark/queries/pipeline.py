@@ -2532,3 +2532,72 @@ FROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 15
 
 
 QUERIES["doc_bm25_ranking"] = (doc_bm25_ranking, BM25_SQL)
+
+
+def doc_bm25_indexed(spark, sf_dir):
+    """BM25 answered from an INVERTED TEXT INDEX instead of a corpus
+    scan: postings (term, doc_id, tf) land in a key-organized table
+    sorted by term, so the 3-term probe prunes to the file(s) whose
+    term range MAY contain the query — O(postings-of-terms) IO instead
+    of O(corpus), the classic retrieval access path on this engine's
+    own storage (pruned scan ≙ the reference's key-range scan).
+    Scores are identical to the scan-based doc_bm25_ranking (same
+    rational-idf arithmetic; doc lengths from a side table built by
+    the same explode); ``files_pruned`` is pinned TRUE, certifying the
+    probe skipped index files."""
+    import tempfile
+
+    from heracles_spark import pruning, writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    qterms = ["merge", "stream", "vector"]
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id",
+                    F.explode(text.tokens(F.col("text"))).alias("term"))
+    postings = (toks.groupBy("term", "doc_id")
+                    .agg(F.count(F.lit(1)).alias("tf")))
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_tidx_"))
+    cat.create_table("postings",
+                     [("term", "string"), ("doc_id", "bigint"),
+                      ("tf", "bigint")], ["term"])
+    writer.write_key_organized(spark, cat, "postings", postings,
+                               n_buckets=8)
+
+    tbl = cat.get_table("postings")
+    pred = ("in", "term", qterms)
+    keep = pruning.prune_files(tbl.files, pred, tbl.key_cols)
+    tf = pruning.scan(spark, cat, "postings", pred)
+
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.sum("len").alias("sum_len"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    base = (tf.join(F.broadcast(df_), "term")
+              .join(dl, "doc_id")
+              .crossJoin(F.broadcast(stats)))
+    avglen = F.col("sum_len").cast("double") / F.col("n_docs")
+    idf = ((F.col("n_docs") - F.col("df") + F.lit(0.5))
+           / (F.col("df") + F.lit(0.5)) + F.lit(1.0))
+    tfs = (F.col("tf") * F.lit(2.2)
+           / (F.col("tf") + F.lit(1.2)
+              * (F.lit(0.25) + F.lit(0.75) * F.col("len") / avglen)))
+    scored = base.select("doc_id", "term", (idf * tfs).alias("s"))
+    per_doc = scored.groupBy("doc_id").agg(
+        *[F.max(F.when(F.col("term") == t, F.col("s"))).alias(f"s_{t}")
+          for t in qterms])
+    total = (F.coalesce(F.col("s_merge"), F.lit(0.0))
+             + F.coalesce(F.col("s_stream"), F.lit(0.0))
+             + F.coalesce(F.col("s_vector"), F.lit(0.0)))
+    return (per_doc.select(
+                "doc_id", F.round(total, 6).alias("bm25"),
+                F.lit(len(keep) < len(tbl.files)).alias("files_pruned"))
+            .orderBy(F.desc("bm25"), "doc_id").limit(15))
+
+
+BM25_IDX_SQL = BM25_SQL.replace(
+    "SELECT doc_id,\n       ROUND(COALESCE(s_merge, 0.0) + COALESCE(s_stream, 0.0)\n             + COALESCE(s_vector, 0.0), 6) AS bm25\nFROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 15",
+    "SELECT doc_id,\n       ROUND(COALESCE(s_merge, 0.0) + COALESCE(s_stream, 0.0)\n             + COALESCE(s_vector, 0.0), 6) AS bm25,\n       TRUE AS files_pruned\nFROM per_doc ORDER BY bm25 DESC, doc_id LIMIT 15")
+
+
+QUERIES["doc_bm25_indexed"] = (doc_bm25_indexed, BM25_IDX_SQL)
