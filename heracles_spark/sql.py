@@ -63,7 +63,8 @@ _DROP = re.compile(
     re.IGNORECASE)
 _LOAD = re.compile(
     r"^\s*LOAD\s+DATA\s+(?:LOCAL\s+)?INPATH\s+'(?P<path>[^']+)'\s+"
-    r"(?P<overwrite>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<name>[\w.]+)\s*$",
+    r"(?P<overwrite>OVERWRITE\s+)?INTO\s+TABLE\s+(?P<name>[\w.]+)"
+    r"(?:\s+BAD\s+RECORDS\s+'(?P<bad>[^']+)')?\s*$",
     re.IGNORECASE)
 _INSERT_VALUES = re.compile(
     r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+"
@@ -317,7 +318,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         name = _resolve(session, m.group("name"))
         writer.bulk_load_csv(spark, catalog, name, m.group("path"),
-                             overwrite=bool(m.group("overwrite")))
+                             overwrite=bool(m.group("overwrite")),
+                             bad_records_dir=m.group("bad"))
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None

@@ -171,19 +171,58 @@ def _stage_and_move(laid_out: DataFrame, tbl: KeyTable) -> list[str]:
 
 def bulk_load_csv(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                   csv_path: str, overwrite: bool = False,
-                  n_buckets: int | None = None) -> KeyTable:
+                  n_buckets: int | None = None,
+                  bad_records_dir: str | None = None) -> KeyTable:
     """``LOAD DATA [LOCAL] INPATH`` (HBaseCatalog.loadTable,
-    HBaseCatalog.scala:507-663). Headerless CSV, empty field ⇒ NULL."""
+    HBaseCatalog.scala:507-663). Headerless CSV, empty field ⇒ NULL.
+
+    ``bad_records_dir`` enables QUARANTINE ingest: malformed lines
+    (wrong arity, un-castable values) land as raw text in the given
+    directory instead of failing the load or silently becoming NULL
+    rows — at 100 TB a bulk load WILL contain garbage lines, and the
+    operational requirements are (a) the load completes, (b) nothing
+    malformed enters the table, (c) every rejected line is kept for
+    inspection. Uses PERMISSIVE mode + columnNameOfCorruptRecord; the
+    quarantine write and the clean load scan the source once each."""
     tbl = catalog.get_table(table)
-    df = (spark.read
-          .schema(tbl.schema())
-          .option("header", "false")
-          .option("emptyValue", None)   # empty string ⇒ NULL (HadoopReader)
-          .option("nullValue", "")
-          .csv(csv_path))
-    return write_key_organized(
-        spark, catalog, table, df,
-        mode="overwrite" if overwrite else "append", n_buckets=n_buckets)
+    if bad_records_dir is None:
+        df = (spark.read
+              .schema(tbl.schema())
+              .option("header", "false")
+              .option("emptyValue", None)  # empty ⇒ NULL (HadoopReader)
+              .option("nullValue", "")
+              .csv(csv_path))
+        return write_key_organized(
+            spark, catalog, table, df,
+            mode="overwrite" if overwrite else "append",
+            n_buckets=n_buckets)
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    schema = T.StructType(tbl.schema().fields
+                          + [T.StructField("_corrupt", T.StringType(),
+                                           True)])
+    raw = (spark.read
+           .schema(schema)
+           .option("header", "false")
+           .option("emptyValue", None)
+           .option("nullValue", "")
+           .option("mode", "PERMISSIVE")
+           .option("columnNameOfCorruptRecord", "_corrupt")
+           .csv(csv_path)
+           .cache())   # one parse serves both the quarantine and the load
+    bad = raw.where(F.col("_corrupt").isNotNull()).select("_corrupt")
+    bad.write.mode("overwrite").text(bad_records_dir)
+    good = (raw.where(F.col("_corrupt").isNull())
+               .drop("_corrupt"))
+    try:
+        return write_key_organized(
+            spark, catalog, table, good,
+            mode="overwrite" if overwrite else "append",
+            n_buckets=n_buckets)
+    finally:
+        raw.unpersist()
 
 
 def insert_rows(spark: SparkSession, catalog: HeraclesCatalog, table: str,

@@ -369,3 +369,17 @@ def test_optimize_repartition(hsession):
     hsession.sql("OPTIMIZE rp REPARTITION 8")
     assert len(hsession.sql("SHOW FILES FOR rp").collect()) == 8
     assert hsession.sql("SELECT COUNT(*) AS n FROM rp").collect()[0].n == 100
+
+
+def test_load_data_bad_records(hsession, spark, tmp_path):
+    src = tmp_path / "bad_in.csv"
+    src.write_text("1,a\nnope,b\n2,c\n")
+    hsession.sql("""CREATE TABLE lq (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql(f"LOAD DATA LOCAL INPATH '{src}' INTO TABLE lq "
+                 f"BAD RECORDS '{tmp_path}/badq'")
+    rows = sorted((r.k, r.v) for r in
+                  hsession.sql("SELECT * FROM lq").collect())
+    assert rows == [(1, "a"), (2, "c")]
+    bad = [r["value"] for r in spark.read.text(f"{tmp_path}/badq").collect()]
+    assert bad == ["nope,b"]

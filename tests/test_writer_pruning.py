@@ -291,3 +291,25 @@ def test_committed_batch_markers_pruned(spark, catalog):
                                          batch_id=b)
     names = sorted(os.listdir(commits))
     assert "1.json" not in names and "2.json" in names
+
+
+def test_csv_bulk_load_quarantine(spark, catalog, tmp_path):
+    """Quarantine ingest: malformed lines go to bad_records_dir as raw
+    text; clean rows load; nothing malformed reaches the table."""
+    from heracles_spark import writer
+
+    catalog.create_table("q", [("k", "int"), ("v", "string"),
+                               ("n", "int")], ["k"])
+    src = tmp_path / "in.csv"
+    src.write_text("1,a,10\n"
+                   "oops_not_an_int,b,20\n"
+                   "2,c,not_a_number\n"
+                   "3,d,30\n")
+    writer.bulk_load_csv(spark, catalog, "q", str(src),
+                         bad_records_dir=str(tmp_path / "bad"))
+    rows = sorted((r["k"], r["v"], r["n"]) for r in
+                  catalog.read_table(spark, "q").collect())
+    assert rows == [(1, "a", 10), (3, "d", 30)]
+    bad = sorted(r["value"] for r in
+                 spark.read.text(str(tmp_path / "bad")).collect())
+    assert bad == ["2,c,not_a_number", "oops_not_an_int,b,20"]
