@@ -109,3 +109,26 @@ def test_split_statements_comment_with_apostrophe():
     assert stmts == ["SELECT 1 AS a",
                      "SELECT 'don''t; split' AS b",
                      "SELECT 2 AS c"]
+
+
+def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
+    """examples/demo.sql must run clean through the CLI -e path — the
+    user-facing tour (DDL, DML, mutations, time travel, index,
+    OPTIMIZE, sharded COPY) is a regression surface, not documentation."""
+    import os
+
+    from heracles_spark import cli
+
+    monkeypatch.setenv("HERACLES_METASTORE", str(tmp_path / "ms"))
+    script = open(os.path.join(os.path.dirname(cli.__file__), "..",
+                               "examples", "demo.sql")).read()
+    script = script.replace("/tmp/heracles_demo_export",
+                            str(tmp_path / "export"))
+    rc = cli.main(["-e", script])
+    assert rc in (0, None)
+    out = capsys.readouterr().out
+    assert "Error" not in out
+    # the sharded export materialized per-region subdirs
+    assert sorted(d for d in os.listdir(tmp_path / "export")
+                  if d.startswith("region=")) == ["region=east",
+                                                  "region=west"]
