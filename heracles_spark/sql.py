@@ -143,6 +143,15 @@ _COPY_TO = re.compile(
     r"(?:\s+FORMAT\s+(?P<fmt>\w+))?"
     r"(?:\s+PARTITION\s+BY\s*\(\s*(?P<pcols>[\w\s,]+?)\s*\))?"
     r"\s*$", re.IGNORECASE)
+_CREATE_TEXT_INDEX = re.compile(
+    r"^\s*CREATE\s+TEXT\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)\s*$", re.IGNORECASE)
+_REFRESH_TEXT_INDEX = re.compile(
+    r"^\s*REFRESH\s+TEXT\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_DROP_TEXT_INDEX = re.compile(
+    r"^\s*DROP\s+TEXT\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
     r"\(\s*(?P<col>[\w\s,]+?)\s*\)"
@@ -557,6 +566,29 @@ def dispatch(session, statement: str) -> DataFrame | None:
         getattr(w, fmt)(m.group("path"))
         return spark.createDataFrame(
             [(df.count(), fmt)], "rows_copied: long, format: string")
+
+    m = _CREATE_TEXT_INDEX.match(statement)
+    if m:
+        from heracles_spark import textindex
+        name = _resolve(session, m.group("name"))
+        textindex.create_text_index(spark, catalog, name,
+                                    m.group("col"), m.group("iname"))
+        return None
+
+    m = _REFRESH_TEXT_INDEX.match(statement)
+    if m:
+        from heracles_spark import textindex
+        name = _resolve(session, m.group("name"))
+        textindex.refresh_text_index(spark, catalog, name,
+                                     m.group("iname"))
+        return None
+
+    m = _DROP_TEXT_INDEX.match(statement)
+    if m:
+        from heracles_spark import textindex
+        name = _resolve(session, m.group("name"))
+        textindex.drop_text_index(spark, catalog, name, m.group("iname"))
+        return None
 
     m = _CREATE_INDEX.match(statement)
     if m:

@@ -383,3 +383,26 @@ def test_load_data_bad_records(hsession, spark, tmp_path):
     assert rows == [(1, "a"), (2, "c")]
     bad = [r["value"] for r in spark.read.text(f"{tmp_path}/badq").collect()]
     assert bad == ["nope,b"]
+
+
+def test_create_text_index_flow(hsession, spark):
+    hsession.sql("""CREATE TABLE docs_ti (id INT, body STRING)
+                    TBLPROPERTIES('keyCols'='id')""")
+    hsession.sql("INSERT INTO docs_ti VALUES "
+                 "(1,'spark streams data fast'),"
+                 "(2,'spark joins tables'),(3,'ducks swim fast')")
+    hsession.sql("CREATE TEXT INDEX bodyidx ON docs_ti (body)")
+    # postings table is a first-class queryable key table
+    rows = sorted((r.term, r.id, r.tf) for r in hsession.sql(
+        "SELECT term, id, tf FROM docs_ti__tidx_bodyidx "
+        "WHERE term = 'spark'").collect())
+    assert rows == [("spark", 1, 1), ("spark", 2, 1)]
+    # refresh reflects base mutations (exact rebuild)
+    hsession.sql("INSERT INTO docs_ti VALUES (4,'more spark')")
+    hsession.sql("REFRESH TEXT INDEX bodyidx ON docs_ti")
+    n = hsession.sql("SELECT COUNT(*) AS n FROM docs_ti__tidx_bodyidx "
+                     "WHERE term = 'spark'").collect()[0].n
+    assert n == 3
+    hsession.sql("DROP TEXT INDEX bodyidx ON docs_ti")
+    tables = {r.tableName for r in hsession.sql("SHOW TABLES").collect()}
+    assert "docs_ti__tidx_bodyidx" not in tables
