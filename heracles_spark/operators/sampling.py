@@ -141,7 +141,11 @@ def weighted_sample(df: DataFrame, weight_col: str, k: int,
     shuffle of the full table at any size."""
     pri = (_md5_u32(F.col(id_col)).cast("double")
            / F.col(weight_col).cast("double"))
-    return (df.withColumn("__pri", pri)
+    # weight ≤ 0 or NULL ⇒ never sampled (a zero-weight row has zero
+    # inclusion probability; a negative weight would sort ABOVE every
+    # positive-weight row through the sign flip — clearly wrong)
+    return (df.where(F.col(weight_col) > 0)
+              .withColumn("__pri", pri)
               .orderBy("__pri", id_col).limit(k).drop("__pri"))
 
 

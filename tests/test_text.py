@@ -455,3 +455,12 @@ def test_cap_per_group_two_phase_property(spark):
         assert naive == salted
 
     check()
+
+
+def test_weighted_sample_nonpositive_weights_excluded(spark):
+    from heracles_spark.operators.sampling import weighted_sample
+
+    rows = [(1, 10), (2, 0), (3, -5), (4, None), (5, 10)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    kept = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
+    assert kept == {1, 5}
