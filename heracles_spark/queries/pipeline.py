@@ -2601,3 +2601,87 @@ BM25_IDX_SQL = BM25_SQL.replace(
 
 
 QUERIES["doc_bm25_indexed"] = (doc_bm25_indexed, BM25_IDX_SQL)
+
+
+# -- winnowing fingerprint near-dup pairs ----------------------------------
+
+def doc_winnowing_pairs(spark, sf_dir):
+    """Winnowing-style fingerprint matching (the MOSS scheme family):
+    hash word-4-grams, SELECT positions whose hash is the minimum
+    within a ±4-position window (the local-minimum winnowing variant —
+    window-expressible, guarantees selections spread through the doc),
+    and pair documents sharing ≥ 3 selected fingerprints. Because the
+    gram hash is md5-derived (not engine-private), the ENTIRE pipeline
+    — selection, pairing, counts — is value-exact on both engines: a
+    full oracle, no recall contract needed. Selection density ~1/w
+    keeps the pair join on ~25% of grams; the bucket cap (≤ 50 docs
+    per fingerprint) is the same degenerate-value skew guard the LSH
+    banding uses."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    n, w, min_shared = 4, 5, 3
+    toks = d.select("doc_id",
+                    F.col("text").alias("__t")) \
+            .select("doc_id",
+                    text.tokens(F.col("__t")).alias("__toks")) \
+            .where(F.array_size("__toks") >= n)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, array_size(__toks) - {n}), "
+            f"i -> concat_ws(' ', slice(__toks, i + 1, {n})))"
+        )).alias("pos", "gram"))
+    h = F.conv(F.substring(F.md5(F.col("gram")), 1, 15), 16, 10) \
+         .cast("long")
+    hashed = grams.select("doc_id", "pos", h.alias("h"))
+    win = (Window.partitionBy("doc_id").orderBy("pos")
+                 .rowsBetween(-(w - 1), w - 1))
+    sel = (hashed.withColumn("__mn", F.min("h").over(win))
+                 .where(F.col("h") == F.col("__mn"))
+                 .select("doc_id", "h").distinct())
+    # skew guard: a fingerprint shared by a degenerate number of docs
+    # is a stop-gram, not a near-dup signal
+    ok = (sel.groupBy("h").agg(F.count(F.lit(1)).alias("__n"))
+             .where(F.col("__n") <= 50).select("h"))
+    s2 = sel.join(ok, "h")
+    a = s2.select(F.col("doc_id").alias("id_a"), "h")
+    b = s2.select(F.col("doc_id").alias("id_b"), "h")
+    return (a.join(b, "h")
+             .where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).alias("n_shared"))
+             .where(F.col("n_shared") >= min_shared)
+             .orderBy("id_a", "id_b"))
+
+
+WINNOW_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS nt
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 4),
+ posd AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt - 3)) AS gs FROM toks),
+ hashed AS (
+  SELECT doc_id, gs - 1 AS pos,
+         CAST(('0x' || substring(md5(
+             array_to_string(list_slice(t, gs, gs + 3), ' ')), 1, 15))
+              AS BIGINT) AS h
+  FROM posd),
+ sel AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, h,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN 4 PRECEDING AND 4 FOLLOWING) AS mn
+    FROM hashed) WHERE h = mn),
+ ok AS (SELECT h FROM sel GROUP BY h HAVING COUNT(*) <= 50),
+ s2 AS (SELECT sel.doc_id, sel.h FROM sel JOIN ok USING (h))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+FROM s2 a JOIN s2 b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 3
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES["doc_winnowing_pairs"] = (doc_winnowing_pairs, WINNOW_SQL)
