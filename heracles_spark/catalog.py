@@ -28,6 +28,7 @@ import copy
 import json
 import os
 import threading
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any
@@ -312,6 +313,7 @@ class HeraclesCatalog:
             "v": 1, "op": f"clone:{src}@v{s.version}",
             "n_files": len(tbl.files),
             "rows": sum(f.get("rows", 0) for f in tbl.files),
+            "ts": time.time(),
             "paths": [f["path"] for f in tbl.files],
         }]
         self._save(tbl)
@@ -446,12 +448,25 @@ class HeraclesCatalog:
             "rows": sum(f.get("rows", 0) for f in tbl.files),
             "paths": [f["path"] for f in tbl.files],
             "columns": [list(c) for c in tbl.columns],
+            "ts": time.time(),
         })
         tbl.history = tbl.history[-self.HISTORY_MAX:]
         if self._txn is not None:
             return tbl                  # buffered; persisted at COMMIT
         self._save(tbl)
         return tbl
+
+    def version_at(self, name: str, epoch_s: float) -> int:
+        """Newest version committed at or before ``epoch_s`` —
+        `TIMESTAMP AS OF` resolution. Entries predating the ts stamp
+        count as time 0 (always eligible)."""
+        tbl = self.get_table(name)
+        elig = [h["v"] for h in tbl.history
+                if h.get("ts", 0.0) <= epoch_s]
+        if not elig:
+            raise CatalogError(
+                f"no version of {name!r} existed at ts {epoch_s}")
+        return max(elig)
 
     # -- Spark integration -------------------------------------------------
 

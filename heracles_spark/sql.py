@@ -118,6 +118,8 @@ _REFRESH_ROLLUP = re.compile(
     r"^\s*REFRESH\s+ROLLUP\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _VERSION_ASOF = re.compile(
     r"\b([\w.]+)\s+VERSION\s+AS\s+OF\s+(\d+)", re.IGNORECASE)
+_TS_ASOF = re.compile(
+    r"\b([\w.]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'", re.IGNORECASE)
 _RESTORE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
     r"(?P<v>\d+)\s*$", re.IGNORECASE)
@@ -722,7 +724,27 @@ def dispatch(session, statement: str) -> DataFrame | None:
                .createOrReplaceTempView(view)
         return view
 
-    return spark.sql(_VERSION_ASOF.sub(_asof, statement))
+    def _ts_asof(m):
+        name = _resolve(session, m.group(1))
+        if not catalog.table_exists(name):
+            return m.group(0)
+        raw = m.group(2)
+        try:
+            epoch = float(raw)
+        except ValueError:
+            from datetime import datetime, timezone
+            dt = datetime.fromisoformat(raw)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)   # naive ⇒ UTC
+            epoch = dt.timestamp()
+        v = catalog.version_at(name, epoch)
+        view = f"{catalog.view_name(name)}__v{v}"
+        catalog.read_table(spark, name, version=v) \
+               .createOrReplaceTempView(view)
+        return view
+
+    return spark.sql(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
+        _ts_asof, statement)))
 
 
 def _parse_merge(statement: str):

@@ -233,3 +233,32 @@ def test_time_travel_across_alter(hsession, spark, catalog):
     old = catalog.read_table(spark, "t", version=v1)
     assert old.columns == ["k", "v"]
     assert old.count() == 5
+
+
+def test_timestamp_as_of(hsession):
+    import time
+
+    hsession.sql("""CREATE TABLE tta (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO tta VALUES (1,'a')")
+    t_mid = time.time()
+    time.sleep(0.05)
+    hsession.sql("INSERT INTO tta VALUES (2,'b')")
+    now = hsession.sql("SELECT COUNT(*) AS n FROM tta").collect()[0].n
+    assert now == 2
+    # epoch-float form
+    old = hsession.sql(
+        f"SELECT COUNT(*) AS n FROM tta TIMESTAMP AS OF '{t_mid}'"
+    ).collect()[0].n
+    assert old == 1
+    # ISO form (UTC)
+    from datetime import datetime, timezone
+    iso = datetime.fromtimestamp(t_mid, tz=timezone.utc).isoformat()
+    old2 = hsession.sql(
+        f"SELECT COUNT(*) AS n FROM tta TIMESTAMP AS OF '{iso}'"
+    ).collect()[0].n
+    assert old2 == 1
+    # a pre-creation timestamp errors clearly
+    import pytest
+    with pytest.raises(Exception, match="no version"):
+        hsession.sql("SELECT * FROM tta TIMESTAMP AS OF '1.0'").collect()
