@@ -728,3 +728,53 @@ FROM g GROUP BY user_id HAVING user_id <= 300 ORDER BY user_id
 
 
 QUERIES["events_asof_nearest"] = (events_asof_nearest, ASOF_NEAR_SQL)
+
+
+def events_value_outliers(spark, sf_dir):
+    """Per-type z-score outlier detection: mean/std from decimal-EXACT
+    sums (the stats_moments discipline — native stddev accumulates in
+    engine-specific order), then flag |value - mean| > 3·std. sqrt is
+    IEEE-correctly-rounded, so the whole pipeline stays
+    cross-engine-exact. The per-type stats broadcast back onto the
+    event stream — the standard two-pass anomaly scan."""
+    from pyspark.sql import Window
+
+    from heracles_spark.queries.relational import _dsum, _events
+
+    e = _events(spark, sf_dir).select("event_type", "event_id", "value")
+    n = F.count(F.lit(1)).cast("double")
+    sx = _dsum(F.col("value"))
+    sxx = _dsum(F.col("value") * F.col("value"), 8)
+    var = (sxx - sx * sx / n) / (n - 1)
+    stats = (e.groupBy("event_type")
+              .agg(n.alias("__n"), (sx / n).alias("__mean"),
+                   F.sqrt(var).alias("__std")))
+    flagged = (e.join(F.broadcast(stats), "event_type")
+                .where(F.abs(F.col("value") - F.col("__mean"))
+                       > 3 * F.col("__std")))
+    return (flagged.groupBy("event_type")
+                   .agg(F.count(F.lit(1)).alias("n_outliers"),
+                        F.min("event_id").alias("first_outlier_id"))
+                   .orderBy("event_type"))
+
+
+OUTLIER_SQL = """
+WITH s AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,8))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type),
+ st AS (
+  SELECT event_type, sx / n AS mean,
+         sqrt((sxx - sx * sx / n) / (n - 1)) AS std
+  FROM s)
+SELECT e.event_type, COUNT(*) AS n_outliers,
+       MIN(e.event_id) AS first_outlier_id
+FROM events e JOIN st ON e.event_type = st.event_type
+WHERE abs(e.value - st.mean) > 3 * st.std
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+
+
+QUERIES["events_value_outliers"] = (events_value_outliers, OUTLIER_SQL)

@@ -123,6 +123,9 @@ _TS_ASOF = re.compile(
 _RESTORE = re.compile(
     r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+VERSION\s+AS\s+OF\s+"
     r"(?P<v>\d+)\s*$", re.IGNORECASE)
+_RESTORE_TS = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+(?P<name>[\w.]+)\s+TO\s+TIMESTAMP\s+AS\s+OF"
+    r"\s+'(?P<ts>[^']+)'\s*$", re.IGNORECASE)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?P<name>[\w.]+)"
     r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
@@ -470,6 +473,23 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         name = _resolve(session, m.group("name"))
         writer.restore_table(catalog, name, int(m.group("v")))
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return None
+
+    m = _RESTORE_TS.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        raw = m.group("ts")
+        try:
+            epoch = float(raw)
+        except ValueError:
+            from datetime import datetime, timezone
+            dt = datetime.fromisoformat(raw)
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=timezone.utc)
+            epoch = dt.timestamp()
+        writer.restore_table(catalog, name, catalog.version_at(name, epoch))
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None

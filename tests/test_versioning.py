@@ -262,3 +262,18 @@ def test_timestamp_as_of(hsession):
     import pytest
     with pytest.raises(Exception, match="no version"):
         hsession.sql("SELECT * FROM tta TIMESTAMP AS OF '1.0'").collect()
+
+
+def test_restore_to_timestamp(hsession):
+    import time
+
+    hsession.sql("""CREATE TABLE ttr (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO ttr VALUES (1,'a')")
+    t_mid = time.time()
+    time.sleep(0.05)
+    hsession.sql("INSERT INTO ttr VALUES (2,'b')")
+    hsession.sql(f"RESTORE TABLE ttr TO TIMESTAMP AS OF '{t_mid}'")
+    rows = sorted((r.k, r.v) for r in
+                  hsession.sql("SELECT * FROM ttr").collect())
+    assert rows == [(1, "a")]
