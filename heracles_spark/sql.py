@@ -548,9 +548,13 @@ def dispatch(session, statement: str) -> DataFrame | None:
         import json as _json
         tbl = catalog.get_table(_resolve(session, m.group("name")))
         idx = _json.loads(tbl.properties.get("indexes", "{}"))
-        rows = [(n, e["col"], e["table"],
-                 e["built_version"] == tbl.version)
-                for n, e in sorted(idx.items())]
+        tidx = _json.loads(tbl.properties.get("text_indexes", "{}"))
+        rows = ([(n, e["col"], e["table"],
+                  e["built_version"] == tbl.version)
+                 for n, e in sorted(idx.items())]
+                + [(f"{n} (text)", e["col"], e["table"],
+                    e["built_version"] == tbl.version)
+                   for n, e in sorted(tidx.items())])
         return spark.createDataFrame(
             rows, "index_name: string, column: string, "
                   "index_table: string, fresh: boolean")

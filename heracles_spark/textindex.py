@@ -19,8 +19,22 @@ so exactness-by-rebuild is the honest default).
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
+
+_PROP = "text_indexes"
+
+
+def _registry(tbl) -> dict:
+    return json.loads(tbl.properties.get(_PROP, "{}"))
+
+
+def _commit_registry(catalog, table: str, reg: dict, op: str) -> None:
+    catalog.update_file_index(table, catalog.get_table(table).files,
+                              append=False, op=op,
+                              properties={_PROP: json.dumps(reg)})
 
 
 def _postings_name(table: str, iname: str) -> str:
@@ -56,6 +70,10 @@ def create_text_index(spark: SparkSession, catalog, table: str,
                                mode="overwrite", n_buckets=n_buckets)
     catalog.read_table(spark, name).createOrReplaceTempView(
         catalog.view_name(name))
+    reg = _registry(tbl)
+    reg[iname] = {"col": text_col, "table": name,
+                  "built_version": catalog.get_table(table).version + 1}
+    _commit_registry(catalog, table, reg, f"create-text-index:{iname}")
     return catalog.get_table(name)
 
 
@@ -82,9 +100,20 @@ def refresh_text_index(spark: SparkSession, catalog, table: str,
                                mode="overwrite")
     catalog.read_table(spark, name).createOrReplaceTempView(
         catalog.view_name(name))
+    reg = _registry(catalog.get_table(table))
+    if iname in reg:
+        reg[iname]["built_version"] = \
+            catalog.get_table(table).version + 1
+        _commit_registry(catalog, table, reg,
+                         f"refresh-text-index:{iname}")
     return catalog.get_table(name)
 
 
 def drop_text_index(spark: SparkSession, catalog, table: str,
                     iname: str) -> None:
     catalog.drop_table(_postings_name(table, iname))
+    reg = _registry(catalog.get_table(table))
+    if iname in reg:
+        del reg[iname]
+        _commit_registry(catalog, table, reg,
+                         f"drop-text-index:{iname}")

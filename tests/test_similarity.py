@@ -360,3 +360,25 @@ def test_kmv_sketch_partition_independent(spark):
         sketches.kmv_sketch(df.repartition(13), "s", "member"),
         "s", "a", "b").collect()[0]
     assert e1.asDict() == e2.asDict()
+
+
+def test_kmv_sketch_property_exact_below_k(spark):
+    """Hypothesis: whenever |A ∪ B| < k the KMV estimates are EXACT."""
+    from hypothesis import given, settings, strategies as st
+
+    from heracles_spark.operators import sketches
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.sets(st.integers(0, 10_000), min_size=1, max_size=60),
+           st.sets(st.integers(0, 10_000), min_size=1, max_size=60))
+    def check(a, b):
+        rows = [("a", v) for v in a] + [("b", v) for v in b]
+        df = spark.createDataFrame(rows, "s string, member long")
+        sk = sketches.kmv_sketch(df, "s", "member", k=256)
+        est = sketches.kmv_compare(sk, "s", "a", "b",
+                                   k=256).collect()[0]
+        u, i = len(a | b), len(a & b)
+        assert est["est_union"] == float(u)
+        assert est["est_jaccard"] == round(i / u, 6)
+
+    check()

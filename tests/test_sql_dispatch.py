@@ -403,6 +403,12 @@ def test_create_text_index_flow(hsession, spark):
     n = hsession.sql("SELECT COUNT(*) AS n FROM docs_ti__tidx_bodyidx "
                      "WHERE term = 'spark'").collect()[0].n
     assert n == 3
+    # visible (and fresh) in SHOW INDEXES alongside secondary indexes
+    shown = {r.index_name: r.fresh for r in
+             hsession.sql("SHOW INDEXES ON docs_ti").collect()}
+    assert shown.get("bodyidx (text)") is True
     hsession.sql("DROP TEXT INDEX bodyidx ON docs_ti")
     tables = {r.tableName for r in hsession.sql("SHOW TABLES").collect()}
     assert "docs_ti__tidx_bodyidx" not in tables
+    assert not any("bodyidx" in r.index_name for r in
+                   hsession.sql("SHOW INDEXES ON docs_ti").collect())
