@@ -2685,3 +2685,98 @@ ORDER BY id_a, id_b
 
 
 QUERIES["doc_winnowing_pairs"] = (doc_winnowing_pairs, WINNOW_SQL)
+
+
+# -- end-to-end near-dup curation ------------------------------------------
+
+_QUALITY_SQL_EXPR = """ROUND(0.4 * least(len(string_split_regex(trim(lower(text)),
+                                                  '\\s+')) / 100.0, 1.0)
+             + 0.4 * greatest(0.0, 1.0 - 2 * (
+                 (length(regexp_replace(text,
+                     '[^.,;:!?''"()\\[\\]{}-]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE))
+               + (length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  / CAST(length(text) AS DOUBLE))))
+             + 0.2 * least(4.0 * len(list_filter(
+                   string_split_regex(trim(lower(text)), '\\s+'),
+                   t -> list_contains(['the','and','of','to','in','is',
+                     'that','it','for','was','on','are','with','as','at',
+                     'this','have','from','or'], t)))
+                 / len(string_split_regex(trim(lower(text)), '\\s+')),
+                 1.0), 6)"""
+
+
+def doc_near_dedup_curation(spark, sf_dir):
+    """The full near-dup CURATION recipe in one query: SimHash
+    hamming-≤3 edges → connected components → ONE canonical doc per
+    cluster (highest quality score, id tie-break; singletons keep
+    themselves) → per-lang kept/dropped accounting. Composes the
+    iterative graph operator with the quality ranker under a full
+    value oracle (edges + closure + ranking all SQL-reproducible)."""
+    from pyspark.sql import Window
+
+    from heracles_spark.operators.graph import connected_components
+
+    d = text.with_quality_score(_docs(spark, sf_dir))
+    pairs = dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), k=3,
+                                         hash_fn="md5")
+    comp = connected_components(pairs, algorithm="label", max_iter=8)
+    labeled = (d.join(comp.withColumnRenamed("id", "doc_id"),
+                      "doc_id", "left")
+                .withColumn("component",
+                            F.coalesce(F.col("component"),
+                                       F.col("doc_id"))))
+    w = (Window.partitionBy("component")
+               .orderBy(F.desc("quality_score"), F.col("doc_id")))
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("lang")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum((F.col("rn") == 1).cast("long"))
+                        .alias("n_kept"),
+                       F.sum((F.col("rn") > 1).cast("long"))
+                        .alias("n_dropped"))
+                  .orderBy("lang"))
+
+
+CURATION_SQL = f"""
+WITH RECURSIVE ex AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+ th AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) AS h
+  FROM ex),
+ votes AS (SELECT doc_id, {{_SH_VOTES}} FROM th GROUP BY doc_id),
+ sigs AS (SELECT doc_id, {{_SH_SIG}} AS simhash FROM votes),
+ edges AS (
+  SELECT a.doc_id AS u, b.doc_id AS v
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+ sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+ reach(n, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n),
+ labels AS (SELECT n AS id, MIN(r) AS component FROM reach GROUP BY n),
+ comp AS (
+  SELECT d.doc_id, d.lang, COALESCE(l.component, d.doc_id) AS component,
+         {_QUALITY_SQL_EXPR} AS q
+  FROM documents d LEFT JOIN labels l ON d.doc_id = l.id),
+ ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+              ORDER BY q DESC, doc_id) AS rn
+  FROM comp)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+CURATION_SQL = (CURATION_SQL
+                .replace("{_SH_VOTES}", _SH_VOTES)
+                .replace("{_SH_SIG}", _SH_SIG))
+
+
+QUERIES["doc_near_dedup_curation"] = (doc_near_dedup_curation,
+                                      CURATION_SQL)
