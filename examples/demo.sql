@@ -35,6 +35,12 @@ SELECT COUNT(*) AS n_now FROM sales;
 CREATE INDEX by_product ON sales (product);
 SELECT id, amount FROM sales WHERE product = 'gadget';
 
+-- inverted text index: postings are a queryable key table
+CREATE TEXT INDEX prodidx ON sales (product);
+SELECT term, id, tf FROM sales__tidx_prodidx WHERE term = 'widget';
+SHOW INDEXES ON sales;
+DROP TEXT INDEX prodidx ON sales;
+
 -- compaction through the space-filling-curve layout (multi-key tables
 -- prune on EVERY key dimension afterwards; see zorder.py)
 OPTIMIZE sales;
