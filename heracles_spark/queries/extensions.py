@@ -778,3 +778,67 @@ GROUP BY e.event_type ORDER BY e.event_type
 
 
 QUERIES["events_value_outliers"] = (events_value_outliers, OUTLIER_SQL)
+
+
+def events_funnel_3step(spark, sf_dir):
+    """Three-step ordered funnel (signup → first click after signup →
+    first purchase after that click): per-step user counts plus total
+    signup→purchase latency over full converters. Each step is one
+    min-aggregation over the co-partitioned user shuffle — the n-step
+    funnel stays a chain of conditional min-aggs, never a
+    sequence-explosion join."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+
+    def first_after(etype, after_col, base):
+        ev = (e.where(F.col("event_type") == etype)
+               .select("user_id", F.col("ts_ns").alias("__t")))
+        return (base.join(ev, "user_id", "left")
+                    .withColumn("__ok", F.col("__t") >= F.col(after_col))
+                    .groupBy(*base.columns)
+                    .agg(F.min(F.when(F.col("__ok"), F.col("__t")))
+                          .alias(f"first_{etype}_ns")))
+
+    s1 = (e.where(F.col("event_type") == "signup")
+           .groupBy("user_id")
+           .agg(F.min("ts_ns").alias("first_signup_ns")))
+    s2 = first_after("click", "first_signup_ns", s1)
+    s3 = first_after("purchase", "first_click_ns", s2)
+    lat_s = F.expr(
+        "(first_purchase_ns - first_signup_ns) div 1000000000")
+    return s3.agg(
+        F.count(F.lit(1)).alias("n_signed_up"),
+        F.count("first_click_ns").alias("n_clicked_after"),
+        F.count("first_purchase_ns").alias("n_purchased_after"),
+        F.sum(F.when(F.col("first_purchase_ns").isNotNull(), lat_s))
+         .cast("bigint").alias("total_latency_s"))
+
+
+FUNNEL3_SQL = """
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_ns(ts)) AS s_ns
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+ s2 AS (
+  SELECT s1.user_id, s1.s_ns, MIN(epoch_ns(e.ts)) AS c_ns
+  FROM s1 LEFT JOIN events e
+    ON e.user_id = s1.user_id AND e.event_type = 'click'
+   AND epoch_ns(e.ts) >= s1.s_ns
+  GROUP BY s1.user_id, s1.s_ns),
+ s3 AS (
+  SELECT s2.user_id, s2.s_ns, s2.c_ns, MIN(epoch_ns(e.ts)) AS p_ns
+  FROM s2 LEFT JOIN events e
+    ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+   AND epoch_ns(e.ts) >= s2.c_ns
+  GROUP BY s2.user_id, s2.s_ns, s2.c_ns)
+SELECT COUNT(*) AS n_signed_up,
+       COUNT(c_ns) AS n_clicked_after,
+       COUNT(p_ns) AS n_purchased_after,
+       CAST(SUM(CASE WHEN p_ns IS NOT NULL
+                     THEN (p_ns - s_ns) // 1000000000 END) AS BIGINT)
+         AS total_latency_s
+FROM s3
+"""
+
+
+QUERIES["events_funnel_3step"] = (events_funnel_3step, FUNNEL3_SQL)
