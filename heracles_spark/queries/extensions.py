@@ -842,3 +842,45 @@ FROM s3
 
 
 QUERIES["events_funnel_3step"] = (events_funnel_3step, FUNNEL3_SQL)
+
+
+def events_stickiness(spark, sf_dir):
+    """DAU/WAU stickiness per day: daily distinct users over rolling
+    7-day distinct users (the expand-and-distinct rewrite from
+    events_rolling_dau), one exact division rounded to 6 — the
+    engagement ratio dashboards plot."""
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir)
+    day = (F.col("ts_ns") / F.lit(86_400_000_000_000)).cast("long")
+    daily = e.select(day.alias("d"), "user_id").distinct()
+    dau = daily.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    wau = (daily.withColumn("window_end",
+                            F.explode(F.expr("sequence(d, d + 6)")))
+                .select("window_end", "user_id").distinct()
+                .groupBy("window_end")
+                .agg(F.count(F.lit(1)).alias("wau")))
+    return (dau.join(wau, dau.d == wau.window_end)
+               .select(F.col("d").alias("epoch_day"), "dau", "wau",
+                       F.round(F.col("dau").cast("double")
+                               / F.col("wau"), 6).alias("stickiness"))
+               .orderBy("epoch_day"))
+
+
+STICKINESS_SQL = """
+WITH daily AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS d, user_id FROM events),
+ dau AS (SELECT d, COUNT(*) AS dau FROM daily GROUP BY d),
+ wau AS (
+  SELECT window_end, COUNT(*) AS wau FROM (
+    SELECT DISTINCT d + j AS window_end, user_id
+    FROM daily, LATERAL (SELECT unnest(generate_series(0, 6)) AS j))
+  GROUP BY window_end)
+SELECT CAST(dau.d AS BIGINT) AS epoch_day, dau.dau, wau.wau,
+       ROUND(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.window_end
+ORDER BY epoch_day
+"""
+
+
+QUERIES["events_stickiness"] = (events_stickiness, STICKINESS_SQL)
