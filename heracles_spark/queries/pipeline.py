@@ -2780,3 +2780,51 @@ CURATION_SQL = (CURATION_SQL
 
 QUERIES["doc_near_dedup_curation"] = (doc_near_dedup_curation,
                                       CURATION_SQL)
+
+
+def embedding_dim_stats(spark, sf_dir):
+    """Per-dimension corpus statistics — the embedding health check
+    (dead dims, scale drift, variance collapse) run before indexing a
+    vector corpus. Mean and variance from integer-microunit sums
+    (order-free exact, the label_centroids discipline; sum of squares
+    in micro² units) with single rounded divisions at the end."""
+    e = _embs(spark, sf_dir)
+    x = F.col("x").cast("double")
+    micro = F.round(x * 1_000_000).cast("long")
+    stats = (e.select(F.posexplode("embedding").alias("dim", "x"))
+              .select("dim", micro.alias("m"))
+              .groupBy("dim")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum("m").alias("s1"),
+                   F.sum(F.col("m") * F.col("m")).alias("s2")))
+    n = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / n / 1e6
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / n)
+           / (n - 1)) / 1e12
+    return (stats.select("dim", "n",
+                         F.round(mean, 6).alias("mean"),
+                         F.round(var, 6).alias("variance"))
+                 .orderBy("dim"))
+
+
+DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT CAST(gs - 1 AS INTEGER) AS dim,
+         CAST(ROUND(CAST(embedding[gs] AS DOUBLE) * 1000000)
+              AS BIGINT) AS m
+  FROM embeddings,
+       LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS gs)),
+ s AS (SELECT dim, COUNT(*) AS n,
+              CAST(SUM(m) AS BIGINT) AS s1,
+              CAST(SUM(m * m) AS BIGINT) AS s2
+       FROM ex GROUP BY dim)
+SELECT dim, n,
+       ROUND(CAST(s1 AS DOUBLE) / n / 1e6, 6) AS mean,
+       ROUND((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+             / (n - 1) / 1e12, 6) AS variance
+FROM s ORDER BY dim
+"""
+
+
+QUERIES["embedding_dim_stats"] = (embedding_dim_stats, DIM_STATS_SQL)
