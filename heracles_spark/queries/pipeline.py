@@ -2828,3 +2828,37 @@ FROM s ORDER BY dim
 
 
 QUERIES["embedding_dim_stats"] = (embedding_dim_stats, DIM_STATS_SQL)
+
+
+def doc_source_diversity(spark, sf_dir):
+    """Corpus diversity per lang: Gini-Simpson index 1 − Σ pᵢ² over
+    the source distribution — the mix-health metric a corpus builder
+    watches (0 = one source dominates, →1 = evenly mixed). Chosen over
+    Shannon entropy deliberately: it is RATIONAL in the counts (two
+    exact integer aggs + one rounded division chain), so the value is
+    engine-exact with no libm log in sight."""
+    d = _docs(spark, sf_dir)
+    per = (d.groupBy("lang", "source")
+            .agg(F.count(F.lit(1)).alias("c")))
+    return (per.groupBy("lang")
+               .agg(F.sum("c").alias("n_docs"),
+                    F.count(F.lit(1)).alias("n_sources"),
+                    F.round(F.lit(1.0)
+                            - F.sum(F.col("c") * F.col("c")).cast("double")
+                            / (F.sum("c") * F.sum("c")).cast("double"), 6)
+                     .alias("gini_simpson"))
+               .orderBy("lang"))
+
+
+DIVERSITY_SQL = """
+WITH per AS (
+  SELECT lang, source, COUNT(*) AS c FROM documents GROUP BY 1, 2)
+SELECT lang, CAST(SUM(c) AS BIGINT) AS n_docs,
+       COUNT(*) AS n_sources,
+       ROUND(1.0 - CAST(SUM(c * c) AS DOUBLE)
+             / CAST(SUM(c) * SUM(c) AS DOUBLE), 6) AS gini_simpson
+FROM per GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["doc_source_diversity"] = (doc_source_diversity, DIVERSITY_SQL)
