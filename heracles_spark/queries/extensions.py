@@ -884,3 +884,48 @@ ORDER BY epoch_day
 
 
 QUERIES["events_stickiness"] = (events_stickiness, STICKINESS_SQL)
+
+
+def events_interarrival_stats(spark, sf_dir):
+    """Per-type inter-arrival statistics over the GLOBAL event stream
+    of that type (window lag on the time-ordered stream): n_gaps,
+    mean/max gap seconds — the arrival-rate health metric. Gaps are
+    exact integer nanosecond differences; the mean is one rounded
+    division."""
+    from pyspark.sql import Window
+
+    from heracles_spark.queries.relational import _events
+
+    e = _events(spark, sf_dir).select("event_type", "event_id", "ts_ns")
+    w = Window.partitionBy("event_type").orderBy("ts_ns", "event_id")
+    gap = F.col("ts_ns") - F.lag("ts_ns").over(w)
+    return (e.withColumn("__gap", gap)
+             .where(F.col("__gap").isNotNull())
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_gaps"),
+                  F.round((F.sum("__gap").cast("double")
+                           / F.count(F.lit(1))) / 1e9, 6)
+                   .alias("mean_gap_s"),
+                  (F.max("__gap") / F.lit(1_000_000_000))
+                   .cast("long").alias("max_gap_s"))
+             .orderBy("event_type"))
+
+
+INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+         epoch_ns(ts) - lag(epoch_ns(ts)) OVER
+           (PARTITION BY event_type ORDER BY epoch_ns(ts), event_id)
+           AS gap
+  FROM events)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND((CAST(SUM(gap) AS DOUBLE) / COUNT(*)) / 1e9, 6)
+         AS mean_gap_s,
+       CAST(MAX(gap) // 1000000000 AS BIGINT) AS max_gap_s
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+QUERIES["events_interarrival_stats"] = (events_interarrival_stats,
+                                        INTERARRIVAL_SQL)

@@ -2862,3 +2862,77 @@ FROM per GROUP BY lang ORDER BY lang
 
 
 QUERIES["doc_source_diversity"] = (doc_source_diversity, DIVERSITY_SQL)
+
+
+def doc_ngram_coverage(spark, sf_dir):
+    """Train→eval n-gram coverage: after the deterministic hash split,
+    what fraction of each lang's DISTINCT eval word-bigrams appears in
+    the train split — the generalization-gap smell test (low coverage
+    ⇒ the eval set probes truly unseen text; suspiciously high ⇒
+    leakage, the decontamination signal from the other direction).
+    Bigrams travel as md5-derived longs (engine-portable); one rational
+    division per lang."""
+    from heracles_spark.operators.sampling import hash_split
+
+    d = hash_split(_docs(spark, sf_dir), "doc_id")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    big = (d.select("lang", "split", toks.alias("__t"))
+            .where(F.array_size("__t") >= 2)
+            .select("lang", "split", F.expr(
+                "transform(sequence(0, array_size(__t) - 2), i -> "
+                "conv(substring(md5(concat_ws(' ', __t[i], __t[i+1])),"
+                " 1, 15), 16, 10))").alias("__g"))
+            .select("lang", "split", F.explode("__g").alias("__gs"))
+            .select("lang", "split",
+                    F.col("__gs").cast("long").alias("g")))
+    train = (big.where(F.col("split") == "train")
+                .select("lang", "g").distinct())
+    evalg = (big.where(F.col("split") == "eval")
+                .select("lang", "g").distinct())
+    cov = (evalg.join(train, ["lang", "g"], "left_semi")
+                .groupBy("lang").agg(F.count(F.lit(1)).alias("covered")))
+    tot = evalg.groupBy("lang").agg(F.count(F.lit(1)).alias("total"))
+    return (tot.join(cov, "lang", "left")
+               .select("lang", "total",
+                       F.coalesce(F.col("covered"), F.lit(0))
+                        .alias("covered"),
+                       F.round(F.coalesce(F.col("covered"), F.lit(0))
+                               .cast("double") / F.col("total"), 6)
+                        .alias("coverage"))
+               .orderBy("lang"))
+
+
+NGRAM_COV_SQL = r"""
+WITH d AS (
+  SELECT lang, text,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)),
+                        1, 8)) AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+ t AS (SELECT lang, split,
+              regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+       FROM d),
+ g AS (
+  SELECT lang, split,
+         CAST(('0x' || substring(md5(tk[gs] || ' ' || tk[gs + 1]), 1, 15))
+              AS BIGINT) AS g
+  FROM (SELECT lang, split, tk,
+               unnest(generate_series(1, len(tk) - 1)) AS gs
+        FROM t)),
+ train AS (SELECT DISTINCT lang, g FROM g WHERE split = 'train'),
+ ev AS (SELECT DISTINCT lang, g FROM g WHERE split = 'eval'),
+ cov AS (
+  SELECT e.lang, COUNT(*) AS covered
+  FROM ev e JOIN train t ON e.lang = t.lang AND e.g = t.g
+  GROUP BY e.lang),
+ tot AS (SELECT lang, COUNT(*) AS total FROM ev GROUP BY lang)
+SELECT tot.lang, tot.total,
+       CAST(COALESCE(cov.covered, 0) AS BIGINT) AS covered,
+       ROUND(CAST(COALESCE(cov.covered, 0) AS DOUBLE) / tot.total, 6)
+         AS coverage
+FROM tot LEFT JOIN cov ON tot.lang = cov.lang
+ORDER BY tot.lang
+"""
+
+
+QUERIES["doc_ngram_coverage"] = (doc_ngram_coverage, NGRAM_COV_SQL)
