@@ -53,6 +53,7 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                 .localCheckpoint(eager=True))
     labels = (sym.select("u").distinct()
                  .select(F.col("u").alias("id"), F.col("u").alias("component")))
+    converged = False
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' labels and own
         neigh = (sym.join(labels, sym.v == labels.id)
@@ -72,7 +73,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                    .limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Unconverged labels are silently WRONG (not approximate): a
+        # chain longer than max_iter hops leaves split components.
+        raise RuntimeError(
+            f"label propagation did not converge in {max_iter} rounds "
+            f"(component diameter exceeds the cap) — raise max_iter or "
+            f"use algorithm='star', which converges in O(log n) rounds")
     return labels
 
 

@@ -181,10 +181,18 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, by: str,
     rs = renamed.get(right_start, right_start)
     re_ = renamed.get(right_end, right_end)
 
-    l2 = left.withColumn("__bin", bins(left_start, left_end))
-    r2 = right.withColumn("__bin", bins(rs, re_))
-    overlap = ((F.col(left_start) < F.col(re_))
-               & (F.col(rs) < F.col(left_end)))
+    # Empty half-open intervals [s, s) overlap nothing by definition —
+    # drop them BEFORE the bin explosion (a start==end row would also
+    # make F.sequence(start_bin, end_bin) descend and emit spurious
+    # bins). The residual below uses max(starts) < min(ends), which is
+    # the exact half-open overlap test and independently rejects
+    # zero-length intervals lying inside the other interval.
+    l2 = (left.where(F.col(left_start) < F.col(left_end))
+              .withColumn("__bin", bins(left_start, left_end)))
+    r2 = (right.where(F.col(rs) < F.col(re_))
+               .withColumn("__bin", bins(rs, re_)))
+    overlap = (F.greatest(F.col(left_start), F.col(rs))
+               < F.least(F.col(left_end), F.col(re_)))
     first_shared = (F.col("__bin") == F.greatest(
         (F.col(left_start) / w).cast("long"),
         (F.col(rs) / w).cast("long")))

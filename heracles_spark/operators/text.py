@@ -549,18 +549,33 @@ def build_vocab(df: DataFrame, text_col: str = "text",
     assigned by (count DESC, term ASC) — the deterministic tie-break
     makes the id assignment identical on any engine/partitioning.
 
-    Scale: one explode + combinable count agg; the ranking window runs
-    over at most ``size`` + ties rows after a cheap count filter."""
+    Scale: one explode + combinable count agg, then the global top-k is
+    taken with ``orderBy(...).limit(size)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps of ≤ ``size`` rows, the
+    driver merges P×k candidates), NOT a single-task global sort over
+    all distinct terms (10⁸–10⁹ at 100 TB). Ids are then assigned with
+    a window over the ≤ ``size`` survivors only — the window's single
+    partition is bounded by construction, the same two-phase discipline
+    as ``ranking.with_global_ranks`` / ``sampling.cap_per_group``."""
     from pyspark.sql import Window
 
     counts = (df.select(F.explode(tokens(F.col(text_col))).alias("term"))
                 .groupBy("term")
                 .agg(F.count(F.lit(1)).alias("freq"))
                 .where(F.col("freq") >= min_freq))
-    w = Window.orderBy(F.col("freq").desc(), F.col("term"))
-    return (counts.withColumn("id", F.row_number().over(w) - 1)
-                  .where(F.col("id") < size)
-                  .select("term", "id", "freq"))
+    # Phase 1: distributed top-k (TakeOrderedAndProject — no global sort).
+    top = counts.orderBy(F.col("freq").desc(), F.col("term")).limit(size)
+    # Phase 2: dense id over the ≤ size survivors. The partition key is
+    # a constant-VALUED but non-simplifiable expression — a bare lit(0)
+    # (or freq*0) is optimized back to an unpartitioned window, which
+    # re-introduces the single-task-on-unbounded-input hazard this
+    # rewrite removes. pmod(xxhash64(term), 1) ≡ 0 keeps the declared
+    # partitioning: one hash partition bounded at ``size`` rows by
+    # construction.
+    w = (Window.partitionBy(F.pmod(F.xxhash64("term"), F.lit(1)))
+               .orderBy(F.col("freq").desc(), F.col("term")))
+    return (top.withColumn("id", F.row_number().over(w) - 1)
+               .select("term", "id", "freq"))
 
 
 def encode_ids(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",

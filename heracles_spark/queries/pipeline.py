@@ -2720,7 +2720,12 @@ def doc_near_dedup_curation(spark, sf_dir):
     d = text.with_quality_score(_docs(spark, sf_dir))
     pairs = dedup.simhash_near_dup_pairs(_docs(spark, sf_dir), k=3,
                                          hash_fn="md5")
-    comp = connected_components(pairs, algorithm="label", max_iter=8)
+    # Star contraction (the default): O(log n) rounds regardless of
+    # cluster diameter. Label propagation with a fixed cap could leave
+    # long duplicate chains split while the oracle computes the exact
+    # closure (it now raises instead of returning wrong labels, but
+    # the curation recipe should not be the query that trips it).
+    comp = connected_components(pairs)
     labeled = (d.join(comp.withColumnRenamed("id", "doc_id"),
                       "doc_id", "left")
                 .withColumn("component",

@@ -414,6 +414,11 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         name = _resolve(session, m.group("name"))
         if m.group("zcols"):
+            if m.group("nbuckets"):
+                raise ValueError(
+                    "OPTIMIZE: ZORDER BY and REPARTITION cannot be "
+                    "combined — the curve layout picks its own file "
+                    "count; run them as separate statements")
             # OPTIMIZE t ZORDER BY (k1, k2) [CURVE HILBERT]: rewrite
             # through the space-filling-curve layout (zorder.py) so
             # min/max boxes tighten on EVERY named dimension. The curve

@@ -76,9 +76,11 @@ def flag_near_dups_batch(spark: SparkSession, batch: DataFrame,
     # The batch value comes from the partition DIRECTORY at read time
     # (hive-style discovery); keeping it out of the files avoids the
     # data/partition column clash.
-    (entries.write.mode("overwrite")
+    # Explicit parquet: the probe reads spark.read.parquet(store_path),
+    # so the store must not follow spark.sql.sources.default.
+    (entries.write.mode("overwrite").format("parquet")
             .save(os.path.join(store_path, f"batch={batch_id}")))
-    (flagged.write.mode("overwrite")
+    (flagged.write.mode("overwrite").format("parquet")
             .save(os.path.join(store_dir, "flags", f"batch={batch_id}")))
     return flagged
 

@@ -256,14 +256,21 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     - Handles both physical layouts the driver has shipped
       (TIMESTAMP(NANOS) read as long under nanosAsLong;
       TIMESTAMP(MICROS) read as TIMESTAMP_NTZ)."""
+    import hashlib
     import os
     import tempfile
 
     src = os.path.join(sf_dir, "events.parquet")
+    # md5 of the abspath, NOT Python hash(): str hash is salted per
+    # process (PYTHONHASHSEED), which would mint a fresh dir every run
+    # and leak stale symlink dirs under /tmp.
+    key = hashlib.md5(os.path.abspath(src).encode()).hexdigest()
     link_dir = os.path.join(tempfile.gettempdir(), "heracles_stream_src",
-                            str(abs(hash(os.path.abspath(src)))))
+                            key)
     os.makedirs(link_dir, exist_ok=True)
     link = os.path.join(link_dir, "events.parquet")
+    if os.path.islink(link) and os.readlink(link) != os.path.abspath(src):
+        os.remove(link)   # same key, different target: re-link
     if not os.path.islink(link):
         os.symlink(os.path.abspath(src), link)
 

@@ -203,6 +203,30 @@ def bulk_load_csv(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     schema = T.StructType(tbl.schema().fields
                           + [T.StructField("_corrupt", T.StringType(),
                                            True)])
+    # Two independent passes over the source — deliberately NOT a
+    # .cache(): materializing a 100 TB CSV parse to executor
+    # memory+disk to save one re-scan costs far more than the second
+    # scan. (A corrupt-column-only projection on a raw CSV scan is
+    # also disallowed by Spark, so the quarantine pass reads the
+    # source as plain TEXT and validates each line with from_csv —
+    # the same Univocity parser the load uses — keeping the raw line
+    # for the quarantine file.)
+    bad_probe = T.StructType(list(tbl.schema().fields)
+                             + [T.StructField("_corrupt",
+                                              T.StringType(), True)])
+    lines = spark.read.text(csv_path)
+    parsed = lines.select(
+        "value",
+        F.from_csv(F.col("value"), bad_probe.simpleString(),
+                   {"nullValue": "", "mode": "PERMISSIVE",
+                    "columnNameOfCorruptRecord": "_corrupt"})
+         .alias("__p"))
+    bad = (parsed.where(F.col("__p._corrupt").isNotNull())
+                 .select("value"))
+    bad.write.mode("overwrite").text(bad_records_dir)
+    # Clean pass: the ordinary CSV load; the corrupt filter plus the
+    # full data projection is a legal required schema (only
+    # corrupt-ONLY projections are rejected).
     raw = (spark.read
            .schema(schema)
            .option("header", "false")
@@ -210,19 +234,13 @@ def bulk_load_csv(spark: SparkSession, catalog: HeraclesCatalog, table: str,
            .option("nullValue", "")
            .option("mode", "PERMISSIVE")
            .option("columnNameOfCorruptRecord", "_corrupt")
-           .csv(csv_path)
-           .cache())   # one parse serves both the quarantine and the load
-    bad = raw.where(F.col("_corrupt").isNotNull()).select("_corrupt")
-    bad.write.mode("overwrite").text(bad_records_dir)
+           .csv(csv_path))
     good = (raw.where(F.col("_corrupt").isNull())
                .drop("_corrupt"))
-    try:
-        return write_key_organized(
-            spark, catalog, table, good,
-            mode="overwrite" if overwrite else "append",
-            n_buckets=n_buckets)
-    finally:
-        raw.unpersist()
+    return write_key_organized(
+        spark, catalog, table, good,
+        mode="overwrite" if overwrite else "append",
+        n_buckets=n_buckets)
 
 
 def insert_rows(spark: SparkSession, catalog: HeraclesCatalog, table: str,

@@ -50,6 +50,35 @@ def test_topk_plans_take_ordered(spark):
     assert has_node(topk_orders(spark, SF_SMALL), "TakeOrderedAndProject")
 
 
+def test_build_vocab_plans_take_ordered(spark):
+    """build_vocab must take the global top-k with TakeOrderedAndProject
+    (per-partition heaps), NOT an unpartitioned sort/window over every
+    distinct term (10⁸-10⁹ terms at 100 TB), and its id-assignment
+    window must carry an explicit partition spec (round-6 verdict
+    'What's wrong #1')."""
+    from heracles_spark.operators.text import build_vocab
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    v = build_vocab(docs, size=50)
+    assert has_node(v, "TakeOrderedAndProject")
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    # every Window node declares a partitionSpec: the plan string is
+    # "Window [fns], [partitionSpec], [orderSpec]" (3 bracket groups);
+    # an unpartitioned window prints only 2.
+    import re
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        groups = re.findall(r"\[[^\[\]]*(?:\[[^\]]*\][^\[\]]*)*\]",
+                            line.split("Window ", 1)[1])
+        assert len(groups) >= 3, f"unpartitioned window: {line.strip()}"
+    # and the result is still the frequency-ranked vocabulary
+    rows = v.orderBy("id").collect()
+    assert [r["id"] for r in rows] == list(range(len(rows)))
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
 def test_bucketed_groupby_elides_exchange(spark, catalog):
     """groupBy on the bucket key of a bucketed+sorted table must not
     shuffle (≙ the reference's shuffle-free aggregation goal,
