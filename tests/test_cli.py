@@ -111,6 +111,53 @@ def test_split_statements_comment_with_apostrophe():
                      "SELECT 2 AS c"]
 
 
+def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
+    """examples/demo{1,2,3}_*.sql — the ports of the reference's
+    examples/spark-hbase-demo1-3.md walkthroughs (single-key rowkey
+    table, composite-key bulk load + 5 query shapes, dual-layout
+    sales group-bys) — must run clean through the CLI -e path."""
+    import os
+
+    from heracles_spark import cli
+
+    # deterministic CSVs matching the demo headers' generators
+    with open(tmp_path / "teacher.csv", "w") as f:
+        for g in range(1, 9):
+            for c in range(1, 6):
+                for s in range(1, 31):
+                    f.write(f"{g},{c},subject_{s},"
+                            f"teacher_{g}_{s}_{c},{20 + (g*c+s) % 16}\n")
+    with open(tmp_path / "sales.csv", "w") as f:
+        for i in range(1, 10001):
+            f.write(f"id{i},product{i % 7},region{i % 5},"
+                    f"{(i * 13) % 1000},{(i * 7) % 50}\n")
+
+    ex = os.path.join(os.path.dirname(cli.__file__), "..", "examples")
+    subs = {"/tmp/heracles_teacher.csv": str(tmp_path / "teacher.csv"),
+            "/tmp/heracles_sales.csv": str(tmp_path / "sales.csv")}
+    for i, name in enumerate(["demo1_numbers.sql", "demo2_teacher.sql",
+                              "demo3_sales1m.sql"]):
+        monkeypatch.setenv("HERACLES_METASTORE",
+                           str(tmp_path / f"ms{i}"))
+        script = open(os.path.join(ex, name)).read()
+        for k, v in subs.items():
+            script = script.replace(k, v)
+        rc = cli.main(["-e", script])
+        assert rc in (0, None), name
+        out = capsys.readouterr().out
+        assert "Error" not in out, (name, out[-2000:])
+        if name == "demo1_numbers.sql":
+            assert "\n100\n" in out                    # count(*)
+        if name == "demo3_sales1m.sql":
+            assert "\n10000\n" in out                  # count(*)
+            # both layouts give the same group-by answer
+            lines = [l for l in out.splitlines()
+                     if l.startswith("product4\t")]
+            assert lines and len(lines) % 2 == 0
+            half = len(lines) // 2
+            assert lines[:half] == lines[half:]
+
+
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
     """examples/demo.sql must run clean through the CLI -e path — the
     user-facing tour (DDL, DML, mutations, time travel, index,

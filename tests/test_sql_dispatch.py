@@ -412,3 +412,51 @@ def test_create_text_index_flow(hsession, spark):
     assert "docs_ti__tidx_bodyidx" not in tables
     assert not any("bodyidx" in r.index_name for r in
                    hsession.sql("SHOW INDEXES ON docs_ti").collect())
+
+
+def test_refresh_text_index_incremental(hsession, spark, catalog):
+    """Pure appends take the incremental path (only new files exploded)
+    and the postings are row-identical to a full rebuild; a key
+    collision or a rewrite falls back to rebuild."""
+    from heracles_spark import textindex
+
+    hsession.sql("""CREATE TABLE docs_tinc (id INT, body STRING)
+                    TBLPROPERTIES('keyCols'='id')""")
+    hsession.sql("INSERT INTO docs_tinc VALUES "
+                 "(1,'alpha beta alpha'),(2,'beta gamma')")
+    hsession.sql("CREATE TEXT INDEX binc ON docs_tinc (body)")
+
+    def postings():
+        return sorted((r.term, r.id, r.tf) for r in hsession.sql(
+            "SELECT term, id, tf FROM docs_tinc__tidx_binc").collect())
+
+    # append-only mutation → incremental refresh
+    hsession.sql("INSERT INTO docs_tinc VALUES (3,'gamma alpha gamma')")
+    textindex.refresh_text_index(spark, catalog, "docs_tinc", "binc")
+    assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "incremental"
+    inc = postings()
+    assert ("gamma", 3, 2) in inc and ("alpha", 3, 1) in inc
+    # row-identical to a from-scratch rebuild
+    expected = sorted((r.term, r.id, r.tf) for r in spark.sql(
+        "SELECT term, id, count(*) AS tf FROM ("
+        "  SELECT id, explode(split(trim(lower(body)), '\\\\s+')) AS term"
+        "  FROM docs_tinc) GROUP BY 1, 2").collect())
+    assert inc == expected
+
+    # noop when nothing changed since the stamp
+    textindex.refresh_text_index(spark, catalog, "docs_tinc", "binc")
+    assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "noop"
+
+    # an append that RE-USES a key would split the (term,key) count →
+    # collision probe forces the exact rebuild
+    hsession.sql("INSERT INTO docs_tinc VALUES (3,'alpha')")
+    textindex.refresh_text_index(spark, catalog, "docs_tinc", "binc")
+    assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "rebuild"
+    assert ("alpha", 3, 2) in postings()
+
+    # a rewrite (UPDATE) breaks the superset relation → rebuild
+    hsession.sql("UPDATE docs_tinc SET body = 'delta' WHERE id = 1")
+    textindex.refresh_text_index(spark, catalog, "docs_tinc", "binc")
+    assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "rebuild"
+    assert ("delta", 1, 1) in postings()
+    assert ("alpha", 1, 2) not in postings()
