@@ -178,3 +178,56 @@ def cap_per_group(df: DataFrame, group_col: str, k: int,
     w = Window.partitionBy(group_col).orderBy(key, id_col)
     return (out.withColumn("__rn", F.row_number().over(w))
                .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def importance_scores(df: DataFrame, target: Column,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_buckets: int = 64) -> DataFrame:
+    """DSIR-style importance scores over hashed n-gram features (Xie et
+    al. 2023, "Data Selection for Language Models via Importance
+    Resampling"): rank raw docs by how target-like their hashed token
+    histogram is, then keep the top slice as training data. ``target``
+    is a boolean Column marking the docs that define the target
+    distribution.
+
+    Engine-stable scoring (no libm): with t_b / s_b = target / source
+    gram counts in bucket b, T / S their totals, and c_db the doc's
+    bucket counts,
+
+        score(d) = Σ_b c_db · (t_b·S − s_b·T)
+
+    — the exact integer numerator of the probability-DIFFERENCE inner
+    product Σ c_db·(t_b/T − s_b/S) scaled by T·S (same ranking
+    direction as the log-ratio form for the top-slice use; all-bigint,
+    so Spark and any SQL oracle agree bit-for-bit). Returns
+    (id, n_grams, score).
+
+    Scale: one explode + two combinable aggs; the bucket table is
+    n_buckets rows and BROADCASTS; per-doc work is one equi-join on the
+    bucket id + a map-side-combinable sum. Nothing global, nothing
+    O(n²); bigint headroom holds to ~10¹⁸ (≈ totals·counts product —
+    switch the two products to decimal(38,0) beyond ~10⁹ grams/bucket).
+    """
+    from heracles_spark.operators.text import tokens
+
+    toks = df.select(F.col(id_col),
+                     target.cast("int").alias("__t"),
+                     F.explode(tokens(F.col(text_col))).alias("term"))
+    # md5-u32 bucket (not xxhash64): a pure function of the term that
+    # every engine reproduces, so the scores are oracle-exact.
+    b = toks.withColumn("__b", (_md5_u32(F.col("term"))
+                                % F.lit(n_buckets)).cast("int"))
+    bucket = (b.groupBy("__b")
+               .agg(F.sum("__t").alias("tb"),
+                    F.sum(1 - F.col("__t")).alias("sb")))
+    totals = bucket.agg(F.sum("tb").alias("tt"), F.sum("sb").alias("ss"))
+    bstats = (bucket.crossJoin(F.broadcast(totals))
+                    .select("__b", (F.col("tb") * F.col("ss")
+                                    - F.col("sb") * F.col("tt"))
+                            .alias("__w")))
+    per_doc = (b.groupBy(F.col(id_col), "__b")
+                .agg(F.count(F.lit(1)).alias("c")))
+    return (per_doc.join(F.broadcast(bstats), "__b")
+                   .groupBy(id_col)
+                   .agg(F.sum("c").alias("n_grams"),
+                        F.sum(F.col("c") * F.col("__w")).alias("score")))

@@ -465,6 +465,17 @@ def ivf_build(df: DataFrame, n_cells: int = 16, id_col: str = "vec_id",
     return df.join(assign, id_col)
 
 
+def ivf_write_partitioned(built: DataFrame, path: str) -> None:
+    """Persist an IVF-built dataset (``ivf_build`` output) PARTITIONED
+    BY cell_id — the 100 TB serving layout: ``ivf_topk``'s probe filter
+    (cell_id IN probe-set) becomes hive-style PARTITION PRUNING at scan
+    time, so the bytes read scale with n_probe/n_cells of the corpus
+    and unprobed cells are never opened. Explicit parquet (readers use
+    spark.read.parquet regardless of spark.sql.sources.default)."""
+    (built.write.mode("overwrite").format("parquet")
+          .partitionBy("cell_id").save(path))
+
+
 def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
              n_probe: int = 4, id_col: str = "vec_id",
              vec_col: str = "embedding", n_cells: int = 16,

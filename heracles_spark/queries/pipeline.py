@@ -801,6 +801,53 @@ def embedding_ann_ivf_partial(spark, sf_dir):
                                 min_hits=7)
 
 
+# (process, sf_dir) → (store path, centroids) of the cell-partitioned
+# IVF store — build-once/probe-many, like the BM25 postings index.
+_IVF_STORE_CACHE: dict[str, tuple] = {}
+
+
+def embedding_ann_ivf_stored(spark, sf_dir):
+    """IVF probing a CELL-PARTITIONED STORE (similarity.
+    ivf_write_partitioned): vectors land in parquet partitioned by
+    cell_id, so the probe's ``cell_id IN (...)`` filter is hive-style
+    PARTITION PRUNING — unprobed cells are never opened, the physical
+    analogue of a faiss inverted list. The value hash pins BOTH the
+    recall contract (exact top-10 + recall_ok ≥ 7/10 at n_probe=12/16)
+    AND ``partition_pruned`` = the executed plan carries a non-empty
+    PartitionFilters clause on cell_id — certifying the store layout
+    actually pruned, not just filtered."""
+    import os
+    import re
+    import tempfile
+
+    from heracles_spark.plans import executed_plan_string
+
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cand = e.where(F.col("vec_id") != 0)
+
+    key = os.path.abspath(sf_dir)
+    if key in _IVF_STORE_CACHE:
+        path, cents = _IVF_STORE_CACHE[key]
+    else:
+        cents = similarity.kmeans_centroids(cand, n_cells=16,
+                                            sample_size=2048)
+        built = similarity.ivf_build(cand, centroids=cents)
+        path = tempfile.mkdtemp(prefix="heracles_ivfstore_")
+        similarity.ivf_write_partitioned(built, path)
+        _IVF_STORE_CACHE[key] = (path, cents)
+
+    stored = spark.read.parquet(path)
+    ann = similarity.ivf_topk(stored, qvec, k=10, n_probe=12,
+                              centroids=cents)
+    pruned = bool(re.search(r"PartitionFilters: \[[^\]]*cell_id",
+                            executed_plan_string(ann)))
+    return (_ann_recall_contract(
+                ann, similarity.cosine_topk(cand, qvec, k=10), min_hits=7)
+            .withColumn("partition_pruned", F.lit(pruned)))
+
+
 # -- multimodal plumbing --------------------------------------------------
 
 def multimodal_decode(spark, sf_dir):
@@ -1010,6 +1057,9 @@ QUERIES = {
     "embedding_ann_ivf_fullprobe": (embedding_ann_ivf_fullprobe, KNN_SQL),
     "embedding_ann_ivf_partial": (embedding_ann_ivf_partial,
                                   _knn_contract_sql()),
+    "embedding_ann_ivf_stored": (
+        embedding_ann_ivf_stored,
+        _knn_contract_sql("TRUE AS recall_ok, TRUE AS partition_pruned")),
     "doc_minhash_pairs": (doc_minhash_pairs, MINHASH_CONTRACT_SQL),
     "doc_simhash_groups": (doc_simhash_groups, SIMHASH_SQL),
     "doc_ngram_jaccard": (doc_ngram_jaccard, NGJ_SQL),
@@ -2980,3 +3030,135 @@ ORDER BY tot.lang
 
 
 QUERIES["doc_ngram_coverage"] = (doc_ngram_coverage, NGRAM_COV_SQL)
+
+
+# -- DSIR importance resampling --------------------------------------------
+
+def doc_dsir_topk(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): rank the RAW pool
+    (sources outside src0-src2) by how target-like their hashed
+    token-bucket histogram is, target = docs from src0-src2. The score
+    is the all-integer probability-difference inner product
+    (operators.sampling.importance_scores — no libm, so the oracle
+    reproduces it bit-for-bit); top 20 by (score DESC, doc_id) is the
+    selected training slice."""
+    from heracles_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    tgt_sources = ("src0", "src1", "src2")
+    scores = sampling.importance_scores(
+        d, F.col("source").isin(*tgt_sources))
+    return (d.select("doc_id", "lang", "source")
+             .join(scores, "doc_id")
+             .where(~F.col("source").isin(*tgt_sources))
+             .orderBy(F.desc("score"), "doc_id")
+             .limit(20))
+
+
+DSIR_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+ b AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substring(md5(term), 1, 8)) AS BIGINT) % 64
+              AS INT) AS b,
+         CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END AS t
+  FROM toks),
+ bucket AS (SELECT b, CAST(SUM(t) AS BIGINT) AS tb,
+                   CAST(SUM(1 - t) AS BIGINT) AS sb
+            FROM b GROUP BY b),
+ totals AS (SELECT CAST(SUM(tb) AS BIGINT) AS tt,
+                   CAST(SUM(sb) AS BIGINT) AS ss FROM bucket),
+ w AS (SELECT b, tb * ss - sb * tt AS w FROM bucket, totals),
+ per_doc AS (SELECT doc_id, b, COUNT(*) AS c FROM b GROUP BY doc_id, b),
+ scored AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         CAST(SUM(c * w) AS BIGINT) AS score
+  FROM per_doc JOIN w USING (b) GROUP BY doc_id)
+SELECT d.doc_id, d.lang, d.source, s.n_grams, s.score
+FROM documents d JOIN scored s USING (doc_id)
+WHERE d.source NOT IN ('src0', 'src1', 'src2')
+ORDER BY s.score DESC, d.doc_id LIMIT 20
+"""
+
+
+QUERIES["doc_dsir_topk"] = (doc_dsir_topk, DSIR_SQL)
+
+
+# -- semantic dedup (SemDeDup-shaped) ---------------------------------------
+
+def embedding_semdedup(spark, sf_dir):
+    """Semantic dedup over the embedding space (the SemDeDup recipe,
+    Abbas et al. 2023 — drop all-but-one of each semantic-duplicate
+    cluster): cosine-≥0.42 pairs → connected components (star
+    contraction) → keep the min-id representative per cluster →
+    per-label kept/dropped accounting. Pairs come from the exact
+    panel-GEMM baseline so the WHOLE chain (pairs + closure + pick) is
+    one full value oracle; at 100 TB the pair stage swaps to the
+    LSH-bucketed variant (embedding_near_dup_pairs) with this exact
+    form as the sampled-recall auditor."""
+    from pyspark.sql import Window
+
+    from heracles_spark.operators.graph import connected_components
+
+    e = _embs(spark, sf_dir)
+    pairs = similarity.cosine_all_pairs(e, threshold=0.42)
+    comp = connected_components(pairs, "id_a", "id_b")
+    labeled = (e.select("vec_id", "label")
+                .join(comp.withColumnRenamed("id", "vec_id"),
+                      "vec_id", "left")
+                .withColumn("component",
+                            F.coalesce(F.col("component"),
+                                       F.col("vec_id"))))
+    w = Window.partitionBy("component").orderBy("vec_id")
+    ranked = labeled.withColumn("rn", F.row_number().over(w))
+    return (ranked.groupBy("label")
+                  .agg(F.count(F.lit(1)).alias("n_vecs"),
+                       F.sum((F.col("rn") == 1).cast("long"))
+                        .alias("n_kept"),
+                       F.sum((F.col("rn") > 1).cast("long"))
+                        .alias("n_dropped"))
+                  .orderBy("label"))
+
+
+SEMDEDUP_SQL = """
+WITH RECURSIVE norms AS (
+  SELECT vec_id,
+         SQRT(SUM(CAST(embedding[i] AS DOUBLE)
+                  * CAST(embedding[i] AS DOUBLE))) AS nrm
+  FROM embeddings, range(1, 65) t(i) GROUP BY vec_id),
+ dots AS (
+  SELECT a.vec_id AS u, b.vec_id AS v,
+         SUM(CAST(a.embedding[i] AS DOUBLE)
+             * CAST(b.embedding[i] AS DOUBLE)) AS dot
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id,
+       range(1, 65) t(i)
+  GROUP BY 1, 2),
+ edges AS (
+  SELECT u, v FROM dots
+  JOIN norms na ON u = na.vec_id JOIN norms nb ON v = nb.vec_id
+  WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.42),
+ sym AS (SELECT u, v FROM edges UNION SELECT v AS u, u AS v FROM edges),
+ reach(n, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.v, reach.r FROM reach JOIN sym s ON s.u = reach.n),
+ labels AS (SELECT n AS id, MIN(r) AS component FROM reach GROUP BY n),
+ comp AS (
+  SELECT e.vec_id, e.label, COALESCE(l.component, e.vec_id) AS component
+  FROM embeddings e LEFT JOIN labels l ON e.vec_id = l.id),
+ ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY component
+                               ORDER BY vec_id) AS rn
+  FROM comp)
+SELECT label, COUNT(*) AS n_vecs,
+       CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM ranked GROUP BY label ORDER BY label
+"""
+
+
+QUERIES["embedding_semdedup"] = (embedding_semdedup, SEMDEDUP_SQL)

@@ -580,3 +580,74 @@ GROUP BY prio ORDER BY prio
 
 
 QUERIES["lineitem_skew_join"] = (lineitem_skew_join, SKEWJ_SQL)
+
+
+def pivot_returnflag_status(spark, sf_dir):
+    """PIVOT — revenue cross-tab (l_returnflag × l_linestatus) via
+    groupBy().pivot() with EXPLICIT value list: declared pivot values
+    skip Spark's extra distinct-collect job AND fix the output column
+    set at plan time (schema-stable on any data slice — the form a
+    100 TB job should always use). Decimal-exact sums, double output."""
+    from heracles_spark.queries.relational import _dsum, _t
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    piv = (li.withColumn("__rev", rev)
+             .groupBy("l_returnflag")
+             .pivot("l_linestatus", ["F", "O"])
+             .agg(_dsum(F.col("__rev")))
+             .orderBy("l_returnflag"))
+    return piv.select("l_returnflag",
+                      F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_f"),
+                      F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_o"))
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+           END) AS DOUBLE), 0.0) AS rev_f,
+       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+           THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
+           END) AS DOUBLE), 0.0) AS rev_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+QUERIES["pivot_returnflag_status"] = (pivot_returnflag_status, PIVOT_SQL)
+
+
+def unpivot_order_measures(spark, sf_dir):
+    """UNPIVOT (melt) — wide measure columns back to (key, measure,
+    value) rows via DataFrame.unpivot (plans as a single Expand node:
+    one pass, rows×measures output, no join/union of per-measure
+    scans). Aggregated per measure for a stable driver check."""
+    from heracles_spark.queries.relational import _dsum, _t
+
+    o = _t(spark, sf_dir, "orders")
+    wide = o.select("o_orderkey",
+                    F.col("o_totalprice").alias("totalprice"),
+                    F.col("o_custkey").cast("double").alias("custkey"))
+    long = wide.unpivot("o_orderkey", ["totalprice", "custkey"],
+                        "measure", "value")
+    return (long.groupBy("measure")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     _dsum(F.col("value")).alias("total"))
+                .orderBy("measure"))
+
+
+UNPIVOT_SQL = """
+SELECT measure, COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM (
+  SELECT o_orderkey, 'totalprice' AS measure, o_totalprice AS value
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'custkey' AS measure,
+         CAST(o_custkey AS DOUBLE) AS value
+  FROM orders)
+GROUP BY measure ORDER BY measure
+"""
+
+
+QUERIES["unpivot_order_measures"] = (unpivot_order_measures, UNPIVOT_SQL)

@@ -382,3 +382,36 @@ def test_kmv_sketch_property_exact_below_k(spark):
         assert est["est_jaccard"] == round(i / u, 6)
 
     check()
+
+
+def test_ivf_partitioned_store_prunes_and_matches(spark, vecs, tmp_path):
+    """ivf_write_partitioned: the probe over the cell-partitioned store
+    (a) carries a PartitionFilters clause on cell_id (hive partition
+    pruning — unprobed cells never open), and (b) returns exactly the
+    same top-k as probing the in-memory built DataFrame."""
+    import re
+
+    from heracles_spark.plans import executed_plan_string
+
+    q = _vec(4242)
+    cents = similarity.kmeans_centroids(vecs, n_cells=8, sample_size=128)
+    built = similarity.ivf_build(vecs, centroids=cents, dim=DIM)
+    path = str(tmp_path / "ivfstore")
+    similarity.ivf_write_partitioned(built, path)
+
+    stored = spark.read.parquet(path)
+    got_stored = similarity.ivf_topk(stored, q, k=5, n_probe=3,
+                                     centroids=cents).collect()
+    got_mem = similarity.ivf_topk(built, q, k=5, n_probe=3,
+                                  centroids=cents).collect()
+    assert [(r.vec_id, r.cosine) for r in got_stored] == \
+           [(r.vec_id, r.cosine) for r in got_mem]
+
+    plan = executed_plan_string(
+        similarity.ivf_topk(stored, q, k=5, n_probe=3, centroids=cents))
+    m = re.search(r"PartitionFilters: \[([^\]]*cell_id[^\]]*)\]", plan)
+    assert m, plan
+    # and the store really is laid out one directory per cell
+    import os
+    cells = [d for d in os.listdir(path) if d.startswith("cell_id=")]
+    assert len(cells) >= 2

@@ -464,3 +464,29 @@ def test_weighted_sample_nonpositive_weights_excluded(spark):
     df = spark.createDataFrame(rows, "doc_id long, w long")
     kept = {r["doc_id"] for r in weighted_sample(df, "w", 10).collect()}
     assert kept == {1, 5}
+
+
+def test_importance_scores_ranks_targetlike_docs(spark):
+    """DSIR importance scores: a raw doc written in the target
+    distribution's vocabulary must outscore a raw doc written in
+    off-target vocabulary; target flag and totals behave."""
+    from heracles_spark.operators.sampling import importance_scores
+
+    rows = [
+        # target distribution: cooking vocabulary
+        (1, "salt pepper butter flour salt butter", True),
+        (2, "flour sugar butter salt pepper sugar", True),
+        # raw pool: one cooking-like, one astronomy doc
+        (3, "butter salt flour pepper sugar salt", False),
+        (4, "quasar nebula parsec redshift quasar nebula", False),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, t boolean")
+    got = {r.doc_id: r for r in
+           importance_scores(df, F.col("t")).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[3].n_grams == 6 and got[4].n_grams == 6
+    # the cooking-like raw doc scores strictly higher than the
+    # astronomy doc (whose grams only ever appear on the source side,
+    # so every bucket weight it touches is negative)
+    assert got[3].score > got[4].score
+    assert got[4].score < 0
