@@ -25,6 +25,7 @@ HELP = """Supported statements (≙ reference CLI HELP):
   UPDATE t SET c = expr, ... [WHERE pred]   (copy-on-write, file-pruned)
   DELETE FROM t [WHERE pred]                (copy-on-write, file-pruned)
   OPTIMIZE t   (compact + globally re-sort; restores disjoint file ranges)
+  OPTIMIZE t COMPACT [TARGET n ROWS]  (minor: bin-pack small files only)
   CREATE ROLLUP r ON t GROUP BY a, b = expr AGG n = COUNT(*), s = SUM(c)
   REFRESH ROLLUP r   (fold new source files in; incremental/rebuild/noop)
   CREATE TABLE dst [SHALLOW] CLONE src  (zero-copy; no data moves)

@@ -21,6 +21,8 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
             (non-key only — ≙ hbaseCommands.scala:33-59, which the
             reference CLI marks "Unsupported yet"; wired here)
   OPTIMIZE t (compaction + global re-sort; heracles_spark.writer)
+  OPTIMIZE t COMPACT [TARGET n ROWS]  (minor compaction: bin-pack only
+            undersized files, O(small files) not O(table))
   CREATE ROLLUP r ON t GROUP BY g[, a = expr] AGG o = FN(c)[, ...]
   REFRESH ROLLUP r   (incremental continuous aggregate;
             heracles_spark.rollup — returns (mode, new_files))
@@ -99,6 +101,8 @@ _OPTIMIZE = re.compile(
     r"^\s*OPTIMIZE\s+(?P<name>[\w.]+)"
     r"(?:\s+ZORDER\s+BY\s*\(\s*(?P<zcols>[\w\s,]+?)\s*\)"
     r"(?:\s+CURVE\s+(?P<curve>HILBERT|MORTON))?)?"
+    r"(?:\s+(?P<compact>COMPACT)"
+    r"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?)?"
     r"(?:\s+REPARTITION\s+(?P<nbuckets>\d+))?\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<rest>.+)$",
@@ -413,6 +417,22 @@ def dispatch(session, statement: str) -> DataFrame | None:
     m = _OPTIMIZE.match(statement)
     if m:
         name = _resolve(session, m.group("name"))
+        if m.group("compact"):
+            if m.group("zcols") or m.group("nbuckets"):
+                raise ValueError(
+                    "OPTIMIZE: COMPACT is the minor (small-files-only) "
+                    "path — it cannot be combined with ZORDER BY or "
+                    "REPARTITION, which rewrite the whole table")
+            target = int(m.group("target")) if m.group("target") else None
+            st = writer.compact_small_files(spark, catalog, name,
+                                            target_rows=target)
+            catalog.read_table(spark, name).createOrReplaceTempView(
+                catalog.view_name(name))
+            return spark.createDataFrame(
+                [(st["files_total"], st["files_compacted"],
+                  st["files_written"], st["rows_compacted"])],
+                "files_total: int, files_compacted: int, "
+                "files_written: int, rows_compacted: long")
         if m.group("zcols"):
             if m.group("nbuckets"):
                 raise ValueError(

@@ -545,8 +545,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
                     table: str, df: DataFrame,
                     keep: list[dict[str, Any]],
                     n_buckets: int | None = None,
-                    commit_properties: dict[str, str] | None = None
-                    ) -> KeyTable:
+                    commit_properties: dict[str, str] | None = None,
+                    op: str = "merge-cow") -> KeyTable:
     """Copy-on-write partial rewrite: replace the table's files NOT listed
     in ``keep`` with a fresh key-range layout of ``df``, leaving ``keep``
     files untouched on disk, and splice the file index incrementally.
@@ -601,8 +601,45 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
     new_entries = harvest_file_index(tbl.data_dir, keys, paths=new_paths,
                                      bloom_cols=_bloom_cols(tbl))
     return catalog.update_file_index(table, list(keep) + new_entries,
-                                     append=False, op="merge-cow",
+                                     append=False, op=op,
                                      properties=commit_properties)
+
+
+def compact_small_files(spark: SparkSession, catalog: HeraclesCatalog,
+                        table: str,
+                        target_rows: int | None = None) -> dict[str, Any]:
+    """MINOR compaction — ``OPTIMIZE t COMPACT [TARGET n ROWS]``.
+
+    Bin-packs only the UNDERSIZED files (rows < target/2) into
+    ~target-row replacements and leaves every adequately-sized file
+    untouched on disk AND in the index: trickle appends and per-batch
+    streaming writes accrete small files constantly at 100 TB, and the
+    fix must cost O(small files), not the O(table) full rewrite+re-sort
+    ``optimize_table`` does (≙ HBase minor vs major compaction; Delta
+    OPTIMIZE bin-packing). The replacements are range-partitioned among
+    themselves (sorted files, possibly overlapping the kept files'
+    ranges — pruning stays correct, OPTIMIZE restores disjointness);
+    replaced files are retired in place for time travel and reclaimed
+    by VACUUM. Returns {files_total, files_compacted, files_written,
+    rows_compacted}."""
+    tbl = catalog.get_table(table)
+    target = target_rows or DEFAULT_ROWS_PER_BUCKET
+    small = [f for f in tbl.files if f["rows"] < max(1, target // 2)]
+    if len(small) < 2:
+        # one small file is already as packed as it can get
+        return {"files_total": len(tbl.files), "files_compacted": 0,
+                "files_written": 0, "rows_compacted": 0}
+    small_paths = sorted(f["path"] for f in small)
+    keep = [f for f in tbl.files if f["path"] not in set(small_paths)]
+    df = spark.read.schema(tbl.schema()).parquet(*small_paths)
+    n_rows = sum(f["rows"] for f in small)
+    n_out = max(1, math.ceil(n_rows / target))
+    out = write_cow_files(spark, catalog, table, df, keep,
+                          n_buckets=n_out, op="compact")
+    return {"files_total": len(tbl.files),
+            "files_compacted": len(small_paths),
+            "files_written": len(out.files) - len(keep),
+            "rows_compacted": n_rows}
 
 
 def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,

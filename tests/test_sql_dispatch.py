@@ -371,6 +371,51 @@ def test_optimize_repartition(hsession):
     assert hsession.sql("SELECT COUNT(*) AS n FROM rp").collect()[0].n == 100
 
 
+def test_optimize_compact_minor(hsession, spark, catalog):
+    """OPTIMIZE t COMPACT: bin-packs ONLY the undersized files —
+    adequately-sized files keep their exact index entries (no rewrite,
+    no footer re-read), rows survive, replaced files are retired (time
+    travel intact), and combining COMPACT with full-rewrite clauses is
+    an error."""
+    import pytest
+
+    hsession.sql("""CREATE TABLE cp (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    # one adequately-sized file (200 rows in a single write) ...
+    vals = ",".join(f"({i},'v{i}')" for i in range(200))
+    hsession.sql(f"INSERT INTO cp VALUES {vals}")
+    # ... plus 5 trickle appends of 2 rows each (streaming shape)
+    for j in range(5):
+        hsession.sql(f"INSERT INTO cp VALUES "
+                     f"({1000 + 2 * j},'t{j}a'),({1001 + 2 * j},'t{j}b')")
+    tbl = catalog.get_table("cp")
+    big_paths = {f["path"] for f in tbl.files if f["rows"] >= 100}
+    assert len(tbl.files) == 6 and len(big_paths) == 1
+    v_before = tbl.version
+
+    st = hsession.sql("OPTIMIZE cp COMPACT TARGET 200 ROWS").collect()[0]
+    assert st.files_compacted == 5 and st.files_written == 1
+    assert st.rows_compacted == 10
+
+    after = catalog.get_table("cp")
+    # the big file's entry is untouched; small files merged into one
+    assert big_paths <= {f["path"] for f in after.files}
+    assert len(after.files) == 2
+    n = hsession.sql("SELECT COUNT(*) AS n FROM cp").collect()[0].n
+    assert n == 210
+    # time travel to the pre-compaction version still works (files
+    # retired, not deleted)
+    n_old = hsession.sql(
+        f"SELECT COUNT(*) AS n FROM cp VERSION AS OF "
+        f"{v_before}").collect()[0].n
+    assert n_old == 210
+    # a table with nothing to pack is a no-op
+    st2 = hsession.sql("OPTIMIZE cp COMPACT TARGET 200 ROWS").collect()[0]
+    assert st2.files_compacted == 0
+    with pytest.raises(ValueError, match="COMPACT"):
+        hsession.sql("OPTIMIZE cp COMPACT REPARTITION 4")
+
+
 def test_load_data_bad_records(hsession, spark, tmp_path):
     src = tmp_path / "bad_in.csv"
     src.write_text("1,a\nnope,b\n2,c\n")

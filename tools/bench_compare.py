@@ -33,6 +33,9 @@ HEADLINE = [
     # per-source cap (streaming queries excluded: a DuckDB batch join
     # vs a Structured Streaming run is not an engine-vs-engine number)
     "doc_duplicate_spans", "doc_weighted_sample", "doc_source_cap",
+    # round-7 additions: probe-path BM25 (pre-built index via the
+    # warm-up pass), DSIR importance selection, PIVOT cross-tab
+    "doc_bm25_indexed", "doc_dsir_topk", "pivot_returnflag_status",
 ]
 
 
