@@ -604,3 +604,106 @@ def encode_ids(df: DataFrame, vocab: DataFrame, id_col: str = "doc_id",
                        F.expr("transform(array_sort(collect_list("
                               "struct(pos, __id))), s -> s.__id)")
                         .alias("ids")))
+
+
+def _merge_pair_expr(arr: str, a_col: str, b_col: str) -> Column:
+    """Leftmost-greedy merge of adjacent (a, b) symbol pairs in an
+    array column: one aggregate() fold carrying (out, pending) — the
+    exact sequential semantics BPE requires ('aaa' + merge 'a','a' →
+    ['aa','a'], not ['aa','aa']). Per word TYPE, not per token, so the
+    interpreted-HOF cost is bounded by distinct-word count."""
+    return F.expr(
+        f"aggregate({arr}, "
+        f"  named_struct('out', array()::array<string>, "
+        f"               'pend', cast(null as string)), "
+        f"  (acc, x) -> CASE "
+        f"    WHEN acc.pend IS NULL THEN named_struct("
+        f"      'out', acc.out, 'pend', x) "
+        f"    WHEN acc.pend = {a_col} AND x = {b_col} THEN named_struct("
+        f"      'out', array_append(acc.out, concat(acc.pend, x)), "
+        f"      'pend', cast(null as string)) "
+        f"    ELSE named_struct('out', array_append(acc.out, acc.pend), "
+        f"                      'pend', x) END, "
+        f"  acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+        f"              ELSE array_append(acc.out, acc.pend) END)")
+
+
+def bpe_pair_counts(words: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (syms array<string>, freq)
+    word-type table — MAP-ONLY pair derivation (arrays_zip of the
+    array against its own 1-shifted slice; no window, no shuffle
+    before the combinable count), weighted by word frequency. This is
+    the distributed workload inside every BPE merge round."""
+    n = F.array_size("syms")
+    zipped = F.arrays_zip(F.slice("syms", 1, n - 1),
+                          F.slice("syms", 2, n - 1))
+    pairs = (words.where(n >= 2)
+                  .select("freq", F.explode(zipped).alias("p")))
+    return (pairs.select("freq",
+                         F.col("p").getField("0").alias("a"),
+                         F.col("p").getField("1").alias("b"))
+                 .groupBy("a", "b")
+                 .agg(F.sum("freq").alias("pair_count")))
+
+
+def bpe_train(df: DataFrame, text_col: str = "text",
+              n_merges: int = 10, end_mark: str = "▁"
+              ) -> list[tuple[str, str]]:
+    """Train BPE merges distributed (Sennrich et al. 2016): build the
+    word-TYPE frequency table once (one groupBy — all further rounds
+    work on distinct words, a vocabulary-sized relation, not the
+    corpus), then per round: adjacent-pair counts (map-side combinable
+    over word types × freq), argmax pair to the driver (ONE tiny row —
+    the only collect), leftmost-greedy merge applied map-side via an
+    aggregate() fold, lineage truncated per round (localCheckpoint, the
+    connected-components discipline). Ties break (count DESC, a, b) for
+    engine-independent determinism. Returns the ordered merge list.
+
+    Scale: the corpus is touched exactly once (the word-type groupBy);
+    every merge round costs O(distinct words × avg word length) — the
+    same reduction every production BPE trainer exploits."""
+    toks = df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    words = (toks.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+                 .select(F.concat(F.col("w"), F.lit(end_mark)).alias("w"),
+                         "freq")
+                 .withColumn("syms", F.split(F.col("w"), ""))
+                 .select("syms", "freq")
+                 .localCheckpoint(eager=True))
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (bpe_pair_counts(words)
+               .orderBy(F.desc("pair_count"), "a", "b")
+               .limit(1).collect())
+        if not top or top[0]["pair_count"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        merged = _merge_pair_expr("syms", "__a", "__b")
+        words = (words.withColumn("__a", F.lit(a))
+                      .withColumn("__b", F.lit(b))
+                      .withColumn("syms", merged)
+                      .drop("__a", "__b")
+                      .localCheckpoint(eager=True))
+    return merges
+
+
+def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
+                id_col: str = "doc_id", text_col: str = "text",
+                end_mark: str = "▁") -> DataFrame:
+    """Apply an ordered merge list to a corpus: per doc, tokenize,
+    char-split each word, replay the merges in order (map-only — the
+    merge list is a plan literal, no join, no shuffle). Returns
+    (id, n_words, n_pieces, pieces array<string>)."""
+    out = df.select(F.col(id_col),
+                    F.explode(tokens(F.col(text_col))).alias("w"))
+    out = out.withColumn(
+        "syms", F.split(F.concat(F.col("w"), F.lit(end_mark)), ""))
+    for a, b in merges:
+        out = (out.withColumn("__a", F.lit(a))
+                  .withColumn("__b", F.lit(b))
+                  .withColumn("syms", _merge_pair_expr("syms", "__a", "__b"))
+                  .drop("__a", "__b"))
+    return (out.groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum(F.array_size("syms")).alias("n_pieces"),
+                    F.flatten(F.collect_list("syms")).alias("pieces")))

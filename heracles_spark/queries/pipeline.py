@@ -3162,3 +3162,47 @@ FROM ranked GROUP BY label ORDER BY label
 
 
 QUERIES["embedding_semdedup"] = (embedding_semdedup, SEMDEDUP_SQL)
+
+
+# -- BPE training statistics -------------------------------------------------
+
+def doc_bpe_pair_stats(spark, sf_dir):
+    """The distributed workload inside a BPE merge round (Sennrich et
+    al. 2016; operators.text.bpe_pair_counts): word-TYPE frequency
+    table (the corpus is touched once; rounds then work on the
+    vocabulary-sized relation) → map-only adjacent-pair derivation
+    (arrays_zip against the 1-shifted slice, no window) → combinable
+    frequency-weighted count. Top 15 pairs by (count DESC, a, b) — the
+    argmax the merge loop consumes, under a full value oracle. The
+    iterative loop itself (bpe_train / bpe_segment) is golden-tested
+    against a pure-Python Sennrich implementation in tests/test_text.py."""
+    from heracles_spark.operators.text import bpe_pair_counts, tokens
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("w0"))
+    words = (toks.groupBy("w0").agg(F.count(F.lit(1)).alias("freq"))
+                 .select(F.split(F.concat(F.col("w0"), F.lit("▁")), "")
+                          .alias("syms"), "freq"))
+    return (bpe_pair_counts(words)
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(15))
+
+
+BPE_SQL = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w0
+  FROM documents),
+ words AS (SELECT w0 || '▁' AS w, COUNT(*) AS freq FROM toks GROUP BY w0),
+ idx AS (SELECT w, freq,
+                unnest(generate_series(1, length(w) - 1)) AS i
+         FROM words),
+ pc AS (
+  SELECT substring(w, i, 1) AS a, substring(w, i + 1, 1) AS b,
+         CAST(SUM(freq) AS BIGINT) AS pair_count
+  FROM idx GROUP BY 1, 2)
+SELECT a, b, pair_count FROM pc
+ORDER BY pair_count DESC, a, b LIMIT 15
+"""
+
+
+QUERIES["doc_bpe_pair_stats"] = (doc_bpe_pair_stats, BPE_SQL)

@@ -651,3 +651,40 @@ GROUP BY measure ORDER BY measure
 
 
 QUERIES["unpivot_order_measures"] = (unpivot_order_measures, UNPIVOT_SQL)
+
+
+def lineitem_quantile_disc(spark, sf_dir):
+    """EXACT discrete percentiles (PERCENTILE_DISC ... WITHIN GROUP):
+    order statistics, so the result is an actual data element —
+    engine-identical by construction, no interpolation arithmetic to
+    diverge (the approx variant with its error contract is
+    percentile_approx_scale). One sort-based agg per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    pd_ = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                  f"(ORDER BY l_extendedprice)").alias(f"p{int(q*100)}")
+           for q in (0.25, 0.5, 0.75)]
+    return (li.groupBy("l_returnflag")
+              .agg(F.count(F.lit(1)).alias("n"), *pd_)
+              .orderBy("l_returnflag"))
+
+
+QDISC_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         CUME_DIST() OVER (PARTITION BY l_returnflag
+                           ORDER BY l_extendedprice) AS cd
+  FROM lineitem),
+ q AS (
+  SELECT l_returnflag,
+         MIN(CASE WHEN cd >= 0.25 THEN l_extendedprice END) AS p25,
+         MIN(CASE WHEN cd >= 0.5  THEN l_extendedprice END) AS p50,
+         MIN(CASE WHEN cd >= 0.75 THEN l_extendedprice END) AS p75
+  FROM ranked GROUP BY l_returnflag),
+ n AS (SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+       GROUP BY l_returnflag)
+SELECT n.l_returnflag, n.n, q.p25, q.p50, q.p75
+FROM n JOIN q USING (l_returnflag) ORDER BY l_returnflag
+"""
+
+
+QUERIES["lineitem_quantile_disc"] = (lineitem_quantile_disc, QDISC_SQL)

@@ -490,3 +490,65 @@ def test_importance_scores_ranks_targetlike_docs(spark):
     # so every bucket weight it touches is negative)
     assert got[3].score > got[4].score
     assert got[4].score < 0
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Pure-Python Sennrich BPE for the golden check."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = \
+                    counts.get((syms[i], syms[i + 1]), 0) + f
+        if not counts:
+            break
+        # deterministic tie-break: count DESC, then (a, b) ASC
+        top = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top)
+        if counts[best] < 2:
+            break
+        merges.append(best)
+        a, b = best
+        out = {}
+        for syms, f in words.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            out[tuple(res)] = out.get(tuple(res), 0) + f
+        words = out
+    return merges
+
+
+def test_bpe_train_matches_reference(spark):
+    """Distributed BPE training replays the exact sequential algorithm:
+    merge list equals a pure-Python Sennrich implementation with the
+    same (count DESC, pair ASC) tie-break."""
+    from heracles_spark.operators.text import bpe_segment, bpe_train
+
+    corpus = [(1, "low lower lowest low low"),
+              (2, "new newer newest new wide wider"),
+              (3, "low new wide widest lowest")]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    got = bpe_train(df, n_merges=8)
+
+    freqs = {}
+    for _, t in corpus:
+        for w in t.split():
+            w = w + "▁"
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference(freqs, 8)
+    assert got == want
+
+    # segmentation round-trip: pieces concatenate back to the words
+    seg = bpe_segment(df, got).orderBy("doc_id").collect()
+    for row, (_, t) in zip(seg, corpus):
+        assert "".join(row.pieces) == "".join(w + "▁" for w in t.split())
+        assert row.n_pieces == len(row.pieces)
+        assert row.n_words == len(t.split())
