@@ -829,3 +829,89 @@ def ivfpq_topk(df: DataFrame, query_vec: list[float],
     return pq_topk_adc(enc.where(F.col("cell_id").isin(probe)),
                        query_vec, codebooks, kk=kk, id_col=id_col,
                        rerank=rerank, vec_col=vec_col)
+
+
+def covariance_accumulate(df: DataFrame, vec_col: str = "embedding",
+                          dim: int = 64, micro: int = 1_000_000
+                          ) -> DataFrame:
+    """Exact second-moment (Gram) accumulation — the distributed half
+    of PCA/whitening over an embedding corpus: per partition, one numpy
+    X^T X panel over Arrow batches (mapInPandas), then a combinable sum
+    of the dim×dim partials. Entries are INTEGER-MICROUNIT products
+    (round(x·1e6) as int64 before multiply), so the result is
+    order-free exact — any engine, any partitioning, bit-identical —
+    and a SQL oracle can reproduce it term-for-term.
+
+    Returns (i, j, n, s) for the upper triangle (i ≤ j): s = Σ_rows
+    xi_micro · xj_micro; cov/corr/PCA derive driver-side from the
+    dim×dim result (4096 rows at dim 64 — the classic big-n/small-d
+    reduction; the eigendecomposition is NOT distributed work).
+
+    Scale: one pass, no shuffle before the dim²-sized combinable agg;
+    int64 headroom = (micro·|x|)²·rows < 2⁶³ — at 100 TB (10¹¹ rows)
+    drop ``micro`` to 1e3 or switch the partial dtype to float128/
+    decimal; the per-partition panel is BLAS either way."""
+    import pandas as pd
+
+    schema = "i int, j int, n long, s long"
+
+    def panels(batches):
+        import numpy as np
+
+        acc = np.zeros((dim, dim), dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # ROUND half-away-from-zero, matching Spark/DuckDB ROUND —
+            # np.rint would bank-round .5 ties the other way.
+            xr = x * micro
+            xm = (np.sign(xr) * np.floor(np.abs(xr) + 0.5)).astype(np.int64)
+            acc += xm.T @ xm
+            n += len(pdf)
+        if n:
+            iu, ju = np.triu_indices(dim)
+            yield pd.DataFrame({"i": iu.astype("int32"),
+                                "j": ju.astype("int32"),
+                                "n": np.int64(n),
+                                "s": acc[iu, ju]})
+
+    parts = df.select(vec_col).mapInPandas(panels, schema)
+    return (parts.groupBy("i", "j")
+                 .agg(F.sum("n").alias("n"), F.sum("s").alias("s")))
+
+
+def pca_from_gram(gram_rows, dim: int = 64, k: int = 8,
+                  micro: int = 1_000_000):
+    """Driver-side finish of distributed PCA: reassemble the exact
+    integer Gram triangle from ``covariance_accumulate`` rows
+    (i, j, n, s), form the covariance in float64, and eigen-decompose —
+    dim×dim work, independent of corpus size. Returns (eigenvalues
+    desc, components [k×dim], mean) — components' sign fixed so each
+    vector's largest-|coordinate| entry is positive (eigenvectors are
+    sign-ambiguous; fixing it makes results comparable across runs)."""
+    import numpy as np
+
+    s = np.zeros((dim, dim), dtype=np.float64)
+    n = 0
+    for r in gram_rows:
+        v = float(r["s"]) / (micro * micro)
+        s[r["i"], r["j"]] = v
+        s[r["j"], r["i"]] = v
+        n = int(r["n"])
+    if n < 2:
+        raise ValueError("need at least 2 rows for a covariance")
+    # covariance needs the mean too; the Gram triangle carries i==j and
+    # i<j products but not Σx. Callers wanting centered PCA should
+    # append a mean pass; for cosine-normalized embeddings the
+    # UNcentered second moment is the standard spectrum (what this
+    # returns): C = S / n.
+    c = s / n
+    w, v = np.linalg.eigh(c)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order].T
+    flips = np.sign(comps[np.arange(len(order)),
+                          np.abs(comps).argmax(axis=1)])
+    comps = comps * flips[:, None]
+    return w[order], comps, n

@@ -3206,3 +3206,34 @@ ORDER BY pair_count DESC, a, b LIMIT 15
 
 
 QUERIES["doc_bpe_pair_stats"] = (doc_bpe_pair_stats, BPE_SQL)
+
+
+# -- exact second-moment accumulation (PCA/whitening input) ------------------
+
+def embedding_covariance(spark, sf_dir):
+    """Distributed Gram/second-moment matrix over the embedding corpus
+    (similarity.covariance_accumulate) — the input PCA/whitening needs:
+    per-partition numpy X^T X panels over Arrow batches, combinable
+    dim×dim sum, INTEGER-MICROUNIT entries so the 2080-row upper
+    triangle is order-free exact and fully value-oracled (the DuckDB
+    side recomputes every term). The eigendecomposition consumes this
+    4096-number result driver-side — the classic big-n/small-d split."""
+    e = _embs(spark, sf_dir)
+    return (similarity.covariance_accumulate(e)
+            .orderBy("i", "j"))
+
+
+COV_SQL = """
+SELECT i.i - 1 AS i, j.j - 1 AS j, COUNT(*) AS n,
+       CAST(SUM(CAST(ROUND(CAST(e.embedding[i.i] AS DOUBLE) * 1000000)
+                     AS BIGINT)
+                * CAST(ROUND(CAST(e.embedding[j.j] AS DOUBLE) * 1000000)
+                       AS BIGINT))
+            AS BIGINT) AS s
+FROM embeddings e, range(1, 65) i(i), range(1, 65) j(j)
+WHERE i.i <= j.j
+GROUP BY 1, 2 ORDER BY i, j
+"""
+
+
+QUERIES["embedding_covariance"] = (embedding_covariance, COV_SQL)

@@ -415,3 +415,38 @@ def test_ivf_partitioned_store_prunes_and_matches(spark, vecs, tmp_path):
     import os
     cells = [d for d in os.listdir(path) if d.startswith("cell_id=")]
     assert len(cells) >= 2
+
+
+def test_covariance_accumulate_exact_and_partition_independent(spark, vecs):
+    """covariance_accumulate equals a numpy reference exactly (integer
+    microunits) and is invariant under repartitioning; pca_from_gram
+    recovers the dominant directions of an anisotropic cloud."""
+    import numpy as np
+
+    rows = vecs.collect()
+    x = np.array([r.embedding for r in rows], dtype=np.float64)
+    xr = x * 1_000_000
+    xm = (np.sign(xr) * np.floor(np.abs(xr) + 0.5)).astype(np.int64)
+    want = xm.T @ xm
+
+    got = similarity.covariance_accumulate(vecs, dim=DIM).collect()
+    assert len(got) == DIM * (DIM + 1) // 2
+    for r in got:
+        assert r.s == want[r.i, r.j], (r.i, r.j)
+        assert r.n == len(rows)
+    got2 = similarity.covariance_accumulate(
+        vecs.repartition(7), dim=DIM).collect()
+    assert sorted((r.i, r.j, r.s) for r in got2) == \
+           sorted((r.i, r.j, r.s) for r in got)
+
+    # stretched cloud: first axis dominates the spectrum
+    stretched = vecs.selectExpr(
+        "vec_id",
+        "transform(embedding, (v, d) -> CASE WHEN d = 0 THEN v * 10 "
+        "ELSE v END) AS embedding")
+    g = similarity.covariance_accumulate(stretched, dim=DIM).collect()
+    w, comps, n = similarity.pca_from_gram(
+        [r.asDict() for r in g], dim=DIM, k=2)
+    assert n == len(rows)
+    assert w[0] > 10 * w[1]
+    assert abs(comps[0][0]) > 0.99   # first component ≈ axis 0
