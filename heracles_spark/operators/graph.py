@@ -172,3 +172,49 @@ def dedup_keep_representatives(df: DataFrame, pairs: DataFrame,
     losers = (comp.where(F.col("id") != F.col("component"))
                   .select(F.col("id").alias(id_col)))
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
+             weight: str = "w", damping: float = 0.85,
+             n_iter: int = 5) -> DataFrame:
+    """Weighted PageRank, fixed iteration count — the second iterative
+    graph operator (after connected components), in the repo's
+    engine-exact style: per-edge contribution rank(u)/outw(u)·w(u,v) is
+    two correctly-rounded double ops, per-node sums accumulate in
+    DECIMAL (order-free exact — any engine, any partitioning), and the
+    damping update is two more double ops. A SQL oracle replaying the
+    same K iterations reproduces every rank bit-for-bit, so the whole
+    trajectory sits under a full value hash.
+
+    Dangling nodes keep only the teleport term (mass leaks — the
+    standard simplification; both engine and oracle do the same).
+
+    Scale: per iteration ONE hash join on src + one combinable agg on
+    dst; ranks relation = node count; lineage truncated per round (the
+    connected-components discipline). Driver work = one node count."""
+    e = (edges.select(F.col(src).alias("u"), F.col(dst).alias("v"),
+                      F.col(weight).cast("double").alias("w"))
+              .localCheckpoint(eager=True))
+    nodes = (e.select(F.col("u").alias("node"))
+              .union(e.select(F.col("v").alias("node")))
+              .distinct()
+              .localCheckpoint(eager=True))
+    n = nodes.count()
+    outw = e.groupBy("u").agg(F.sum("w").alias("outw"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(n_iter):
+        contrib = (e.join(ranks, e.u == ranks.node)
+                    .join(outw, "u")
+                    .select(F.col("v").alias("node"),
+                            (F.col("rank") / F.col("outw") * F.col("w"))
+                            .cast("decimal(38,18)").alias("c")))
+        sums = (contrib.groupBy("node")
+                       .agg(F.sum("c").cast("double").alias("s")))
+        ranks = (nodes.join(sums, "node", "left")
+                      .select("node",
+                              (F.lit((1.0 - damping) / n)
+                               + F.lit(damping)
+                               * F.coalesce(F.col("s"), F.lit(0.0)))
+                              .alias("rank"))
+                      .localCheckpoint(eager=True))
+    return ranks

@@ -929,3 +929,76 @@ GROUP BY event_type ORDER BY event_type
 
 QUERIES["events_interarrival_stats"] = (events_interarrival_stats,
                                         INTERARRIVAL_SQL)
+
+
+# -- PageRank (iterative, engine-exact) --------------------------------------
+
+def nation_trade_pagerank(spark, sf_dir):
+    """Weighted PageRank over the nation-level trade graph (edge
+    customer-nation → supplier-nation, weight = lineitem count; built
+    with three broadcast joins), 5 fixed iterations of
+    operators.graph.pagerank. Engine-exact trajectory: contributions
+    are two correctly-rounded double ops, per-node sums accumulate in
+    decimal (order-free), so the oracle — the same 5 iterations as
+    explicit chained CTEs — reproduces every rank bit-for-bit."""
+    from heracles_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (li.join(o.select("o_orderkey", "o_custkey"),
+                     li.l_orderkey == o.o_orderkey)
+               .join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+                     F.col("o_custkey") == F.col("c_custkey"))
+               .join(F.broadcast(s.select("s_suppkey", "s_nationkey")),
+                     li.l_suppkey == F.col("s_suppkey"))
+               .groupBy(F.col("c_nationkey").alias("src"),
+                        F.col("s_nationkey").alias("dst"))
+               .agg(F.count(F.lit(1)).alias("w")))
+    pr = pagerank(edges, damping=0.85, n_iter=5)
+    return (pr.join(F.broadcast(n), pr.node == n.n_nationkey)
+              .select(F.col("n_name").alias("nation"),
+                      F.round("rank", 9).alias("pagerank"))
+              .orderBy(F.desc("pagerank"), "nation"))
+
+
+def _pr_iter_sql(k: int) -> str:
+    prev = f"r{k - 1}" if k > 1 else "r0"
+    return f"""
+ r{k} AS (
+  SELECT nn.node,
+         0.15 / nn.n + 0.85 * CAST(COALESCE(s.s, CAST(0 AS DECIMAL(38,18)))
+                                   AS DOUBLE) AS rank
+  FROM (SELECT node, n FROM nodes, cnt) nn
+  LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST(p.rank / ow.outw * e.w AS DECIMAL(38,18))) AS s
+    FROM edges e JOIN {prev} p ON e.src = p.node
+                 JOIN outw ow ON e.src = ow.src
+    GROUP BY e.dst) s ON s.node = nn.node)"""
+
+
+PAGERANK_SQL = ("""
+WITH edges AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         CAST(COUNT(*) AS DOUBLE) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+ nodes AS (SELECT DISTINCT node FROM (
+   SELECT src AS node FROM edges UNION SELECT dst FROM edges)),
+ cnt AS (SELECT COUNT(*) AS n FROM nodes),
+ outw AS (SELECT src, SUM(w) AS outw FROM edges GROUP BY src),
+ r0 AS (SELECT node, 1.0 / cnt.n AS rank FROM nodes, cnt),"""
+                + ",".join(_pr_iter_sql(k) for k in range(1, 6)) + """
+SELECT n.n_name AS nation, ROUND(r5.rank, 9) AS pagerank
+FROM r5 JOIN nation n ON r5.node = n.n_nationkey
+ORDER BY pagerank DESC, nation
+""")
+
+
+QUERIES["nation_trade_pagerank"] = (nation_trade_pagerank, PAGERANK_SQL)

@@ -209,3 +209,42 @@ def test_simhash_hamming_skew_guard(spark):
                df, k=3, max_bucket_size=10).collect()}
     assert (100, 101) in got
     assert not any(a < 100 for a, _ in got)
+
+
+def test_pagerank_known_graph(spark):
+    """PageRank sanity on an analyzable graph: a 3-node cycle is
+    perfectly symmetric (all ranks = 1/3 at every iteration), and a
+    star pointing at a hub concentrates rank on the hub."""
+    from heracles_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0)], "src long, dst long, w double")
+    r = {x.node: x.rank for x in pagerank(cycle, n_iter=4).collect()}
+    for v in r.values():
+        assert abs(v - 1 / 3) < 1e-12
+
+    star = spark.createDataFrame(
+        [(i, 0, 1.0) for i in range(1, 6)] + [(0, 1, 1.0)],
+        "src long, dst long, w double")
+    r = {x.node: x.rank for x in pagerank(star, n_iter=20).collect()}
+    assert r[0] == max(r.values())
+    assert r[0] > 0.45          # analytic fixpoint ≈ 0.4729
+    # leaves 2..5 receive only teleport mass and tie exactly
+    assert len({round(r[i], 15) for i in range(2, 6)}) == 1
+
+
+def test_pagerank_partition_independent(spark):
+    """Decimal contribution sums make the trajectory partition-count
+    independent — same bits at 1 and 13 partitions."""
+    from heracles_spark.operators.graph import pagerank
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(20), rng.randrange(20), float(rng.randrange(1, 5)))
+             for _ in range(60)]
+    df = spark.createDataFrame(edges, "src long, dst long, w double")
+    a = sorted((r.node, r.rank) for r in
+               pagerank(df.coalesce(1), n_iter=5).collect())
+    b = sorted((r.node, r.rank) for r in
+               pagerank(df.repartition(13), n_iter=5).collect())
+    assert a == b
