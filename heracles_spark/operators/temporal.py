@@ -199,3 +199,46 @@ def interval_overlap_join(left: DataFrame, right: DataFrame, by: str,
     return (l2.join(r2, [by, "__bin"])
               .where(overlap & first_shared)
               .drop("__bin"))
+
+
+def decayed_sum_trailing(df: DataFrame, by: str, order_col: str,
+                         value_col: str, window: int = 50,
+                         out_col: str = "decayed_sum") -> DataFrame:
+    """Exponentially time-decayed trailing sum (EWMA's unnormalized
+    core): for each row t, Σ_{k=0..window-1} v_{t-k} · 2^{-k} — the
+    recency-weighted engagement/quality score every event pipeline
+    keeps.
+
+    Engine-exact by construction: the decay base is DYADIC (α = 1/2),
+    so v·2^{-k} is a pure exponent shift — EXACT in IEEE, no libm —
+    and per-target sums accumulate in decimal (order-free). The
+    smoothing is therefore bit-reproducible on any engine, any
+    partitioning, any plan.
+
+    Shape: each row contributes to its next ``window`` successors via
+    a bounded explode (sequence 0..window-1) + ONE combinable agg on
+    (by, target_row) — no per-key sequential scan, no unbounded window
+    state; shuffle volume = window × |rows|. The trailing cutoff also
+    bounds the exponent (2^{-k} underflows at k≈1074; a full-history
+    dyadic EWMA via prefix scaling would overflow past ~1000 rows —
+    the bounded frame is both the scale AND the exactness choice).
+
+    Returns df's (by, order_col, value_col) plus ``out_col``."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(by).orderBy(order_col)
+    rn = (df.select(by, order_col, value_col)
+            .withColumn("__rn", F.row_number().over(w)))
+    halfk = (F.col(value_col).cast("double")
+             / F.expr("shiftleft(1L, __k)").cast("double"))
+    contrib = (rn.select(by, "__rn", value_col)
+                 .withColumn("__k", F.explode(
+                     F.sequence(F.lit(0), F.lit(window - 1))))
+                 .select(F.col(by).alias("__g"),
+                         (F.col("__rn") + F.col("__k")).alias("__t"),
+                         halfk.cast("decimal(38,12)").alias("__c")))
+    sums = (contrib.groupBy("__g", "__t")
+                   .agg(F.sum("__c").cast("double").alias(out_col)))
+    return (rn.join(sums, (F.col("__rn") == F.col("__t"))
+                    & (F.col(by) == F.col("__g")))
+              .select(by, order_col, value_col, out_col))

@@ -1002,3 +1002,52 @@ ORDER BY pagerank DESC, nation
 
 
 QUERIES["nation_trade_pagerank"] = (nation_trade_pagerank, PAGERANK_SQL)
+
+
+def events_decayed_engagement(spark, sf_dir):
+    """Per-user exponentially time-decayed engagement score
+    (operators.temporal.decayed_sum_trailing, dyadic α=1/2 over the
+    trailing 50 events): each user's LATEST score — the
+    recency-weighted activity feature a ranking pipeline keeps per
+    entity. Exact cross-engine: 2^-k weights are exponent shifts (no
+    libm), sums in decimal."""
+    from pyspark.sql import Window
+
+    from heracles_spark.operators.temporal import decayed_sum_trailing
+
+    e = (_events(spark, sf_dir)
+         .where(F.col("user_id") <= 200)
+         .select("user_id", "ts_ns", "value"))
+    scored = decayed_sum_trailing(e, by="user_id", order_col="ts_ns",
+                                  value_col="value", window=50)
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_ns"))
+    latest = (scored.withColumn("__rn", F.row_number().over(w))
+                    .where(F.col("__rn") == 1))
+    return (latest.select("user_id",
+                          F.round("decayed_sum", 6).alias("engagement"))
+                  .orderBy("user_id"))
+
+
+DECAY_SQL = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) AS ts_ns, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY epoch_ns(ts))
+           AS rn
+  FROM events WHERE user_id <= 200),
+ contrib AS (
+  SELECT user_id, rn + k AS t,
+         CAST(value / CAST(1 << k AS DOUBLE) AS DECIMAL(38,12)) AS c
+  FROM e, (SELECT unnest(generate_series(0, 49)) AS k)),
+ sums AS (
+  SELECT user_id, t, CAST(SUM(c) AS DOUBLE) AS ds
+  FROM contrib GROUP BY user_id, t),
+ latest AS (
+  SELECT user_id, MAX(rn) AS last_rn FROM e GROUP BY user_id)
+SELECT l.user_id, ROUND(s.ds, 6) AS engagement
+FROM latest l JOIN sums s ON s.user_id = l.user_id AND s.t = l.last_rn
+ORDER BY l.user_id
+"""
+
+
+QUERIES["events_decayed_engagement"] = (events_decayed_engagement,
+                                        DECAY_SQL)
