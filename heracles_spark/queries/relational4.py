@@ -688,3 +688,57 @@ FROM n JOIN q USING (l_returnflag) ORDER BY l_returnflag
 
 
 QUERIES["lineitem_quantile_disc"] = (lineitem_quantile_disc, QDISC_SQL)
+
+
+def cube_status_priority(spark, sf_dir):
+    """GROUP BY CUBE — all 4 grouping sets of (status, priority) in one
+    pass (a single Expand node feeding one hash agg, NOT 4 scans);
+    grouping_id disambiguates rolled-up NULLs from data NULLs, rolled
+    dims surface as 'ALL'. Decimal-exact revenue."""
+    from heracles_spark.queries.relational import _dsum
+
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  _dsum(F.col("o_totalprice")).alias("revenue"),
+                  F.grouping_id().alias("gid"))
+             .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                      .alias("status"),
+                     F.coalesce("o_orderpriority", F.lit("ALL"))
+                      .alias("priority"),
+                     "gid", "n", "revenue")
+             .orderBy("gid", "status", "priority"))
+
+
+CUBE_SQL = """
+WITH g0 AS (
+  SELECT o_orderstatus AS status, o_orderpriority AS priority,
+         0 AS gid, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1, 2),
+ g1 AS (
+  SELECT o_orderstatus AS status, 'ALL' AS priority, 1 AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 1),
+ g2 AS (
+  SELECT 'ALL' AS status, o_orderpriority AS priority, 2 AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+  FROM orders GROUP BY 2),
+ g3 AS (
+  SELECT 'ALL' AS status, 'ALL' AS priority, 3 AS gid, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+  FROM orders)
+SELECT status, priority, gid, n, revenue
+FROM (SELECT * FROM g0 UNION ALL SELECT * FROM g1
+      UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3)
+ORDER BY gid, status, priority
+"""
+
+
+QUERIES["cube_status_priority"] = (cube_status_priority, CUBE_SQL)

@@ -174,6 +174,8 @@ _REFRESH_INDEX = re.compile(
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
     r"(?P<cols>\s+FOR\s+ALL\s+COLUMNS)?\s*$", re.IGNORECASE)
+_TRUNCATE = re.compile(
+    r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CACHE = re.compile(
     r"^\s*CACHE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _UNCACHE = re.compile(
@@ -711,6 +713,18 @@ def dispatch(session, statement: str) -> DataFrame | None:
             catalog.view_name(name))
         return spark.createDataFrame(
             [(st["mode"], st["new_files"])], "mode: string, new_files: int")
+
+    m = _TRUNCATE.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        # Metadata-only: a new version with an EMPTY file list — no
+        # scan, no rewrite (files retire in place: time travel sees
+        # them until VACUUM). The O(1) counterpart of DELETE-without-
+        # WHERE's copy-on-write pass.
+        name = _resolve(session, m.group("name"))
+        catalog.update_file_index(name, [], append=False, op="truncate")
+        catalog.read_table(spark, name).createOrReplaceTempView(
+            catalog.view_name(name))
+        return None
 
     if _SHOW.match(statement):
         db = getattr(session, "current_db", "default")

@@ -505,3 +505,26 @@ def test_refresh_text_index_incremental(hsession, spark, catalog):
     assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "rebuild"
     assert ("delta", 1, 1) in postings()
     assert ("alpha", 1, 2) not in postings()
+
+
+def test_truncate_table_metadata_only(hsession, spark, catalog):
+    """TRUNCATE TABLE: empties the table in O(metadata) — no rewrite;
+    time travel to the pre-truncate version still sees the rows, and
+    new inserts work normally."""
+    hsession.sql("""CREATE TABLE tr (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO tr VALUES (1,'a'),(2,'b'),(3,'c')")
+    v_before = catalog.get_table("tr").version
+    hsession.sql("TRUNCATE TABLE tr")
+    assert hsession.sql("SELECT COUNT(*) AS n FROM tr").collect()[0].n == 0
+    assert catalog.get_table("tr").files == []
+    # rows still visible via time travel (files retired, not deleted)
+    n_old = hsession.sql(
+        f"SELECT COUNT(*) AS n FROM tr VERSION AS OF {v_before}"
+    ).collect()[0].n
+    assert n_old == 3
+    hsession.sql("INSERT INTO tr VALUES (9,'z')")
+    got = [(r.k, r.v) for r in hsession.sql("SELECT * FROM tr").collect()]
+    assert got == [(9, "z")]
+    op = catalog.get_table("tr").history[-2]["op"]
+    assert op == "truncate"
