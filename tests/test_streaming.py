@@ -370,3 +370,48 @@ def test_stream_flag_near_dups(spark, tmp_path):
     replay = flag_near_dups_batch(spark, b2, store, batch_id=1)
     got2 = {r["doc_id"] for r in replay.collect()}
     assert 3 in got2 and 4 not in got2
+
+
+def test_stream_ingest_then_minor_compaction(spark, catalog, tmp_path):
+    """The operational pairing: per-batch streaming appends accrete
+    small files; OPTIMIZE COMPACT bin-packs them WITHOUT touching a
+    pre-existing adequately-sized file, rows and key layout intact —
+    the trickle-ingest maintenance loop at 100 TB."""
+    from heracles_spark import writer
+
+    catalog.create_table("evc", [("k", "int"), ("v", "string")], ["k"])
+    # one adequately-sized batch write first
+    big = spark.createDataFrame([(i, f"v{i}") for i in range(400)],
+                                "k int, v string")
+    writer.write_key_organized(spark, catalog, "evc", big, n_buckets=1)
+    big_paths = {f["path"] for f in catalog.get_table("evc").files}
+
+    src = tmp_path / "srcc"
+    src.mkdir()
+    for b in range(4):
+        (spark.createDataFrame([(1000 + b * 2, "x"), (1001 + b * 2, "y")],
+                               "k int, v string")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(str(src / f"b{b}.parquet")))
+    # one stream, one file per trigger → 4 micro-batches, 4 appends
+    q = ingest.stream_into_table(
+        spark, catalog, "evc", str(src / "*"),
+        checkpoint_dir=str(tmp_path / "ckc"), available_now=True,
+        max_files_per_trigger=1)
+    q.awaitTermination(120)
+    tbl = catalog.get_table("evc")
+    assert len(tbl.files) == 1 + 4          # 4 trickle files accreted
+
+    st = writer.compact_small_files(spark, catalog, "evc",
+                                    target_rows=400)
+    assert st["files_compacted"] == 4 and st["files_written"] == 1
+    after = catalog.get_table("evc")
+    assert big_paths <= {f["path"] for f in after.files}
+    assert len(after.files) == 2
+    got = catalog.read_table(spark, "evc").count()
+    assert got == 400 + 8
+    # pruned point lookup still lands in the right file set
+    from heracles_spark import pruning
+    keep = pruning.prune_files(after.files, ("=", "k", 1003),
+                               after.key_cols)
+    assert len(keep) == 1
