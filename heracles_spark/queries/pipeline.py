@@ -3237,3 +3237,103 @@ GROUP BY 1, 2 ORDER BY i, j
 
 
 QUERIES["embedding_covariance"] = (embedding_covariance, COV_SQL)
+
+
+# -- embedding anomaly scoring -----------------------------------------------
+
+def embedding_anomaly_topk(spark, sf_dir):
+    """Corpus-health anomaly scan: per-vector diagonal Mahalanobis
+    score Σ_d z_d² with per-dimension mean/variance from the
+    integer-microunit sums (the embedding_dim_stats discipline —
+    order-free exact inputs, then a FIXED sequence of correctly-rounded
+    double ops per value), per-vector dim sums in decimal (order-free).
+    Top 10 most anomalous vectors — the outliers an embedding pipeline
+    quarantines before indexing. Fully value-oracled."""
+    e = _embs(spark, sf_dir)
+    m = F.round(F.col("x").cast("double") * 1_000_000).cast("long")
+    dims = (e.select("vec_id", F.posexplode("embedding").alias("dim", "x"))
+             .select("vec_id", "dim", m.alias("m")))
+    stats = (dims.groupBy("dim")
+                 .agg(F.count(F.lit(1)).alias("n"),
+                      F.sum("m").alias("s1"),
+                      F.sum(F.col("m") * F.col("m")).alias("s2")))
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / n) / (n - 1))
+    bstats = stats.select("dim", mu.alias("mu"), var.alias("var"))
+    z2 = ((F.col("m") - F.col("mu")) * (F.col("m") - F.col("mu"))
+          / F.col("var"))
+    return (dims.join(F.broadcast(bstats), "dim")
+                .select("vec_id", z2.cast("decimal(38,12)").alias("z2"))
+                .groupBy("vec_id")
+                .agg(F.round(F.sum("z2").cast("double"), 6)
+                      .alias("anomaly"))
+                .orderBy(F.desc("anomaly"), "vec_id")
+                .limit(10))
+
+
+ANOM_SQL = """
+WITH dims AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(ROUND(CAST(embedding[i.i] AS DOUBLE) * 1000000) AS BIGINT)
+           AS m
+  FROM embeddings, range(1, 65) i(i)),
+ stats AS (
+  SELECT dim, COUNT(*) AS n, CAST(SUM(m) AS BIGINT) AS s1,
+         CAST(SUM(m * m) AS BIGINT) AS s2
+  FROM dims GROUP BY dim),
+ bs AS (
+  SELECT dim, CAST(s1 AS DOUBLE) / n AS mu,
+         (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n)
+         / (n - 1) AS var
+  FROM stats),
+ z AS (
+  SELECT d.vec_id,
+         CAST((d.m - b.mu) * (d.m - b.mu) / b.var AS DECIMAL(38,12))
+           AS z2
+  FROM dims d JOIN bs b USING (dim))
+SELECT vec_id, ROUND(CAST(SUM(z2) AS DOUBLE), 6) AS anomaly
+FROM z GROUP BY vec_id ORDER BY anomaly DESC, vec_id LIMIT 10
+"""
+
+
+QUERIES["embedding_anomaly_topk"] = (embedding_anomaly_topk, ANOM_SQL)
+
+
+def doc_quality_quantiles(spark, sf_dir):
+    """Per-language EXACT quality-score quantiles (PERCENTILE_DISC —
+    order statistics of the rational quality scorer, so every value is
+    an actual score both engines computed identically): the
+    distribution snapshot a curation run reads before picking a
+    quality threshold per language."""
+    d = text.with_quality_score(_docs(spark, sf_dir))
+    pd_ = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
+                  f"(ORDER BY quality_score)").alias(f"p{int(q*100)}")
+           for q in (0.1, 0.5, 0.9)]
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n"), *pd_)
+             .orderBy("lang"))
+
+
+QQUANT_SQL = f"""
+WITH scored AS (
+  SELECT lang, {_QUALITY_SQL_EXPR} AS quality_score FROM documents),
+ ranked AS (
+  SELECT lang, quality_score,
+         CUME_DIST() OVER (PARTITION BY lang ORDER BY quality_score)
+           AS cd
+  FROM scored),
+ q AS (
+  SELECT lang,
+         MIN(CASE WHEN cd >= 0.1 THEN quality_score END) AS p10,
+         MIN(CASE WHEN cd >= 0.5 THEN quality_score END) AS p50,
+         MIN(CASE WHEN cd >= 0.9 THEN quality_score END) AS p90
+  FROM ranked GROUP BY lang),
+ n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang)
+SELECT n.lang, n.n, q.p10, q.p50, q.p90
+FROM n JOIN q USING (lang) ORDER BY lang
+"""
+
+
+QUERIES["doc_quality_quantiles"] = (doc_quality_quantiles, QQUANT_SQL)
