@@ -31,7 +31,8 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       available_now: bool = False,
                       exactly_once: bool = True,
                       refresh_rollups: list[str] | None = None,
-                      refresh_indexes: list[str] | None = None
+                      refresh_indexes: list[str] | None = None,
+                      refresh_text_indexes: list[str] | None = None
                       ) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
     table, preserving the key-range layout per micro-batch.
@@ -74,6 +75,14 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
             from heracles_spark.index import refresh_index
             for i in refresh_indexes:
                 refresh_index(spark, catalog, table, i)
+        if refresh_text_indexes:
+            # Streaming batches are pure appends with fresh keys, so
+            # this takes textindex's INCREMENTAL path (only the batch's
+            # files re-explode); a replayed batch appends nothing and
+            # the refresh no-ops — idempotent like the rollup refresh.
+            from heracles_spark.textindex import refresh_text_index
+            for i in refresh_text_indexes:
+                refresh_text_index(spark, catalog, table, i)
 
     w = (stream.writeStream
          .foreachBatch(sink)

@@ -415,3 +415,42 @@ def test_stream_ingest_then_minor_compaction(spark, catalog, tmp_path):
     keep = pruning.prune_files(after.files, ("=", "k", 1003),
                                after.key_cols)
     assert len(keep) == 1
+
+
+def test_stream_ingest_incremental_text_index(spark, catalog, tmp_path):
+    """Streaming appends keep a TEXT INDEX current through the
+    INCREMENTAL refresh path (only each batch's files re-explode), and
+    the final postings equal a from-scratch rebuild."""
+    from heracles_spark import textindex
+
+    catalog.create_table("evt_ti", [("k", "int"), ("body", "string")],
+                         ["k"])
+    from heracles_spark import writer
+    writer.write_key_organized(
+        spark, catalog, "evt_ti",
+        spark.createDataFrame([(1, "spark joins tables")],
+                              "k int, body string"))
+    textindex.create_text_index(spark, catalog, "evt_ti", "body", "bidx")
+
+    src = tmp_path / "tisrc"
+    src.mkdir()
+    rows = [(10, "spark streams data"), (11, "ducks stream data")]
+    for i, r in enumerate(rows):
+        (spark.createDataFrame([r], "k int, body string")
+         .coalesce(1).write.parquet(str(src / f"b{i}.parquet")))
+    q = ingest.stream_into_table(
+        spark, catalog, "evt_ti", str(src / "*"),
+        checkpoint_dir=str(tmp_path / "tick"), available_now=True,
+        max_files_per_trigger=1, refresh_text_indexes=["bidx"])
+    q.awaitTermination(120)
+    assert textindex.LAST_TEXT_INDEX_STATS["mode"] == "incremental"
+
+    got = sorted((r.term, r.k, r.tf) for r in
+                 spark.sql("SELECT * FROM evt_ti__tidx_bidx").collect())
+    # rebuild from scratch and compare row-for-row
+    textindex.drop_text_index(spark, catalog, "evt_ti", "bidx")
+    textindex.create_text_index(spark, catalog, "evt_ti", "body", "bidx")
+    want = sorted((r.term, r.k, r.tf) for r in
+                  spark.sql("SELECT * FROM evt_ti__tidx_bidx").collect())
+    assert got == want
+    assert ("spark", 10, 1) in got and ("stream", 11, 1) in got
