@@ -3302,18 +3302,30 @@ QUERIES["embedding_anomaly_topk"] = (embedding_anomaly_topk, ANOM_SQL)
 
 
 def doc_quality_quantiles(spark, sf_dir):
-    """Per-language EXACT quality-score quantiles (PERCENTILE_DISC —
-    order statistics of the rational quality scorer, so every value is
-    an actual score both engines computed identically): the
+    """Per-language EXACT quality-score quantiles (PERCENTILE_DISC
+    semantics — order statistics of the rational quality scorer, so
+    every value is a score both engines computed identically): the
     distribution snapshot a curation run reads before picking a
-    quality threshold per language."""
+    quality threshold per language. Rank-based form, not Spark's
+    percentile_disc aggregate (which buffers each group in executor
+    memory — see lineitem_quantile_disc): keyed row_number window
+    (sort-based, spills) + the ⌈p·n⌉ elements."""
+    from pyspark.sql import Window
+
     d = text.with_quality_score(_docs(spark, sf_dir))
-    pd_ = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
-                  f"(ORDER BY quality_score)").alias(f"p{int(q*100)}")
-           for q in (0.1, 0.5, 0.9)]
-    return (d.groupBy("lang")
-             .agg(F.count(F.lit(1)).alias("n"), *pd_)
-             .orderBy("lang"))
+    w = (Window.partitionBy("lang")
+               .orderBy("quality_score", "doc_id"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (d.select("lang", "doc_id", "quality_score")
+               .withColumn("rn", F.row_number().over(w))
+               .join(F.broadcast(counts), "lang"))
+    picks = [F.max(F.when(
+                 F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                 F.col("quality_score"))).alias(f"p{int(q*100)}")
+             for q in (0.1, 0.5, 0.9)]
+    return (ranked.groupBy("lang")
+                  .agg(F.max("n").alias("n"), *picks)
+                  .orderBy("lang"))
 
 
 QQUANT_SQL = f"""

@@ -654,18 +654,41 @@ QUERIES["unpivot_order_measures"] = (unpivot_order_measures, UNPIVOT_SQL)
 
 
 def lineitem_quantile_disc(spark, sf_dir):
-    """EXACT discrete percentiles (PERCENTILE_DISC ... WITHIN GROUP):
-    order statistics, so the result is an actual data element —
+    """EXACT discrete percentiles (PERCENTILE_DISC semantics: smallest
+    value whose cume_dist ≥ p, i.e. the element at rank ⌈p·n⌉): order
+    statistics, so the result is an actual data element —
     engine-identical by construction, no interpolation arithmetic to
     diverge (the approx variant with its error contract is
-    percentile_approx_scale). One sort-based agg per group."""
+    percentile_approx_scale).
+
+    Deliberately NOT Spark's percentile_disc aggregate: that plans as
+    an ObjectHashAggregate which BUFFERS every group's values in
+    executor memory — a billion-row group at 100 TB is an OOM, the
+    same class of hazard as an unpartitioned window. This form ranks
+    within each group with a keyed row_number window (sort-based:
+    spills, streams, bounded memory) and keeps the ⌈p·n⌉ elements —
+    measured 5.7s → 2.6s at sf0.1 as a bonus. Per-group order remains
+    one task per group (the parallelism unit is the group; value-range
+    bucketing à la ranking.with_global_ranks applies if one group
+    dominates)."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    pd_ = [F.expr(f"percentile_disc({q}) WITHIN GROUP "
-                  f"(ORDER BY l_extendedprice)").alias(f"p{int(q*100)}")
-           for q in (0.25, 0.5, 0.75)]
-    return (li.groupBy("l_returnflag")
-              .agg(F.count(F.lit(1)).alias("n"), *pd_)
-              .orderBy("l_returnflag"))
+    w = (Window.partitionBy("l_returnflag")
+               .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
+    counts = (li.groupBy("l_returnflag")
+                .agg(F.count(F.lit(1)).alias("n")))
+    ranked = (li.select("l_returnflag", "l_extendedprice",
+                        "l_orderkey", "l_linenumber")
+                .withColumn("rn", F.row_number().over(w))
+                .join(F.broadcast(counts), "l_returnflag"))
+    picks = [F.max(F.when(
+                 F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                 F.col("l_extendedprice"))).alias(f"p{int(q*100)}")
+             for q in (0.25, 0.5, 0.75)]
+    return (ranked.groupBy("l_returnflag")
+                  .agg(F.max("n").alias("n"), *picks)
+                  .orderBy("l_returnflag"))
 
 
 QDISC_SQL = """
