@@ -41,4 +41,34 @@ def register_builtin_udfs(spark: SparkSession) -> list[str]:
 
     spark.udf.register("age_filter_v", age_filter_v)
     spark.udf.register("zscore_batch", zscore)
-    return ["age_filter", "age_filter_v", "zscore_batch"]
+    register_builtin_udtfs(spark)
+    return ["age_filter", "age_filter_v", "zscore_batch",
+            "split_sentences"]
+
+
+def register_builtin_udtfs(spark: SparkSession) -> list[str]:
+    """Spark 4 Python UDTF surface: a table function usable in FROM /
+    LATERAL positions. ``split_sentences(text)`` → one row per
+    sentence with its ordinal — the shape a text pipeline uses to
+    explode documents into model-ready units when the split logic
+    outgrows what regexp expressions express (here it does NOT, which
+    is exactly why the driver query carries a plain-SQL oracle proving
+    the UDTF computes what it claims — the udf_where_filter pattern).
+
+    UDTFs are per-row Python — the escape hatch, not the hot path; the
+    built-in equivalent (posexplode(split(...))) stays the default."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if text is None:
+                return
+            import re
+            parts = [p.strip() for p in re.split(r"[.!?]+", text)]
+            for i, p in enumerate(parts):
+                if p:
+                    yield i, p
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    return ["split_sentences"]

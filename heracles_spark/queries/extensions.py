@@ -1051,3 +1051,43 @@ ORDER BY l.user_id
 
 QUERIES["events_decayed_engagement"] = (events_decayed_engagement,
                                         DECAY_SQL)
+
+
+def udtf_sentence_split(spark, sf_dir):
+    """Python UDTF in a LATERAL position (Spark 4 table functions —
+    the missing member of the UDF family next to udf_where_filter's
+    scalar forms): split_sentences(text) explodes each doc into
+    (idx, sentence) rows. The oracle restates the split in plain SQL,
+    proving the UDTF computes what it claims."""
+    from heracles_spark.functions.registry import register_builtin_udtfs
+
+    register_builtin_udtfs(spark)
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("__udtf_docs")
+    return spark.sql("""
+        SELECT d.doc_id, s.idx, s.sentence
+        FROM __udtf_docs d,
+             LATERAL split_sentences(d.text) s
+        WHERE d.doc_id <= 30
+        ORDER BY d.doc_id, s.idx""")
+
+
+UDTF_SQL = r"""
+WITH parts AS (
+  SELECT doc_id,
+         unnest(string_split_regex(text, '[.!?]+')) AS raw,
+         generate_subscripts(string_split_regex(text, '[.!?]+'), 1) - 1
+           AS pos
+  FROM documents WHERE doc_id <= 30),
+ trimmed AS (
+  SELECT doc_id, pos, trim(raw) AS sentence FROM parts),
+ kept AS (
+  SELECT doc_id, pos, sentence,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS idx
+  FROM trimmed WHERE sentence <> '')
+SELECT doc_id, CAST(idx AS INT) AS idx, sentence
+FROM kept ORDER BY doc_id, idx
+"""
+
+
+QUERIES["udtf_sentence_split"] = (udtf_sentence_split, UDTF_SQL)
