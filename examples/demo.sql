@@ -41,6 +41,12 @@ SELECT term, id, tf FROM sales__tidx_prodidx WHERE term = 'widget';
 SHOW INDEXES ON sales;
 DROP TEXT INDEX prodidx ON sales;
 
+-- minor compaction first: bin-pack ONLY undersized files (the 4
+-- pre-split bucket files plus the copy-on-write rewrites above are all
+-- tiny here), leaving well-sized files untouched — O(small files),
+-- the trickle-ingest maintenance verb
+OPTIMIZE sales COMPACT TARGET 1000 ROWS;
+
 -- compaction through the space-filling-curve layout (multi-key tables
 -- prune on EVERY key dimension afterwards; see zorder.py)
 OPTIMIZE sales;
