@@ -248,3 +248,27 @@ def test_pagerank_partition_independent(spark):
     b = sorted((r.node, r.rank) for r in
                pagerank(df.repartition(13), n_iter=5).collect())
     assert a == b
+
+
+def test_star_components_driver_finish_equals_distributed(spark):
+    """The small-graph driver finish (bounded union-find over the
+    contracted tail) must equal the pure-distributed fixpoint on a
+    graph with chains, cliques, and isolated-by-selfloop nodes."""
+    import random
+
+    from heracles_spark.operators.graph import _star_components
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(0, 40)]            # long chain
+    edges += [(100 + rng.randrange(10), 100 + rng.randrange(10))
+              for _ in range(30)]                          # clique-ish
+    edges += [(200, 200), (300, 301)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted((r.id, r.component) for r in
+                  _star_components(df, "id_a", "id_b").collect())
+    slow = sorted((r.id, r.component) for r in
+                  _star_components(df, "id_a", "id_b",
+                                   collect_threshold=0).collect())
+    assert fast == slow
+    comp = dict(fast)
+    assert comp[40] == 0 and comp[301] == 300
