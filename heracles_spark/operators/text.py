@@ -707,3 +707,42 @@ def bpe_segment(df: DataFrame, merges: list[tuple[str, str]],
                .agg(F.count(F.lit(1)).alias("n_words"),
                     F.sum(F.array_size("syms")).alias("n_pieces"),
                     F.flatten(F.collect_list("syms")).alias("pieces")))
+
+
+def dedup_lines_corpus(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text",
+                       split_regex: str = r"[.!?]+") -> DataFrame:
+    """C4-style corpus-wide LINE deduplication (Raffel et al. 2020
+    drop every repeated line except its first occurrence — boilerplate
+    sentences repeat across millions of pages): explode docs to
+    (id, pos, line), keep each distinct line's global FIRST occurrence
+    (min (id, pos) — deterministic on any engine/partitioning), rebuild
+    the surviving docs in position order.
+
+    Returns (id, n_lines, n_kept, n_dropped, cleaned).
+
+    Scale: one explode + one min_by agg on the line (map-side
+    combinable; the line value itself is the key — at 100 TB swap the
+    join key for xxhash64(line) to shuffle 8-byte keys, collisions
+    advisory) + one per-doc reassembly agg. No windows, no self-join."""
+    lines = (df.select(
+                 F.col(id_col),
+                 F.posexplode(F.split(F.col(text_col), split_regex))
+                  .alias("pos", "raw"))
+               .select(id_col, "pos", F.trim(F.col("raw")).alias("line"))
+               .where(F.col("line") != ""))
+    firsts = (lines.groupBy("line")
+                   .agg(F.min(F.struct(id_col, "pos")).alias("__f")))
+    tagged = (lines.join(firsts, "line")
+                   .withColumn("__keep",
+                               (F.col(f"__f.{id_col}") == F.col(id_col))
+                               & (F.col("__f.pos") == F.col("pos"))))
+    return (tagged.groupBy(id_col)
+                  .agg(F.count(F.lit(1)).alias("n_lines"),
+                       F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+                       F.sum((~F.col("__keep")).cast("long"))
+                        .alias("n_dropped"),
+                       F.expr("array_join(transform(array_sort("
+                              "collect_list(CASE WHEN __keep THEN "
+                              "struct(pos, line) END)), "
+                              "s -> s.line), '. ')").alias("cleaned")))

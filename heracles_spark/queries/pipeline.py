@@ -3349,3 +3349,50 @@ FROM n JOIN q USING (lang) ORDER BY lang
 
 
 QUERIES["doc_quality_quantiles"] = (doc_quality_quantiles, QQUANT_SQL)
+
+
+# -- C4-style corpus-wide line dedup -----------------------------------------
+
+def doc_line_dedup(spark, sf_dir):
+    """C4's line-level dedup rule (Raffel et al. 2020: every repeated
+    line is dropped except its global FIRST occurrence — boilerplate
+    sentences repeat across pages): operators.text.dedup_lines_corpus
+    over the sentence-split corpus, rebuilt docs + per-doc accounting
+    for doc_id ≤ 60. First occurrence = min (doc_id, pos) — total
+    order, so the surviving text is deterministic on any engine."""
+    out = text.dedup_lines_corpus(_docs(spark, sf_dir))
+    return (out.where(F.col("doc_id") <= 60)
+               .select("doc_id", "n_lines", "n_kept", "n_dropped",
+                       F.md5("cleaned").alias("cleaned_md5"))
+               .orderBy("doc_id"))
+
+
+LINEDEDUP_SQL = r"""
+WITH split AS (
+  SELECT doc_id,
+         generate_subscripts(string_split_regex(text, '[.!?]+'), 1) - 1
+           AS pos,
+         unnest(string_split_regex(text, '[.!?]+')) AS raw
+  FROM documents),
+ lines AS (
+  SELECT doc_id, pos, trim(raw) AS line FROM split
+  WHERE trim(raw) <> ''),
+ flagged AS (
+  SELECT doc_id, pos, line,
+         ROW_NUMBER() OVER (PARTITION BY line
+                            ORDER BY doc_id, pos) = 1 AS keep
+  FROM lines),
+ agg AS (
+  SELECT doc_id, COUNT(*) AS n_lines,
+         CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+           AS n_dropped,
+         md5(COALESCE(string_agg(CASE WHEN keep THEN line END, '. '
+                              ORDER BY pos), '')) AS cleaned_md5
+  FROM flagged GROUP BY doc_id)
+SELECT doc_id, n_lines, n_kept, n_dropped, cleaned_md5
+FROM agg WHERE doc_id <= 60 ORDER BY doc_id
+"""
+
+
+QUERIES["doc_line_dedup"] = (doc_line_dedup, LINEDEDUP_SQL)
