@@ -746,3 +746,45 @@ def dedup_lines_corpus(df: DataFrame, id_col: str = "doc_id",
                               "collect_list(CASE WHEN __keep THEN "
                               "struct(pos, line) END)), "
                               "s -> s.line), '. ')").alias("cleaned")))
+
+
+def with_gopher_rules(df: DataFrame, text_col: str = "text",
+                      min_words: int = 30, max_words: int = 10_000,
+                      min_mean_len: float = 3.0,
+                      max_mean_len: float = 10.0,
+                      min_stop_hits: int = 2) -> DataFrame:
+    """Gopher rule battery (Rae et al. 2021, Table A1 — the REJECTION
+    rules, as opposed to the scalar quality_score): per-doc boolean
+    flags for the word-count window, mean-word-length window,
+    symbol-to-word ratio, and ≥2-stopword presence, plus the combined
+    verdict. All codegen'd map-only expressions; thresholds are
+    parameters because every corpus retunes them.
+
+    Integer/rational arithmetic only (counts and one division per
+    ratio) so a SQL oracle reproduces every flag exactly."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n = F.array_size(toks)
+    # mean word length over the token multiset: chars-in-tokens / n —
+    # computed as whitespace-stripped length (one codegen'd regex, not
+    # an interpreted aggregate-over-lengths HOF fold)
+    chars_in_toks = F.length(
+        F.regexp_replace(F.trim(F.lower(t)), r"\s+", ""))
+    mean_len = chars_in_toks.cast("double") / F.greatest(n, F.lit(1))
+    n_symbols = (F.length(t)
+                 - F.length(F.regexp_replace(t, r"[#…@~^|\\]", "")))
+    en_stop = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.array_size(F.array_intersect(toks, en_stop))
+    out = (df.withColumn("ok_word_count",
+                         (n >= min_words) & (n <= max_words))
+             .withColumn("ok_mean_word_len",
+                         (mean_len >= min_mean_len)
+                         & (mean_len <= max_mean_len))
+             .withColumn("ok_symbol_ratio",
+                         n_symbols.cast("double")
+                         / F.greatest(n, F.lit(1)) < 0.1)
+             .withColumn("ok_stopwords", stop_hits >= min_stop_hits))
+    return out.withColumn(
+        "gopher_pass",
+        F.col("ok_word_count") & F.col("ok_mean_word_len")
+        & F.col("ok_symbol_ratio") & F.col("ok_stopwords"))

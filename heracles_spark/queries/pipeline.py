@@ -3396,3 +3396,62 @@ FROM agg WHERE doc_id <= 60 ORDER BY doc_id
 
 
 QUERIES["doc_line_dedup"] = (doc_line_dedup, LINEDEDUP_SQL)
+
+
+def doc_gopher_rules(spark, sf_dir):
+    """Gopher rejection-rule battery (text.with_gopher_rules): per-lang
+    counts of docs passing the combined verdict plus per-rule failure
+    counts — the curation dashboard row before a threshold sweep.
+    Integer/rational flags, fully value-oracled."""
+    d = text.with_gopher_rules(_docs(spark, sf_dir))
+    neg = lambda c: F.sum((~F.col(c)).cast("long"))
+    return (d.groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum(F.col("gopher_pass").cast("long")).alias("n_pass"),
+                  neg("ok_word_count").alias("fail_word_count"),
+                  neg("ok_mean_word_len").alias("fail_mean_len"),
+                  neg("ok_symbol_ratio").alias("fail_symbols"),
+                  neg("ok_stopwords").alias("fail_stopwords"))
+             .orderBy("lang"))
+
+
+GOPHER_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, text,
+         string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents),
+ feats AS (
+  SELECT doc_id, lang,
+         len(tk) AS n,
+         CAST(len(replace(array_to_string(tk, ''), ' ', '')) AS DOUBLE)
+           / greatest(len(tk), 1) AS mean_len,
+         CAST(length(text) - length(regexp_replace(
+              text, '[#…@~^|\\\\]', '', 'g')) AS DOUBLE)
+           / greatest(len(tk), 1) AS sym_ratio,
+         len(list_intersect(tk, ['the','and','of','to','in','is','that',
+             'it','for','was','on','are','with','as','at','this','have',
+             'from','or'])) AS stop_hits
+  FROM toks),
+ flags AS (
+  SELECT lang,
+         (n >= 30 AND n <= 10000) AS ok_wc,
+         (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_ml,
+         (sym_ratio < 0.1) AS ok_sy,
+         (stop_hits >= 2) AS ok_st
+  FROM feats)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN ok_wc AND ok_ml AND ok_sy AND ok_st
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(SUM(CASE WHEN ok_wc THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_word_count,
+       CAST(SUM(CASE WHEN ok_ml THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_mean_len,
+       CAST(SUM(CASE WHEN ok_sy THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_symbols,
+       CAST(SUM(CASE WHEN ok_st THEN 0 ELSE 1 END) AS BIGINT)
+         AS fail_stopwords
+FROM flags GROUP BY lang ORDER BY lang
+"""
+
+
+QUERIES["doc_gopher_rules"] = (doc_gopher_rules, GOPHER_SQL)
