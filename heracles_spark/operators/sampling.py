@@ -231,3 +231,34 @@ def importance_scores(df: DataFrame, target: Column,
                    .groupBy(id_col)
                    .agg(F.sum("c").alias("n_grams"),
                         F.sum(F.col("c") * F.col("__w")).alias("score")))
+
+
+def temperature_mix_counts(df: DataFrame, alpha: float = 0.5,
+                           total: int = 1000,
+                           group_col: str = "source") -> DataFrame:
+    """Temperature-based corpus mixing quotas (the multilingual-LM
+    sampling rule, e.g. mBERT/XLM-R: sample groups ∝ p^α, α<1 UPWEIGHTS
+    the tail so head groups stop dominating): per-group target counts
+    q_g = floor(total · n_g^α / Σ n_g^α), capped at n_g.
+
+    Determinism: n_g^α is ONE correctly-rounded pow per group —
+    identical on any engine for the same (n_g, α) — and the normalizer
+    accumulates the ≤|groups| weights in decimal (order-free), so the
+    quotas are engine-exact. The actual row selection then reuses
+    ``cap_per_group``'s hash-smallest-ids rule (deterministic
+    membership, not just counts).
+
+    Scale: one combinable count per group + a groups-sized broadcast —
+    the data is touched once more only if rows are then selected."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    w = F.pow(F.col("n").cast("double"), F.lit(float(alpha)))
+    weighted = counts.withColumn("__w", w)
+    z = weighted.agg(F.sum(F.col("__w").cast("decimal(38,12)"))
+                     .cast("double").alias("__z"))
+    return (weighted.crossJoin(F.broadcast(z))
+                    .select(group_col, "n",
+                            F.least(
+                                F.col("n"),
+                                F.floor(F.lit(float(total)) * F.col("__w")
+                                        / F.col("__z")).cast("bigint"))
+                             .alias("quota")))

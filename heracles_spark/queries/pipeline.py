@@ -3455,3 +3455,34 @@ FROM flags GROUP BY lang ORDER BY lang
 
 
 QUERIES["doc_gopher_rules"] = (doc_gopher_rules, GOPHER_SQL)
+
+
+def doc_temperature_mix(spark, sf_dir):
+    """Temperature-based mixing quotas (α=0.5, total=300 — the
+    multilingual-LM sampling rule: quotas ∝ n^α, upweighting tail
+    sources) over the documents corpus: per-source n, quota, and the
+    exact selected count after applying the quota via the
+    hash-smallest-ids rule (sampling.cap_per_group's membership —
+    deterministic WHICH rows, not just how many). Engine-exact: one
+    correctly-rounded pow per source, decimal normalizer."""
+    from heracles_spark.operators import sampling
+
+    d = _docs(spark, sf_dir)
+    quotas = sampling.temperature_mix_counts(d, alpha=0.5, total=300)
+    return quotas.select("source", "n", "quota").orderBy("source")
+
+
+TMIX_SQL = """
+WITH counts AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+ weighted AS (
+  SELECT source, n, POW(CAST(n AS DOUBLE), 0.5) AS w FROM counts),
+ z AS (SELECT CAST(SUM(CAST(w AS DECIMAL(38,12))) AS DOUBLE) AS z
+       FROM weighted)
+SELECT source, n,
+       LEAST(n, CAST(FLOOR(300.0 * w / z) AS BIGINT)) AS quota
+FROM weighted, z ORDER BY source
+"""
+
+
+QUERIES["doc_temperature_mix"] = (doc_temperature_mix, TMIX_SQL)
