@@ -1091,3 +1091,53 @@ FROM kept ORDER BY doc_id, idx
 
 
 QUERIES["udtf_sentence_split"] = (udtf_sentence_split, UDTF_SQL)
+
+
+def events_markov_transitions(spark, sf_dir):
+    """Per-user event-type TRANSITION MATRIX (the first-order Markov
+    behavioral summary): lag the type over each user's time-ordered
+    stream (keyed window — one shuffle on user_id), count (prev, next)
+    bigrams, and attach row-normalized probabilities (one division,
+    rounded — engine-exact). The ts_ns tiebreak on event_id makes the
+    per-user order total, so counts are partition-independent."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir).select("user_id", "ts_ns", "event_id",
+                                      "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    pairs = (e.withColumn("prev_type", F.lag("event_type").over(w))
+              .where(F.col("prev_type").isNotNull()))
+    counts = (pairs.groupBy("prev_type", "event_type")
+                   .agg(F.count(F.lit(1)).alias("n")))
+    totals = (counts.groupBy("prev_type")
+                    .agg(F.sum("n").alias("row_total")))
+    return (counts.join(F.broadcast(totals), "prev_type")
+                  .select("prev_type", "event_type", "n",
+                          F.round(F.col("n").cast("double")
+                                  / F.col("row_total"), 6).alias("p"))
+                  .orderBy("prev_type", "event_type"))
+
+
+MARKOV_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id)
+           AS prev_type
+  FROM events),
+ counts AS (
+  SELECT prev_type, event_type, COUNT(*) AS n
+  FROM ordered WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type),
+ totals AS (
+  SELECT prev_type, CAST(SUM(n) AS BIGINT) AS row_total
+  FROM counts GROUP BY prev_type)
+SELECT c.prev_type, c.event_type, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.row_total, 6) AS p
+FROM counts c JOIN totals t USING (prev_type)
+ORDER BY c.prev_type, c.event_type
+"""
+
+
+QUERIES["events_markov_transitions"] = (events_markov_transitions,
+                                        MARKOV_SQL)
