@@ -3403,7 +3403,11 @@ def doc_gopher_rules(spark, sf_dir):
     counts of docs passing the combined verdict plus per-rule failure
     counts — the curation dashboard row before a threshold sweep.
     Integer/rational flags, fully value-oracled."""
-    d = text.with_gopher_rules(_docs(spark, sf_dir))
+    # min_stop_hits=1 (not the paper's 2): the synthetic corpus is
+    # technical word soup averaging <1 DISTINCT English stopword per
+    # doc — at 2 the battery rejects 100% and certifies nothing. The
+    # operator keeps the paper defaults as parameters.
+    d = text.with_gopher_rules(_docs(spark, sf_dir), min_stop_hits=1)
     neg = lambda c: F.sum((~F.col(c)).cast("long"))
     return (d.groupBy("lang")
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -3437,7 +3441,7 @@ WITH toks AS (
          (n >= 30 AND n <= 10000) AS ok_wc,
          (mean_len >= 3.0 AND mean_len <= 10.0) AS ok_ml,
          (sym_ratio < 0.1) AS ok_sy,
-         (stop_hits >= 2) AS ok_st
+         (stop_hits >= 1) AS ok_st
   FROM feats)
 SELECT lang, COUNT(*) AS n_docs,
        CAST(SUM(CASE WHEN ok_wc AND ok_ml AND ok_sy AND ok_st
@@ -3486,3 +3490,118 @@ FROM weighted, z ORDER BY source
 
 
 QUERIES["doc_temperature_mix"] = (doc_temperature_mix, TMIX_SQL)
+
+
+# -- END-TO-END training-corpus manifest -------------------------------------
+
+def doc_training_manifest(spark, sf_dir):
+    """The whole curation pipeline in ONE composed query — what
+    actually ships a training corpus: content-hash 80/20 split →
+    Gopher rejection rules → corpus-wide exact dedup (min-id per
+    content hash) → benchmark decontamination against the eval side
+    (any shared word 5-gram) → token counts → GPT-style sequence
+    packing → the per-(lang, shard) MANIFEST a training job reads
+    (docs, tokens, sequences). Every stage is an existing oracle-proven
+    operator; composing them under one value hash certifies the
+    stages agree on every intermediate row set."""
+    from heracles_spark.operators import sampling
+    from heracles_spark.operators import text as text_ops
+    from heracles_spark.operators.text import contaminated_ids
+
+    d = sampling.hash_split(_docs(spark, sf_dir), on="doc_id",
+                            train_pct=80)
+    train = d.where(F.col("split") == "train")
+    ev = d.where(F.col("split") == "eval")
+
+    filt = (text_ops.with_gopher_rules(train, min_stop_hits=1)
+            .where(F.col("gopher_pass"))
+            .select("doc_id", "lang", "text"))
+    firsts = (filt.groupBy(F.md5("text").alias("__h"))
+                  .agg(F.min("doc_id").alias("doc_id")))
+    deduped = filt.join(firsts.select("doc_id"), "doc_id", "left_semi")
+    clean = deduped.join(
+        F.broadcast(contaminated_ids(deduped, ev, n=5)),
+        "doc_id", "left_anti")
+
+    with_tokens = clean.withColumn("n_tokens",
+                                   text_ops.token_count("text"))
+    packed = sampling.pack_sequences(with_tokens, budget=256, n_shards=8)
+    return (packed.groupBy("lang", "shard")
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum(F.col("n_tokens").cast("long"))
+                        .alias("sum_tokens"),
+                       F.countDistinct("seq").alias("n_seqs"))
+                  .orderBy("lang", "shard"))
+
+
+MANIFEST_SQL = r"""
+WITH split AS (
+  SELECT doc_id, lang, text,
+         CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 100 < 80
+              THEN 'train' ELSE 'eval' END AS split
+  FROM documents),
+ gtoks AS (
+  SELECT doc_id, lang, text, split,
+         string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM split),
+ flags AS (
+  SELECT doc_id, lang, text, split, tk,
+         len(tk) AS n,
+         CAST(len(replace(array_to_string(tk, ''), ' ', '')) AS DOUBLE)
+           / greatest(len(tk), 1) AS mean_len,
+         CAST(length(text) - length(regexp_replace(
+              text, '[#…@~^|\\\\]', '', 'g')) AS DOUBLE)
+           / greatest(len(tk), 1) AS sym_ratio,
+         len(list_intersect(tk, ['the','and','of','to','in','is','that',
+             'it','for','was','on','are','with','as','at','this','have',
+             'from','or'])) AS stop_hits
+  FROM gtoks),
+ filt AS (
+  SELECT doc_id, lang, text, tk FROM flags
+  WHERE split = 'train'
+    AND n >= 30 AND n <= 10000
+    AND mean_len >= 3.0 AND mean_len <= 10.0
+    AND sym_ratio < 0.1 AND stop_hits >= 1),
+ firsts AS (
+  SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY md5(text)),
+ deduped AS (
+  SELECT f.* FROM filt f JOIN firsts USING (doc_id)),
+ train_grams AS (
+  SELECT doc_id, array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)],
+                                 ' ') AS g
+  FROM deduped, range(1, 20000) r(i) WHERE i + 4 <= len(tk)
+  UNION ALL
+  SELECT doc_id, array_to_string(tk, ' ') AS g
+  FROM deduped WHERE len(tk) < 5),
+ eval_grams AS (
+  SELECT array_to_string(tk[CAST(i AS INT):CAST(i + 4 AS INT)], ' ') AS g
+  FROM gtoks, range(1, 20000) r(i)
+  WHERE split = 'eval' AND i + 4 <= len(tk)
+  UNION ALL
+  SELECT array_to_string(tk, ' ') AS g
+  FROM gtoks WHERE split = 'eval' AND len(tk) < 5),
+ contaminated AS (
+  SELECT DISTINCT doc_id FROM train_grams
+  WHERE g IN (SELECT g FROM eval_grams)),
+ clean AS (
+  SELECT doc_id, lang, CAST(len(tk) AS BIGINT) AS n_tokens,
+         CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 8 AS INT) AS shard
+  FROM deduped
+  WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+ packed AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY shard ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS excl
+  FROM clean)
+SELECT lang, shard, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(COUNT(DISTINCT excl // 256) AS BIGINT) AS n_seqs
+FROM packed GROUP BY lang, shard ORDER BY lang, shard
+"""
+
+
+QUERIES["doc_training_manifest"] = (doc_training_manifest, MANIFEST_SQL)
