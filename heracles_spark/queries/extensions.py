@@ -1141,3 +1141,59 @@ ORDER BY c.prev_type, c.event_type
 
 QUERIES["events_markov_transitions"] = (events_markov_transitions,
                                         MARKOV_SQL)
+
+
+def events_rfm_scores(spark, sf_dir):
+    """RFM segmentation (recency / frequency / monetary — the standard
+    behavioral scoring): per-user aggregates, then each metric ranked
+    into quintiles with ranking.with_global_ranks + ntile_col — the
+    VALUE-RANGE-bucketed two-phase global rank, NOT an unpartitioned
+    NTILE window (the per-user relation is ~1e9 rows at 100 TB).
+    Output: quintile counts × mean metrics per (r, f, m) cell head
+    (top 20 cells by population, tie-broken by scores)."""
+    from heracles_spark.operators.ranking import ntile_col, with_global_ranks
+
+    e = _events(spark, sf_dir)
+    per_user = (e.groupBy("user_id")
+                 .agg(F.max("ts_ns").alias("last_ns"),
+                      F.count(F.lit(1)).alias("freq"),
+                      F.sum(F.col("value").cast("decimal(38,6)"))
+                       .cast("double").alias("monetary")))
+    ranked = per_user
+    for metric, score in (("last_ns", "r_score"), ("freq", "f_score"),
+                          ("monetary", "m_score")):
+        ranked = with_global_ranks(
+            ranked.withColumn("__m", F.col(metric).cast("double")),
+            ["__m", "user_id"], rn_col="__rn", n_col="__n")
+        ranked = (ranked.withColumn(
+                      score, ntile_col(F.col("__rn"), F.col("__n"), 5))
+                        .drop("__m", "__rn", "__n"))
+    return (ranked.groupBy("r_score", "f_score", "m_score")
+                  .agg(F.count(F.lit(1)).alias("n_users"),
+                       F.sum(F.col("freq")).alias("sum_freq"))
+                  .orderBy(F.desc("n_users"), "r_score", "f_score",
+                           "m_score")
+                  .limit(20))
+
+
+RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id, MAX(epoch_ns(ts)) AS last_ns, COUNT(*) AS freq,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS monetary
+  FROM events GROUP BY user_id),
+ scored AS (
+  SELECT user_id, freq,
+         NTILE(5) OVER (ORDER BY CAST(last_ns AS DOUBLE), user_id)
+           AS r_score,
+         NTILE(5) OVER (ORDER BY CAST(freq AS DOUBLE), user_id)
+           AS f_score,
+         NTILE(5) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM per_user)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_users,
+       CAST(SUM(freq) AS BIGINT) AS sum_freq
+FROM scored GROUP BY 1, 2, 3
+ORDER BY n_users DESC, r_score, f_score, m_score LIMIT 20
+"""
+
+
+QUERIES["events_rfm_scores"] = (events_rfm_scores, RFM_SQL)

@@ -765,3 +765,60 @@ ORDER BY gid, status, priority
 
 
 QUERIES["cube_status_priority"] = (cube_status_priority, CUBE_SQL)
+
+
+def part_affinity_lift(spark, sf_dir):
+    """Market-basket affinity: part pairs co-occurring in the same
+    order, with LIFT = n_pair·N / (n_a·n_b) — the classic co-purchase
+    score. The pair join is keyed on o_orderkey, so the blow-up is
+    bounded by per-order line counts (~4 in TPC-H), never all-pairs
+    over the catalog; lift is one rational expression (exact integer
+    operands, one division, rounded). Top 15 pairs with ≥2 co-orders
+    by (lift DESC, part_a, part_b)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.select("l_orderkey").distinct() \
+                 .agg(F.count(F.lit(1)).alias("n_orders"))
+    per_part = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "l_orderkey")
+              .where(F.col("part_a") < F.col("part_b"))
+              .groupBy("part_a", "part_b")
+              .agg(F.count(F.lit(1)).alias("n_pair"))
+              .where(F.col("n_pair") >= 2))
+    return (pairs
+            .join(per_part.select(F.col("l_partkey").alias("part_a"),
+                                  F.col("n").alias("n_a")), "part_a")
+            .join(per_part.select(F.col("l_partkey").alias("part_b"),
+                                  F.col("n").alias("n_b")), "part_b")
+            .crossJoin(F.broadcast(n_orders))
+            .select("part_a", "part_b", "n_pair",
+                    F.round(F.col("n_pair").cast("double")
+                            * F.col("n_orders")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                     .alias("lift"))
+            .orderBy(F.desc("lift"), "part_a", "part_b")
+            .limit(15))
+
+
+AFFINITY_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM li),
+ pp AS (SELECT l_partkey, COUNT(*) AS n FROM li GROUP BY l_partkey),
+ pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS n_pair
+  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                     AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.part_a, p.part_b, p.n_pair,
+       ROUND(CAST(p.n_pair AS DOUBLE) * n.n_orders
+             / (pa.n * pb.n), 6) AS lift
+FROM pairs p JOIN pp pa ON p.part_a = pa.l_partkey
+             JOIN pp pb ON p.part_b = pb.l_partkey, n
+ORDER BY lift DESC, part_a, part_b LIMIT 15
+"""
+
+
+QUERIES["part_affinity_lift"] = (part_affinity_lift, AFFINITY_SQL)
