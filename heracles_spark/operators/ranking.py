@@ -135,3 +135,46 @@ def range_frame_agg(df: DataFrame, key_col: str, value: Column,
     return (u.withColumn(out_col, agg_fn(value).over(w))
              .where(~F.col("__ghost"))
              .drop("__b", "__ghost"))
+
+
+def with_global_ordered_cumsum(df: DataFrame, order_cols: list[str],
+                               value: Column, out_col: str = "__cum",
+                               n_buckets: int = 64,
+                               descending: bool = False) -> DataFrame:
+    """INCLUSIVE running sum of ``value`` under the global total order
+    ``order_cols`` (first column numeric — drives the value-range
+    bucketing) without a single-partition window: map-side bucket id
+    from broadcast (min, max) bounds → per-bucket window cumsum (hash
+    exchange on the bucket) → per-bucket TOTALS (one row per bucket)
+    cumulated and broadcast back as offsets. ``value`` should be a
+    decimal expression for order-free exactness. The Pareto/ABC,
+    cumulative-share, and percentile-of-total family all reduce to
+    this."""
+    k = order_cols[0]
+    bounds = df.agg(F.min(k).alias("__mn"), F.max(k).alias("__mx"))
+    width = ((F.col("__mx") - F.col("__mn")).cast("double")
+             / F.lit(float(n_buckets)))
+    raw_b = F.floor((F.col(k) - F.col("__mn")).cast("double")
+                    / F.greatest(width, F.lit(1e-12)))
+    bucket = F.least(F.lit(n_buckets - 1),
+                     F.greatest(F.lit(0), raw_b)).cast("int")
+    if descending:
+        bucket = (F.lit(n_buckets - 1) - bucket).cast("int")
+    b = (df.join(F.broadcast(bounds))
+           .withColumn("__b", bucket)
+           .drop("__mn", "__mx")
+           .withColumn("__v", value))
+    order = [F.col(c).desc() if descending else F.col(c).asc()
+             for c in order_cols]
+    wl = (Window.partitionBy("__b").orderBy(*order)
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    b = b.withColumn("__lcum", F.sum("__v").over(wl))
+    totals = b.groupBy("__b").agg(F.sum("__v").alias("__tot"))
+    wo = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (totals.withColumn(
+                   "__off", F.coalesce(F.sum("__tot").over(wo),
+                                       F.lit(0).cast("decimal(38,6)")))
+                     .select("__b", "__off"))
+    return (b.join(F.broadcast(offsets), "__b")
+             .withColumn(out_col, F.col("__off") + F.col("__lcum"))
+             .drop("__b", "__v", "__lcum", "__off"))

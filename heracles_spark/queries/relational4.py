@@ -822,3 +822,67 @@ ORDER BY lift DESC, part_a, part_b LIMIT 15
 
 
 QUERIES["part_affinity_lift"] = (part_affinity_lift, AFFINITY_SQL)
+
+
+def part_abc_classification(spark, sf_dir):
+    """Pareto / ABC inventory classification: parts ranked by revenue,
+    INCLUSIVE cumulative revenue share, class A ≤ 70% of revenue,
+    B ≤ 90%, else C. The global ordered cumsum runs through
+    ranking.with_global_ordered_cumsum — value-range buckets + per-
+    bucket window + broadcast offsets, never a single-partition window
+    over the part catalog (millions of parts at 100 TB). Decimal
+    revenue end-to-end; share = ONE double division, so class
+    boundaries are engine-exact. Per-class counts + revenue."""
+    from heracles_spark.operators.ranking import with_global_ordered_cumsum
+
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.groupBy("l_partkey")
+             .agg(F.sum((F.col("l_extendedprice")
+                         * (1 - F.col("l_discount")))
+                        .cast("decimal(38,6)")).alias("rev")))
+    total = rev.agg(F.sum("rev").alias("tot"))
+    cum = with_global_ordered_cumsum(
+        rev.withColumn("__r", F.col("rev").cast("double")),
+        ["__r", "l_partkey"], F.col("rev"),
+        out_col="cum_rev", descending=True)
+    share = (F.col("cum_rev").cast("double")
+             / F.col("tot").cast("double"))
+    classed = (cum.crossJoin(F.broadcast(total))
+                  .withColumn("abc",
+                              F.when(share <= 0.7, "A")
+                               .when(share <= 0.9, "B")
+                               .otherwise("C")))
+    return (classed.groupBy("abc")
+                   .agg(F.count(F.lit(1)).alias("n_parts"),
+                        F.sum("rev").cast("double").alias("class_rev"))
+                   .orderBy("abc"))
+
+
+ABC_SQL = """
+WITH rev AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(38,6))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+ tot AS (SELECT SUM(rev) AS tot FROM rev),
+ cum AS (
+  SELECT l_partkey, rev,
+         SUM(rev) OVER (ORDER BY CAST(rev AS DOUBLE) DESC, l_partkey DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS cum_rev
+  FROM rev),
+ classed AS (
+  SELECT rev,
+         CASE WHEN CAST(cum_rev AS DOUBLE) / CAST(tot.tot AS DOUBLE)
+                   <= 0.7 THEN 'A'
+              WHEN CAST(cum_rev AS DOUBLE) / CAST(tot.tot AS DOUBLE)
+                   <= 0.9 THEN 'B'
+              ELSE 'C' END AS abc
+  FROM cum, tot)
+SELECT abc, COUNT(*) AS n_parts,
+       CAST(SUM(rev) AS DOUBLE) AS class_rev
+FROM classed GROUP BY abc ORDER BY abc
+"""
+
+
+QUERIES["part_abc_classification"] = (part_abc_classification, ABC_SQL)

@@ -112,3 +112,32 @@ def test_rewritten_queries_avoid_global_data_window(spark):
         assert data_windows, name
         for line in data_windows:
             assert "windowspecdefinition(__b" in line, (name, line)
+
+
+def test_global_ordered_cumsum_matches_plain_window(spark):
+    """Bucketed global cumsum == single-partition window cumsum,
+    bit-for-bit (decimal values), ascending and descending, at any
+    partition count."""
+    import random
+
+    from pyspark.sql import Window
+
+    from heracles_spark.operators.ranking import with_global_ordered_cumsum
+
+    rng = random.Random(3)
+    rows = [(i, float(rng.randrange(1, 1000))) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, v double").repartition(9)
+    for desc in (False, True):
+        got = with_global_ordered_cumsum(
+            df.withColumn("__k", F.col("v")),
+            ["__k", "id"], F.col("v").cast("decimal(38,6)"),
+            out_col="cum", n_buckets=16, descending=desc)
+        order = [F.col("v").desc(), F.col("id").desc()] if desc else \
+                [F.col("v").asc(), F.col("id").asc()]
+        w = (Window.orderBy(*order)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+        want = df.withColumn(
+            "cum", F.sum(F.col("v").cast("decimal(38,6)")).over(w))
+        assert sorted((r.id, str(r.cum)) for r in got.collect()) == \
+               sorted((r.id, str(r.cum)) for r in want.collect()), desc
