@@ -1197,3 +1197,57 @@ ORDER BY n_users DESC, r_score, f_score, m_score LIMIT 20
 
 
 QUERIES["events_rfm_scores"] = (events_rfm_scores, RFM_SQL)
+
+
+def events_value_gini(spark, sf_dir):
+    """Gini coefficient of per-user total event value — the inequality
+    /skew summary (how concentrated is activity?). Exact rank formula
+    G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over ascending totals: ranks from
+    ranking.with_global_ranks (two-phase, no single-partition window),
+    both Σ terms as decimal sums (order-free), the final expression a
+    fixed sequence of double ops — engine-exact."""
+    from heracles_spark.operators.ranking import with_global_ranks
+
+    e = _events(spark, sf_dir)
+    per_user = (e.groupBy("user_id")
+                 .agg(F.sum(F.col("value").cast("decimal(38,6)"))
+                       .alias("x")))
+    ranked = with_global_ranks(
+        per_user.withColumn("__x", F.col("x").cast("double")),
+        ["__x", "user_id"], rn_col="i", n_col="n")
+    agg = ranked.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("x")).alias("sx"),
+        F.sum(F.col("x") * F.col("i").cast("decimal(38,0)")).alias("six"))
+    n = F.col("n").cast("double")
+    gini = (2.0 * F.col("six").cast("double")
+            / (n * F.col("sx").cast("double")) - (n + 1.0) / n)
+    return agg.select(F.col("n").alias("n_users"),
+                      F.round(F.col("sx").cast("double"), 6)
+                       .alias("total_value"),
+                      F.round(gini, 6).alias("gini"))
+
+
+GINI_SQL = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(38,6))) AS x
+  FROM events GROUP BY user_id),
+ ranked AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY CAST(x AS DOUBLE), user_id)
+           AS i, COUNT(*) OVER () AS n
+  FROM per_user),
+ agg AS (
+  SELECT MAX(n) AS n, SUM(x) AS sx,
+         SUM(x * CAST(i AS DECIMAL(38,0))) AS six
+  FROM ranked)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(sx AS DOUBLE), 6) AS total_value,
+       ROUND(2.0 * CAST(six AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+         AS gini
+FROM agg
+"""
+
+
+QUERIES["events_value_gini"] = (events_value_gini, GINI_SQL)

@@ -3605,3 +3605,47 @@ FROM packed GROUP BY lang, shard ORDER BY lang, shard
 
 
 QUERIES["doc_training_manifest"] = (doc_training_manifest, MANIFEST_SQL)
+
+
+def doc_vocab_growth(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve: distinct vocabulary size
+    after the first N docs, at N ∈ {50, 100, 200, 400, all} — the
+    corpus-health curve that flags template/duplicate-heavy data
+    (vocabulary flattens early). Each term contributes at its FIRST
+    doc (min doc_id — combinable agg), then one pass over the
+    bucketed first-appearances counts per checkpoint. No growing
+    state, no per-checkpoint rescan."""
+    d = _docs(spark, sf_dir)
+    firsts = (d.select("doc_id",
+                       F.explode(text.tokens(F.col("text"))).alias("t"))
+               .groupBy("t").agg(F.min("doc_id").alias("first_doc")))
+    checkpoints = [50, 100, 200, 400]
+    agg = firsts.agg(
+        F.count(F.lit(1)).alias("vocab_total"),
+        *[F.sum((F.col("first_doc") < c).cast("long"))
+           .alias(f"vocab_at_{c}") for c in checkpoints])
+    return agg.select(*[f"vocab_at_{c}" for c in checkpoints],
+                      "vocab_total")
+
+
+VGROWTH_SQL = r"""
+WITH firsts AS (
+  SELECT t, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        FROM documents)
+  GROUP BY t)
+SELECT CAST(SUM(CASE WHEN first_doc < 50 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_at_50,
+       CAST(SUM(CASE WHEN first_doc < 100 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_at_100,
+       CAST(SUM(CASE WHEN first_doc < 200 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_at_200,
+       CAST(SUM(CASE WHEN first_doc < 400 THEN 1 ELSE 0 END) AS BIGINT)
+         AS vocab_at_400,
+       COUNT(*) AS vocab_total
+FROM firsts
+"""
+
+
+QUERIES["doc_vocab_growth"] = (doc_vocab_growth, VGROWTH_SQL)
