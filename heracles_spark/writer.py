@@ -731,3 +731,53 @@ def validate_constraints(df: DataFrame, tbl: KeyTable) -> None:
             sorted(bad.items()))
         raise ValueError(f"CHECK constraint violation on {tbl.name}: "
                          f"{detail}")
+
+
+def write_audit_publish(spark: SparkSession, catalog: HeraclesCatalog,
+                        table: str, df: DataFrame,
+                        audits: list[tuple[str, str]],
+                        mode: str = "append") -> dict[str, Any]:
+    """Write-Audit-Publish (the Iceberg WAP discipline on this
+    catalog's own versioning): write the batch, run each audit — a
+    (name, SQL predicate) pair evaluated over the POST-write table
+    that must return TRUE — and on any failure ROLL BACK by restoring
+    the pre-write version (metadata-only; the candidate files retire
+    in place for forensics until VACUUM). Readers never observe a
+    state that failed its audits for longer than the audit run; on a
+    cluster, wrap the same sequence in BEGIN/COMMIT for multi-table
+    atomicity.
+
+    The audit predicate sees the table as ``t`` — e.g.
+    ``("no_null_keys", "(SELECT count(*) FROM t WHERE k IS NULL) = 0")``
+    or row-delta checks via ``t_before`` (the pre-write snapshot view).
+
+    Returns {published, version, failed: [names], rows_before/after}.
+    """
+    tbl = catalog.get_table(table)
+    v0 = tbl.version
+    before = catalog.read_table(spark, table)
+    rows_before = before.count()
+    before.createOrReplaceTempView("t_before")
+
+    write_key_organized(spark, catalog, table, df, mode=mode)
+    after = catalog.read_table(spark, table)
+    after.createOrReplaceTempView("t")
+    rows_after = after.count()
+
+    failed = []
+    for name, predicate in audits:
+        row = spark.sql(f"SELECT ({predicate}) AS ok").first()
+        if not bool(row["ok"]):
+            failed.append(name)
+    if failed:
+        restore_table(catalog, table, v0)
+        catalog.read_table(spark, table).createOrReplaceTempView(
+            catalog.view_name(table))
+        return {"published": False, "version": v0, "failed": failed,
+                "rows_before": rows_before, "rows_after": rows_before}
+    catalog.read_table(spark, table).createOrReplaceTempView(
+        catalog.view_name(table))
+    return {"published": True,
+            "version": catalog.get_table(table).version,
+            "failed": [], "rows_before": rows_before,
+            "rows_after": rows_after}

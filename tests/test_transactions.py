@@ -156,3 +156,43 @@ def test_merge_and_rollup_refresh_commit_together(hsession, spark, catalog):
     # And the processed-file tracking committed with it (idempotence).
     st = rollup.refresh_rollup(spark, catalog, "fact_r")
     assert st["mode"] == "noop"
+
+
+def test_write_audit_publish(spark, catalog):
+    """WAP: a batch that fails its audits is rolled back (metadata-only
+    restore — readers see the pre-write rows); a clean batch publishes
+    and bumps the version."""
+    from heracles_spark import writer
+
+    catalog.create_table("wap", [("k", "int"), ("v", "double")], ["k"])
+    writer.insert_rows(spark, catalog, "wap", [("1", "10.0"),
+                                               ("2", "20.0")])
+    audits = [
+        ("no_negative_values",
+         "(SELECT count(*) FROM t WHERE v < 0) = 0"),
+        ("row_growth_bounded",
+         "(SELECT count(*) FROM t) <= 2 * (SELECT count(*) FROM t_before)"),
+    ]
+
+    bad = spark.createDataFrame([(3, -5.0)], "k int, v double")
+    st = writer.write_audit_publish(spark, catalog, "wap", bad, audits)
+    assert st["published"] is False
+    assert st["failed"] == ["no_negative_values"]
+    rows = sorted((r.k, r.v) for r in
+                  catalog.read_table(spark, "wap").collect())
+    assert rows == [(1, 10.0), (2, 20.0)]      # rolled back
+
+    good = spark.createDataFrame([(3, 5.0)], "k int, v double")
+    st = writer.write_audit_publish(spark, catalog, "wap", good, audits)
+    assert st["published"] is True and not st["failed"]
+    assert st["rows_after"] == 3
+    rows = sorted(r.k for r in catalog.read_table(spark, "wap").collect())
+    assert rows == [1, 2, 3]
+
+    # audit catching over-growth: 10 rows > 2x current 3
+    flood = spark.createDataFrame([(10 + i, 1.0) for i in range(10)],
+                                  "k int, v double")
+    st = writer.write_audit_publish(spark, catalog, "wap", flood, audits)
+    assert st["published"] is False
+    assert st["failed"] == ["row_growth_bounded"]
+    assert catalog.read_table(spark, "wap").count() == 3
