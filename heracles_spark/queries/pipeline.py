@@ -3649,3 +3649,77 @@ FROM firsts
 
 
 QUERIES["doc_vocab_growth"] = (doc_vocab_growth, VGROWTH_SQL)
+
+
+def doc_ccnet_buckets(spark, sf_dir):
+    """CCNet's head/middle/tail split (Wenzek et al. 2020: per-language
+    perplexity TERCILES route docs to quality tiers): per-lang rank by
+    the bigram-LM surprisal (lower = more fluent), bucket =
+    ceil(3·rank/n) — explicit integer arithmetic, not engine-NTILE, so
+    both engines bucket identically — and the per-(lang, bucket)
+    manifest with score bounds. Composes lm_score (integer surprisal
+    classes, engine-exact) with the keyed ranking."""
+    from pyspark.sql import Window
+
+    scored = (text.lm_score(_docs(spark, sf_dir))
+              .join(_docs(spark, sf_dir).select("doc_id", "lang"),
+                    "doc_id"))
+    w = Window.partitionBy("lang").orderBy("avg_surprisal", "doc_id")
+    counts = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    ranked = (scored.withColumn("rn", F.row_number().over(w))
+                    .join(F.broadcast(counts), "lang")
+                    .withColumn("bucket",
+                                F.ceil(F.lit(3) * F.col("rn")
+                                       / F.col("n")).cast("int")))
+    tier = (F.when(F.col("bucket") == 1, "head")
+             .when(F.col("bucket") == 2, "middle")
+             .otherwise("tail"))
+    return (ranked.groupBy("lang", tier.alias("tier"))
+                  .agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.round(F.min("avg_surprisal"), 6).alias("min_s"),
+                       F.round(F.max("avg_surprisal"), 6).alias("max_s"))
+                  .orderBy("lang", "tier"))
+
+
+CCNET_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents),
+ uni AS (
+  SELECT u.w1, COUNT(*) AS c1 FROM (
+    SELECT unnest(t) AS w1 FROM toks) u GROUP BY 1),
+ vocab AS (SELECT COUNT(*) AS v FROM uni),
+ big AS (
+  SELECT doc_id, t[CAST(i AS INT)] AS w1, t[CAST(i AS INT) + 1] AS w2
+  FROM toks, range(1, 200000) r(i) WHERE i + 1 <= len(t)),
+ bic AS (SELECT w1, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2),
+ scored AS (
+  SELECT doc_id,
+         ROUND(CAST(SUM(FLOOR(LOG2(CAST(c1 + v AS DOUBLE)
+                                   / CAST(c2 + 1 AS DOUBLE)))) AS DOUBLE)
+               / COUNT(*), 6) AS avg_surprisal
+  FROM big JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab
+  GROUP BY doc_id),
+ langd AS (
+  SELECT s.doc_id, d.lang, s.avg_surprisal
+  FROM scored s JOIN documents d USING (doc_id)),
+ ranked AS (
+  SELECT lang, avg_surprisal,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY avg_surprisal, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY lang) AS n
+  FROM langd),
+ tiers AS (
+  SELECT lang, avg_surprisal,
+         CASE CAST(CEIL(3.0 * rn / n) AS INT)
+              WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS tier
+  FROM ranked)
+SELECT lang, tier, COUNT(*) AS n_docs,
+       ROUND(MIN(avg_surprisal), 6) AS min_s,
+       ROUND(MAX(avg_surprisal), 6) AS max_s
+FROM tiers GROUP BY lang, tier ORDER BY lang, tier
+"""
+
+
+QUERIES["doc_ccnet_buckets"] = (doc_ccnet_buckets, CCNET_SQL)
