@@ -1251,3 +1251,74 @@ FROM agg
 
 
 QUERIES["events_value_gini"] = (events_value_gini, GINI_SQL)
+
+
+def events_value_mad(spark, sf_dir):
+    """Median absolute deviation per event type — the ROBUST dispersion
+    estimate (outlier-insensitive, unlike stddev): two exact-median
+    passes, each as the rank-⌈n/2⌉ order statistic through a keyed
+    row_number window (sort-based, spillable — NOT the buffering
+    percentile aggregate; see lineitem_quantile_disc). All arithmetic
+    is subtraction/abs of exact decimals + order statistics, so the
+    oracle matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    e = (_events(spark, sf_dir)
+         .select("event_type", "event_id",
+                 F.col("value").cast("decimal(38,6)").alias("v")))
+
+    def median_of(df, val_col, out_col):
+        w = (Window.partitionBy("event_type")
+                   .orderBy(val_col, "event_id"))
+        counts = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+        ranked = (df.withColumn("rn", F.row_number().over(w))
+                    .join(F.broadcast(counts), "event_type"))
+        return (ranked
+                .where(F.col("rn") == F.ceil(F.col("n") / 2))
+                .select("event_type", F.col(val_col).alias(out_col)))
+
+    med = median_of(e, "v", "median_v")
+    dev = (e.join(F.broadcast(med), "event_type")
+            .withColumn("ad", F.abs(F.col("v") - F.col("median_v"))))
+    mad = median_of(dev.select("event_type", "event_id", "ad"),
+                    "ad", "mad")
+    return (med.join(mad, "event_type")
+               .select("event_type",
+                       F.col("median_v").cast("double").alias("median_v"),
+                       F.col("mad").cast("double").alias("mad"))
+               .orderBy("event_type"))
+
+
+MAD_SQL = """
+WITH e AS (
+  SELECT event_type, event_id, CAST(value AS DECIMAL(38,6)) AS v
+  FROM events),
+ r1 AS (
+  SELECT event_type, v,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY v, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e),
+ med AS (
+  SELECT event_type, v AS median_v FROM r1
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT)),
+ dev AS (
+  SELECT e.event_type, e.event_id, ABS(e.v - m.median_v) AS ad
+  FROM e JOIN med m USING (event_type)),
+ r2 AS (
+  SELECT event_type, ad,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY ad, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+ mad AS (
+  SELECT event_type, ad AS mad FROM r2
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT m.event_type, CAST(m.median_v AS DOUBLE) AS median_v,
+       CAST(d.mad AS DOUBLE) AS mad
+FROM med m JOIN mad d USING (event_type)
+ORDER BY event_type
+"""
+
+
+QUERIES["events_value_mad"] = (events_value_mad, MAD_SQL)
