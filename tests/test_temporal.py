@@ -214,3 +214,30 @@ def test_interval_overlap_join_property(spark):
         assert got == want
 
     check()
+
+
+def test_decayed_sum_trailing_exact(spark):
+    """Dyadic decayed sum equals the per-row Python fold exactly, and
+    is partition-count independent."""
+    from heracles_spark.operators.temporal import decayed_sum_trailing
+
+    rows = [(1, t, float(v)) for t, v in
+            enumerate([8, 4, 2, 100, 1, 7, 3], start=10)]
+    rows += [(2, 1, 5.0), (2, 2, 9.0)]
+    df = spark.createDataFrame(rows, "uid long, ts long, value double")
+    got = {(r.uid, r.ts): r.decayed_sum for r in
+           decayed_sum_trailing(df, "uid", "ts", "value",
+                                window=3).collect()}
+    by_user = {}
+    for uid, ts, v in sorted(rows):
+        by_user.setdefault(uid, []).append(v)
+    for uid, vals in by_user.items():
+        for i in range(len(vals)):
+            want = sum(vals[i - k] * 2.0 ** -k
+                       for k in range(3) if i - k >= 0)
+            ts = (10 + i) if uid == 1 else (1 + i)
+            assert got[(uid, ts)] == want, (uid, ts)
+    got13 = {(r.uid, r.ts): r.decayed_sum for r in
+             decayed_sum_trailing(df.repartition(13), "uid", "ts",
+                                  "value", window=3).collect()}
+    assert got13 == got

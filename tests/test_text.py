@@ -552,3 +552,61 @@ def test_bpe_train_matches_reference(spark):
         assert "".join(row.pieces) == "".join(w + "▁" for w in t.split())
         assert row.n_pieces == len(row.pieces)
         assert row.n_words == len(t.split())
+
+
+def test_dedup_lines_corpus_first_occurrence(spark):
+    """C4 line dedup: repeated lines survive only at their global first
+    (doc_id, pos); rebuild preserves within-doc order."""
+    from heracles_spark.operators.text import dedup_lines_corpus
+
+    rows = [(1, "alpha beta. gamma delta. alpha beta."),
+            (2, "gamma delta. unique two."),
+            (3, "alpha beta.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in dedup_lines_corpus(df).collect()}
+    # doc 1 keeps 'alpha beta' (pos 0) and 'gamma delta'; its second
+    # 'alpha beta' (pos 2) is a repeat of ITS OWN first occurrence
+    assert got[1].n_kept == 2 and got[1].n_dropped == 1
+    assert got[1].cleaned == "alpha beta. gamma delta"
+    # doc 2's 'gamma delta' lost to doc 1's
+    assert got[2].cleaned == "unique two"
+    # doc 3 is entirely boilerplate
+    assert got[3].n_kept == 0 and got[3].cleaned == ""
+
+
+def test_with_gopher_rules_flags(spark):
+    from heracles_spark.operators.text import with_gopher_rules
+
+    rows = [
+        (1, "the cat sat on the mat with a hat and a bat for the rat "
+            "plus more filler words to clear the minimum threshold "
+            "easily in this test case here now okay"),       # passes
+        (2, "short doc"),                                     # word count
+        (3, " ".join(["supercalifragilisticexpialidocious"] * 40)),  # mean len
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           with_gopher_rules(df, min_words=20).collect()}
+    assert got[1].gopher_pass
+    assert not got[2].ok_word_count and not got[2].gopher_pass
+    assert not got[3].ok_mean_word_len and not got[3].gopher_pass
+
+
+def test_temperature_mix_counts(spark):
+    """alpha=1 reproduces proportional quotas; alpha=0.5 upweights the
+    tail (small group's share strictly rises); quotas never exceed
+    group size and are engine-exact integers."""
+    from heracles_spark.operators.sampling import temperature_mix_counts
+
+    rows = [("big", i) for i in range(900)] + \
+           [("small", i) for i in range(100)]
+    df = spark.createDataFrame(rows, "source string, doc_id long")
+    q1 = {r.source: r.quota for r in
+          temperature_mix_counts(df, alpha=1.0, total=100,
+                                 group_col="source").collect()}
+    assert q1 == {"big": 90, "small": 10}
+    q5 = {r.source: r.quota for r in
+          temperature_mix_counts(df, alpha=0.5, total=100,
+                                 group_col="source").collect()}
+    assert q5["small"] > 10 and q5["big"] < 90
+    assert q5["small"] <= 100
