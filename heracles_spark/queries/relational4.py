@@ -886,3 +886,71 @@ FROM classed GROUP BY abc ORDER BY abc
 
 
 QUERIES["part_abc_classification"] = (part_abc_classification, ABC_SQL)
+
+
+def orders_lead_time_stats(spark, sf_dir):
+    """Order→ship lead time per order priority: mean (decimal-exact)
+    and EXACT median days between o_orderdate and l_shipdate — the
+    fulfillment-latency summary. Median via the rank-⌈n/2⌉ order
+    statistic through a keyed spillable window (the
+    quantile_disc/MAD discipline); datediff is integer-exact on both
+    engines."""
+    from pyspark.sql import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (li.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+                 li.l_orderkey == F.col("o_orderkey"))
+           .select("o_orderpriority", "l_orderkey", "l_linenumber",
+                   F.datediff(F.col("l_shipdate").cast("date"),
+                              F.col("o_orderdate").cast("date"))
+                    .alias("lead")))
+    w = (Window.partitionBy("o_orderpriority")
+               .orderBy("lead", "l_orderkey", "l_linenumber"))
+    counts = (j.groupBy("o_orderpriority")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    (F.sum(F.col("lead").cast("decimal(38,0)"))
+                      .cast("double") / F.count(F.lit(1)))
+                    .alias("mean_lead")))
+    med = (j.withColumn("rn", F.row_number().over(w))
+            .join(F.broadcast(counts.select("o_orderpriority", "n")),
+                  "o_orderpriority")
+            .where(F.col("rn") == F.ceil(F.col("n") / 2))
+            .select("o_orderpriority", F.col("lead").alias("median_lead")))
+    return (counts.join(med, "o_orderpriority")
+                  .select("o_orderpriority", "n",
+                          F.round("mean_lead", 6).alias("mean_lead"),
+                          "median_lead")
+                  .orderBy("o_orderpriority"))
+
+
+LEADTIME_SQL = """
+WITH j AS (
+  SELECT o.o_orderpriority, l.l_orderkey, l.l_linenumber,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS lead
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+ counts AS (
+  SELECT o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CAST(lead AS DECIMAL(38,0))) AS DOUBLE) / COUNT(*)
+           AS mean_lead
+  FROM j GROUP BY o_orderpriority),
+ ranked AS (
+  SELECT o_orderpriority, lead,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY lead, l_orderkey, l_linenumber)
+           AS rn,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM j),
+ med AS (
+  SELECT o_orderpriority, lead AS median_lead FROM ranked
+  WHERE rn = CAST(CEIL(n / 2.0) AS BIGINT))
+SELECT c.o_orderpriority, c.n, ROUND(c.mean_lead, 6) AS mean_lead,
+       m.median_lead
+FROM counts c JOIN med m USING (o_orderpriority)
+ORDER BY o_orderpriority
+"""
+
+
+QUERIES["orders_lead_time_stats"] = (orders_lead_time_stats,
+                                     LEADTIME_SQL)
