@@ -3723,3 +3723,71 @@ FROM tiers GROUP BY lang, tier ORDER BY lang, tier
 
 
 QUERIES["doc_ccnet_buckets"] = (doc_ccnet_buckets, CCNET_SQL)
+
+
+def doc_fim_transform(spark, sf_dir):
+    """Fill-in-the-middle transform (Bavarian et al. 2022 — reorder
+    each doc to suffix⟂prefix⟂middle so an autoregressive model learns
+    infilling): cut points are pure md5 functions of the doc id (same
+    doc → same cuts on any engine/partitioning, the span-corruption
+    discipline), docs under 3 tokens pass through. Emits per-doc
+    segment lengths + md5 of the reassembled SPM string for doc_id ≤
+    80 — the hash certifies byte-exact reassembly."""
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 80)
+    toks = text.tokens(F.col("text"))
+    n = F.array_size(toks)
+    u1 = (F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                            F.lit(":c1"))), 1, 8), 16, 10)
+           .cast("long"))
+    u2 = (F.conv(F.substring(F.md5(F.concat(F.col("doc_id").cast("string"),
+                                            F.lit(":c2"))), 1, 8), 16, 10)
+           .cast("long"))
+    # 1 <= cut1 < cut2 <= n-1  (all three segments non-empty)
+    cut1 = (u1 % (n - 2)) + 1
+    cut2 = cut1 + (u2 % (n - cut1 - 1)) + 1
+    prefix = F.slice(toks, 1, cut1)
+    middle = F.slice(toks, cut1 + 1, cut2 - cut1)
+    suffix = F.slice(toks, cut2 + 1, n - cut2)
+    spm = F.concat_ws(" ", F.concat(suffix, prefix, middle))
+    plain = F.concat_ws(" ", toks)
+    return (d.select(
+                "doc_id", n.alias("n_tokens"),
+                F.when(n >= 3, cut1).otherwise(F.lit(None)).alias("cut1"),
+                F.when(n >= 3, cut2).otherwise(F.lit(None)).alias("cut2"),
+                F.md5(F.when(n >= 3, spm).otherwise(plain))
+                 .alias("spm_md5"))
+             .orderBy("doc_id"))
+
+
+FIM_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(text)), '\s+') AS tk
+  FROM documents WHERE doc_id <= 80),
+ cuts AS (
+  SELECT doc_id, tk, len(tk) AS n,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c1'),
+                                 1, 8)) AS BIGINT) AS u1,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR) || ':c2'),
+                                 1, 8)) AS BIGINT) AS u2
+  FROM t),
+ pos AS (
+  SELECT doc_id, tk, n,
+         (u1 % (n - 2)) + 1 AS cut1,
+         (u1 % (n - 2)) + 1 + (u2 % (n - ((u1 % (n - 2)) + 1) - 1)) + 1
+           AS cut2
+  FROM cuts)
+SELECT doc_id, CAST(n AS INT) AS n_tokens,
+       CASE WHEN n >= 3 THEN cut1 END AS cut1,
+       CASE WHEN n >= 3 THEN cut2 END AS cut2,
+       md5(CASE WHEN n >= 3 THEN
+             array_to_string(tk[CAST(cut2 + 1 AS INT):CAST(n AS INT)]
+                             || tk[1:CAST(cut1 AS INT)]
+                             || tk[CAST(cut1 + 1 AS INT):CAST(cut2 AS INT)],
+                             ' ')
+           ELSE array_to_string(tk, ' ') END) AS spm_md5
+FROM pos ORDER BY doc_id
+"""
+
+
+QUERIES["doc_fim_transform"] = (doc_fim_transform, FIM_SQL)
