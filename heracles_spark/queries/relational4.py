@@ -954,3 +954,62 @@ ORDER BY o_orderpriority
 
 QUERIES["orders_lead_time_stats"] = (orders_lead_time_stats,
                                      LEADTIME_SQL)
+
+
+def lineitem_return_rate_ci(spark, sf_dir):
+    """Return-rate per order priority with 95% WILSON score interval —
+    the dashboard-grade proportion estimate (well-behaved at extreme
+    rates, unlike the normal approximation). Engine-exact: counts are
+    integers, and the interval is a FIXED sequence of correctly-rounded
+    double ops (+, *, /, sqrt — sqrt IS correctly rounded per IEEE-754,
+    which is why Wilson is hash-safe where log-based intervals are
+    not)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    j = (li.join(o.select("o_orderkey", "o_orderpriority"),
+                 li.l_orderkey == F.col("o_orderkey")))
+    agg = (j.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum((F.col("l_returnflag") == "R").cast("long"))
+                  .alias("r")))
+    z2 = 3.8416   # literal, matching the oracle's constant exactly
+    n = F.col("n").cast("double")
+    p = F.col("r").cast("double") / n
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (F.lit(1.96) * F.sqrt(p * (1.0 - p) / n
+                                 + z2 / (4.0 * n * n)) / denom)
+    return (agg.select("o_orderpriority", "n", "r",
+                       F.round(p, 6).alias("rate"),
+                       F.round(center - half, 6).alias("ci_lo"),
+                       F.round(center + half, 6).alias("ci_hi"))
+               .orderBy("o_orderpriority"))
+
+
+WILSON_SQL = """
+WITH agg AS (
+  SELECT o.o_orderpriority, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS r
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_orderpriority)
+SELECT o_orderpriority, n, r,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS rate,
+       ROUND(((CAST(r AS DOUBLE) / n) + 3.8416 / (2.0 * n))
+             / (1.0 + 3.8416 / n)
+             - 1.96 * SQRT((CAST(r AS DOUBLE) / n)
+                           * (1.0 - CAST(r AS DOUBLE) / n) / n
+                           + 3.8416 / (4.0 * n * n))
+               / (1.0 + 3.8416 / n), 6) AS ci_lo,
+       ROUND(((CAST(r AS DOUBLE) / n) + 3.8416 / (2.0 * n))
+             / (1.0 + 3.8416 / n)
+             + 1.96 * SQRT((CAST(r AS DOUBLE) / n)
+                           * (1.0 - CAST(r AS DOUBLE) / n) / n
+                           + 3.8416 / (4.0 * n * n))
+               / (1.0 + 3.8416 / n), 6) AS ci_hi
+FROM agg ORDER BY o_orderpriority
+"""
+
+
+QUERIES["lineitem_return_rate_ci"] = (lineitem_return_rate_ci,
+                                      WILSON_SQL)
