@@ -262,3 +262,84 @@ def temperature_mix_counts(df: DataFrame, alpha: float = 0.5,
                                 F.floor(F.lit(float(total)) * F.col("__w")
                                         / F.col("__z")).cast("bigint"))
                              .alias("quota")))
+
+
+def unimax_allocation(df: DataFrame, group_col: str = "source",
+                      size_col: str | None = None, epochs_cap: int = 2,
+                      budget_frac: tuple[int, int] = (2, 5)) -> DataFrame:
+    """UniMax corpus budget allocation (Chung et al. 2023, "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining"): spread a total token budget as uniformly
+    as possible across groups, except no group repeats more than
+    ``epochs_cap`` epochs of its own data. The classic water-filling
+    solution: sort groups by capacity ``cap_g = epochs_cap * size_g``
+    ascending; groups below the water line get their full cap, the rest
+    share the remaining budget equally.
+
+    Closed form via prefix sums (no driver loop): with groups ordered by
+    (cap, group) and k* the first position where
+    ``cap_k * (n - k + 1) >= budget - prefix_cap_{k-1}``, groups before
+    k* take their cap and groups from k* on take the integer water line
+    ``base = R div m`` (R = budget - prefix_cap_{k*-1}, m = n - k* + 1),
+    with the ``R mod m`` remainder going one-each to the first
+    remainder-many groups in order. If the budget exceeds total capacity
+    no k* exists and every group takes its cap. Feasibility:
+    cap_k* >= base + (1 if rem else 0) by the defining inequality, so no
+    allocation exceeds its cap, and allocations sum exactly to
+    min(budget, total capacity).
+
+    The budget itself stays in-plan: ``budget = (num * total_size) div
+    den`` for ``budget_frac = (num, den)`` — pure integer arithmetic end
+    to end, so the result is engine-exact (no libm, no float sums).
+
+    Scale: one combinable count/sum per group, then every window runs
+    over the ONE-ROW-PER-GROUP relation (|groups| ~ dozens at 100 TB) —
+    the unpartitioned windows here are O(|groups|), the same deliberate
+    tiny-relation exception as with_global_ranks' bucket-offset
+    cumulation (ranking.py).
+
+    Returns (group_col, sz, cap, alloc, epochs): alloc in the same unit
+    as ``size_col`` (rows if None), epochs = alloc/sz rounded 6.
+    """
+    from pyspark.sql import Window
+
+    num, den = budget_frac
+    agg = (F.count(F.lit(1)) if size_col is None
+           else F.sum(size_col)).cast("long").alias("sz")
+    sizes = df.groupBy(group_col).agg(agg)
+    budget = sizes.agg(F.sum("sz").cast("long").alias("__tot")) \
+                  .select(F.expr(f"(__tot * {num}) div {den}")
+                           .alias("__budget"))
+    w = Window.orderBy("cap", group_col)
+    ranked = (sizes
+              .withColumn("cap", F.col("sz") * F.lit(epochs_cap))
+              .join(F.broadcast(budget))
+              .withColumn("k", F.row_number().over(w))
+              .withColumn("prefix", F.coalesce(
+                  F.sum("cap").over(w.rowsBetween(
+                      Window.unboundedPreceding, -1)), F.lit(0)))
+              .withColumn("n", F.count(F.lit(1)).over(
+                  w.rowsBetween(Window.unboundedPreceding,
+                                Window.unboundedFollowing))))
+    is_line = (F.col("cap") * (F.col("n") - F.col("k") + 1)
+               >= F.col("__budget") - F.col("prefix"))
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    marked = (ranked
+              .withColumn("__kstar", F.min(F.when(is_line, F.col("k")))
+                          .over(wall))
+              .withColumn("__R", F.max(F.when(F.col("k") == F.col("__kstar"),
+                                              F.col("__budget")
+                                              - F.col("prefix")))
+                          .over(wall)))
+    m = F.col("n") - F.col("__kstar") + 1
+    base = F.expr("__R div (n - __kstar + 1)")
+    rem = F.col("__R") % m
+    alloc = F.when(F.col("__kstar").isNull()
+                   | (F.col("k") < F.col("__kstar")), F.col("cap")) \
+             .otherwise(base + F.when(
+                 F.col("k") - F.col("__kstar") < rem, 1).otherwise(0))
+    return (marked.select(group_col, "sz", "cap",
+                          alloc.cast("long").alias("alloc"))
+                  .withColumn("epochs", F.round(
+                      F.col("alloc").cast("double") / F.col("sz"), 6)))

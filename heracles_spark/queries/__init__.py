@@ -11,10 +11,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _registries():
     from heracles_spark.queries import (relational, relational2, relational3,
-                                        relational4, pipeline, extensions)
+                                        relational4, pipeline, extensions,
+                                        curation)
 
     return (relational.QUERIES, relational2.QUERIES, relational3.QUERIES,
-            relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES)
+            relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES,
+            curation.QUERIES)
 
 
 # Registry ordering: external harnesses sample a PREFIX of the registry

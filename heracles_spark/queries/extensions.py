@@ -1162,6 +1162,12 @@ def events_rfm_scores(spark, sf_dir):
     ranked = per_user
     for metric, score in (("last_ns", "r_score"), ("freq", "f_score"),
                           ("monetary", "m_score")):
+        # with_global_ranks derives a bounds agg from its input's
+        # lineage; chained naively the plan subtree doubles per metric
+        # (64 source scans for 3 chained ranks). Truncate between
+        # iterations so each rank pass reads a materialized leaf
+        # (same discipline as graph.py's iterative CC).
+        ranked = ranked.localCheckpoint(eager=True)
         ranked = with_global_ranks(
             ranked.withColumn("__m", F.col(metric).cast("double")),
             ["__m", "user_id"], rn_col="__rn", n_col="__n")
