@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from heracles_spark.queries.pipeline import _docs
-from heracles_spark.queries.relational import _events
+from heracles_spark.queries.relational import _events, _t
 
 _EPOCH_DAY_NS = 86_400_000_000_000
 
@@ -478,4 +478,212 @@ QUERIES.update({
     "events_value_percentile_sketch": (events_value_percentile_sketch,
                                        PCTL_SKETCH_SQL),
     "embedding_label_balance": (embedding_label_balance, LABEL_BAL_SQL),
+})
+
+
+def orders_open_backlog(spark, sf_dir):
+    """Open-order backlog over time by SWEEP LINE: each order
+    contributes +1 on its order day and -1 the day after its last
+    shipment; the running sum of per-day net deltas IS the number of
+    simultaneously-open orders. This turns interval stacking (how many
+    intervals cover day d) into two combinable aggregations plus one
+    cumulative sum over the per-DAY delta relation — O(|days|) rows
+    (a few thousand for years of data) regardless of order count, so
+    the ordered cumsum is the deliberate tiny-relation exception
+    (unimax/ranking-offset discipline), NOT a window over orders.
+    Reported per month: backlog at month end and the intra-month peak.
+    All integers; day arithmetic in epoch days."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    start = (o.select(F.col("o_orderkey"),
+                      F.datediff(F.col("o_orderdate").cast("date"),
+                                 F.lit("1970-01-01").cast("date"))
+                       .alias("d")))
+    close = (li.groupBy("l_orderkey")
+               .agg((F.max(F.datediff(F.col("l_shipdate").cast("date"),
+                                      F.lit("1970-01-01").cast("date")))
+                     + 1).alias("d")))
+    deltas = (start.select("d", F.lit(1).alias("delta"))
+              .unionAll(close.select("d", F.lit(-1).alias("delta")))
+              .groupBy("d").agg(F.sum("delta").alias("net")))
+    # full day spine (min..max, a few thousand rows): without it the
+    # cumsum exists only on event days and a month whose backlog is all
+    # carry-in from earlier months would lose its true peak/end value
+    spine = (deltas.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+                   .select(F.explode(F.sequence("mn", "mx")).alias("d")))
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    daily = (spine.join(deltas, "d", "left")
+                  .withColumn("open_orders",
+                              F.sum(F.coalesce(F.col("net"), F.lit(0)))
+                               .over(wc)))
+    month = F.substring(F.date_add(F.lit("1970-01-01").cast("date"),
+                                   F.col("d").cast("int")).cast("string"),
+                        1, 7)
+    return (daily.withColumn("month", month)
+                 .groupBy("month")
+                 .agg(F.max_by("open_orders", F.col("d"))
+                       .alias("month_end_backlog"),
+                      F.max("open_orders").alias("peak_backlog"))
+                 .orderBy("month"))
+
+
+BACKLOG_SQL = """
+WITH s AS (
+  SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS d, 1 AS delta
+  FROM orders),
+ c AS (
+  SELECT MAX(CAST(l_shipdate AS DATE) - DATE '1970-01-01') + 1 AS d,
+         -1 AS delta
+  FROM lineitem GROUP BY l_orderkey),
+ net AS (
+  SELECT d, CAST(SUM(delta) AS BIGINT) AS net
+  FROM (SELECT * FROM s UNION ALL SELECT * FROM c) GROUP BY d),
+ spine AS (
+  SELECT unnest(range((SELECT MIN(d) FROM net),
+                      (SELECT MAX(d) FROM net) + 1)) AS d),
+ daily AS (
+  SELECT sp.d, SUM(COALESCE(net.net, 0)) OVER (ORDER BY sp.d)
+           AS open_orders
+  FROM spine sp LEFT JOIN net ON net.d = sp.d),
+ m AS (
+  SELECT strftime(DATE '1970-01-01' + INTERVAL (d) DAY, '%Y-%m')
+           AS month,
+         d, open_orders
+  FROM daily)
+SELECT month,
+       CAST(MAX_BY(open_orders, d) AS BIGINT) AS month_end_backlog,
+       CAST(MAX(open_orders) AS BIGINT) AS peak_backlog
+FROM m GROUP BY month ORDER BY month
+"""
+
+
+def doc_dup_cluster_spectrum(spark, sf_dir):
+    """Duplicate-multiplicity spectrum: histogram of PREFIX-FINGERPRINT
+    cluster sizes (docs sharing their first 8 normalized tokens — the
+    cheap candidate-cluster key crawl dedup uses before any pairwise
+    scoring) plus the share of the corpus each size class occupies —
+    the first diagnostic a dedup pass prints ("what fraction of the
+    corpus is 2x copies vs 1000x boilerplate?"). Two combinable hash
+    aggregations (fingerprint, then size); pure integers until one
+    ROUND(6) share. Swap the key for md5(text) to get the exact-dup
+    spectrum — same plan."""
+    d = _docs(spark, sf_dir)
+    prefix = F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8))
+    clusters = (d.groupBy(F.md5(prefix).alias("h"))
+                 .agg(F.count(F.lit(1)).alias("s")))
+    tot = clusters.agg(F.sum("s").alias("n_docs_total"))
+    return (clusters.groupBy("s")
+                    .agg(F.count(F.lit(1)).alias("n_clusters"))
+                    .join(F.broadcast(tot))
+                    .select(F.col("s").alias("cluster_size"),
+                            "n_clusters",
+                            (F.col("s") * F.col("n_clusters"))
+                             .alias("n_docs"),
+                            F.round((F.col("s") * F.col("n_clusters"))
+                                    .cast("double")
+                                    / F.col("n_docs_total"), 6)
+                             .alias("corpus_share"))
+                    .orderBy("cluster_size"))
+
+
+DUP_SPECTRUM_SQL = """
+WITH cl AS (
+  SELECT md5(array_to_string(
+           string_split_regex(trim(lower(text)), '\\s+')[1:8], ' '))
+           AS h,
+         COUNT(*) AS s
+  FROM documents GROUP BY 1),
+ tot AS (SELECT CAST(SUM(s) AS BIGINT) AS n FROM cl)
+SELECT s AS cluster_size, COUNT(*) AS n_clusters,
+       CAST(s * COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(s * COUNT(*) AS DOUBLE) / MAX(tot.n), 6)
+         AS corpus_share
+FROM cl CROSS JOIN tot GROUP BY s, tot.n ORDER BY cluster_size
+"""
+
+
+def orders_priority_chi2(spark, sf_dir):
+    """Chi-square test of independence for order priority x order status —
+    the association check behind "does final status depend on
+    the priority an order was placed at?". Per-cell contribution
+
+        (O*n - rt*ct)^2 / (n*rt*ct)
+
+    keeps the numerator in decimal(38,0) integers (O*n overflows int64
+    at scale); each cell does ONE correctly-rounded double division +
+    ROUND(6), and the chi2 total is the sum of the ROUNDED per-cell
+    decimals (decimal sum = order-free, so the total is engine-exact
+    too — no order-dependent float accumulation). Contingency cells
+    are a |priorities|x|statuses| relation (~15 rows); everything after the
+    first count agg is broadcast-sized."""
+    o = _t(spark, sf_dir, "orders")
+    dec = "decimal(38,0)"
+    # cells (~15 rows) feeds four downstream branches; checkpoint so the
+    # base table is scanned ONCE, not re-derived per marginal
+    cells = (o.groupBy("o_orderpriority", "o_orderstatus")
+               .agg(F.count(F.lit(1)).alias("o"))
+               .localCheckpoint(eager=True))
+    rt = cells.groupBy("o_orderpriority").agg(F.sum("o").alias("rt"))
+    ct = cells.groupBy("o_orderstatus").agg(F.sum("o").alias("ct"))
+    n = cells.agg(F.sum("o").alias("n"))
+    num = (F.col("o").cast(dec) * F.col("n")
+           - F.col("rt").cast(dec) * F.col("ct"))
+    contrib = F.round(
+        (num * num).cast("double")
+        / (F.col("n").cast("double") * F.col("rt") * F.col("ct")), 6)
+    scored = (cells.join(F.broadcast(rt), "o_orderpriority")
+                   .join(F.broadcast(ct), "o_orderstatus")
+                   .join(F.broadcast(n))
+                   .withColumn("contrib", contrib))
+    total = scored.agg(
+        F.sum(F.col("contrib").cast("decimal(38,6)")).cast("double")
+         .alias("chi2"),
+        ((F.count_distinct("o_orderpriority") - 1)
+         * (F.count_distinct("o_orderstatus") - 1)).alias("dof"))
+    return (scored.join(F.broadcast(total))
+                  .select("o_orderpriority", "o_orderstatus",
+                          F.col("o").alias("observed"), "contrib",
+                          F.round("chi2", 6).alias("chi2_total"), "dof")
+                  .orderBy("o_orderpriority", "o_orderstatus"))
+
+
+CHI2_SQL = """
+WITH cells AS (
+  SELECT o_orderpriority, o_orderstatus, COUNT(*) AS o
+  FROM orders GROUP BY 1, 2),
+ rt AS (SELECT o_orderpriority, CAST(SUM(o) AS BIGINT) AS rt
+        FROM cells GROUP BY 1),
+ ct AS (SELECT o_orderstatus, CAST(SUM(o) AS BIGINT) AS ct
+        FROM cells GROUP BY 1),
+ n AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells),
+ scored AS (
+  SELECT c.o_orderpriority, c.o_orderstatus, c.o,
+         ROUND(CAST((CAST(c.o AS HUGEINT) * n.n - CAST(r.rt AS HUGEINT)
+                     * t.ct)
+                    * (CAST(c.o AS HUGEINT) * n.n - CAST(r.rt AS HUGEINT)
+                       * t.ct) AS DOUBLE)
+               / (CAST(n.n AS DOUBLE) * r.rt * t.ct), 6) AS contrib
+  FROM cells c
+  JOIN rt r USING (o_orderpriority) JOIN ct t USING (o_orderstatus)
+  CROSS JOIN n),
+ tot AS (
+  SELECT CAST(SUM(CAST(contrib AS DECIMAL(38,6))) AS DOUBLE) AS chi2,
+         CAST((COUNT(DISTINCT o_orderpriority) - 1)
+              * (COUNT(DISTINCT o_orderstatus) - 1) AS BIGINT) AS dof
+  FROM scored)
+SELECT s.o_orderpriority, s.o_orderstatus, s.o AS observed, s.contrib,
+       ROUND(tot.chi2, 6) AS chi2_total, tot.dof
+FROM scored s CROSS JOIN tot
+ORDER BY s.o_orderpriority, s.o_orderstatus
+"""
+
+
+QUERIES.update({
+    "orders_open_backlog": (orders_open_backlog, BACKLOG_SQL),
+    "doc_dup_cluster_spectrum": (doc_dup_cluster_spectrum,
+                                 DUP_SPECTRUM_SQL),
+    "orders_priority_chi2": (orders_priority_chi2, CHI2_SQL),
 })

@@ -138,3 +138,49 @@ def test_zipf_bitlength_log2_and_regression(spark):
     assert got["n_terms"] == 6
     assert got["slope"] == round((n * sxy - sx * sy) / den, 6)
     assert got["intercept"] == round((sy * sxx - sx * sxy) / den, 6)
+
+
+def test_backlog_sweep_line_matches_brute_force(spark):
+    from heracles_spark.queries.curation import orders_open_backlog
+    import datetime as dt
+    import tempfile, os
+    # orders opening/closing across three months, incl. same-day churn
+    base = dt.datetime(1995, 1, 1)
+    # (orderkey, open_day_offset, last_ship_day_offset)
+    spec = [(1, 0, 10), (2, 3, 3), (3, 5, 40), (4, 12, 70),
+            (5, 31, 33), (6, 32, 95), (7, 60, 61), (8, 60, 62)]
+    orows = [(k, base + dt.timedelta(days=o), "1-URGENT", "O")
+             for k, o, _ in spec]
+    lrows = []
+    for k, o, c in spec:
+        # two lineitems; the LATER ship date closes the order
+        lrows.append((k, 1, base + dt.timedelta(days=max(o, c - 2))))
+        lrows.append((k, 2, base + dt.timedelta(days=c)))
+    odf = spark.createDataFrame(
+        orows, "o_orderkey long, o_orderdate timestamp,"
+               " o_orderpriority string, o_orderstatus string")
+    ldf = spark.createDataFrame(
+        lrows, "l_orderkey long, l_linenumber int, l_shipdate timestamp")
+    # brute force: per month, backlog at month end and intra-month peak
+    # (order open on [open, last_ship] inclusive)
+    days = range(0, 100)
+    daily = {}
+    for d in days:
+        daily[d] = sum(1 for _, o, c in spec if o <= d <= c)
+    month_of = {d: (base + dt.timedelta(days=d)).strftime("%Y-%m")
+                for d in days}
+    expect = {}
+    for d in days:
+        m = month_of[d]
+        end, peak = expect.get(m, (0, 0))
+        expect[m] = (daily[d], max(peak, daily[d]))
+    with tempfile.TemporaryDirectory() as td:
+        odf.write.parquet(os.path.join(td, "orders.parquet"))
+        ldf.write.parquet(os.path.join(td, "lineitem.parquet"))
+        got = {r["month"]: (r["month_end_backlog"], r["peak_backlog"])
+               for r in orders_open_backlog(spark, td).collect()}
+    # the day spine makes every calendar day explicit, so both the
+    # month-end value and the intra-month peak are exact — including
+    # months whose backlog is pure carry-in with no events
+    for m, (end, peak) in expect.items():
+        assert got[m] == (end, peak), (m, got.get(m), expect[m])
