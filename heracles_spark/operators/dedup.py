@@ -659,3 +659,50 @@ def embedding_near_dup_pairs(df: DataFrame, id_col: str = "vec_id",
     return (dotted.withColumn("cosine", F.round(cos, 6))
                   .where(F.col("cosine") >= threshold)
                   .select("id_a", "id_b", "cosine"))
+
+
+def bloom_bits(keys: DataFrame, key_col: str = "key",
+               m: int = 1 << 18, k: int = 3) -> DataFrame:
+    """Build the bit set of a RELATIONAL Bloom filter over ``keys``:
+    k md5-derived positions per key in [0, m), returned as a DISTINCT
+    single-column relation ``b``. The bit set is bounded by m rows
+    REGARDLESS of corpus size — at 100 TB it is still a <= m-row
+    broadcastable relation, which is exactly the Bloom-filter property
+    expressed relationally. Deterministic (md5 of the key, no seed
+    state), so downstream false-positive counts are exact reproducible
+    numbers, not a probabilistic contract.
+
+    Positions: pos_i = first-8-hex-digits of md5(key || ':' || i)
+    mod m — the engine-portable uniform hash (sampling._md5_u32
+    discipline; DuckDB spells it CAST(('0x' || substring(md5(...),1,8))
+    AS BIGINT) % m)."""
+    pos = [(F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(i)))),
+                1, 8), 16, 10).cast("long") % m).alias("b")
+           for i in range(k)]
+    return (keys.select(F.explode(F.array(*pos)).alias("b"))
+                .distinct())
+
+
+def bloom_prefilter(incoming: DataFrame, bits: DataFrame,
+                    key_col: str = "key", m: int = 1 << 18,
+                    k: int = 3) -> DataFrame:
+    """Flag incoming rows whose key hits ALL k Bloom positions in
+    ``bits`` (built by :func:`bloom_bits` over the historical corpus).
+    No false negatives by construction; false positives are the
+    deterministic md5-collision set. Plan: explode k positions per
+    incoming row, broadcast-join the <= m-row bit set, keep rows with
+    k hits — map-side only, no shuffle of the incoming data beyond the
+    position explode."""
+    pos = [(F.conv(F.substring(
+                F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(i)))),
+                1, 8), 16, 10).cast("long") % m).alias("b")
+           for i in range(k)]
+    probe = incoming.withColumn("__pos", F.explode(F.array(*pos)))
+    hits = (probe.join(F.broadcast(bits),
+                       probe["__pos"] == bits["b"])
+                 .groupBy(*incoming.columns)
+                 .agg(F.count(F.lit(1)).alias("__hits"))
+                 .where(F.col("__hits") == k)
+                 .drop("__hits"))
+    return hits

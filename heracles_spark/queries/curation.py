@@ -687,3 +687,78 @@ QUERIES.update({
                                  DUP_SPECTRUM_SQL),
     "orders_priority_chi2": (orders_priority_chi2, CHI2_SQL),
 })
+
+
+def doc_bloom_prefilter(spark, sf_dir):
+    """Incremental-ingest dedup PREFILTER: a relational Bloom filter
+    over the historical corpus's prefix fingerprints screens an
+    incoming batch before any expensive pairwise work — the shape a
+    100 TB pipeline uses nightly (the bit set is <= m rows no matter
+    how big history gets, so it broadcasts forever;
+    operators.dedup.bloom_bits/bloom_prefilter). md5-derived positions
+    make the filter DETERMINISTIC: no false negatives by construction
+    AND the false-positive count is an exact engine-portable number,
+    so the oracle checks real values, not a probabilistic contract.
+    Split: doc_id % 5 == 0 is the incoming batch, the rest is
+    history; key = first-8-token prefix fingerprint."""
+    from heracles_spark.operators.dedup import bloom_bits, bloom_prefilter
+
+    d = _docs(spark, sf_dir)
+    key = F.md5(F.concat_ws(" ", F.slice(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), 1, 8)))
+    hist = (d.where(F.col("doc_id") % 5 != 0)
+             .select(key.alias("key")).distinct())
+    inc = (d.where(F.col("doc_id") % 5 == 0)
+            .select("doc_id", key.alias("key")))
+    bits = bloom_bits(hist, "key")
+    flagged = bloom_prefilter(inc, bits, "key")
+    true_dups = inc.join(hist, "key", "left_semi")
+    n_inc = inc.agg(F.count(F.lit(1)).alias("n_incoming"))
+    n_flag = flagged.agg(F.count(F.lit(1)).alias("n_flagged"))
+    n_true = true_dups.agg(F.count(F.lit(1)).alias("n_true_dups"))
+    return (n_inc.join(F.broadcast(n_flag))
+                 .join(F.broadcast(n_true))
+                 .select("n_incoming", "n_flagged", "n_true_dups",
+                         (F.col("n_flagged") - F.col("n_true_dups"))
+                          .alias("n_false_pos"),
+                         (F.col("n_flagged") >= F.col("n_true_dups"))
+                          .alias("no_false_negatives")))
+
+
+BLOOM_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(
+           string_split_regex(trim(lower(text)), '\\s+')[1:8], ' '))
+           AS key
+  FROM documents),
+ hist AS (SELECT DISTINCT key FROM keyed WHERE doc_id % 5 <> 0),
+ inc AS (SELECT doc_id, key FROM keyed WHERE doc_id % 5 = 0),
+ bits AS (
+  SELECT DISTINCT
+         CAST(('0x' || substring(md5(key || ':' || i), 1, 8)) AS BIGINT)
+           % 262144 AS b
+  FROM hist, range(0, 3) r(i)),
+ probe AS (
+  SELECT doc_id, key,
+         CAST(('0x' || substring(md5(key || ':' || i), 1, 8)) AS BIGINT)
+           % 262144 AS pos
+  FROM inc, range(0, 3) r(i)),
+ flagged AS (
+  SELECT doc_id FROM probe JOIN bits ON probe.pos = bits.b
+  GROUP BY doc_id, key HAVING COUNT(*) = 3),
+ truth AS (
+  SELECT doc_id FROM inc WHERE key IN (SELECT key FROM hist))
+SELECT CAST((SELECT COUNT(*) FROM inc) AS BIGINT) AS n_incoming,
+       CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS n_flagged,
+       CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true_dups,
+       CAST((SELECT COUNT(*) FROM flagged) AS BIGINT)
+         - CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_false_pos,
+       (SELECT COUNT(*) FROM flagged) >= (SELECT COUNT(*) FROM truth)
+         AS no_false_negatives
+"""
+
+
+QUERIES.update({
+    "doc_bloom_prefilter": (doc_bloom_prefilter, BLOOM_SQL),
+})

@@ -184,3 +184,28 @@ def test_backlog_sweep_line_matches_brute_force(spark):
     # months whose backlog is pure carry-in with no events
     for m, (end, peak) in expect.items():
         assert got[m] == (end, peak), (m, got.get(m), expect[m])
+
+
+def test_bloom_prefilter_no_false_negatives_and_fp_under_tiny_m(spark):
+    from heracles_spark.operators.dedup import bloom_bits, bloom_prefilter
+    hist = spark.createDataFrame(
+        [(f"k{i}",) for i in range(50)], "key string")
+    # incoming: 10 true dups (k0..k9) + 40 fresh keys
+    inc = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(10)]
+        + [(100 + i, f"new{i}") for i in range(40)],
+        "doc_id long, key string")
+    # honest m: every true dup flagged, few/no false positives
+    bits = bloom_bits(hist, "key", m=1 << 18, k=3)
+    flagged = {r["doc_id"] for r in
+               bloom_prefilter(inc, bits, "key", m=1 << 18, k=3)
+               .collect()}
+    assert set(range(10)) <= flagged
+    # pathological m=16: the filter saturates — STILL no false
+    # negatives (the guarantee), but false positives appear
+    bits16 = bloom_bits(hist, "key", m=16, k=3)
+    flagged16 = {r["doc_id"] for r in
+                 bloom_prefilter(inc, bits16, "key", m=16, k=3)
+                 .collect()}
+    assert set(range(10)) <= flagged16
+    assert len(flagged16) > 10  # collisions flag fresh keys too
