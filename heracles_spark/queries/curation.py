@@ -762,3 +762,78 @@ SELECT CAST((SELECT COUNT(*) FROM inc) AS BIGINT) AS n_incoming,
 QUERIES.update({
     "doc_bloom_prefilter": (doc_bloom_prefilter, BLOOM_SQL),
 })
+
+
+def embedding_matryoshka_fidelity(spark, sf_dir):
+    """Matryoshka truncation fidelity: how well cosine similarity under
+    the first d dims (d = 8/16/32) tracks the full 64-dim cosine —
+    the measurement behind MRL-style "use a prefix of the embedding
+    at serving time" decisions. Pairs are (vec_id, vec_id+1) — a
+    deterministic O(n) pairing, no quadratic blowup. Per pair and d,
+    |cos_d - cos_64| rounds to 6 before a DECIMAL mean (order-free
+    sum), so the aggregate is engine-exact; dot products/norms ride
+    the same sequential-fold expressions as the KNN oracle family
+    (operators.similarity.dot_expr/norm_expr)."""
+    from heracles_spark.operators import similarity
+    from heracles_spark.queries.pipeline import _embs
+
+    e = _embs(spark, sf_dir)
+    a = e.select(F.col("vec_id").alias("pid"),
+                 F.col("embedding").alias("va"))
+    b = e.select((F.col("vec_id") - 1).alias("pid"),
+                 F.col("embedding").alias("vb"))
+    pairs = a.join(b, "pid")
+
+    def cos(va, vb):
+        return (similarity.dot_expr(va, vb)
+                / (similarity.norm_expr(va) * similarity.norm_expr(vb)))
+
+    full = cos(F.col("va"), F.col("vb"))
+    per_d = [pairs.select(
+        F.lit(d).alias("dim"),
+        F.round(F.abs(cos(F.slice("va", 1, d), F.slice("vb", 1, d))
+                      - full), 6).alias("delta"))
+        for d in (8, 16, 32)]
+    u = per_d[0].unionAll(per_d[1]).unionAll(per_d[2])
+    return (u.groupBy("dim")
+             .agg(F.count(F.lit(1)).alias("n_pairs"),
+                  F.round(F.sum(F.col("delta").cast("decimal(38,6)"))
+                           .cast("double") / F.count(F.lit(1)), 6)
+                   .alias("mean_abs_delta"),
+                  F.max("delta").alias("max_abs_delta"))
+             .orderBy("dim"))
+
+
+MATRYOSHKA_SQL = """
+WITH pairs AS (
+  SELECT a.vec_id AS pid, a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+ terms AS (
+  SELECT p.pid, dd.d,
+         CAST(p.va[i] AS DOUBLE) * CAST(p.vb[i] AS DOUBLE) AS xy,
+         CAST(p.va[i] AS DOUBLE) * CAST(p.va[i] AS DOUBLE) AS xx,
+         CAST(p.vb[i] AS DOUBLE) * CAST(p.vb[i] AS DOUBLE) AS yy,
+         i
+  FROM pairs p, (VALUES (8), (16), (32)) dd(d), range(1, 65) t(i)),
+ cosd AS (
+  SELECT pid, d,
+         SUM(CASE WHEN i <= d THEN xy END)
+           / (SQRT(SUM(CASE WHEN i <= d THEN xx END))
+              * SQRT(SUM(CASE WHEN i <= d THEN yy END))) AS cos_d,
+         SUM(xy) / (SQRT(SUM(xx)) * SQRT(SUM(yy))) AS cos_full
+  FROM terms GROUP BY pid, d),
+ deltas AS (
+  SELECT d AS dim, ROUND(ABS(cos_d - cos_full), 6) AS delta
+  FROM cosd)
+SELECT dim, COUNT(*) AS n_pairs,
+       ROUND(CAST(SUM(CAST(delta AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_abs_delta,
+       MAX(delta) AS max_abs_delta
+FROM deltas GROUP BY dim ORDER BY dim
+"""
+
+
+QUERIES.update({
+    "embedding_matryoshka_fidelity": (embedding_matryoshka_fidelity,
+                                      MATRYOSHKA_SQL),
+})

@@ -209,3 +209,42 @@ def test_bloom_prefilter_no_false_negatives_and_fp_under_tiny_m(spark):
                  .collect()}
     assert set(range(10)) <= flagged16
     assert len(flagged16) > 10  # collisions flag fresh keys too
+
+
+def test_unimax_matches_greedy_reference_on_random_inputs(spark):
+    # closed-form water line vs a literal greedy water-filling loop,
+    # over several deterministic pseudo-random size profiles
+    import hashlib
+
+    def greedy_waterfill(sizes, epochs_cap, budget):
+        caps = sorted(((name, sz * epochs_cap) for name, sz in sizes),
+                      key=lambda t: (t[1], t[0]))
+        alloc, remaining = {}, budget
+        pending = list(caps)
+        while pending:
+            m = len(pending)
+            base, rem = divmod(remaining, m)
+            name, cap = pending[0]
+            if cap <= base:  # below the line: cap it, recompute line
+                alloc[name] = cap
+                remaining -= cap
+                pending.pop(0)
+                continue
+            # water line found: base each, +1 to the first rem in order
+            for j, (nm, _c) in enumerate(pending):
+                alloc[nm] = base + (1 if j < rem else 0)
+            remaining = 0
+            pending = []
+        return alloc
+
+    for trial in range(4):
+        h = int(hashlib.md5(f"unimax{trial}".encode()).hexdigest(), 16)
+        sizes = [(f"s{i}", 1 + (h >> (8 * i)) % 997) for i in range(6)]
+        total = sum(sz for _, sz in sizes)
+        rows = [(name,) for name, sz in sizes for _ in range(sz)]
+        df = spark.createDataFrame(rows, "source string")
+        out = {r["source"]: r["alloc"] for r in
+               unimax_allocation(df, epochs_cap=2,
+                                 budget_frac=(3, 7)).collect()}
+        expect = greedy_waterfill(sizes, 2, (total * 3) // 7)
+        assert out == expect, (trial, sizes, out, expect)
