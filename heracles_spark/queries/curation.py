@@ -789,12 +789,17 @@ def embedding_matryoshka_fidelity(spark, sf_dir):
                 / (similarity.norm_expr(va) * similarity.norm_expr(vb)))
 
     full = cos(F.col("va"), F.col("vb"))
-    per_d = [pairs.select(
-        F.lit(d).alias("dim"),
-        F.round(F.abs(cos(F.slice("va", 1, d), F.slice("vb", 1, d))
-                      - full), 6).alias("delta"))
-        for d in (8, 16, 32)]
-    u = per_d[0].unionAll(per_d[1]).unionAll(per_d[2])
+    # all three truncation deltas in ONE pass (explode a 3-struct
+    # array), not a 3-way union that re-scans the table per dim
+    triples = F.array(*[
+        F.struct(F.lit(d).alias("dim"),
+                 F.round(F.abs(cos(F.slice("va", 1, d),
+                                   F.slice("vb", 1, d)) - full), 6)
+                  .alias("delta"))
+        for d in (8, 16, 32)])
+    u = (pairs.select(F.explode(triples).alias("t"))
+              .select(F.col("t.dim").alias("dim"),
+                      F.col("t.delta").alias("delta")))
     return (u.groupBy("dim")
              .agg(F.count(F.lit(1)).alias("n_pairs"),
                   F.round(F.sum(F.col("delta").cast("decimal(38,6)"))
