@@ -842,3 +842,103 @@ QUERIES.update({
     "embedding_matryoshka_fidelity": (embedding_matryoshka_fidelity,
                                       MATRYOSHKA_SQL),
 })
+
+
+def supplier_concentration_hhi(spark, sf_dir):
+    """Herfindahl-Hirschman supply-concentration index per nation: with
+    c_s the lineitem count of supplier s, HHI = sum(c_s^2) / (sum c_s)^2
+    — 1/HHI is the effective number of suppliers. Pure integer
+    numerator/denominator (decimal(38,0) squares), one final division.
+    Scale: one combinable (nation, supplier) count, one nation-level
+    merge — no windows, no self-joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    dec = "decimal(38,0)"
+    per_supp = (li.join(s.select("s_suppkey", "s_nationkey"),
+                        li.l_suppkey == F.col("s_suppkey"))
+                  .groupBy("s_nationkey", "s_suppkey")
+                  .agg(F.count(F.lit(1)).alias("c")))
+    per_nation = (per_supp.groupBy("s_nationkey")
+                  .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                       F.sum("c").alias("tot"),
+                       F.sum(F.col("c").cast(dec) * F.col("c"))
+                        .alias("ss")))
+    return (per_nation
+            .join(F.broadcast(n.select("n_nationkey", "n_name")),
+                  per_nation.s_nationkey == F.col("n_nationkey"))
+            .select("n_name", "n_suppliers",
+                    F.col("tot").alias("n_lineitems"),
+                    F.round(F.col("ss").cast("double")
+                            / (F.col("tot").cast("double")
+                               * F.col("tot")), 6).alias("hhi"))
+            .orderBy("n_name"))
+
+
+HHI_SQL = """
+WITH per_supp AS (
+  SELECT s.s_nationkey, l.l_suppkey, COUNT(*) AS c
+  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2),
+ per_nation AS (
+  SELECT s_nationkey, COUNT(*) AS n_suppliers,
+         CAST(SUM(c) AS BIGINT) AS tot,
+         SUM(CAST(c AS HUGEINT) * c) AS ss
+  FROM per_supp GROUP BY 1)
+SELECT n.n_name, p.n_suppliers, p.tot AS n_lineitems,
+       ROUND(CAST(p.ss AS DOUBLE)
+             / (CAST(p.tot AS DOUBLE) * p.tot), 6) AS hhi
+FROM per_nation p JOIN nation n ON p.s_nationkey = n.n_nationkey
+ORDER BY n.n_name
+"""
+
+
+def events_dow_adjusted_outliers(spark, sf_dir):
+    """Seasonality-adjusted volume outliers: daily event counts per
+    type, residual against the type's DAY-OF-WEEK mean (so weekly
+    rhythm isn't flagged as anomaly), alarm when the residual exceeds
+    2x the dow mean. All comparisons in cross-multiplied integers:
+    (x*n_dow - t_dow) > 2*t_dow with t_dow the dow total and n_dow its
+    day count — no float thresholds. Partitioned aggregations only."""
+    e = _events(spark, sf_dir)
+    day = F.expr(f"ts_ns div {_EPOCH_DAY_NS}")
+    daily = (e.select(day.alias("d"), "event_type")
+              .groupBy("event_type", "d")
+              .agg(F.count(F.lit(1)).alias("x"))
+              .withColumn("dow", F.pmod(F.col("d") + 4, F.lit(7))))
+    dow_stats = (daily.groupBy("event_type", "dow")
+                      .agg(F.sum("x").alias("t_dow"),
+                           F.count(F.lit(1)).alias("n_dow")))
+    j = daily.join(dow_stats, ["event_type", "dow"])
+    resid_hi = (10 * (F.col("x") * F.col("n_dow") - F.col("t_dow"))
+                > F.col("t_dow"))
+    return (j.where(resid_hi)
+             .select("event_type", "d", "dow", "x",
+                     F.round(F.col("t_dow").cast("double")
+                             / F.col("n_dow"), 6).alias("dow_mean"))
+             .orderBy("event_type", "d"))
+
+
+DOW_OUT_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d, COUNT(*) AS x
+  FROM events GROUP BY 1, 2),
+ dowed AS (
+  SELECT *, (d + 4) % 7 AS dow FROM daily),
+ stats AS (
+  SELECT event_type, dow, CAST(SUM(x) AS BIGINT) AS t_dow,
+         COUNT(*) AS n_dow
+  FROM dowed GROUP BY 1, 2)
+SELECT d.event_type, d.d, d.dow, d.x,
+       ROUND(CAST(s.t_dow AS DOUBLE) / s.n_dow, 6) AS dow_mean
+FROM dowed d JOIN stats s USING (event_type, dow)
+WHERE 10 * (d.x * s.n_dow - s.t_dow) > s.t_dow
+ORDER BY d.event_type, d.d
+"""
+
+
+QUERIES.update({
+    "supplier_concentration_hhi": (supplier_concentration_hhi, HHI_SQL),
+    "events_dow_adjusted_outliers": (events_dow_adjusted_outliers,
+                                     DOW_OUT_SQL),
+})
