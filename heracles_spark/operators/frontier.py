@@ -1,0 +1,92 @@
+"""Distributed skyline (Pareto frontier): the rows not dominated by
+any other row under a minimize/maximize objective vector — the classic
+multi-criteria "best trade-offs" operator (Börzsönyi et al., "The
+Skyline Operator", ICDE 2001) that SQL can only express as an O(n²)
+NOT EXISTS self-join.
+
+Two-phase divide-and-conquer, the canonical distributed shape:
+
+  phase 1  every partition computes its LOCAL skyline (a point
+           dominated by a neighbor in its own partition can never be
+           in the global skyline — dominance is transitive, so local
+           pruning is sound). For uniformly distributed data the local
+           skyline is O(log^{d-1} n) of the partition — the reduction
+           is enormous.
+  phase 2  the union of local skylines (tiny) is brought to ONE
+           partition and pruned once more = the exact global skyline.
+
+Both phases run the same sort-scan kernel: sort candidates
+lexicographically by the objective vector (all objectives oriented as
+"minimize" — maximize columns are negated); then a point can only be
+dominated by a point at or before it in sort order, so one forward scan
+against the kept set (vectorized numpy compare, O(n·s) for skyline
+size s) is exact.
+
+Determinism: only comparisons touch the objective columns — no
+arithmetic — so the result set is bit-identical to any other engine's
+dominance definition, and an ORDER BY on the caller makes the frame
+hash-stable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def _scan_skyline(pdf, mins: list[str], maxs: list[str]):
+    """Exact skyline of one pandas frame via sort + forward scan."""
+    import numpy as np
+
+    if len(pdf) == 0:
+        return pdf
+    obj = np.column_stack(
+        [pdf[c].to_numpy(dtype="float64") for c in mins]
+        + [-pdf[c].to_numpy(dtype="float64") for c in maxs])
+    order = np.lexsort(obj.T[::-1])  # lexicographic by obj columns
+    obj = obj[order]
+    kept_rows: list[int] = []
+    kept = np.empty((0, obj.shape[1]))
+    for i in range(obj.shape[0]):
+        x = obj[i]
+        if kept_rows:
+            dom = ((kept <= x).all(axis=1) & (kept < x).any(axis=1)).any()
+            if dom:
+                continue
+        kept_rows.append(i)
+        kept = np.vstack([kept, x[None, :]])
+    return pdf.iloc[order[kept_rows]]
+
+
+def skyline(df: DataFrame, minimize: list[str] = (),
+            maximize: list[str] = ()) -> DataFrame:
+    """Rows of ``df`` not dominated under (minimize↓, maximize↑).
+
+    Dominance: y dominates x iff y is ≤ x on every minimize column,
+    ≥ on every maximize column, and strictly better on at least one.
+    Ties (identical objective vectors) don't dominate each other —
+    duplicates of a frontier point all survive, matching the SQL
+    NOT EXISTS formulation.
+    """
+    import pandas as pd
+
+    mins, maxs = list(minimize), list(maximize)
+    if not mins and not maxs:
+        raise ValueError("skyline needs at least one objective column")
+
+    def local(batches: Iterator) -> Iterator:
+        # per-BATCH pruning: a superset of the partition skyline (still
+        # sound — phase 2 re-prunes), bounded memory per batch
+        for pdf in batches:
+            yield _scan_skyline(pdf, mins, maxs)
+
+    def global_(batches: Iterator) -> Iterator:
+        rows = [p for p in batches]
+        if rows:
+            yield _scan_skyline(pd.concat(rows, ignore_index=True),
+                                mins, maxs)
+
+    pruned = df.mapInPandas(local, df.schema)
+    # survivors are skyline-sized; one partition finishes exactly
+    return pruned.repartition(1).mapInPandas(global_, df.schema)

@@ -88,3 +88,61 @@ def kmv_compare(sketch: DataFrame, set_col: str, set_a, set_b,
                  .select(eu.alias("est_union"),
                          ej.alias("est_jaccard"),
                          F.round(ej * eu, 4).alias("est_intersection")))
+
+
+def cms_counters(df: DataFrame, member_col: str, depth: int = 4,
+                 width: int = 512) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) of the ``df``
+    stream keyed by ``member_col``: ``depth`` rows of ``width``
+    counters, counter[s][b] = #rows whose seeded hash lands in bucket
+    b. Returns (seed, bucket, c) — at most depth·width rows regardless
+    of stream size.
+
+    One pass: each row explodes into its ``depth`` (seed, bucket)
+    cells and a single hash aggregate with map-side combine does the
+    counting — the map-side partials ARE partial sketches, and their
+    merge IS the CMS merge (counter-wise sum), which is what makes the
+    sketch streamable/shardable at 100 TB.
+
+    The hash is md5-derived (like :func:`member_hash`) so every
+    counter value is deterministic and engine-portable — a DuckDB
+    oracle rebuilds the identical sketch, collisions and all.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    cell = (df.select(F.explode(seeds).alias("seed"),
+                      F.col(member_col).cast("string").alias("__m"))
+              .select("seed",
+                      (F.conv(F.substring(
+                          F.md5(F.concat_ws(":", F.col("seed"),
+                                            F.col("__m"))), 1, 15),
+                          16, 10).cast("long") % width).alias("bucket")))
+    return cell.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+
+
+def cms_estimate(counters: DataFrame, members: DataFrame,
+                 member_col: str, depth: int = 4,
+                 width: int = 512) -> DataFrame:
+    """Point estimates for each distinct ``members`` row: est = min
+    over the sketch's ``depth`` rows of the counter the member hashes
+    to (0 when the cell was never hit). Guarantees est ≥ true count,
+    and exceeds it only through collisions (≤ εN with ε = e/width per
+    row, w.h.p. over seeds).
+
+    The counter relation is ≤ depth·width rows — broadcast it; the
+    probe side never shuffles.
+    """
+    seeds = F.array(*[F.lit(s) for s in range(depth)])
+    probe = (members.select(F.col(member_col).cast("string").alias("__m"))
+                    .distinct()
+                    .select("__m", F.explode(seeds).alias("seed"))
+                    .select("__m", "seed",
+                            (F.conv(F.substring(
+                                F.md5(F.concat_ws(":", F.col("seed"),
+                                                  F.col("__m"))), 1, 15),
+                                16, 10).cast("long") % width)
+                            .alias("bucket")))
+    return (probe.join(F.broadcast(counters), ["seed", "bucket"], "left")
+                 .groupBy("__m")
+                 .agg(F.min(F.coalesce(F.col("c"), F.lit(0)))
+                      .alias("est"))
+                 .withColumnRenamed("__m", member_col))
