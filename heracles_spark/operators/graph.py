@@ -254,3 +254,58 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
                               .alias("rank"))
                       .localCheckpoint(eager=True))
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "u",
+                   dst: str = "v") -> DataFrame:
+    """Global triangle count over an undirected edge set — the
+    clustering-structure primitive (graph density audits, community
+    cohesion, spam-graph detection over link/co-occurrence graphs).
+
+    Algorithm (Suri & Vassilvitskii, "Counting Triangles and the
+    Curse of the Last Reducer", WWW'11): orient every edge from its
+    (degree, id)-smaller endpoint to the larger; each triangle then
+    has EXACTLY one node whose two triangle edges both point out (its
+    ≺-minimum), so counting (wedge out-of-x, closing edge) pairs
+    counts each triangle once. The orientation is the scale trick:
+    out-degree under the degree order is O(sqrt(m)) for any graph
+    (arboricity bound), so the wedge join's fan-out is bounded even
+    when the raw degree distribution has 10^8-follower hubs — an
+    id-ordered orientation would square the max degree instead.
+
+    Shape: canonical edge set (a<b, distinct) built once and reused
+    (checkpointed); degrees from one combinable agg; wedges = one
+    self-equi-join of the oriented set on the pivot; triangles = one
+    equi-join of wedges against the canonical set. All equi-joins —
+    no theta/cartesian anywhere.
+
+    Returns a single row (n_nodes, n_edges, n_triangles).
+    """
+    e = (edges.select(F.least(src, dst).alias("a"),
+                      F.greatest(src, dst).alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .distinct()
+              .localCheckpoint(eager=True))   # reused 3× below
+    deg = (e.select(F.col("a").alias("n"))
+            .union(e.select(F.col("b").alias("n")))
+            .groupBy("n").agg(F.count(F.lit(1)).alias("d")))
+    ed = (e.join(deg.select(F.col("n").alias("a"), F.col("d").alias("da")),
+                 "a")
+           .join(deg.select(F.col("n").alias("b"), F.col("d").alias("db")),
+                 "b"))
+    fwd = (F.col("da") < F.col("db")) | \
+          ((F.col("da") == F.col("db")) & (F.col("a") < F.col("b")))
+    oriented = ed.select(
+        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("x"),
+        F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("y"))
+    # wedge (y, z): two out-neighbors of the same pivot, id-ordered so
+    # the closing lookup hits the canonical (min, max) edge key
+    o2 = oriented.select(F.col("x").alias("x2"), F.col("y").alias("z"))
+    wedges = (oriented.join(o2, oriented.x == o2.x2)
+                      .where(F.col("y") < F.col("z"))
+                      .select(F.col("y").alias("a"), F.col("z").alias("b")))
+    tri = wedges.join(e, ["a", "b"]).agg(
+        F.count(F.lit(1)).alias("n_triangles"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    n_edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_nodes.crossJoin(n_edges).crossJoin(tri)

@@ -343,3 +343,68 @@ def unimax_allocation(df: DataFrame, group_col: str = "source",
                           alloc.cast("long").alias("alloc"))
                   .withColumn("epochs", F.round(
                       F.col("alloc").cast("double") / F.col("sz"), 6)))
+
+
+def hamilton_allocation(counts: DataFrame, group_col: str, n_col: str,
+                        n_total: int) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of ``n_total`` slots
+    across groups proportionally to ``n_col`` — the integer-exact
+    allocation step of stratified sampling. base = floor(n_total·n/N);
+    the leftover slots go to the largest fractional remainders (group
+    ties broken by name). Allocation is capped at the group size, so a
+    stratum is never asked for more rows than it has.
+
+    Every step is integer arithmetic (div/%/comparisons) — no floats,
+    so the allocation is bit-identical on any engine. The totals and
+    the remainder ranking are windows over the aggregated
+    one-row-per-group relation (already reduced), partitioned by the
+    constant-surviving pmod(xxhash64,1) key so the optimized plan
+    never shows an unpartitioned window."""
+    from pyspark.sql import Window
+
+    one = F.pmod(F.xxhash64(F.col(group_col)), F.lit(1))
+    wall = Window.partitionBy(one)
+    wrk = wall.orderBy(F.desc("__rem"), F.col(group_col))
+    x = (counts.withColumn("__tot", F.sum(F.col(n_col)).over(wall))
+               .withColumn("__q", F.lit(n_total) * F.col(n_col))
+               .withColumn("__base", F.expr("__q div __tot"))
+               .withColumn("__rem", F.expr("__q % __tot")))
+    x = (x.withColumn("__sb", F.sum("__base").over(wall))
+          .withColumn("__rk", F.row_number().over(wrk)))
+    alloc = F.col("__base") + \
+        (F.col("__rk") <= F.lit(n_total) - F.col("__sb")).cast("long")
+    return x.select(group_col,
+                    F.least(alloc, F.col(n_col)).alias("alloc"))
+
+
+def stratified_sample_n(df: DataFrame, group_col: str, n_total: int,
+                        id_col: str, n_salt: int | None = 64) -> DataFrame:
+    """Deterministic stratified sample: ``n_total`` rows apportioned
+    across strata by :func:`hamilton_allocation` (proportional,
+    integer-exact), membership chosen per stratum as the alloc
+    hash-smallest ids — the eval-set/train-subset construction that
+    must be reproducible across engines, runs and partitionings.
+
+    Scale: the allocation relation is one row per stratum (broadcast
+    back); selection is the salted two-phase bottom-k of
+    :func:`cap_per_group` — phase 1 bounds per-task state to the
+    stratum's alloc within each (stratum, salt) bucket, phase 2
+    re-ranks the ≤ alloc·n_salt survivors, provably equal to the
+    naive single-window plan because both keep exactly the alloc
+    hash-smallest ids of each stratum."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    alloc = hamilton_allocation(counts, group_col, "__n", n_total)
+    key = F.md5(F.col(id_col).cast("string"))
+    x = df.join(F.broadcast(alloc), group_col)
+    if n_salt:
+        w1 = Window.partitionBy(
+            group_col,
+            _md5_u32(F.col(id_col)) % F.lit(n_salt)).orderBy(key, id_col)
+        x = (x.withColumn("__r1", F.row_number().over(w1))
+              .where(F.col("__r1") <= F.col("alloc")).drop("__r1"))
+    w = Window.partitionBy(group_col).orderBy(key, id_col)
+    return (x.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= F.col("alloc"))
+             .drop("__rn", "alloc"))
