@@ -83,3 +83,74 @@ def test_attribution_single_touch_full_credit(spark, tmp_path):
     assert got[0]["hour"] == 23
     assert got[0]["n_touches"] == 2          # one click, two purchases
     assert got[0]["credit_ppm"] == 2_000_000
+
+
+def test_length_emd_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    # wiki: lengths 3,3 (bin=2: bin(4)='100'); web: 7,7 (bin=3)
+    texts = ["aaa", "bbbbbbb", "ccc", "ddddddd"]
+    pd.DataFrame({
+        "doc_id": range(4), "text": texts, "lang": ["en"] * 4,
+        "source": ["wiki", "web", "wiki", "web"],
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    from heracles_spark.queries.curation5 import doc_length_emd
+
+    r = doc_length_emd(spark, str(tmp_path)).collect()[0]
+    # CDFs diverge by the full mass on exactly one bin boundary:
+    # |2*2 - 0*2| = 4 at bin 2, zero elsewhere
+    assert (r["sa"], r["sb"]) == ("web", "wiki")
+    assert r["emd_scaled"] == 4
+    assert r["emd_bins"] == pytest.approx(1.0)
+
+
+def test_ngram_novelty_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    shared = "a b c d e"                 # one 5-gram, in both sources
+    unique = "v w x y z extra"           # two 5-grams, df=1 each
+    pd.DataFrame({
+        "doc_id": range(3),
+        "text": [shared, shared, unique],
+        "lang": ["en"] * 3,
+        "source": ["wiki", "web", "web"],
+        "n_chars": [len(shared), len(shared), len(unique)],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    from heracles_spark.queries.curation5 import doc_ngram_novelty
+
+    got = {r["source"]: r for r in
+           doc_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert got["wiki"]["n_grams"] == 1 and got["wiki"]["n_novel"] == 0
+    assert got["web"]["n_grams"] == 3 and got["web"]["n_novel"] == 2
+
+
+def test_bottomk_merge_equals_global(spark):
+    # bottom-k by hash is mergeable: union of per-split bottom-k,
+    # re-ranked, equals the single-pass bottom-k
+    import hashlib
+
+    from pyspark.sql.window import Window as W
+
+    rows = [(i, "t%d" % (i % 2)) for i in range(200)]
+    df = spark.createDataFrame(rows, "event_id long, event_type string")
+    key = F.md5(F.col("event_id").cast("string"))
+    w = W.partitionBy("event_type").orderBy(key.asc(), "event_id")
+
+    def bottomk(d, k=10):
+        return (d.withColumn("r", F.row_number().over(w))
+                 .where(F.col("r") <= k).drop("r"))
+
+    split_union = bottomk(df.where(F.col("event_id") % 3 == 0)).unionByName(
+        bottomk(df.where(F.col("event_id") % 3 == 1))).unionByName(
+        bottomk(df.where(F.col("event_id") % 3 == 2)))
+    merged = sorted(r["event_id"] for r in bottomk(split_union).collect())
+    direct = sorted(r["event_id"] for r in bottomk(df).collect())
+    assert merged == direct
+    want = {t: sorted(range(200),
+                      key=lambda i: (hashlib.md5(str(i).encode())
+                                     .hexdigest(), i))
+            for t in (0, 1)}
+    expect = sorted([i for i in want[0] if i % 2 == 0][:10]
+                    + [i for i in want[1] if i % 2 == 1][:10])
+    assert direct == expect
