@@ -1,0 +1,114 @@
+"""Sixth curation/analytics batch: seasonal-naive forecast backtesting
+and bipartite-projection similarity (suppliers through shared parts).
+
+Determinism discipline as everywhere: integer/decimal accumulation,
+final double chains mirrored op-for-op (sqrt is IEEE-correct).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from heracles_spark.queries.relational import _events, _t
+
+QUERIES: dict = {}
+
+
+def events_seasonal_naive_mae(spark, sf_dir):
+    """Rolling-origin backtest of the SEASONAL-NAIVE forecaster
+    (ŷ_d = y_{d-7}) on daily value totals per event type — the
+    baseline every time-series model must beat, and the natural
+    health check for weekly-rhythm data. Daily totals are exact cent
+    sums; the |error| aggregate stays in cents (integers) with one
+    final division to mean absolute error."""
+    e = _events(spark, sf_dir)
+    day = F.expr("ts_ns div 86400000000000")
+    cents = F.round(F.col("value") * 100).cast("long")
+    daily = (e.select("event_type", day.alias("d"), cents.alias("c"))
+              .groupBy("event_type", "d")
+              .agg(F.sum("c").alias("tot")))
+    lag7 = daily.select("event_type", (F.col("d") + 7).alias("d"),
+                        F.col("tot").alias("pred"))
+    j = daily.join(lag7, ["event_type", "d"])
+    mae = (F.sum(F.abs(F.col("tot") - F.col("pred"))).cast("double")
+           / F.count(F.lit(1)).cast("double") / F.lit(100.0))
+    return (j.groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n_days"),
+                  F.round(mae, 4).alias("mae"))
+             .orderBy("event_type"))
+
+
+SEASONAL_MAE_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS tot
+  FROM events GROUP BY 1, 2),
+ j AS (
+  SELECT a.event_type, a.tot, b.tot AS pred
+  FROM daily a JOIN daily b
+    ON a.event_type = b.event_type AND a.d = b.d + 7)
+SELECT event_type, COUNT(*) AS n_days,
+       ROUND(CAST(SUM(ABS(tot - pred)) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS mae
+FROM j GROUP BY event_type ORDER BY event_type
+"""
+
+
+def supplier_shared_part_similarity(spark, sf_dir):
+    """Bipartite projection: supplier similarity through SHARED PARTS
+    (cosine over binary part-incidence vectors — inter/√(n_a·n_b)),
+    the collaborative-filtering primitive ("suppliers like this one").
+    Distinct (supplier, part) first; the self-join key is the part, so
+    per-key fan-out is suppliers-per-part (TPC-H: 4), never degree of
+    a hub supplier. Top-20 pairs by cosine via TakeOrdered; sqrt is
+    IEEE-correctly-rounded so the ranking is bit-stable."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_suppkey").alias("s"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    sizes = li.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    a = li.select(F.col("s").alias("sa"), "p")
+    b = li.select(F.col("s").alias("sb"), "p")
+    inter = (a.join(b, "p").where(F.col("sa") < F.col("sb"))
+              .groupBy("sa", "sb")
+              .agg(F.count(F.lit(1)).alias("inter")))
+    j = (inter
+         .join(sizes.select(F.col("s").alias("sa"),
+                            F.col("n").alias("na")), "sa")
+         .join(sizes.select(F.col("s").alias("sb"),
+                            F.col("n").alias("nb")), "sb"))
+    cos = (F.col("inter").cast("double")
+           / F.sqrt(F.col("na").cast("double")
+                    * F.col("nb").cast("double")))
+    return (j.select("sa", "sb", "inter", "na", "nb",
+                     F.round(cos, 6).alias("cosine"))
+             .orderBy(F.desc("cosine"), "sa", "sb")
+             .limit(20))
+
+
+SHARED_PART_SQL = """
+WITH sp AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p
+            FROM lineitem),
+ sizes AS (SELECT s, COUNT(*) AS n FROM sp GROUP BY 1),
+ inter AS (
+  SELECT a.s AS sa, b.s AS sb, COUNT(*) AS inter
+  FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2)
+SELECT i.sa, i.sb, i.inter, x.n AS na, y.n AS nb,
+       ROUND(CAST(i.inter AS DOUBLE)
+             / sqrt(CAST(x.n AS DOUBLE) * CAST(y.n AS DOUBLE)), 6)
+         AS cosine
+FROM inter i
+JOIN sizes x ON x.s = i.sa
+JOIN sizes y ON y.s = i.sb
+ORDER BY cosine DESC, i.sa, i.sb
+LIMIT 20
+"""
+
+
+QUERIES.update({
+    "events_seasonal_naive_mae": (events_seasonal_naive_mae,
+                                  SEASONAL_MAE_SQL),
+    "supplier_shared_part_similarity": (supplier_shared_part_similarity,
+                                        SHARED_PART_SQL),
+})

@@ -1,0 +1,49 @@
+"""Unit tests for the sixth curation batch: seasonal-naive backtest
+and bipartite-projection supplier similarity."""
+
+from __future__ import annotations
+
+import pytest
+
+from heracles_spark.queries.curation6 import (
+    events_seasonal_naive_mae, supplier_shared_part_similarity)
+
+
+def test_seasonal_naive_mae_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    # daily totals: day d has value d dollars; prediction for day d is
+    # day d-7's total, so |err| = 7.00 for every scored day
+    rows = []
+    for d in range(1, 15):
+        rows.append((d, "2024-03-%02d 12:00:00" % d, 1, "buy", float(d)))
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(str(tmp_path / "events.parquet"))
+    r = events_seasonal_naive_mae(spark, str(tmp_path)).collect()[0]
+    assert r["n_days"] == 7
+    assert r["mae"] == pytest.approx(7.0)
+
+
+def test_shared_part_similarity_brute(spark, tmp_path):
+    import pandas as pd
+
+    # suppliers: 1 -> parts {10,11,12}; 2 -> {10,11}; 3 -> {99}
+    pairs = [(1, 10), (1, 11), (1, 12), (2, 10), (2, 11), (3, 99),
+             (1, 10)]  # duplicate lineitem row: distinct first
+    pd.DataFrame({
+        "l_orderkey": range(len(pairs)),
+        "l_suppkey": [p[0] for p in pairs],
+        "l_partkey": [p[1] for p in pairs],
+    }).to_parquet(str(tmp_path / "lineitem.parquet"))
+    got = supplier_shared_part_similarity(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["sa"], r["sb"], r["inter"], r["na"], r["nb"]) == \
+        (1, 2, 2, 3, 2)
+    assert r["cosine"] == pytest.approx(round(2 / (6 ** 0.5), 6))
