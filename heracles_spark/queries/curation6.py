@@ -106,9 +106,54 @@ LIMIT 20
 """
 
 
+def events_burstiness(spark, sf_dir):
+    """Fano factor (variance/mean of DAILY event counts) per event
+    type — the overdispersion test separating Poisson-like arrivals
+    (F≈1) from bursty traffic (F≫1). Exact integer identity
+    F = (D·Σc² − (Σc)²) / ((D−1)·Σc) over observed-day counts:
+    numerator and denominator stay exact in decimal(38,0), one final
+    double division. Days with zero events are outside the observed
+    support (documented; both engines see the same support)."""
+    e = _events(spark, sf_dir)
+    day = F.expr("ts_ns div 86400000000000")
+    daily = (e.select("event_type", day.alias("d"))
+              .groupBy("event_type", "d")
+              .agg(F.count(F.lit(1)).alias("c")))
+    a = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    num = dec("n_days") * F.col("s2").cast("decimal(38,0)")         - dec("s1") * F.col("s1").cast("decimal(38,0)")
+    den = (dec("n_days") - 1) * F.col("s1").cast("decimal(38,0)")
+    fano = F.round(num.cast("double") / den.cast("double"), 6)
+    return (a.select("event_type", "n_days", F.col("s1").alias("n_events"),
+                     F.when(F.col("n_days") > 1, fano).alias("fano"))
+             .orderBy("event_type"))
+
+
+BURSTINESS_SQL = """
+WITH daily AS (
+  SELECT event_type, epoch_ns(ts) // 86400000000000 AS d,
+         COUNT(*) AS c
+  FROM events GROUP BY 1, 2),
+ a AS (
+  SELECT event_type, COUNT(*) AS n_days,
+         CAST(SUM(c) AS BIGINT) AS s1, SUM(c * c) AS s2
+  FROM daily GROUP BY 1)
+SELECT event_type, n_days, s1 AS n_events,
+       CASE WHEN n_days > 1 THEN
+         ROUND(CAST(n_days * s2 - s1 * CAST(s1 AS HUGEINT) AS DOUBLE)
+               / CAST((n_days - 1) * CAST(s1 AS HUGEINT) AS DOUBLE), 6)
+       END AS fano
+FROM a ORDER BY event_type
+"""
+
+
 QUERIES.update({
     "events_seasonal_naive_mae": (events_seasonal_naive_mae,
                                   SEASONAL_MAE_SQL),
     "supplier_shared_part_similarity": (supplier_shared_part_similarity,
                                         SHARED_PART_SQL),
+    "events_burstiness": (events_burstiness, BURSTINESS_SQL),
 })

@@ -47,3 +47,30 @@ def test_shared_part_similarity_brute(spark, tmp_path):
     assert (r["sa"], r["sb"], r["inter"], r["na"], r["nb"]) == \
         (1, 2, 2, 3, 2)
     assert r["cosine"] == pytest.approx(round(2 / (6 ** 0.5), 6))
+
+
+def test_burstiness_fano_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    # daily counts: [1, 3] → mean 2, var ((1-2)^2+(3-2)^2)/(2-1) = 2,
+    # Fano = 1.0; and a single-day type → NULL (undefined variance)
+    rows = ([(i, "2024-03-01 0%d:00:00" % i, 1, "two", 1.0)
+             for i in range(1)]
+            + [(10 + i, "2024-03-02 0%d:00:00" % i, 1, "two", 1.0)
+               for i in range(3)]
+            + [(99, "2024-03-01 05:00:00", 1, "one", 1.0)])
+    pd.DataFrame({
+        "event_id": [r[0] for r in rows],
+        "ts": pd.to_datetime([r[1] for r in rows]),
+        "user_id": [r[2] for r in rows],
+        "event_type": [r[3] for r in rows],
+        "value": [r[4] for r in rows],
+        "props": ["{}"] * len(rows),
+    }).to_parquet(str(tmp_path / "events.parquet"))
+    from heracles_spark.queries.curation6 import events_burstiness
+
+    got = {r["event_type"]: r
+           for r in events_burstiness(spark, str(tmp_path)).collect()}
+    assert got["two"]["fano"] == pytest.approx(1.0)
+    assert got["two"]["n_days"] == 2 and got["two"]["n_events"] == 4
+    assert got["one"]["fano"] is None
