@@ -150,10 +150,64 @@ FROM a ORDER BY event_type
 """
 
 
+def doc_split_join_pairs(spark, sf_dir):
+    """Split-document detection: ordered pairs (a, b) where doc a's
+    LAST 10 tokens equal doc b's FIRST 10 tokens — the crawl-pipeline
+    artifact where one page was chunked into two records mid-sentence.
+    One equi-join on the boundary-gram hash (xxhash64 of the joined
+    10 tokens; same long-hash convention as duplicate_ngram_spans —
+    the oracle joins the gram STRINGS, identical semantics);
+    eligibility count published so the result is informative even
+    when the corpus is clean (organic testdata: n_pairs = 0)."""
+    from heracles_spark.queries.pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    base = (d.select("doc_id",
+                     F.split(F.trim(F.lower("text")), r"\s+").alias("t"))
+             .where(F.size("t") >= 10))
+    head = base.select(
+        F.col("doc_id").alias("b"),
+        F.xxhash64(F.concat_ws(" ", F.slice("t", 1, 10))).alias("g"))
+    tail = base.select(
+        F.col("doc_id").alias("a"),
+        F.xxhash64(F.concat_ws(
+            " ", F.expr("slice(t, size(t) - 9, 10)"))).alias("g"))
+    pairs = (tail.join(head, "g")
+                 .where(F.col("a") != F.col("b")))
+    n_eligible = base.agg(F.count(F.lit(1)).alias("n_eligible"))
+    n_pairs = pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.coalesce(F.sum(F.col("a") + F.col("b")), F.lit(0))
+         .alias("pair_id_sum"))
+    return n_eligible.crossJoin(n_pairs)
+
+
+SPLIT_JOIN_SQL = r"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+  WHERE len(string_split_regex(trim(lower(text)), '\s+')) >= 10),
+ head AS (SELECT doc_id AS b,
+                 array_to_string(list_slice(t, 1, 10), ' ') AS g
+          FROM t),
+ tail AS (SELECT doc_id AS a,
+                 array_to_string(list_slice(t, len(t) - 9, len(t)),
+                                 ' ') AS g
+          FROM t),
+ pairs AS (SELECT a, b FROM tail JOIN head USING (g) WHERE a <> b),
+ ne AS (SELECT COUNT(*) AS n_eligible FROM t),
+ np AS (SELECT COUNT(*) AS n_pairs,
+               CAST(COALESCE(SUM(a + b), 0) AS BIGINT) AS pair_id_sum
+        FROM pairs)
+SELECT n_eligible, n_pairs, pair_id_sum FROM ne, np
+"""
+
+
 QUERIES.update({
     "events_seasonal_naive_mae": (events_seasonal_naive_mae,
                                   SEASONAL_MAE_SQL),
     "supplier_shared_part_similarity": (supplier_shared_part_similarity,
                                         SHARED_PART_SQL),
     "events_burstiness": (events_burstiness, BURSTINESS_SQL),
+    "doc_split_join_pairs": (doc_split_join_pairs, SPLIT_JOIN_SQL),
 })

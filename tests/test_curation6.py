@@ -74,3 +74,24 @@ def test_burstiness_fano_hand_computed(spark, tmp_path):
     assert got["two"]["fano"] == pytest.approx(1.0)
     assert got["two"]["n_days"] == 2 and got["two"]["n_events"] == 4
     assert got["one"]["fano"] is None
+
+
+def test_split_join_pairs_planted(spark, tmp_path):
+    import pandas as pd
+
+    words = ["w%d" % i for i in range(30)]
+    whole = " ".join(words)
+    part_a = " ".join(words[:20])        # ends with words[10:20]
+    part_b = " ".join(words[10:])        # starts with words[10:20]
+    other = " ".join("x%d" % i for i in range(15))
+    texts = [part_a, part_b, other, whole]
+    pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "text": texts, "lang": ["en"] * 4,
+        "source": ["web"] * 4, "n_chars": [len(t) for t in texts],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    from heracles_spark.queries.curation6 import doc_split_join_pairs
+
+    r = doc_split_join_pairs(spark, str(tmp_path)).collect()[0]
+    assert r["n_eligible"] == 4
+    # planted split: doc 1's tail == doc 2's head; nothing else matches
+    assert r["n_pairs"] == 1 and r["pair_id_sum"] == 3

@@ -74,7 +74,7 @@ AUDITED = [
     "doc_rank_fusion", "doc_readability", "events_linear_attribution",
     "doc_length_emd", "doc_ngram_novelty",
     "events_seasonal_naive_mae", "supplier_shared_part_similarity",
-    "events_burstiness",
+    "events_burstiness", "doc_split_join_pairs",
 ]
 
 
