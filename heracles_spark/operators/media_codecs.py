@@ -348,3 +348,134 @@ def decode_qoi(raw: bytes) -> np.ndarray:
         i += 1
     return out.reshape(h, w, 4)[:, :, :ch] if ch == 3 \
         else out.reshape(h, w, 4)
+
+
+# -- PNG (RFC 2083): real zlib DEFLATE + the full filter set --------------
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG §6.6): nearest of left/up/up-left to
+    a + b − c, ties preferring left, then up."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(px, filters=None) -> bytes:
+    """Minimal REAL PNG writer: 8-bit RGB (color type 2) or grayscale
+    (type 0), one zlib-compressed IDAT, CRC-checked chunks. ``filters``
+    picks the per-row filter type; the default cycles 0→4 so a decoder
+    exercising this output walks None/Sub/Up/Average/Paeth — the whole
+    unfilter matrix, not just the easy path."""
+    import zlib
+
+    px = np.asarray(px, dtype=np.uint8)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    bpp = 1 if gray else px.shape[2]
+    if bpp not in (1, 3):
+        raise ValueError("encode_png: RGB or grayscale only")
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if gray else 2, 0, 0, 0)
+    stride = w * bpp
+    flat = px.reshape(h, stride).astype(np.int16)
+    raw = bytearray()
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(h):
+        row = flat[y]
+        f = (filters[y] if filters is not None else y % 5)
+        raw.append(f)
+        left = np.concatenate([np.zeros(bpp, np.int16), row[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = row - left
+        elif f == 2:
+            enc = row - prev
+        elif f == 3:
+            enc = row - (left + prev) // 2
+        elif f == 4:
+            pred = np.fromiter(
+                (_paeth(int(a), int(b), int(c))
+                 for a, b, c in zip(left, prev, upleft)),
+                dtype=np.int16, count=stride)
+            enc = row - pred
+        else:
+            raise ValueError(f"bad filter {f}")
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = row
+    return (b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(raw: bytes) -> np.ndarray:
+    """REAL PNG decode: chunk walk with CRC verification, multi-IDAT
+    zlib inflate, and the full unfilter matrix (None/Sub/Up/Average/
+    Paeth). Supports the writer's profile — 8-bit RGB / grayscale,
+    non-interlaced — and raises on anything else (palette, 16-bit,
+    Adam7), never silently misreads."""
+    import zlib
+
+    if raw[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos < len(raw):
+        (length,) = struct.unpack_from(">I", raw, pos)
+        tag = raw[pos + 4:pos + 8]
+        data = raw[pos + 8:pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", raw, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r}: CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or ctype not in (0, 2) or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG profile (depth={depth}, color={ctype}, "
+            f"interlace={interlace})")
+    bpp = 3 if ctype == 2 else 1
+    stride = w * bpp
+    data = zlib.decompress(bytes(idat))
+    if len(data) != h * (stride + 1):
+        raise ValueError("PNG: IDAT length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = data[y * (stride + 1)]
+        row = np.frombuffer(
+            data, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 2:
+            cur = (row + prev) & 0xFF
+        elif f in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pred = (a if f == 1
+                        else (a + b) // 2 if f == 3
+                        else _paeth(int(a), int(b), int(c)))
+                cur[i] = (row[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)

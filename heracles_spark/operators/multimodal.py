@@ -66,7 +66,7 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id",
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
                           decoder: Literal["fake", "bmp", "ppm", "qoi",
-                                           "pil"] = "fake",
+                                           "png", "pil"] = "fake",
                           feature_dim: int = 8) -> DataFrame:
     """mapInPandas image decode → per-image features.
 
@@ -80,6 +80,9 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
       * "qoi"  — REAL decode of QOI (qoiformat.org; full op set in
         operators.media_codecs), same features; RGBA alpha is ignored
         for luma.
+      * "png"  — REAL decode of PNG (zlib DEFLATE inflate, CRC-checked
+        chunk walk, full None/Sub/Up/Average/Paeth unfilter matrix),
+        same features; grayscale (color type 0) handled like PGM.
       * "fake" — deterministic features from the bytes' hash (plumbing
         tests for formats without an in-container codec).
       * "pil"  — the slot where PIL/torchvision plugs in; raises until
@@ -99,6 +102,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
         from heracles_spark.operators.media_codecs import (decode_bmp24,
                                                            decode_netpbm,
+                                                           decode_png,
                                                            decode_qoi)
         for pdf in it:
             ids, nbytes, lumas, feats = [], [], [], []
@@ -106,9 +110,10 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 raw = bytes(b) if b is not None else b""
                 ids.append(i)
                 nbytes.append(len(raw))
-                if decoder in ("bmp", "ppm", "qoi"):
+                if decoder in ("bmp", "ppm", "qoi", "png"):
                     px = (decode_bmp24(raw) if decoder == "bmp"
                           else decode_netpbm(raw) if decoder == "ppm"
+                          else decode_png(raw) if decoder == "png"
                           else decode_qoi(raw)[:, :, :3])
                     if px.ndim == 2:          # PGM grayscale
                         luma = px.astype("float64")

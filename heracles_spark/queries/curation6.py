@@ -211,3 +211,58 @@ QUERIES.update({
     "events_burstiness": (events_burstiness, BURSTINESS_SQL),
     "doc_split_join_pairs": (doc_split_join_pairs, SPLIT_JOIN_SQL),
 })
+
+
+def multimodal_png_decode(spark, sf_dir):
+    """REAL PNG decode, value-oracled end-to-end: per doc, synthesize
+    an 8×8 two-color checkerboard (c1 = id·{19,31,59}, c2 =
+    id·{5,23,41} mod 256), write a real PNG (zlib DEFLATE, CRC'd
+    chunks) with the row filters CYCLING 0→4 so the decoder walks the
+    whole None/Sub/Up/Average/Paeth unfilter matrix, then decode via
+    decode_image_features(decoder="png"). A checkerboard's mean luma
+    is exactly (luma(c1)+luma(c2))/2, so the analytic oracle certifies
+    the full inflate + unfilter path (same contract design as
+    multimodal_qoi_decode)."""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_png
+    from heracles_spark.queries.pipeline import _docs
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                c1 = (i * 19 % 256, i * 31 % 256, i * 59 % 256)
+                c2 = (i * 5 % 256, i * 23 % 256, i * 41 % 256)
+                px = np.empty((8, 8, 3), dtype=np.uint8)
+                for y in range(8):
+                    for x in range(8):
+                        px[y, x] = c1 if (x + y) % 2 == 0 else c2
+                blobs.append(encode_png(px))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_image_features(media, decoder="png")
+    return (feats.select("doc_id",
+                         F.round("mean_luma", 6).alias("mean_luma"))
+                 .orderBy("doc_id"))
+
+
+MPNG_SQL = """
+SELECT doc_id,
+       ROUND(((0.299 * (doc_id * 19 % 256) + 0.587 * (doc_id * 31 % 256)
+               + 0.114 * (doc_id * 59 % 256))
+            + (0.299 * (doc_id * 5 % 256) + 0.587 * (doc_id * 23 % 256)
+               + 0.114 * (doc_id * 41 % 256))) / 2 / 255.0, 6)
+         AS mean_luma
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
+QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MPNG_SQL)

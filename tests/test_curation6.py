@@ -95,3 +95,34 @@ def test_split_join_pairs_planted(spark, tmp_path):
     assert r["n_eligible"] == 4
     # planted split: doc 1's tail == doc 2's head; nothing else matches
     assert r["n_pairs"] == 1 and r["pair_id_sum"] == 3
+
+
+def test_png_roundtrip_all_filters_and_gray():
+    import numpy as np
+
+    from heracles_spark.operators.media_codecs import (decode_png,
+                                                       encode_png)
+
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8, 3), (5, 9, 3), (7, 3)]:
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        for f in [None, 0, 1, 2, 3, 4]:
+            filters = None if f is None else [f] * shape[0]
+            out = decode_png(encode_png(px, filters))
+            assert out.shape == px.shape and (out == px).all()
+
+
+def test_png_rejects_corruption_and_exotic_profiles():
+    import numpy as np
+    import pytest as pt
+
+    from heracles_spark.operators.media_codecs import (decode_png,
+                                                       encode_png)
+
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    raw = bytearray(encode_png(px))
+    raw[20] ^= 0xFF                      # flip a byte inside IHDR data
+    with pt.raises(ValueError, match="CRC"):
+        decode_png(bytes(raw))
+    with pt.raises(ValueError, match="not a PNG"):
+        decode_png(b"GIF89a")
