@@ -20,25 +20,26 @@ from heracles_spark.queries.relational import _events, _t
 QUERIES: dict = {}
 
 
-def events_value_trend(spark, sf_dir):
-    """Per-event-type OLS trend of value over time (slope, intercept,
-    Pearson r): the classic "is this metric drifting?" fit, computed
-    from the five exact integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²
-    with x = epoch day, y = cents) accumulated in decimal(38,0) —
-    order-free under any partitioning — then closed with short double
-    chains. sqrt is IEEE-exact, so even r is bit-stable."""
-    e = _events(spark, sf_dir)
-    x = F.expr("ts_ns div 86400000000000")          # epoch day
-    y = F.round(F.col("value") * 100).cast("long")  # exact cents
-    d = e.select("event_type", x.alias("x"), y.alias("y"))
+def _moment_sums(d):
+    """The six exact OLS moment sums over (event_type, x, y) rows —
+    decimal(38,0) accumulation, order-free under any partitioning.
+    ALGEBRAIC state: partial sums from disjoint slices merge by plain
+    addition, which is what lets the streaming twin maintain them
+    per micro-batch."""
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
-    a = d.groupBy("event_type").agg(
+    return d.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(dec(F.col("x"))).alias("sx"),
         F.sum(dec(F.col("y"))).alias("sy"),
         F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
         F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
         F.sum(dec(F.col("y") * F.col("y"))).alias("syy"))
+
+
+def _trend_finish(a):
+    """Close the moment sums into (slope, intercept, pearson_r) —
+    short double chains, sqrt IEEE-exact; mirrored in TREND_SQL."""
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = dec(F.col("n")) * F.col("sxy") - F.col("sx") * F.col("sy")
     denx = dec(F.col("n")) * F.col("sxx") - F.col("sx") * F.col("sx")
     deny = dec(F.col("n")) * F.col("syy") - F.col("sy") * F.col("sy")
@@ -56,6 +57,22 @@ def events_value_trend(spark, sf_dir):
         F.when(F.col("denx") != 0, F.round(intercept, 6)).alias("intercept"),
         F.when(ok, F.round(r, 6)).alias("pearson_r"))
         .orderBy("event_type"))
+
+
+def events_value_trend(spark, sf_dir):
+    """Per-event-type OLS trend of value over time (slope, intercept,
+    Pearson r): the classic "is this metric drifting?" fit, computed
+    from the five exact integer moment sums (n, Σx, Σy, Σx², Σxy, Σy²
+    with x = epoch day, y = cents) accumulated in decimal(38,0) —
+    order-free under any partitioning — then closed with short double
+    chains. sqrt is IEEE-exact, so even r is bit-stable."""
+    e = _events(spark, sf_dir)
+    x = F.expr("ts_ns div 86400000000000")          # epoch day
+    y = F.round(F.col("value") * 100).cast("long")  # exact cents
+    d = e.select("event_type", x.alias("x"), y.alias("y"))
+    return _trend_finish(_moment_sums(d))
+
+
 
 
 TREND_SQL = """
@@ -264,8 +281,56 @@ FROM r ORDER BY rrf DESC, doc_id LIMIT 20
 """
 
 
+def stream_value_trend(spark, sf_dir):
+    """Streaming maintenance of an ALGEBRAIC aggregate: the OLS moment
+    sums (n, Σx, Σy, Σx², Σxy, Σy²) are additive, so each micro-batch
+    (3 real deliveries, file source + foreachBatch) writes its partial
+    sums and the merge is a plain SUM per event type — the streamed
+    trend equals the batch events_value_trend bit-for-bit, under the
+    SAME oracle (TREND_SQL). The state store holds
+    O(types · deliveries) rows regardless of stream volume."""
+    import os
+    import tempfile
+
+    e = _events(spark, sf_dir)
+    d = e.select("event_type",
+                 F.expr("ts_ns div 86400000000000").alias("x"),
+                 F.round(F.col("value") * 100).cast("long").alias("y"))
+    src_dir = tempfile.mkdtemp(prefix="heracles_trend_src_")
+    d.repartition(3).write.mode("overwrite").format("parquet")      .save(src_dir)
+    store = tempfile.mkdtemp(prefix="heracles_trend_store_")
+
+    def _one_batch(bdf, bid):
+        (_moment_sums(bdf).write.mode("overwrite").format("parquet")
+         .save(os.path.join(store, f"batch={bid}")))
+
+    sdf = (spark.readStream
+                .schema("event_type string, x long, y long")
+                .option("maxFilesPerTrigger", 1).parquet(src_dir))
+    q = (sdf.writeStream.foreachBatch(_one_batch)
+            .option("checkpointLocation",
+                    tempfile.mkdtemp(prefix="heracles_trend_ckpt_"))
+            .trigger(availableNow=True).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination(300)
+
+    partials = spark.read.format("parquet").load(store)
+    merged = partials.groupBy("event_type").agg(
+        F.sum("n").alias("n"),
+        F.sum("sx").cast("decimal(38,0)").alias("sx"),
+        F.sum("sy").cast("decimal(38,0)").alias("sy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("syy").cast("decimal(38,0)").alias("syy"))
+    return _trend_finish(merged)
+
+
 QUERIES.update({
     "events_value_trend": (events_value_trend, TREND_SQL),
+    "stream_value_trend": (stream_value_trend, TREND_SQL),
     "doc_bigram_lift": (doc_bigram_lift, BIGRAM_SQL),
     "doc_source_token_jaccard": (doc_source_token_jaccard,
                                  SRC_JACCARD_SQL),
