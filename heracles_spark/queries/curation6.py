@@ -266,3 +266,73 @@ FROM documents WHERE doc_id <= 50 ORDER BY doc_id
 
 
 QUERIES["multimodal_png_decode"] = (multimodal_png_decode, MPNG_SQL)
+
+
+def embedding_dbscan_2d(spark, sf_dir):
+    """Distributed DBSCAN (grid ε-join → degree → core flag → star-CC
+    over core edges → deterministic border attach; operators/
+    spatial.py) on the embeddings' first-two-dimension projection in
+    exact INTEGER micro-coordinates — every distance comparison is
+    integer math, so cluster membership is engine-portable. The grid
+    join provably equals brute force, which lets the O(n²)+recursive-
+    closure DuckDB oracle certify the whole pipeline. Output: one row
+    per cluster (min-id label, sizes) with noise under cluster −1."""
+    from heracles_spark.operators.spatial import dbscan_2d
+
+    e = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+              .where(F.col("vec_id") <= 2000)
+              .select(F.col("vec_id").alias("id"),
+                      F.round(F.element_at("embedding", 1) * 1e6)
+                       .cast("long").alias("xm"),
+                      F.round(F.element_at("embedding", 2) * 1e6)
+                       .cast("long").alias("ym")))
+    lab = dbscan_2d(e, eps=20000, min_pts=4)
+    return (lab.groupBy("cluster")
+               .agg(F.count(F.lit(1)).alias("n_points"),
+                    F.sum(F.col("is_core").cast("long")).alias("n_core"))
+               .orderBy("cluster"))
+
+
+DBSCAN_SQL = """
+WITH RECURSIVE p AS (
+  SELECT vec_id AS id,
+         CAST(ROUND(embedding[1] * 1e6) AS BIGINT) AS xm,
+         CAST(ROUND(embedding[2] * 1e6) AS BIGINT) AS ym
+  FROM embeddings WHERE vec_id <= 2000),
+ e AS (
+  SELECT a.id AS u, b.id AS v
+  FROM p a JOIN p b ON a.id <> b.id
+   AND (a.xm - b.xm) * (a.xm - b.xm)
+     + (a.ym - b.ym) * (a.ym - b.ym) <= 400000000),
+ deg AS (SELECT u, COUNT(*) AS n FROM e GROUP BY u),
+ core AS (SELECT u AS id FROM deg WHERE n + 1 >= 4),
+ ce AS (SELECT e.u, e.v FROM e
+        WHERE e.u IN (SELECT id FROM core)
+          AND e.v IN (SELECT id FROM core)),
+ reach(n, r) AS (
+  SELECT u, u FROM ce
+  UNION
+  SELECT ce.v, reach.r FROM reach JOIN ce ON ce.u = reach.n),
+ lab AS (SELECT n AS id, MIN(r) AS comp FROM reach GROUP BY n),
+ corelab AS (
+  SELECT c.id, COALESCE(l.comp, c.id) AS cluster, 1 AS is_core
+  FROM core c LEFT JOIN lab l ON l.id = c.id),
+ border AS (
+  SELECT e.u AS id, MIN(cl.cluster) AS cluster, 0 AS is_core
+  FROM e JOIN corelab cl ON cl.id = e.v
+  WHERE e.u NOT IN (SELECT id FROM core)
+  GROUP BY e.u),
+ allp AS (
+  SELECT id, cluster, is_core FROM corelab
+  UNION ALL SELECT id, cluster, is_core FROM border
+  UNION ALL
+  SELECT id, -1 AS cluster, 0 AS is_core FROM p
+  WHERE id NOT IN (SELECT id FROM corelab)
+    AND id NOT IN (SELECT id FROM border))
+SELECT cluster, COUNT(*) AS n_points,
+       CAST(SUM(is_core) AS BIGINT) AS n_core
+FROM allp GROUP BY cluster ORDER BY cluster
+"""
+
+
+QUERIES["embedding_dbscan_2d"] = (embedding_dbscan_2d, DBSCAN_SQL)

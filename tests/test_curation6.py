@@ -126,3 +126,54 @@ def test_png_rejects_corruption_and_exotic_profiles():
         decode_png(bytes(raw))
     with pt.raises(ValueError, match="not a PNG"):
         decode_png(b"GIF89a")
+
+
+def test_grid_epsilon_join_equals_bruteforce(spark):
+    import itertools
+
+    from heracles_spark.operators.spatial import grid_epsilon_join
+
+    pts = [(i, ((i * 37) % 100 - 50) * 1000, ((i * 61) % 90 - 45) * 1000)
+           for i in range(120)]
+    df = spark.createDataFrame(pts, "id long, xm long, ym long")
+    eps = 9000
+    got = sorted((r["a"], r["b"], r["dist2"])
+                 for r in grid_epsilon_join(df, eps=eps).collect())
+    want = sorted(
+        (a[0], b[0], (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2)
+        for a, b in itertools.combinations(pts, 2)
+        if (a[1] - b[1]) ** 2 + (a[2] - b[2]) ** 2 <= eps * eps)
+    assert got == want
+    # negative coordinates straddling cell 0 are the classic floor
+    # division bug — make sure some pairs cross the origin cell
+    assert any(a[1] < 0 < b[1] or b[1] < 0 < a[1]
+               for a, b in itertools.combinations(pts, 2))
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    from heracles_spark.operators.spatial import dbscan_2d
+
+    blob1 = [(i, 0 + i * 10, 0 + i * 10) for i in range(5)]        # tight
+    blob2 = [(10 + i, 100000 + i * 10, 100000) for i in range(5)]  # tight
+    lone = [(99, 50000, -50000)]                                    # noise
+    df = spark.createDataFrame(blob1 + blob2 + lone,
+                               "id long, xm long, ym long")
+    got = {r["id"]: (r["cluster"], r["is_core"])
+           for r in dbscan_2d(df, eps=1000, min_pts=4).collect()}
+    assert all(got[i] == (0, True) for i in range(5))
+    assert all(got[10 + i] == (10, True) for i in range(5))
+    assert got[99] == (-1, False)
+
+
+def test_dbscan_border_takes_min_core_label(spark):
+    from heracles_spark.operators.spatial import dbscan_2d
+
+    # 4 mutually-within-eps core points; a border point within eps of
+    # only ONE knot end, so its own neighborhood is too small for core
+    knot = [(0, 0, 0), (1, 333, 0), (2, 667, 0), (3, 1000, 0)]
+    border = [(50, 1900, 0)]
+    df = spark.createDataFrame(knot + border, "id long, xm long, ym long")
+    got = {r["id"]: (r["cluster"], r["is_core"])
+           for r in dbscan_2d(df, eps=1000, min_pts=4).collect()}
+    assert all(got[i] == (0, True) for i in range(4))
+    assert got[50] == (0, False)     # attached, not core

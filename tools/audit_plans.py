@@ -75,6 +75,7 @@ AUDITED = [
     "doc_length_emd", "doc_ngram_novelty",
     "events_seasonal_naive_mae", "supplier_shared_part_similarity",
     "events_burstiness", "doc_split_join_pairs",
+    "multimodal_png_decode", "embedding_dbscan_2d",
 ]
 
 
@@ -87,7 +88,9 @@ ARROW_PATH = {"multimodal_decode", "multimodal_wav_decode",
               "embedding_near_dup_exact", "embedding_near_dup",
               # per-partition numpy X^T X panels (the big-n/small-d
               # reduction) — deliberately Arrow-batched
-              "embedding_covariance"}
+              "embedding_covariance",
+              # real PNG inflate+unfilter runs in the Arrow batch
+              "multimodal_png_decode"}
 
 
 def main() -> None:
