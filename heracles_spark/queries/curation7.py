@@ -1,0 +1,187 @@
+"""Seventh curation/analytics batch: feature selection (Fisher
+scores), nearest-neighbor classification eval (1-NN confusion
+matrix), and a k-anonymity privacy audit.
+
+Determinism discipline: distances and moments in integer
+micro-coordinates; cross-label sums of rational terms go through the
+repo's decimal(38,12)-cast pattern (sum of decimals is order-free);
+final ratios are short double chains mirrored op-for-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from heracles_spark.queries.relational import _t
+
+QUERIES: dict = {}
+
+
+def _embs_micro(spark, sf_dir):
+    return (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+                 .select("vec_id", "label",
+                         F.expr("transform(embedding, "
+                                "v -> CAST(ROUND(v * 1000000) AS BIGINT))")
+                          .alias("m")))
+
+
+def embedding_fisher_scores(spark, sf_dir):
+    """Per-dimension Fisher score (between-class / within-class
+    variance) — the classic filter-method feature selector run before
+    training a probe on labeled embeddings. Per-(dim, label) moment
+    sums are exact integer micro units; the cross-label reduction
+    T = Σ_l s1_l²/n_l uses the decimal(38,12)-cast sum (each term one
+    IEEE division, the sum order-free exact), then
+    between = T − s1²/n, within = s2 − T close in one double chain.
+    Top-10 dims by score."""
+    e = _embs_micro(spark, sf_dir)
+    d = e.select("label", F.posexplode("m").alias("dim", "v"))
+    per = d.groupBy("dim", "label").agg(
+        F.count(F.lit(1)).alias("nl"),
+        F.sum("v").alias("s1l"),
+        F.sum(F.col("v") * F.col("v")).alias("s2l"))
+    term = ((F.col("s1l") * F.col("s1l")).cast("double")
+            / F.col("nl").cast("double")).cast("decimal(38,12)")
+    agg = per.groupBy("dim").agg(
+        F.sum("nl").alias("n"),
+        F.sum("s1l").alias("s1"),
+        F.sum("s2l").alias("s2"),
+        F.sum(term).alias("t"))
+    fd = lambda c: F.col(c).cast("double")  # noqa: E731
+    between = fd("t") - fd("s1") * fd("s1") / fd("n")
+    within = fd("s2") - fd("t")
+    # a zero-variance-within dim is degenerate (score undefined /
+    # infinite): exclude rather than divide by zero
+    return (agg.withColumn("between", between).withColumn("within", within)
+               .where(F.col("within") > 0)
+               .select("dim", F.round(F.col("between") / F.col("within"),
+                                      6).alias("fisher"))
+               .orderBy(F.desc("fisher"), "dim")
+               .limit(10))
+
+
+FISHER_SQL = """
+WITH d AS (
+  SELECT label, i - 1 AS dim,
+         CAST(ROUND(embedding[i] * 1000000) AS BIGINT) AS v
+  FROM embeddings, range(1, 65) t(i)),
+ per AS (
+  SELECT dim, label, COUNT(*) AS nl,
+         CAST(SUM(v) AS BIGINT) AS s1l, SUM(v * v) AS s2l
+  FROM d GROUP BY 1, 2),
+ a AS (
+  SELECT dim, CAST(SUM(nl) AS BIGINT) AS n,
+         CAST(SUM(s1l) AS BIGINT) AS s1,
+         CAST(SUM(s2l) AS HUGEINT) AS s2,
+         SUM(CAST(CAST(s1l * CAST(s1l AS HUGEINT) AS DOUBLE)
+                  / CAST(nl AS DOUBLE) AS DECIMAL(38,12))) AS t
+  FROM per GROUP BY 1)
+SELECT dim,
+       ROUND((CAST(t AS DOUBLE)
+              - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                / CAST(n AS DOUBLE))
+             / (CAST(s2 AS DOUBLE) - CAST(t AS DOUBLE)), 6) AS fisher
+FROM a
+WHERE CAST(s2 AS DOUBLE) - CAST(t AS DOUBLE) > 0
+ORDER BY fisher DESC, dim LIMIT 10
+"""
+
+
+def embedding_knn_confusion(spark, sf_dir):
+    """1-NN classification eval: vectors with vec_id < 200 are the
+    held-out queries, the rest the reference set; each query takes its
+    single nearest reference's label (exact integer micro-distance,
+    ties by candidate id — fully deterministic) and the output is the
+    confusion matrix. The broadcast query side keeps the candidate
+    scan shuffle-free; at 100 TB the reference side would be the
+    IVF-probed path instead of the full scan (both shipped under
+    embedding_ann_*)."""
+    e = _embs_micro(spark, sf_dir)
+    q = (e.where(F.col("vec_id") < 200)
+          .select(F.col("vec_id").alias("qid"),
+                  F.col("label").alias("true_label"),
+                  F.col("m").alias("qm")))
+    c = (e.where(F.col("vec_id") >= 200)
+          .select(F.col("vec_id").alias("cid"),
+                  F.col("label").alias("pred_label"),
+                  F.col("m").alias("cm")))
+    d2 = F.expr("aggregate(zip_with(qm, cm, (a, b) -> (a - b) * (a - b)),"
+                " 0L, (acc, x) -> acc + x)")
+    j = c.crossJoin(F.broadcast(q)).withColumn("d2", d2)
+    w = Window.partitionBy("qid").orderBy("d2", "cid")
+    nn = (j.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1))
+    return (nn.groupBy("true_label", "pred_label")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .orderBy("true_label", "pred_label"))
+
+
+KNN_CONFUSION_SQL = """
+WITH m AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        v -> CAST(ROUND(v * 1000000) AS BIGINT)) AS m
+  FROM embeddings),
+ q AS (SELECT vec_id AS qid, label AS true_label, m AS qm
+       FROM m WHERE vec_id < 200),
+ c AS (SELECT vec_id AS cid, label AS pred_label, m AS cm
+       FROM m WHERE vec_id >= 200),
+ d AS (
+  SELECT q.qid, q.true_label, c.cid, c.pred_label,
+         (SELECT SUM((q.qm[i] - c.cm[i]) * (q.qm[i] - c.cm[i]))
+          FROM range(1, 65) t(i)) AS d2
+  FROM q JOIN c ON TRUE),
+ nn AS (
+  SELECT qid, true_label, pred_label,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY d2, cid) AS rn
+  FROM d)
+SELECT true_label, pred_label, COUNT(*) AS n
+FROM nn WHERE rn = 1
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def customer_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over the quasi-identifier pair
+    (nation, market segment): for each policy threshold k, how many
+    equivalence classes and how many ROWS sit in classes smaller than
+    k — the re-identification risk screen run before releasing a
+    dataset. Pure integer aggregation over the class-size relation
+    (one combinable agg + a tiny literal-k cross join)."""
+    c = _t(spark, sf_dir, "customer")
+    g = (c.groupBy("c_nationkey", "c_mktsegment")
+          .agg(F.count(F.lit(1)).alias("sz")))
+    ks = spark.createDataFrame([(2,), (5,), (10,), (20,)], "k int")
+    j = g.crossJoin(F.broadcast(ks))
+    return (j.groupBy("k")
+             .agg(F.sum((F.col("sz") < F.col("k")).cast("long"))
+                   .alias("classes_below_k"),
+                  F.sum(F.when(F.col("sz") < F.col("k"), F.col("sz"))
+                         .otherwise(F.lit(0))).alias("rows_below_k"),
+                  F.count(F.lit(1)).alias("n_classes"))
+             .orderBy("k"))
+
+
+K_ANON_SQL = """
+WITH g AS (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS sz
+  FROM customer GROUP BY 1, 2),
+ ks AS (SELECT unnest([2, 5, 10, 20]) AS k)
+SELECT k,
+       CAST(SUM(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT)
+         AS classes_below_k,
+       CAST(SUM(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT)
+         AS rows_below_k,
+       COUNT(*) AS n_classes
+FROM g CROSS JOIN ks
+GROUP BY k ORDER BY k
+"""
+
+
+QUERIES.update({
+    "embedding_fisher_scores": (embedding_fisher_scores, FISHER_SQL),
+    "embedding_knn_confusion": (embedding_knn_confusion,
+                                KNN_CONFUSION_SQL),
+    "customer_k_anonymity": (customer_k_anonymity, K_ANON_SQL),
+})

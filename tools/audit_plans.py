@@ -76,6 +76,8 @@ AUDITED = [
     "events_seasonal_naive_mae", "supplier_shared_part_similarity",
     "events_burstiness", "doc_split_join_pairs",
     "multimodal_png_decode", "embedding_dbscan_2d",
+    "embedding_fisher_scores", "embedding_knn_confusion",
+    "customer_k_anonymity",
 ]
 
 
