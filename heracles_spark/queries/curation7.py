@@ -185,3 +185,62 @@ QUERIES.update({
                                 KNN_CONFUSION_SQL),
     "customer_k_anonymity": (customer_k_anonymity, K_ANON_SQL),
 })
+
+
+def lineitem_weighted_median(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median price per return flag — the
+    weighted quantile every pricing/inventory analysis wants (an
+    unweighted median over line items overweights small orders). Pure
+    integer CDF walk: prices as cents, weights as integer quantity
+    units, cumulative weight from a keyed window, and the median is
+    the first price whose running weight reaches half the total
+    (2·cum ≥ total in cross-multiplied integers — no halving
+    division). The window partitions by the group key; the rank-based
+    form never buffers a group in memory (the percentile_disc
+    ObjectHashAggregate hazard documented in round 7)."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+         .alias("cents"),
+        F.round(F.col("l_quantity")).cast("long").alias("w"))
+    g = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
+    wcum = (Window.partitionBy("l_returnflag").orderBy("cents")
+                  .rowsBetween(Window.unboundedPreceding, 0))
+    wall = Window.partitionBy("l_returnflag")
+    c = (g.withColumn("cum", F.sum("w").over(wcum))
+          .withColumn("tot", F.sum("w").over(wall)))
+    med = (c.where(F.col("cum") * 2 >= F.col("tot"))
+            .groupBy("l_returnflag")
+            .agg(F.min("cents").alias("med_cents"),
+                 F.max("tot").alias("tot")))
+    return (med.select(
+        "l_returnflag",
+        (F.col("med_cents").cast("double") / 100.0).alias("w_median"),
+        F.col("tot").alias("total_weight"))
+        .orderBy("l_returnflag"))
+
+
+W_MEDIAN_SQL = """
+WITH g AS (
+  SELECT l_returnflag,
+         CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS w
+  FROM lineitem GROUP BY 1, 2),
+ c AS (
+  SELECT l_returnflag, cents, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY cents
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g),
+ med AS (
+  SELECT l_returnflag, MIN(cents) AS med_cents,
+         CAST(MAX(tot) AS BIGINT) AS tot
+  FROM c WHERE cum * 2 >= tot GROUP BY 1)
+SELECT l_returnflag, CAST(med_cents AS DOUBLE) / 100.0 AS w_median,
+       tot AS total_weight
+FROM med ORDER BY l_returnflag
+"""
+
+
+QUERIES["lineitem_weighted_median"] = (lineitem_weighted_median,
+                                       W_MEDIAN_SQL)

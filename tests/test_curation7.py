@@ -72,3 +72,24 @@ def test_k_anonymity_hand_computed(spark, tmp_path):
     assert got[2] == (1, 1)       # only the singleton class
     assert got[5] == (2, 4)       # singleton + the 3-row class
     assert got[10] == (3, 10)     # everything
+
+
+def test_weighted_median_hand_computed(spark, tmp_path):
+    import pandas as pd
+
+    # prices 1,2,3 with weights 1,1,10: cumulative hits half at 3;
+    # second group symmetric weights → the LOWER of the two middles
+    rows = [("A", 1.0, 1.0), ("A", 2.0, 1.0), ("A", 3.0, 10.0),
+            ("B", 5.0, 2.0), ("B", 7.0, 2.0)]
+    pd.DataFrame({
+        "l_returnflag": [r[0] for r in rows],
+        "l_extendedprice": [r[1] for r in rows],
+        "l_quantity": [r[2] for r in rows],
+    }).to_parquet(str(tmp_path / "lineitem.parquet"))
+    from heracles_spark.queries.curation7 import lineitem_weighted_median
+
+    got = {r["l_returnflag"]: r["w_median"]
+           for r in lineitem_weighted_median(spark,
+                                             str(tmp_path)).collect()}
+    assert got["A"] == 3.0
+    assert got["B"] == 5.0     # 2*cum(5)=4 >= tot(4) → lower middle

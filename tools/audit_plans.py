@@ -77,7 +77,7 @@ AUDITED = [
     "events_burstiness", "doc_split_join_pairs",
     "multimodal_png_decode", "embedding_dbscan_2d",
     "embedding_fisher_scores", "embedding_knn_confusion",
-    "customer_k_anonymity",
+    "customer_k_anonymity", "lineitem_weighted_median",
 ]
 
 
