@@ -244,3 +244,73 @@ FROM med ORDER BY l_returnflag
 
 QUERIES["lineitem_weighted_median"] = (lineitem_weighted_median,
                                        W_MEDIAN_SQL)
+
+
+def doc_distinctive_terms(spark, sf_dir):
+    """Characteristic vocabulary per source: top-5 terms by the
+    add-one-smoothed RATE RATIO (term rate inside the source vs the
+    rest of the corpus) — the corpus-exploration counterpart of the
+    TV-divergence drift query, answering WHICH words make a source
+    different. Strength is exact integer ratio-ppm
+    (c_s·(N_rest+1)·10⁶) div ((c_rest+1)·N_s) — decimal products +
+    integral division, no log-odds libm; min-support 10, top-5 per
+    source by a source-keyed window."""
+    from heracles_spark.queries.pipeline import _docs
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("w"))
+    cst = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("cs"))
+    ct = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ns = toks.groupBy("source").agg(F.count(F.lit(1)).alias("nsrc"))
+    ntot = toks.agg(F.count(F.lit(1)).alias("ntot"))
+    j = (cst.where(F.col("cs") >= 10)
+            .join(ct, "w")
+            .join(F.broadcast(ns), "source")
+            .crossJoin(F.broadcast(ntot)))
+    ratio = F.expr(
+        "(CAST(cs AS DECIMAL(38,0))"
+        " * CAST(ntot - nsrc + 1 AS DECIMAL(38,0))"
+        " * CAST(1000000 AS DECIMAL(38,0)))"
+        " div (CAST(c - cs + 1 AS DECIMAL(38,0))"
+        " * CAST(nsrc AS DECIMAL(38,0)))")
+    r = j.withColumn("ratio_ppm", ratio)
+    w = Window.partitionBy("source").orderBy(F.desc("ratio_ppm"), "w")
+    return (r.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") <= 5)
+             .select("source", F.col("rn").cast("long").alias("rank"),
+                     "w", "cs", "ratio_ppm")
+             .orderBy("source", "rank"))
+
+
+DISTINCTIVE_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+  FROM documents),
+ cst AS (SELECT source, w, COUNT(*) AS cs FROM toks GROUP BY 1, 2),
+ ct AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+ ns AS (SELECT source, COUNT(*) AS nsrc FROM toks GROUP BY 1),
+ nt AS (SELECT COUNT(*) AS ntot FROM toks),
+ j AS (
+  SELECT cst.source, cst.w, cst.cs,
+         CAST((CAST(cst.cs AS HUGEINT) * (nt.ntot - ns.nsrc + 1)
+               * 1000000)
+              // (CAST(ct.c - cst.cs + 1 AS HUGEINT) * ns.nsrc)
+              AS BIGINT) AS ratio_ppm
+  FROM cst
+  JOIN ct USING (w) JOIN ns USING (source), nt
+  WHERE cst.cs >= 10),
+ r AS (
+  SELECT source, w, cs, ratio_ppm,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY ratio_ppm DESC, w) AS rank
+  FROM j)
+SELECT source, rank, w, cs, ratio_ppm
+FROM r WHERE rank <= 5 ORDER BY source, rank
+"""
+
+
+QUERIES["doc_distinctive_terms"] = (doc_distinctive_terms,
+                                    DISTINCTIVE_SQL)

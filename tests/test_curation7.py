@@ -93,3 +93,25 @@ def test_weighted_median_hand_computed(spark, tmp_path):
                                              str(tmp_path)).collect()}
     assert got["A"] == 3.0
     assert got["B"] == 5.0     # 2*cum(5)=4 >= tot(4) → lower middle
+
+
+def test_distinctive_terms_planted(spark, tmp_path):
+    import pandas as pd
+
+    # "zebra" appears 12x only in wiki; "common" everywhere
+    wiki = ["zebra common common"] * 12
+    web = ["common common common"] * 12
+    texts = wiki + web
+    pd.DataFrame({
+        "doc_id": range(len(texts)), "text": texts,
+        "lang": ["en"] * len(texts),
+        "source": ["wiki"] * 12 + ["web"] * 12,
+        "n_chars": [len(t) for t in texts],
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    from heracles_spark.queries.curation7 import doc_distinctive_terms
+
+    got = doc_distinctive_terms(spark, str(tmp_path)).collect()
+    wiki_top = [r for r in got if r["source"] == "wiki"][0]
+    assert wiki_top["w"] == "zebra" and wiki_top["cs"] == 12
+    # exclusive term: ratio = 12*(36+1)*1e6 // (0+1)*36
+    assert wiki_top["ratio_ppm"] == 12 * 37 * 1_000_000 // 36

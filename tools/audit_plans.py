@@ -78,6 +78,7 @@ AUDITED = [
     "multimodal_png_decode", "embedding_dbscan_2d",
     "embedding_fisher_scores", "embedding_knn_confusion",
     "customer_k_anonymity", "lineitem_weighted_median",
+    "doc_distinctive_terms",
 ]
 
 
