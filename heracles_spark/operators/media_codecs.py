@@ -479,3 +479,141 @@ def decode_png(raw: bytes) -> np.ndarray:
         out[y] = cur.astype(np.uint8)
         prev = cur
     return out.reshape(h, w) if bpp == 1 else out.reshape(h, w, 3)
+
+
+# -- GIF87a/89a: real LZW decompression ------------------------------------
+
+def encode_gif(indices, palette) -> bytes:
+    """Minimal REAL GIF writer: one frame, global color table, LZW
+    image data emitted as <clear> <literal...> with the per-symbol
+    code width growing exactly as a conforming decoder expects (the
+    encoder never emits dictionary codes, which is legal LZW — but the
+    DECODER must still grow its dictionary and code width in lockstep
+    to read it, so decode exercises the real LZW machinery)."""
+    px = np.asarray(indices, dtype=np.uint8)
+    h, w = px.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    bits = max(2, int(np.ceil(np.log2(max(n, 2)))))
+    size = 1 << bits
+    table = np.zeros((size, 3), dtype=np.uint8)
+    table[:n] = pal
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    min_code = bits
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    codes = []
+    next_code, width = eoi + 1, min_code + 1
+    codes.append((clear, width))
+    first = True
+    for v in px.reshape(-1):
+        codes.append((int(v), width))
+        # a conforming decoder adds one dictionary entry per code
+        # AFTER the first following a clear; mirror its width growth
+        if first:
+            first = False
+        else:
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        if next_code >= 4094:
+            codes.append((clear, width))
+            next_code, width, first = eoi + 1, min_code + 1, True
+    codes.append((eoi, width))
+    buf, nbits, stream = 0, 0, bytearray()
+    for code, cw in codes:
+        buf |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            stream.append(buf & 0xFF)
+            buf >>= 8
+            nbits -= 8
+    if nbits:
+        stream.append(buf & 0xFF)
+    out.append(min_code)
+    for i in range(0, len(stream), 255):
+        block = stream[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(raw: bytes) -> np.ndarray:
+    """REAL GIF decode: header + global color table parse, sub-block
+    reassembly, and a full LZW decompressor (dictionary build, code
+    width growth, clear-code reset, <prev>+first-symbol rule) — the
+    dictionary-coding counterpart of the PNG/QOI decoders. Returns the
+    (h, w, 3) RGB frame; raises on interlace/local tables/multi-frame
+    (outside the writer's profile) instead of misreading."""
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, flags, _, _ = struct.unpack_from("<HHBBB", raw, 6)
+    if not flags & 0x80:
+        raise ValueError("GIF without global color table")
+    gct_n = 2 << (flags & 0x07)
+    pos = 13
+    table = np.frombuffer(raw, np.uint8, gct_n * 3,
+                          pos).reshape(gct_n, 3)
+    pos += gct_n * 3
+    while raw[pos] == 0x21:                      # skip extensions
+        pos += 2
+        while raw[pos]:
+            pos += raw[pos] + 1
+        pos += 1
+    if raw[pos] != 0x2C:
+        raise ValueError("GIF: expected image descriptor")
+    x0, y0, iw, ih, iflags = struct.unpack_from("<HHHHB", raw, pos + 1)
+    if iflags & 0xC0:
+        raise ValueError("GIF: interlace/local color table unsupported")
+    pos += 10
+    min_code = raw[pos]
+    pos += 1
+    data = bytearray()
+    while raw[pos]:
+        ln = raw[pos]
+        data += raw[pos + 1:pos + 1 + ln]
+        pos += ln + 1
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    dict_base = [(i,) for i in range(1 << min_code)] + [None, None]
+    table_lzw = list(dict_base)
+    width = min_code + 1
+    buf = nbits = bit_pos = 0
+    out: list[int] = []
+    prev: tuple | None = None
+    data = bytes(data)
+    while True:
+        while nbits < width:
+            if bit_pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            buf |= data[bit_pos] << nbits
+            bit_pos += 1
+            nbits += 8
+        code = buf & ((1 << width) - 1)
+        buf >>= width
+        nbits -= width
+        if code == clear:
+            table_lzw = list(dict_base)
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table_lzw) and table_lzw[code] is not None:
+            entry = table_lzw[code]
+        elif code == len(table_lzw) and prev is not None:
+            entry = prev + (prev[0],)           # the KwKwK case
+        else:
+            raise ValueError("GIF: bad LZW code")
+        out.extend(entry)
+        if prev is not None:
+            table_lzw.append(prev + (entry[0],))
+            if len(table_lzw) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    px = np.array(out, dtype=np.uint8)
+    if px.size != iw * ih:
+        raise ValueError("GIF: pixel count mismatch")
+    return table[px.reshape(ih, iw)]

@@ -66,7 +66,8 @@ def attach_media_stub(df: DataFrame, id_col: str = "doc_id",
 def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                           content_col: str = "content",
                           decoder: Literal["fake", "bmp", "ppm", "qoi",
-                                           "png", "pil"] = "fake",
+                                           "png", "gif",
+                                           "pil"] = "fake",
                           feature_dim: int = 8) -> DataFrame:
     """mapInPandas image decode → per-image features.
 
@@ -83,6 +84,9 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
       * "png"  — REAL decode of PNG (zlib DEFLATE inflate, CRC-checked
         chunk walk, full None/Sub/Up/Average/Paeth unfilter matrix),
         same features; grayscale (color type 0) handled like PGM.
+      * "gif"  — REAL decode of GIF (sub-block reassembly + full LZW:
+        dictionary growth, code-width stepping, clear-code reset),
+        same features.
       * "fake" — deterministic features from the bytes' hash (plumbing
         tests for formats without an in-container codec).
       * "pil"  — the slot where PIL/torchvision plugs in; raises until
@@ -102,6 +106,7 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
 
         from heracles_spark.operators.media_codecs import (decode_bmp24,
                                                            decode_netpbm,
+                                                           decode_gif,
                                                            decode_png,
                                                            decode_qoi)
         for pdf in it:
@@ -110,10 +115,11 @@ def decode_image_features(df: DataFrame, id_col: str = "doc_id",
                 raw = bytes(b) if b is not None else b""
                 ids.append(i)
                 nbytes.append(len(raw))
-                if decoder in ("bmp", "ppm", "qoi", "png"):
+                if decoder in ("bmp", "ppm", "qoi", "png", "gif"):
                     px = (decode_bmp24(raw) if decoder == "bmp"
                           else decode_netpbm(raw) if decoder == "ppm"
                           else decode_png(raw) if decoder == "png"
+                          else decode_gif(raw) if decoder == "gif"
                           else decode_qoi(raw)[:, :, :3])
                     if px.ndim == 2:          # PGM grayscale
                         luma = px.astype("float64")

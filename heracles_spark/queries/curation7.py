@@ -314,3 +314,57 @@ FROM r WHERE rank <= 5 ORDER BY source, rank
 
 QUERIES["doc_distinctive_terms"] = (doc_distinctive_terms,
                                     DISTINCTIVE_SQL)
+
+
+def multimodal_gif_decode(spark, sf_dir):
+    """REAL GIF decode, value-oracled end-to-end: per doc, an 8×8
+    two-color checkerboard (c1 = id·{13,37,61}, c2 = id·{3,43,29}
+    mod 256) written as a real GIF89a — palette + sub-blocked LZW
+    stream whose code widths step exactly as a conforming decoder's
+    dictionary grows — decoded via decode_image_features(
+    decoder="gif"). Mean luma of a checkerboard is analytic, so the
+    oracle certifies the entire LZW walk (the dictionary-coding
+    counterpart of the PNG/QOI contracts)."""
+    import numpy as np
+    import pandas as pd
+
+    from heracles_spark.operators import multimodal
+    from heracles_spark.operators.media_codecs import encode_gif
+    from heracles_spark.queries.pipeline import _docs
+
+    d = _docs(spark, sf_dir).where(F.col("doc_id") <= 50).select("doc_id")
+
+    def synth(it):
+        for pdf in it:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                pal = np.array(
+                    [[i * 13 % 256, i * 37 % 256, i * 61 % 256],
+                     [i * 3 % 256, i * 43 % 256, i * 29 % 256]],
+                    dtype=np.uint8)
+                yy, xx = np.mgrid[0:8, 0:8]
+                idx = ((xx + yy) % 2).astype(np.uint8)
+                blobs.append(encode_gif(idx, pal))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"],
+                                "content": blobs})
+
+    media = d.mapInPandas(synth, schema="doc_id long, content binary")
+    feats = multimodal.decode_image_features(media, decoder="gif")
+    return (feats.select("doc_id",
+                         F.round("mean_luma", 6).alias("mean_luma"))
+                 .orderBy("doc_id"))
+
+
+MGIF_SQL = """
+SELECT doc_id,
+       ROUND(((0.299 * (doc_id * 13 % 256) + 0.587 * (doc_id * 37 % 256)
+               + 0.114 * (doc_id * 61 % 256))
+            + (0.299 * (doc_id * 3 % 256) + 0.587 * (doc_id * 43 % 256)
+               + 0.114 * (doc_id * 29 % 256))) / 2 / 255.0, 6)
+         AS mean_luma
+FROM documents WHERE doc_id <= 50 ORDER BY doc_id
+"""
+
+
+QUERIES["multimodal_gif_decode"] = (multimodal_gif_decode, MGIF_SQL)

@@ -115,3 +115,28 @@ def test_distinctive_terms_planted(spark, tmp_path):
     assert wiki_top["w"] == "zebra" and wiki_top["cs"] == 12
     # exclusive term: ratio = 12*(36+1)*1e6 // (0+1)*36
     assert wiki_top["ratio_ppm"] == 12 * 37 * 1_000_000 // 36
+
+
+def test_gif_roundtrip_and_lzw_reset():
+    import numpy as np
+
+    from heracles_spark.operators.media_codecs import (decode_gif,
+                                                       encode_gif)
+
+    rng = np.random.default_rng(11)
+    # large enough to force dictionary growth past several width
+    # steps AND a mid-stream clear-code reset (>4094 codes)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, (80, 80), dtype=np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert out.shape == (80, 80, 3)
+    assert (out == pal[idx]).all()
+
+
+def test_gif_rejects_garbage():
+    import pytest as pt
+
+    from heracles_spark.operators.media_codecs import decode_gif
+
+    with pt.raises(ValueError, match="not a GIF"):
+        decode_gif(b"PNG????")

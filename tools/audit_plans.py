@@ -78,7 +78,7 @@ AUDITED = [
     "multimodal_png_decode", "embedding_dbscan_2d",
     "embedding_fisher_scores", "embedding_knn_confusion",
     "customer_k_anonymity", "lineitem_weighted_median",
-    "doc_distinctive_terms",
+    "doc_distinctive_terms", "multimodal_gif_decode",
 ]
 
 
@@ -92,8 +92,8 @@ ARROW_PATH = {"multimodal_decode", "multimodal_wav_decode",
               # per-partition numpy X^T X panels (the big-n/small-d
               # reduction) — deliberately Arrow-batched
               "embedding_covariance",
-              # real PNG inflate+unfilter runs in the Arrow batch
-              "multimodal_png_decode"}
+              # real PNG inflate+unfilter / GIF LZW run in the batch
+              "multimodal_png_decode", "multimodal_gif_decode"}
 
 
 def main() -> None:
