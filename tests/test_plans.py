@@ -101,3 +101,48 @@ def test_bucketed_groupby_elides_exchange(spark, catalog):
         assert count_exchanges(j) == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_hamilton_window_is_partitioned(spark):
+    """hamilton_allocation's windows must survive optimization with
+    the constant-surviving pmod(xxhash64,1) partition key — the plan
+    must never fall back to an Exchange SinglePartition (the
+    unpartitioned-window smell; same discipline as build_vocab)."""
+    from heracles_spark.operators.sampling import hamilton_allocation
+
+    counts = spark.createDataFrame(
+        [("a", 10), ("b", 30), ("c", 60)], "g string, n long")
+    a = hamilton_allocation(counts, "g", "n", 100)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan
+    assert "Window [" in plan          # windows are there, partitioned
+
+
+def test_weighted_sample_and_lift_take_ordered(spark):
+    """Top-k queries added this round must plan TakeOrderedAndProject
+    (per-partition heaps), never a global sort."""
+    from heracles_spark.queries.curation4 import (doc_bigram_lift,
+                                                  doc_rank_fusion)
+    from heracles_spark.plans import has_node
+
+    assert has_node(doc_bigram_lift(spark, SF_SMALL),
+                    "TakeOrderedAndProject")
+    assert has_node(doc_rank_fusion(spark, SF_SMALL),
+                    "TakeOrderedAndProject")
+
+
+def test_grid_epsilon_join_is_equi_join(spark):
+    """The spatial ε-join must plan as an equi-join on the cell key —
+    never a cartesian/broadcast-nested-loop over the points."""
+    from heracles_spark.operators.spatial import grid_epsilon_join
+    from heracles_spark.plans import has_node
+
+    pts = spark.createDataFrame(
+        [(i, i * 1000, -i * 500) for i in range(200)],
+        "id long, xm long, ym long")
+    j = grid_epsilon_join(pts, eps=5000)
+    assert not has_node(j, "CartesianProduct")
+    assert not has_node(j, "BroadcastNestedLoopJoin")
+    assert (has_node(j, "SortMergeJoin")
+            or has_node(j, "ShuffledHashJoin")
+            or has_node(j, "BroadcastHashJoin"))
