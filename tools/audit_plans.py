@@ -79,6 +79,7 @@ AUDITED = [
     "embedding_fisher_scores", "embedding_knn_confusion",
     "customer_k_anonymity", "lineitem_weighted_median",
     "doc_distinctive_terms", "multimodal_gif_decode",
+    "nation_trade_reciprocity", "events_type_overlap",
 ]
 
 
