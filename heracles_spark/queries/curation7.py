@@ -195,24 +195,21 @@ def lineitem_weighted_median(spark, sf_dir):
     units, cumulative weight from a keyed window, and the median is
     the first price whose running weight reaches half the total
     (2·cum ≥ total in cross-multiplied integers — no halving
-    division). The window partitions by the group key; the rank-based
-    form never buffers a group in memory (the percentile_disc
+    division). Routed through the shared CDF-walk operator
+    (operators/orderstats.grouped_median, the pattern this query
+    pioneered in round 7): combinable (flag, cents) pre-aggregation,
+    then the keyed cumsum window over distinct prices only — never
+    buffers a group in memory (the percentile_disc
     ObjectHashAggregate hazard documented in round 7)."""
+    from heracles_spark.operators.orderstats import grouped_median
+
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.round(F.col("l_extendedprice") * 100).cast("long")
          .alias("cents"),
         F.round(F.col("l_quantity")).cast("long").alias("w"))
-    g = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("w"))
-    wcum = (Window.partitionBy("l_returnflag").orderBy("cents")
-                  .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy("l_returnflag")
-    c = (g.withColumn("cum", F.sum("w").over(wcum))
-          .withColumn("tot", F.sum("w").over(wall)))
-    med = (c.where(F.col("cum") * 2 >= F.col("tot"))
-            .groupBy("l_returnflag")
-            .agg(F.min("cents").alias("med_cents"),
-                 F.max("tot").alias("tot")))
+    med = grouped_median(li, ["l_returnflag"], "cents", weight_col="w",
+                         out_col="med_cents", total_col="tot")
     return (med.select(
         "l_returnflag",
         (F.col("med_cents").cast("double") / 100.0).alias("w_median"),

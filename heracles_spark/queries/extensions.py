@@ -1262,37 +1262,26 @@ QUERIES["events_value_gini"] = (events_value_gini, GINI_SQL)
 def events_value_mad(spark, sf_dir):
     """Median absolute deviation per event type — the ROBUST dispersion
     estimate (outlier-insensitive, unlike stddev): two exact-median
-    passes, each as the rank-⌈n/2⌉ order statistic through a keyed
-    row_number window (sort-based, spillable — NOT the buffering
-    percentile aggregate; see lineitem_quantile_disc). All arithmetic
-    is subtraction/abs of exact decimals + order statistics, so the
-    oracle matches bit-for-bit."""
-    from pyspark.sql import Window
+    passes through the shared integer CDF walk
+    (operators/orderstats.grouped_mad). Raw rows collapse to distinct
+    (event_type, value) counts with a combinable hash aggregate
+    (map-side partials, full parallelism); the keyed cumsum window then
+    touches distinct values only — per-task work O(|distinct|), not
+    O(rows per group) (round-7 rewrite of the raw-row row_number form;
+    at 100 TB the old shape was 5 tasks sorting 20 TB each). The
+    median is an order statistic — an actual data element — so the
+    rank-⌈n/2⌉ oracle matches bit-for-bit."""
+    from heracles_spark.operators.orderstats import grouped_mad
 
     e = (_events(spark, sf_dir)
-         .select("event_type", "event_id",
+         .select("event_type",
                  F.col("value").cast("decimal(38,6)").alias("v")))
-
-    def median_of(df, val_col, out_col):
-        w = (Window.partitionBy("event_type")
-                   .orderBy(val_col, "event_id"))
-        counts = df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-        ranked = (df.withColumn("rn", F.row_number().over(w))
-                    .join(F.broadcast(counts), "event_type"))
-        return (ranked
-                .where(F.col("rn") == F.ceil(F.col("n") / 2))
-                .select("event_type", F.col(val_col).alias(out_col)))
-
-    med = median_of(e, "v", "median_v")
-    dev = (e.join(F.broadcast(med), "event_type")
-            .withColumn("ad", F.abs(F.col("v") - F.col("median_v"))))
-    mad = median_of(dev.select("event_type", "event_id", "ad"),
-                    "ad", "mad")
-    return (med.join(mad, "event_type")
-               .select("event_type",
-                       F.col("median_v").cast("double").alias("median_v"),
-                       F.col("mad").cast("double").alias("mad"))
-               .orderBy("event_type"))
+    return (grouped_mad(e, ["event_type"], "v",
+                        median_col="median_v", mad_col="mad")
+            .select("event_type",
+                    F.col("median_v").cast("double").alias("median_v"),
+                    F.col("mad").cast("double").alias("mad"))
+            .orderBy("event_type"))
 
 
 MAD_SQL = """

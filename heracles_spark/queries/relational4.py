@@ -664,31 +664,22 @@ def lineitem_quantile_disc(spark, sf_dir):
     Deliberately NOT Spark's percentile_disc aggregate: that plans as
     an ObjectHashAggregate which BUFFERS every group's values in
     executor memory — a billion-row group at 100 TB is an OOM, the
-    same class of hazard as an unpartitioned window. This form ranks
-    within each group with a keyed row_number window (sort-based:
-    spills, streams, bounded memory) and keeps the ⌈p·n⌉ elements —
-    measured 5.7s → 2.6s at sf0.1 as a bonus. Per-group order remains
-    one task per group (the parallelism unit is the group; value-range
-    bucketing à la ranking.with_global_ranks applies if one group
-    dominates)."""
-    from pyspark.sql import Window
+    same class of hazard as an unpartitioned window. This form is the
+    shared integer CDF walk (operators/orderstats): raw rows collapse
+    to distinct (flag, price) counts via a combinable hash aggregate,
+    the keyed cumsum window runs over DISTINCT values only, and the
+    quantile is the first value whose cumulative count reaches ⌈p·n⌉
+    — per-task work O(|distinct prices|), not O(rows per group)
+    (round-8 rewrite of the raw-row row_number form, which sorted
+    every row of a group in one task)."""
+    from heracles_spark.operators.orderstats import grouped_quantile_disc
 
     li = _t(spark, sf_dir, "lineitem")
-    w = (Window.partitionBy("l_returnflag")
-               .orderBy("l_extendedprice", "l_orderkey", "l_linenumber"))
-    counts = (li.groupBy("l_returnflag")
-                .agg(F.count(F.lit(1)).alias("n")))
-    ranked = (li.select("l_returnflag", "l_extendedprice",
-                        "l_orderkey", "l_linenumber")
-                .withColumn("rn", F.row_number().over(w))
-                .join(F.broadcast(counts), "l_returnflag"))
-    picks = [F.max(F.when(
-                 F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
-                 F.col("l_extendedprice"))).alias(f"p{int(q*100)}")
-             for q in (0.25, 0.5, 0.75)]
-    return (ranked.groupBy("l_returnflag")
-                  .agg(F.max("n").alias("n"), *picks)
-                  .orderBy("l_returnflag"))
+    return (grouped_quantile_disc(
+                li.select("l_returnflag", "l_extendedprice"),
+                ["l_returnflag"], "l_extendedprice",
+                {"p25": 0.25, "p50": 0.5, "p75": 0.75})
+            .orderBy("l_returnflag"))
 
 
 QDISC_SQL = """

@@ -1,0 +1,161 @@
+"""Unified order-statistics operator (operators/orderstats): brute-force
+property checks + the plan discipline the round-7 verdict asked for —
+the CDF walk must never plan a row_number window over raw rows."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _brute_median(vals):
+    """PERCENTILE_DISC(0.5): element at rank ceil(n/2)."""
+    s = sorted(vals)
+    return s[math.ceil(len(s) / 2) - 1]
+
+
+def _brute_weighted_median(pairs):
+    """First value whose cumulative weight w satisfies 2*cum >= tot."""
+    tot = sum(w for _, w in pairs)
+    cum = 0
+    for v, w in sorted(pairs):
+        cum += w
+        if 2 * cum >= tot:
+            return v
+    raise AssertionError("unreachable")
+
+
+def _brute_quantile(vals, p):
+    s = sorted(vals)
+    return s[math.ceil(p * len(s)) - 1]
+
+
+@pytest.fixture(scope="module")
+def rows():
+    rng = random.Random(8101)
+    data = []
+    for g in ("a", "b", "c"):
+        n = rng.randint(17, 240)
+        for i in range(n):
+            # duplicates on purpose: the CDF walk aggregates them
+            data.append((g, rng.randint(-50, 50), rng.randint(1, 9)))
+    return data
+
+
+def test_grouped_median_matches_brute_force(spark, rows):
+    from heracles_spark.operators.orderstats import grouped_median
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r["g"]: r["m"]
+           for r in grouped_median(df, ["g"], "v", out_col="m").collect()}
+    for g in ("a", "b", "c"):
+        vals = [v for gg, v, _ in rows if gg == g]
+        assert got[g] == _brute_median(vals)
+
+
+def test_grouped_weighted_median_matches_brute_force(spark, rows):
+    from heracles_spark.operators.orderstats import grouped_median
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    res = grouped_median(df, ["g"], "v", weight_col="w",
+                         out_col="m", total_col="tw").collect()
+    got = {r["g"]: (r["m"], r["tw"]) for r in res}
+    for g in ("a", "b", "c"):
+        pairs = [(v, w) for gg, v, w in rows if gg == g]
+        assert got[g] == (_brute_weighted_median(pairs),
+                          sum(w for _, w in pairs))
+
+
+def test_grouped_quantile_disc_matches_brute_force(spark, rows):
+    from heracles_spark.operators.orderstats import grouped_quantile_disc
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    ps = {"p10": 0.10, "p25": 0.25, "p50": 0.50, "p75": 0.75,
+          "p90": 0.90, "p100": 1.0}
+    res = grouped_quantile_disc(df, ["g"], "v", ps).collect()
+    got = {r["g"]: r for r in res}
+    for g in ("a", "b", "c"):
+        vals = [v for gg, v, _ in rows if gg == g]
+        assert got[g]["n"] == len(vals)
+        for name, p in ps.items():
+            assert got[g][name] == _brute_quantile(vals, p), (g, name)
+
+
+def test_grouped_mad_matches_brute_force(spark, rows):
+    from heracles_spark.operators.orderstats import grouped_mad
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    res = grouped_mad(df, ["g"], "v", median_col="med",
+                      mad_col="mad").collect()
+    got = {r["g"]: (r["med"], r["mad"]) for r in res}
+    for g in ("a", "b", "c"):
+        vals = [v for gg, v, _ in rows if gg == g]
+        med = _brute_median(vals)
+        mad = _brute_median([abs(v - med) for v in vals])
+        assert got[g] == (med, mad)
+
+
+def test_single_row_groups(spark):
+    from heracles_spark.operators.orderstats import (grouped_mad,
+                                                     grouped_median)
+
+    df = spark.createDataFrame([("a", 7), ("b", -3)], "g string, v long")
+    med = {r["g"]: r["median"] for r in
+           grouped_median(df, ["g"], "v").collect()}
+    assert med == {"a": 7, "b": -3}
+    mad = {r["g"]: r["mad"] for r in grouped_mad(df, ["g"], "v").collect()}
+    assert mad == {"a": 0, "b": 0}
+
+
+def test_no_raw_row_window(spark):
+    """The round-7 verdict pin: events_value_mad and
+    lineitem_quantile_disc must not plan a row_number window over raw
+    rows — the CDF walk's only windows are keyed cumulative sums over
+    the distinct-value relation, BELOW which sits the combinable
+    pre-aggregation. We pin both facts: no row_number anywhere in the
+    executed plan, and a HashAggregate present (the distinct-value
+    collapse)."""
+    from heracles_spark.queries.extensions import events_value_mad
+    from heracles_spark.queries.relational4 import lineitem_quantile_disc
+
+    for fn in (events_value_mad, lineitem_quantile_disc):
+        df = fn(spark, SF_SMALL)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "row_number" not in plan, fn.__name__
+        assert "HashAggregate" in plan, fn.__name__
+        assert "Window" in plan, fn.__name__     # the keyed cumsum
+
+
+def test_queries_match_oracles_at_sf_small(spark):
+    """The three routed queries still match their DuckDB oracles
+    bit-for-bit after the CDF-walk rewrite."""
+    import duckdb
+
+    from heracles_spark.queries.curation7 import (W_MEDIAN_SQL,
+                                                  lineitem_weighted_median)
+    from heracles_spark.queries.extensions import MAD_SQL, events_value_mad
+    from heracles_spark.queries.relational4 import (QDISC_SQL,
+                                                    lineitem_quantile_disc)
+
+    con = duckdb.connect()
+    for t in ("lineitem", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_SMALL}/{t}.parquet')")
+    for fn, sql in ((events_value_mad, MAD_SQL),
+                    (lineitem_quantile_disc, QDISC_SQL),
+                    (lineitem_weighted_median, W_MEDIAN_SQL)):
+        spark_rows = [tuple(r) for r in fn(spark, SF_SMALL).collect()]
+        ora_rows = [tuple(r) for r in con.execute(sql).fetchall()]
+        assert len(spark_rows) == len(ora_rows), fn.__name__
+        for a, b in zip(spark_rows, ora_rows):
+            for x, y in zip(a, b):
+                if isinstance(x, float):
+                    assert x == pytest.approx(float(y), abs=1e-9)
+                else:
+                    assert x == y, (fn.__name__, a, b)
