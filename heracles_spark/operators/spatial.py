@@ -84,8 +84,14 @@ def dbscan_2d(points: DataFrame, id_col: str = "id",
 
     pairs = grid_epsilon_join(points, id_col, x_col, y_col, eps) \
         .select("a", "b").localCheckpoint(eager=True)
+    # sym and core_lab are each consumed by 2-3 downstream branches;
+    # without materialization every branch replants the ε-join /
+    # degree / CC subtrees (round-7 audit: 99 pre-AQE exchanges in the
+    # plan). localCheckpoint truncates lineage at the fan-out points
+    # so the plan re-derives nothing — same labels, ~10× smaller plan.
     sym = pairs.union(pairs.select(F.col("b").alias("a"),
-                                   F.col("a").alias("b")))
+                                   F.col("a").alias("b"))) \
+        .localCheckpoint(eager=False)
     deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("__deg"))
     core = (deg.where(F.col("__deg") + 1 >= min_pts)
                .select(F.col("a").alias("id")))
@@ -96,7 +102,8 @@ def dbscan_2d(points: DataFrame, id_col: str = "id",
     core_lab = (core.join(comp, "id", "left")
                     .select("id",
                             F.coalesce("component", "id").alias("cluster"),
-                            F.lit(True).alias("is_core")))
+                            F.lit(True).alias("is_core"))
+                    .localCheckpoint(eager=False))
     border = (sym.withColumnRenamed("a", "id")
                  .join(core_lab.select(F.col("id").alias("b"),
                                        F.col("cluster").alias("__c")), "b")

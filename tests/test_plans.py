@@ -131,6 +131,18 @@ def test_weighted_sample_and_lift_take_ordered(spark):
                     "TakeOrderedAndProject")
 
 
+def test_dbscan_plan_is_collapsed(spark):
+    """dbscan_2d's multiply-consumed intermediates (sym, core_lab) are
+    lineage-truncated, so downstream branches must not replant the
+    ε-join/degree/CC subtrees — round-7 audit found 99 pre-AQE
+    exchanges without the truncation, ~14 with it."""
+    from heracles_spark.plans.inspect import count_exchanges
+    from heracles_spark.queries.curation6 import embedding_dbscan_2d
+
+    df = embedding_dbscan_2d(spark, SF_SMALL)
+    assert count_exchanges(df) <= 20
+
+
 def test_grid_epsilon_join_is_equi_join(spark):
     """The spatial ε-join must plan as an equi-join on the cell key —
     never a cartesian/broadcast-nested-loop over the points."""
