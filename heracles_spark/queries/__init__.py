@@ -26,17 +26,25 @@ def _registries():
 # Registry ordering: external harnesses sample a PREFIX of the registry
 # (the round driver checks the first 50 entries), so the order must
 # maximize VERIFICATION COVERAGE without biasing what gets sampled.
-# Entries sort by (times already driver-checked ASC, md5(salt:name)) —
-# a round-robin coverage scheduler, not a curated list: the primary key
-# is computed only from the committed public driver artifacts
-# (CORRECTNESS_r*.json — which queries any past round sampled), never
-# from what the queries compute or how they perform, and ties break by
-# a salted content-blind hash (salt = artifact count, so the
-# permutation still rotates each round). Least-checked queries
-# therefore surface first and the union of sampled prefixes converges
-# to full-registry coverage as fast as the sample size allows; once
-# every query is equally checked the order degenerates to the plain
-# hash permutation. Deterministic and reproducible from repo contents
+# The order BLENDS two schedules (round-8 advisor ask — a pure
+# least-checked-first sort would systematically starve
+# already-verified queries of re-checks, so a regression in a
+# previously-green query would never be re-sampled):
+#   * 4 of every 5 slots: (times already driver-checked ASC,
+#     md5(salt:name)) — a round-robin coverage scheduler whose primary
+#     key is computed only from committed public driver artifacts
+#     (CORRECTNESS_r*.json — which queries any past round sampled),
+#     never from what the queries compute or how they perform.
+#   * 1 of every 5 slots: the pure salted content-blind hash
+#     permutation over ALL queries, so every query — including
+#     many-times-checked ones — keeps a rotating chance of landing in
+#     the sampled prefix (salt = artifact count, so both schedules
+#     rotate each round).
+# Least-checked queries therefore still surface fast (the union of
+# sampled prefixes converges to full-registry coverage) while ~20% of
+# each sample re-checks the already-verified population. Once every
+# query is equally checked the blend degenerates to the plain hash
+# permutation. Deterministic and reproducible from repo contents
 # alone; membership is unchanged — every query is always present.
 
 
@@ -79,10 +87,32 @@ def _hash_order(names) -> list[str]:
 
     salt = _round_salt()
     checked = _driver_check_counts()
-    return sorted(
-        names,
-        key=lambda n: (checked.get(n, 0),
-                       hashlib.md5(f"{salt}:{n}".encode()).hexdigest()))
+
+    def h(n: str) -> str:
+        return hashlib.md5(f"{salt}:{n}".encode()).hexdigest()
+
+    coverage = sorted(names, key=lambda n: (checked.get(n, 0), h(n)))
+    rotation = sorted(names, key=h)
+    out: list[str] = []
+    seen: set[str] = set()
+    ci = ri = 0
+    for slot in range(len(coverage)):
+        src, idx = ((rotation, ri) if slot % 5 == 4
+                    else (coverage, ci))
+        while idx < len(src) and src[idx] in seen:
+            idx += 1
+        if idx >= len(src):          # this schedule exhausted — drain
+            src, idx = ((coverage, ci) if src is rotation
+                        else (rotation, ri))
+            while src[idx] in seen:
+                idx += 1
+        out.append(src[idx])
+        seen.add(src[idx])
+        if src is rotation:
+            ri = idx + 1
+        else:
+            ci = idx + 1
+    return out
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -38,3 +38,25 @@ def test_query_matches_oracle(name, spark, oracle):
     odf = oracle.execute(ORACLES[name]).fetchdf()
     problems = compare(name, sdf, odf)
     assert not problems, problems
+
+
+def test_registry_order_blends_coverage_and_rotation():
+    """The sampled 50-prefix must contain BOTH never-driver-checked
+    queries (coverage schedule) and already-checked ones (~1 in 5
+    slots from the pure salted-hash rotation, so regressions in
+    previously-green queries stay re-samplable — round-8 advisor
+    ask). Also: the order is a permutation of the full registry."""
+    from heracles_spark.queries import (_driver_check_counts, _hash_order,
+                                        _registries)
+
+    names = [n for reg in _registries() for n in reg]
+    order = _hash_order(names)
+    assert sorted(order) == sorted(names)          # permutation
+    assert len(set(order)) == len(order)
+    checked = _driver_check_counts()
+    if not checked or all(n in checked for n in names):
+        return  # degenerate: nothing to blend
+    prefix = order[:50]
+    n_re = sum(1 for n in prefix if checked.get(n, 0) > 0)
+    assert n_re >= 5, "rotation slots missing from sampled prefix"
+    assert n_re <= 20, "coverage schedule starved from sampled prefix"
