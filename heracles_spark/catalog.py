@@ -52,6 +52,12 @@ SUPPORTED_TYPES = {
     "string": T.StringType(),
     "date": T.DateType(),
     "timestamp": T.TimestampType(),
+    # Embedding columns (vector indexes). Non-key only in practice:
+    # parquet writes no min/max stats for arrays, so an array key col
+    # would index nothing — harvest_file_index reads key-col stats and
+    # arrays simply never appear there.
+    "array<float>": T.ArrayType(T.FloatType()),
+    "array<double>": T.ArrayType(T.DoubleType()),
 }
 
 
@@ -211,9 +217,13 @@ class HeraclesCatalog:
                 raise CatalogError(f"key column not in schema: {k}")
         if len(set(key_cols)) != len(key_cols):
             raise CatalogError("duplicate key columns")
-        for _, t in columns:
+        for c, t in columns:
             if t.lower() not in SUPPORTED_TYPES:
                 raise CatalogError(f"unsupported type: {t}")
+            if t.lower().startswith("array") and c in key_cols:
+                # No parquet min/max stats for arrays → nothing to
+                # range-organize or prune on; reject early.
+                raise CatalogError(f"array column cannot be a key: {c}")
         tbl = KeyTable(
             name=name,
             columns=[(c, t.lower()) for c, t in columns],

@@ -801,25 +801,31 @@ def embedding_ann_ivf_partial(spark, sf_dir):
                                 min_hits=7)
 
 
-# (process, sf_dir) → (store path, centroids) of the cell-partitioned
-# IVF store — build-once/probe-many, like the BM25 postings index.
-_IVF_STORE_CACHE: dict[str, tuple] = {}
+# (process, sf_dir) → HeraclesCatalog holding the DDL-built vector
+# index — build-once/probe-many, like the BM25 postings index.
+_IVF_CATALOG_CACHE: dict[str, object] = {}
 
 
 def embedding_ann_ivf_stored(spark, sf_dir):
-    """IVF probing a CELL-PARTITIONED STORE (similarity.
-    ivf_write_partitioned): vectors land in parquet partitioned by
-    cell_id, so the probe's ``cell_id IN (...)`` filter is hive-style
-    PARTITION PRUNING — unprobed cells are never opened, the physical
-    analogue of a faiss inverted list. The value hash pins BOTH the
-    recall contract (exact top-10 + recall_ok ≥ 7/10 at n_probe=12/16)
-    AND ``partition_pruned`` = the executed plan carries a non-empty
-    PartitionFilters clause on cell_id — certifying the store layout
-    actually pruned, not just filtered."""
+    """IVF probing the CATALOG vector-index store (round-8 promotion of
+    the ad-hoc tempdir to full DDL — heracles_spark/vectorindex.py):
+    the index is built with ``CREATE VECTOR INDEX v ON emb (embedding)
+    WITH (cells=16, sample=2048)``, which trains centroids, assigns
+    cells, and persists parquet PARTITIONED BY cell_id under the
+    catalog — so the probe's ``cell_id IN (...)`` filter is hive-style
+    PARTITION PRUNING and unprobed cells are never opened, the
+    physical analogue of a faiss inverted list (REFRESH is incremental
+    on appends; see tests/test_vectorindex.py). The value hash pins
+    BOTH the recall contract (exact top-10 + recall_ok ≥ 7/10 at
+    n_probe=12/16) AND ``partition_pruned`` = the executed plan
+    carries a non-empty PartitionFilters clause on cell_id —
+    certifying the store layout actually pruned, not just filtered."""
     import os
     import re
     import tempfile
 
+    from heracles_spark import vectorindex, writer
+    from heracles_spark.catalog import HeraclesCatalog
     from heracles_spark.plans import executed_plan_string
 
     e = _embs(spark, sf_dir)
@@ -828,19 +834,22 @@ def embedding_ann_ivf_stored(spark, sf_dir):
     cand = e.where(F.col("vec_id") != 0)
 
     key = os.path.abspath(sf_dir)
-    if key in _IVF_STORE_CACHE:
-        path, cents = _IVF_STORE_CACHE[key]
-    else:
-        cents = similarity.kmeans_centroids(cand, n_cells=16,
-                                            sample_size=2048)
-        built = similarity.ivf_build(cand, centroids=cents)
-        path = tempfile.mkdtemp(prefix="heracles_ivfstore_")
-        similarity.ivf_write_partitioned(built, path)
-        _IVF_STORE_CACHE[key] = (path, cents)
+    catalog = _IVF_CATALOG_CACHE.get(key)
+    if catalog is None:
+        catalog = HeraclesCatalog(
+            tempfile.mkdtemp(prefix="heracles_ivfcat_"))
+        catalog.create_table(
+            "emb", [("vec_id", "bigint"),
+                    ("embedding", "array<float>"), ("label", "int")],
+            ["vec_id"])
+        writer.write_key_organized(spark, catalog, "emb", cand)
+        vectorindex.create_vector_index(spark, catalog, "emb",
+                                        "embedding", "v",
+                                        cells=16, sample=2048)
+        _IVF_CATALOG_CACHE[key] = catalog
 
-    stored = spark.read.parquet(path)
-    ann = similarity.ivf_topk(stored, qvec, k=10, n_probe=12,
-                              centroids=cents)
+    ann = vectorindex.vector_index_topk(spark, catalog, "emb", "v",
+                                        qvec, k=10, n_probe=12)
     pruned = bool(re.search(r"PartitionFilters: \[[^\]]*cell_id",
                             executed_plan_string(ann)))
     return (_ann_recall_contract(

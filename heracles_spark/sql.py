@@ -161,6 +161,16 @@ _REFRESH_TEXT_INDEX = re.compile(
 _DROP_TEXT_INDEX = re.compile(
     r"^\s*DROP\s+TEXT\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
     r"(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_CREATE_VECTOR_INDEX = re.compile(
+    r"^\s*CREATE\s+VECTOR\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*\(\s*(?P<col>\w+)\s*\)"
+    r"(?:\s+WITH\s*\(\s*(?P<opts>[\w\s=,]+?)\s*\))?\s*$", re.IGNORECASE)
+_REFRESH_VECTOR_INDEX = re.compile(
+    r"^\s*REFRESH\s+VECTOR\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_DROP_VECTOR_INDEX = re.compile(
+    r"^\s*DROP\s+VECTOR\s+INDEX\s+(?P<iname>\w+)\s+ON\s+"
+    r"(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CREATE_INDEX = re.compile(
     r"^\s*CREATE\s+INDEX\s+(?P<iname>\w+)\s+ON\s+(?P<name>[\w.]+)\s*"
     r"\(\s*(?P<col>[\w\s,]+?)\s*\)"
@@ -576,12 +586,16 @@ def dispatch(session, statement: str) -> DataFrame | None:
         tbl = catalog.get_table(_resolve(session, m.group("name")))
         idx = _json.loads(tbl.properties.get("indexes", "{}"))
         tidx = _json.loads(tbl.properties.get("text_indexes", "{}"))
+        vidx = _json.loads(tbl.properties.get("vector_indexes", "{}"))
         rows = ([(n, e["col"], e["table"],
                   e["built_version"] == tbl.version)
                  for n, e in sorted(idx.items())]
                 + [(f"{n} (text)", e["col"], e["table"],
                     e["built_version"] == tbl.version)
-                   for n, e in sorted(tidx.items())])
+                   for n, e in sorted(tidx.items())]
+                + [(f"{n} (vector)", e["col"], e["path"],
+                    e["built_version"] == tbl.version)
+                   for n, e in sorted(vidx.items())])
         return spark.createDataFrame(
             rows, "index_name: string, column: string, "
                   "index_table: string, fresh: boolean")
@@ -641,6 +655,39 @@ def dispatch(session, statement: str) -> DataFrame | None:
         from heracles_spark import textindex
         name = _resolve(session, m.group("name"))
         textindex.drop_text_index(spark, catalog, name, m.group("iname"))
+        return None
+
+    m = _CREATE_VECTOR_INDEX.match(statement)
+    if m:
+        from heracles_spark import vectorindex
+        name = _resolve(session, m.group("name"))
+        opts = {}
+        for kv in (m.group("opts") or "").split(","):
+            if "=" in kv:
+                k, v = kv.split("=", 1)
+                opts[k.strip().lower()] = int(v.strip())
+        unknown = set(opts) - {"cells", "sample", "seed"}
+        if unknown:
+            raise ValueError(f"unknown vector index options: "
+                             f"{sorted(unknown)}")
+        vectorindex.create_vector_index(spark, catalog, name,
+                                        m.group("col"), m.group("iname"),
+                                        **opts)
+        return None
+
+    m = _REFRESH_VECTOR_INDEX.match(statement)
+    if m:
+        from heracles_spark import vectorindex
+        name = _resolve(session, m.group("name"))
+        vectorindex.refresh_vector_index(spark, catalog, name,
+                                         m.group("iname"))
+        return None
+
+    m = _DROP_VECTOR_INDEX.match(statement)
+    if m:
+        from heracles_spark import vectorindex
+        name = _resolve(session, m.group("name"))
+        vectorindex.drop_vector_index(catalog, name, m.group("iname"))
         return None
 
     m = _CREATE_INDEX.match(statement)

@@ -1,0 +1,189 @@
+"""Vector index DDL (heracles_spark/vectorindex.py): CREATE/REFRESH/
+DROP round-trip, incremental refresh on pure appends
+(add-without-retrain), rebuild on key collision, partition-pruned
+probes matching brute force, SHOW INDEXES integration."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from heracles_spark import vectorindex as vx
+from heracles_spark import writer
+
+DIM = 8
+
+
+def _vecs(n, seed, start=0):
+    rng = random.Random(seed)
+    return [(start + i, [rng.uniform(-1, 1) for _ in range(DIM)], i % 3)
+            for i in range(n)]
+
+
+def _mk(spark, catalog, rows):
+    catalog.create_table(
+        "emb", [("vec_id", "bigint"), ("embedding", "array<float>"),
+                ("label", "int")], ["vec_id"])
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int")
+    writer.write_key_organized(spark, catalog, "emb", df, n_buckets=4)
+
+
+def _brute_topk(rows, qvec, k):
+    qn = math.sqrt(sum(v * v for v in qvec))
+
+    def cos(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return sum(float(a) * b for a, b in zip(v, qvec)) / (n * qn)
+
+    return sorted(((round(cos(v), 4), i) for i, v, _ in rows),
+                  key=lambda t: (-t[0], t[1]))[:k]
+
+
+def test_create_probe_and_drop(hsession):
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(300, seed=1)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=256)")
+
+    # full-probe ANN == exact brute force (no pruning error at
+    # n_probe == cells)
+    qvec = [float(x) for x in rows[0][1]]
+    got = vx.vector_index_topk(spark, catalog, "emb", "v", qvec,
+                               k=5, n_probe=8).collect()
+    want = _brute_topk(rows, qvec, 5)
+    assert [(round(r["cosine"], 4), r["vec_id"]) for r in got] == want
+
+    # the store is cell-partitioned: every row carries a cell id and
+    # all cells together hold every vector exactly once
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert st.select("vec_id").distinct().count() == 300
+    assert st.where(F.col("cell_id").isNull()).count() == 0
+
+    shown = {r["index_name"]: r
+             for r in hsession.sql("SHOW INDEXES ON emb").collect()}
+    assert "v (vector)" in shown
+    assert shown["v (vector)"]["fresh"]
+
+    hsession.sql("DROP VECTOR INDEX v ON emb")
+    assert not any("vector" in r["index_name"] for r in
+                   hsession.sql("SHOW INDEXES ON emb").collect())
+    with pytest.raises(ValueError):
+        vx.read_store(spark, catalog, "emb", "v")
+
+
+def test_probe_prunes_partitions(hsession):
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(300, seed=2)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=256)")
+    qvec = [float(x) for x in rows[7][1]]
+    ann = vx.vector_index_topk(spark, catalog, "emb", "v", qvec,
+                               k=5, n_probe=2)
+    from heracles_spark.plans import executed_plan_string
+    import re
+    plan = executed_plan_string(ann)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id", plan)
+
+
+def test_refresh_incremental_on_append(hsession):
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(300, seed=3)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=256)")
+    cents_before = vx.load_centroids(catalog, "emb", "v")
+
+    extra = _vecs(60, seed=4, start=1000)
+    writer.write_key_organized(
+        spark, catalog, "emb",
+        spark.createDataFrame(
+            extra, "vec_id long, embedding array<float>, label int"))
+    shown = {r["index_name"]: r["fresh"]
+             for r in hsession.sql("SHOW INDEXES ON emb").collect()}
+    assert shown["v (vector)"] is False        # stale after append
+
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "incremental"
+    # add-without-retrain: centroids unchanged
+    assert vx.load_centroids(catalog, "emb", "v") == cents_before
+
+    # postings-identical to a from-scratch build: same (vec_id ->
+    # cell_id) assignment for every row, nothing missing or duplicated
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert st.count() == 360
+    assert st.select("vec_id").distinct().count() == 360
+    from heracles_spark.operators import similarity
+    fresh = similarity.ivf_build(catalog.read_table(spark, "emb"),
+                                 id_col="vec_id", centroids=cents_before)
+    got = {(r["vec_id"], r["cell_id"]) for r in
+           st.select("vec_id", "cell_id").collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in
+            fresh.select("vec_id", "cell_id").collect()}
+    assert got == want
+
+    shown = {r["index_name"]: r["fresh"]
+             for r in hsession.sql("SHOW INDEXES ON emb").collect()}
+    assert shown["v (vector)"] is True
+
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")   # noop when current
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "noop"
+
+
+def test_refresh_rebuilds_on_key_collision(hsession):
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(200, seed=5)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=4, sample=128)")
+    # re-write an EXISTING key: incremental append would leave two
+    # store rows for vec_id 0 — the collision guard must rebuild
+    dup = [(0, [0.5] * DIM, 2)]
+    writer.write_key_organized(
+        spark, catalog, "emb",
+        spark.createDataFrame(
+            dup, "vec_id long, embedding array<float>, label int"))
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "rebuild"
+    # a from-scratch rebuild indexes the base AS-IS (plain INSERT keeps
+    # both rows for a re-used key — upsert is opt-in); what the guard
+    # prevents is the incremental path assigning the colliding key
+    # against a store that already holds it with a DIFFERENT vector
+    st = vx.read_store(spark, catalog, "emb", "v")
+    base_rows = catalog.read_table(spark, "emb").count()
+    assert st.count() == base_rows
+    # and both vec_id-0 rows live in ONE cell (ivf_build assigns per
+    # key), exactly matching a fresh build over the current base
+    cells0 = (st.where(F.col("vec_id") == 0)
+                .select("cell_id").distinct().count())
+    assert cells0 == 1
+
+
+def test_create_validates(hsession):
+    spark, catalog = hsession.spark, hsession.catalog
+    _mk(spark, catalog, _vecs(50, seed=6))
+    with pytest.raises(ValueError, match="array column"):
+        vx.create_vector_index(spark, catalog, "emb", "label", "v")
+    with pytest.raises(ValueError, match="no such column"):
+        vx.create_vector_index(spark, catalog, "emb", "nope", "v")
+    with pytest.raises(ValueError, match="unknown vector index option"):
+        hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                     "WITH (bogus=3)")
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=4, sample=32)")
+    with pytest.raises(ValueError, match="already exists"):
+        vx.create_vector_index(spark, catalog, "emb", "embedding", "v")
+
+
+def test_array_key_rejected(catalog):
+    from heracles_spark.catalog import CatalogError
+
+    with pytest.raises(CatalogError, match="array column cannot be a key"):
+        catalog.create_table(
+            "bad", [("v", "array<float>"), ("x", "int")], ["v"])
