@@ -86,17 +86,22 @@ def main() -> None:
         except Exception:
             pass
 
-    # Min of 2 timed runs per query: wall-clock on a shared VM varies
-    # ±30-50%; min-of-N is the standard way to report the engine's
-    # actual latency rather than scheduler noise.
+    # Min of 3 timed runs per query (round-7 verdict ask #7):
+    # wall-clock on a shared VM varies ±30-50%; min-of-N is the
+    # standard way to report the engine's actual latency rather than
+    # scheduler noise. All runs are recorded in "runs" so
+    # round-over-round comparisons can see the spread without
+    # forensic idle re-runs.
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in HEADLINE:
-        best = float("inf")
-        for _ in range(2):
+        runs = []
+        for _ in range(3):
             t0 = time.time()
             fresh[name](spark, sf_dir).collect()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        all_runs[name] = runs
+        timings[name] = min(runs)
 
     # Fixed orchestration FLOOR: Spark pays ~0.1-0.5s per collect on
     # this VM for plan construction + job scheduling + Arrow transfer
@@ -121,6 +126,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": all_runs,
         "bulk_load_sec": round(load_sec, 3),
         "floor_per_query_sec": round(floor, 3),
         "headline_minus_floor": round(
