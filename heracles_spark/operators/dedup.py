@@ -690,19 +690,30 @@ def bloom_prefilter(incoming: DataFrame, bits: DataFrame,
     """Flag incoming rows whose key hits ALL k Bloom positions in
     ``bits`` (built by :func:`bloom_bits` over the historical corpus).
     No false negatives by construction; false positives are the
-    deterministic md5-collision set. Plan: explode k positions per
-    incoming row, broadcast-join the <= m-row bit set, keep rows with
-    k hits — map-side only, no shuffle of the incoming data beyond the
-    position explode."""
+    deterministic md5-collision set. Plan: probe DISTINCT key values
+    only (k exploded positions each, broadcast-join the <= m-row bit
+    set, keep keys with k hits), then null-safe left-semi-join the hit
+    keys back to ``incoming`` — row multiplicity is preserved (a
+    duplicated incoming row stays duplicated) and payload columns are
+    never grouped on, so non-groupable types (map, ...) pass through
+    untouched (round-8 advisor fix; the old form grouped by
+    *incoming.columns, collapsing duplicates and failing on map
+    columns)."""
     pos = [(F.conv(F.substring(
                 F.md5(F.concat_ws(":", F.col(key_col), F.lit(str(i)))),
                 1, 8), 16, 10).cast("long") % m).alias("b")
            for i in range(k)]
-    probe = incoming.withColumn("__pos", F.explode(F.array(*pos)))
-    hits = (probe.join(F.broadcast(bits),
-                       probe["__pos"] == bits["b"])
-                 .groupBy(*incoming.columns)
-                 .agg(F.count(F.lit(1)).alias("__hits"))
-                 .where(F.col("__hits") == k)
-                 .drop("__hits"))
-    return hits
+    keys = incoming.select(key_col).distinct()
+    probe = keys.withColumn("__pos", F.explode(F.array(*pos)))
+    hit_keys = (probe.join(F.broadcast(bits),
+                           probe["__pos"] == bits["b"])
+                     .groupBy(key_col)
+                     .agg(F.count(F.lit(1)).alias("__hits"))
+                     .where(F.col("__hits") == k)
+                     .select(F.col(key_col).alias("__hitk")))
+    # no broadcast hint: hit_keys is bounded by |distinct incoming
+    # keys|, not by m — AQE picks broadcast when it actually fits
+    return (incoming.join(
+                hit_keys,
+                F.col(key_col).eqNullSafe(F.col("__hitk")),
+                "left_semi"))

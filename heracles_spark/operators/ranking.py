@@ -52,16 +52,21 @@ def with_global_ranks(df: DataFrame, order_cols: list[str],
     per-bucket offsets. Skew note: equal-width value buckets assume a
     roughly uniform order key; a pathological key distribution
     concentrates buckets (still correct, just unbalanced) — pick a
-    different leading key or pre-transform in that case."""
+    different leading key or pre-transform in that case.
+
+    NULL order keys get a dedicated FIRST bucket (Spark's ASC = NULLS
+    FIRST window order), so they rank like the single-partition window
+    would instead of silently dropping out of the bucket join
+    (round-8 advisor fix)."""
     k = order_cols[0]
     bounds = df.agg(F.min(k).alias("__mn"), F.max(k).alias("__mx"))
     width = ((F.col("__mx") - F.col("__mn")).cast("double")
              / F.lit(float(n_buckets)))
-    bucket = F.least(
+    bucket = F.when(F.col(k).isNull(), F.lit(-1)).otherwise(F.least(
         F.lit(n_buckets - 1),
         F.greatest(F.lit(0), F.floor(
             (F.col(k) - F.col("__mn")).cast("double")
-            / F.greatest(width, F.lit(1e-12))))).cast("int")
+            / F.greatest(width, F.lit(1e-12)))))).cast("int")
     b = (df.join(F.broadcast(bounds))
            .withColumn("__b", bucket)
            .drop("__mn", "__mx"))
@@ -149,7 +154,12 @@ def with_global_ordered_cumsum(df: DataFrame, order_cols: list[str],
     cumulated and broadcast back as offsets. ``value`` should be a
     decimal expression for order-free exactness. The Pareto/ABC,
     cumulative-share, and percentile-of-total family all reduce to
-    this."""
+    this.
+
+    NULL order keys get a dedicated bucket at the position Spark's
+    window order would put them (ASC = NULLS FIRST → before bucket 0;
+    DESC = NULLS LAST → after the last bucket) instead of silently
+    dropping out of the bucket join (round-8 advisor fix)."""
     k = order_cols[0]
     bounds = df.agg(F.min(k).alias("__mn"), F.max(k).alias("__mx"))
     width = ((F.col("__mx") - F.col("__mn")).cast("double")
@@ -160,6 +170,9 @@ def with_global_ordered_cumsum(df: DataFrame, order_cols: list[str],
                      F.greatest(F.lit(0), raw_b)).cast("int")
     if descending:
         bucket = (F.lit(n_buckets - 1) - bucket).cast("int")
+    bucket = F.when(F.col(k).isNull(),
+                    F.lit(n_buckets if descending else -1)) \
+              .otherwise(bucket).cast("int")
     b = (df.join(F.broadcast(bounds))
            .withColumn("__b", bucket)
            .drop("__mn", "__mx")

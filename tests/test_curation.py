@@ -211,6 +211,27 @@ def test_bloom_prefilter_no_false_negatives_and_fp_under_tiny_m(spark):
     assert len(flagged16) > 10  # collisions flag fresh keys too
 
 
+def test_bloom_prefilter_preserves_multiplicity_and_payload_types(spark):
+    """Round-8 advisor fix: the prefilter must not collapse duplicate
+    incoming rows (output multiplicity == input multiplicity) and must
+    pass non-groupable payload columns (map) through untouched."""
+    from pyspark.sql import functions as F
+
+    from heracles_spark.operators.dedup import bloom_bits, bloom_prefilter
+
+    hist = spark.createDataFrame([("dup",)], "key string")
+    inc = spark.createDataFrame(
+        [(1, "dup"), (2, "dup"), (2, "dup"), (3, "fresh")],
+        "doc_id long, key string").withColumn(
+        "meta", F.create_map(F.lit("src"), F.col("key")))
+    bits = bloom_bits(hist, "key")
+    out = bloom_prefilter(inc, bits, "key").collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 2]   # dup kept 2×
+    assert all(r["meta"] == {"src": "dup"} for r in out)
+    assert [f.name for f in inc.schema.fields] == \
+           [f.name for f in bloom_prefilter(inc, bits, "key").schema.fields]
+
+
 def test_unimax_matches_greedy_reference_on_random_inputs(spark):
     # closed-form water line vs a literal greedy water-filling loop,
     # over several deterministic pseudo-random size profiles

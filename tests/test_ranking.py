@@ -141,3 +141,39 @@ def test_global_ordered_cumsum_matches_plain_window(spark):
             "cum", F.sum(F.col("v").cast("decimal(38,6)")).over(w))
         assert sorted((r.id, str(r.cum)) for r in got.collect()) == \
                sorted((r.id, str(r.cum)) for r in want.collect()), desc
+
+
+def test_global_cumsum_and_ranks_keep_null_keys(spark):
+    """Round-8 advisor fix: NULL order keys must not silently vanish
+    from the bucket join — they take a dedicated bucket at Spark's
+    window NULL position (ASC = NULLS FIRST, DESC = NULLS LAST) and
+    the result still equals the single-partition window row-for-row."""
+    from heracles_spark.operators.ranking import (with_global_ordered_cumsum,
+                                                  with_global_ranks)
+
+    rows = [(0, None, 5.0), (1, 10.0, 1.0), (2, None, 2.0),
+            (3, 30.0, 3.0), (4, 20.0, 4.0)]
+    df = spark.createDataFrame(rows, "id long, k double, v double") \
+              .repartition(3)
+
+    for desc in (False, True):
+        got = with_global_ordered_cumsum(
+            df, ["k", "id"], F.col("v").cast("decimal(38,6)"),
+            out_col="cum", n_buckets=4, descending=desc)
+        assert got.count() == 5                      # nothing dropped
+        order = [F.col("k").desc(), F.col("id").desc()] if desc else \
+                [F.col("k").asc(), F.col("id").asc()]
+        w = (Window.orderBy(*order)
+                   .rowsBetween(Window.unboundedPreceding,
+                                Window.currentRow))
+        want = df.withColumn(
+            "cum", F.sum(F.col("v").cast("decimal(38,6)")).over(w))
+        assert sorted((r.id, str(r.cum)) for r in got.collect()) == \
+               sorted((r.id, str(r.cum)) for r in want.collect()), desc
+
+    got = with_global_ranks(df, ["k", "id"], n_buckets=4)
+    w = Window.orderBy("k", "id")
+    want = df.select("id", F.row_number().over(w).alias("__rn"))
+    assert sorted((r["id"], r["__rn"]) for r in got.select("id", "__rn")
+                  .collect()) == \
+           sorted((r["id"], r["__rn"]) for r in want.collect())
