@@ -31,14 +31,30 @@ from pyspark.sql import functions as F
 
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 10,
-                         algorithm: str = "star") -> DataFrame:
+                         algorithm: str = "star",
+                         strict: bool = True) -> DataFrame:
     """Returns (id, component) where component = min node id reachable.
 
     ``edges`` is undirected input (src, dst); self-loops and duplicates
     are tolerated.
+
+    Convergence contract (changed in round 7, documented + escape
+    hatch in round 8): with ``algorithm='label'`` and ``strict=True``
+    (the default), non-convergence within ``max_iter`` rounds RAISES
+    RuntimeError — unconverged labels are silently wrong (split
+    components), not approximate, so returning them by default was a
+    correctness bug. Callers that pinned a small ``max_iter`` and
+    relied on the old return-anyway behavior can pass
+    ``strict=False``, which returns the labels with an extra boolean
+    ``converged`` column (constant per run) instead of raising.
+    ``algorithm='star'`` converges in O(log n) rounds and is
+    unaffected in practice.
     """
     if algorithm == "star":
-        return _star_components(edges, src, dst, max_iter=max(max_iter, 20))
+        out = _star_components(edges, src, dst, max_iter=max(max_iter, 20))
+        if not strict:
+            out = out.withColumn("converged", F.lit(True))
+        return out
     # Materialize the symmetric edge set ONCE (eager localCheckpoint):
     # every propagation round joins against it, and without the cut
     # each round would re-derive the whole upstream pipeline (e.g. an
@@ -75,13 +91,16 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         if changed == 0:
             converged = True
             break
-    if not converged:
+    if not converged and strict:
         # Unconverged labels are silently WRONG (not approximate): a
         # chain longer than max_iter hops leaves split components.
         raise RuntimeError(
             f"label propagation did not converge in {max_iter} rounds "
             f"(component diameter exceeds the cap) — raise max_iter or "
-            f"use algorithm='star', which converges in O(log n) rounds")
+            f"use algorithm='star', which converges in O(log n) rounds, "
+            f"or pass strict=False to get labels + a converged flag")
+    if not strict:
+        return labels.withColumn("converged", F.lit(converged))
     return labels
 
 

@@ -750,30 +750,49 @@ def write_audit_publish(spark: SparkSession, catalog: HeraclesCatalog,
     The audit predicate sees the table as ``t`` — e.g.
     ``("no_null_keys", "(SELECT count(*) FROM t WHERE k IS NULL) = 0")``
     or row-delta checks via ``t_before`` (the pre-write snapshot view).
+    Both names are per-call ALIASES of uniquely-named session views
+    (``__wap_<table>_t`` / ``..._t_before``), registered for the audit
+    run and dropped afterward — two audited writes to different
+    tables in one session don't collide, and a user view named ``t``
+    is never clobbered (round-8 advisor fix).
 
     Returns {published, version, failed: [names], rows_before/after}.
+    ``version`` is the version readers actually see when the call
+    returns: the committed write on publish, the NEW version the
+    restore committed on a failed audit (history moves only forward —
+    its CONTENT equals the pre-write version, its number does not).
     """
     tbl = catalog.get_table(table)
     v0 = tbl.version
+    safe = table.replace(".", "_")
+    v_t, v_before = f"__wap_{safe}_t", f"__wap_{safe}_t_before"
     before = catalog.read_table(spark, table)
     rows_before = before.count()
-    before.createOrReplaceTempView("t_before")
+    before.createOrReplaceTempView(v_before)
 
     write_key_organized(spark, catalog, table, df, mode=mode)
     after = catalog.read_table(spark, table)
-    after.createOrReplaceTempView("t")
+    after.createOrReplaceTempView(v_t)
     rows_after = after.count()
 
     failed = []
-    for name, predicate in audits:
-        row = spark.sql(f"SELECT ({predicate}) AS ok").first()
-        if not bool(row["ok"]):
-            failed.append(name)
+    try:
+        for name, predicate in audits:
+            sql = (f"WITH t AS (SELECT * FROM {v_t}), "
+                   f"t_before AS (SELECT * FROM {v_before}) "
+                   f"SELECT ({predicate}) AS ok")
+            row = spark.sql(sql).first()
+            if not bool(row["ok"]):
+                failed.append(name)
+    finally:
+        spark.catalog.dropTempView(v_t)
+        spark.catalog.dropTempView(v_before)
     if failed:
-        restore_table(catalog, table, v0)
+        restored = restore_table(catalog, table, v0)
         catalog.read_table(spark, table).createOrReplaceTempView(
             catalog.view_name(table))
-        return {"published": False, "version": v0, "failed": failed,
+        return {"published": False, "version": restored.version,
+                "failed": failed, "restored_to": v0,
                 "rows_before": rows_before, "rows_after": rows_before}
     catalog.read_table(spark, table).createOrReplaceTempView(
         catalog.view_name(table))

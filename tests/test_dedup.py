@@ -146,6 +146,31 @@ def test_star_components_matches_label_propagation(spark):
     assert star == label
 
 
+def test_label_propagation_strict_and_escape_hatch(spark):
+    """Round-8 advisor ask: the non-convergence raise stays (default
+    strict=True — unconverged labels are wrong, not approximate), but
+    strict=False returns labels + a converged flag for callers that
+    pinned a small max_iter."""
+    import pytest
+
+    from heracles_spark.operators.graph import connected_components
+
+    # a 30-hop chain cannot converge in 2 label rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, algorithm="label", max_iter=2)
+    loose = connected_components(chain, algorithm="label", max_iter=2,
+                                 strict=False)
+    assert "converged" in loose.columns
+    assert loose.where("NOT converged").count() == loose.count()
+    # converged runs carry the flag too (stable schema), set True
+    ok = connected_components(chain, algorithm="label", max_iter=40,
+                              strict=False)
+    assert ok.where("converged").count() == 31
+    assert {r["component"] for r in ok.collect()} == {0}
+
+
 def test_exact_dedup_null_distinct(spark):
     """NULL placement must distinguish contents: concat_ws skips NULLs,
     so without null-distinct encoding ('a', NULL, 'b'), (NULL, 'a', 'b')

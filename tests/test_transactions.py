@@ -196,3 +196,33 @@ def test_write_audit_publish(spark, catalog):
     assert st["published"] is False
     assert st["failed"] == ["row_growth_bounded"]
     assert catalog.read_table(spark, "wap").count() == 3
+    # the reported version is the one readers ACTUALLY see: the new
+    # version the restore committed (content == pre-write), and the
+    # restore target is reported separately (round-8 advisor fix)
+    assert st["version"] == catalog.get_table("wap").version
+    assert st["version"] > st["restored_to"]
+
+
+def test_write_audit_publish_view_hygiene(spark, catalog):
+    """Round-8 advisor fix: WAP must not clobber a user temp view
+    named 't'/'t_before', must clean its own views up, and two audited
+    writes to different tables in one session must not collide."""
+    from heracles_spark import writer
+
+    spark.range(7).createOrReplaceTempView("t")        # user's view
+    catalog.create_table("wapa", [("k", "int")], ["k"])
+    catalog.create_table("wapb", [("k", "int")], ["k"])
+    ok = [("nonempty", "(SELECT count(*) FROM t) >= 1")]
+    sta = writer.write_audit_publish(
+        spark, catalog, "wapa",
+        spark.createDataFrame([(1,)], "k int"), ok)
+    stb = writer.write_audit_publish(
+        spark, catalog, "wapb",
+        spark.createDataFrame([(2,), (3,)], "k int"), ok)
+    assert sta["published"] and stb["published"]
+    assert sta["rows_after"] == 1 and stb["rows_after"] == 2
+    # the user's view survived untouched, the WAP views are gone
+    assert spark.table("t").count() == 7
+    assert not [v.name for v in spark.catalog.listTables()
+                if v.name.startswith("__wap_")]
+    spark.catalog.dropTempView("t")
