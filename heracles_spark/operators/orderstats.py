@@ -88,6 +88,41 @@ def grouped_quantile_disc(df: DataFrame, group_cols: Sequence[str],
     return c.groupBy(*group_cols).agg(*aggs)
 
 
+def grouped_quantile_cont(df: DataFrame, group_cols: Sequence[str],
+                          value_col: str, ps: Mapping[str, float],
+                          n_col: str | None = "n") -> DataFrame:
+    """Exact INTERPOLATED quantiles (PERCENTILE_CONT / Spark
+    ``percentile`` / DuckDB ``quantile_cont`` semantics: row rank
+    r = 1 + p·(n−1) over the ordered multiset, linear interpolation
+    between the values at ⌊r⌋ and ⌈r⌉) — through the CDF walk, so no
+    per-group value buffering: Spark's ``percentile`` aggregate is an
+    ObjectHashAggregate that holds each group's full value set in
+    executor memory, the OOM shape documented on the _disc path. The
+    two bracketing order statistics come from cumulative counts over
+    DISTINCT values; only the final interpolation is float arithmetic
+    (identical expression order as the SQL oracle form:
+    lo + (r−⌊r⌋)·(hi−lo))."""
+    group_cols = list(group_cols)
+    c = grouped_cdf(df, group_cols, value_col)
+    aggs = [F.max("tot").alias("__n")]
+    for name, p in ps.items():
+        r = F.lit(1.0) + F.lit(p) * (F.col("tot").cast("double") - 1.0)
+        aggs.append(F.min(F.when(F.col("cum") >= F.floor(r),
+                                 F.col(value_col))).alias(f"__lo_{name}"))
+        aggs.append(F.min(F.when(F.col("cum") >= F.ceil(r),
+                                 F.col(value_col))).alias(f"__hi_{name}"))
+    g = c.groupBy(*group_cols).agg(*aggs)
+    sel = [F.col(c_) for c_ in group_cols]
+    if n_col is not None:
+        sel.append(F.col("__n").alias(n_col))
+    for name, p in ps.items():
+        r = F.lit(1.0) + F.lit(p) * (F.col("__n").cast("double") - 1.0)
+        lo = F.col(f"__lo_{name}").cast("double")
+        hi = F.col(f"__hi_{name}").cast("double")
+        sel.append((lo + (r - F.floor(r)) * (hi - lo)).alias(name))
+    return g.select(*sel)
+
+
 def grouped_median(df: DataFrame, group_cols: Sequence[str],
                    value_col: str, weight_col: str | None = None,
                    out_col: str = "median",

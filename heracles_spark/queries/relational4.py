@@ -682,6 +682,67 @@ def lineitem_quantile_disc(spark, sf_dir):
             .orderBy("l_returnflag"))
 
 
+def lineitem_percentile_cont(spark, sf_dir):
+    """Exact INTERPOLATED percentiles over the big table
+    (PERCENTILE_CONT semantics — row rank 1 + p·(n−1), linear
+    interpolation between the bracketing order statistics) via the
+    shared CDF walk (operators/orderstats.grouped_quantile_cont).
+    Unlike percentile_exact (orders table, Spark's ``percentile``
+    aggregate), this shape never buffers a group's values in executor
+    memory: the combinable (flag, price) pre-aggregation does the
+    100 TB-of-rows reduction, the keyed cumsum window touches distinct
+    values only, and interpolation is a 3-row select. Oracle computes
+    the IDENTICAL expression (same operation order) from the same
+    cumulative counts."""
+    from heracles_spark.operators.orderstats import grouped_quantile_cont
+
+    li = _t(spark, sf_dir, "lineitem")
+    q = grouped_quantile_cont(
+        li.select("l_returnflag", "l_extendedprice"),
+        ["l_returnflag"], "l_extendedprice",
+        {"p50": 0.5, "p95": 0.95})
+    return (q.select("l_returnflag", "n",
+                     F.round("p50", 4).alias("p50"),
+                     F.round("p95", 4).alias("p95"))
+             .orderBy("l_returnflag"))
+
+
+PCONT_SQL = """
+WITH g AS (
+  SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS w
+  FROM lineitem GROUP BY 1, 2),
+ c AS (
+  SELECT l_returnflag, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+  FROM g),
+ pick AS (
+  SELECT l_returnflag, MAX(tot) AS n,
+         MIN(CASE WHEN cum >= FLOOR(1.0 + 0.5  * (tot - 1)) THEN v END)
+           AS lo50,
+         MIN(CASE WHEN cum >= CEIL (1.0 + 0.5  * (tot - 1)) THEN v END)
+           AS hi50,
+         MIN(CASE WHEN cum >= FLOOR(1.0 + 0.95 * (tot - 1)) THEN v END)
+           AS lo95,
+         MIN(CASE WHEN cum >= CEIL (1.0 + 0.95 * (tot - 1)) THEN v END)
+           AS hi95
+  FROM c GROUP BY 1)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       ROUND(lo50 + (1.0 + 0.5  * (CAST(n AS DOUBLE) - 1.0)
+                     - FLOOR(1.0 + 0.5  * (CAST(n AS DOUBLE) - 1.0)))
+                    * (hi50 - lo50), 4) AS p50,
+       ROUND(lo95 + (1.0 + 0.95 * (CAST(n AS DOUBLE) - 1.0)
+                     - FLOOR(1.0 + 0.95 * (CAST(n AS DOUBLE) - 1.0)))
+                    * (hi95 - lo95), 4) AS p95
+FROM pick ORDER BY l_returnflag
+"""
+
+
+QUERIES["lineitem_percentile_cont"] = (lineitem_percentile_cont,
+                                       PCONT_SQL)
+
+
 QDISC_SQL = """
 WITH ranked AS (
   SELECT l_returnflag, l_extendedprice,

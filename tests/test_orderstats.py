@@ -101,6 +101,30 @@ def test_grouped_mad_matches_brute_force(spark, rows):
         assert got[g] == (med, mad)
 
 
+def test_grouped_quantile_cont_matches_duckdb_native(spark, rows):
+    """grouped_quantile_cont implements PERCENTILE_CONT semantics —
+    validated against DuckDB's native quantile_cont (not just our own
+    formula re-spelled in SQL)."""
+    import duckdb
+
+    from heracles_spark.operators.orderstats import grouped_quantile_cont
+
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {r["g"]: r for r in grouped_quantile_cont(
+        df, ["g"], "v", {"p25": 0.25, "p50": 0.5, "p90": 0.9}).collect()}
+    con = duckdb.connect()
+    con.register("t", __import__("pandas").DataFrame(
+        rows, columns=["g", "v", "w"]))
+    want = con.execute(
+        "SELECT g, quantile_cont(v, 0.25) p25, quantile_cont(v, 0.5) p50,"
+        " quantile_cont(v, 0.9) p90 FROM t GROUP BY g").fetchall()
+    for g, p25, p50, p90 in want:
+        assert got[g]["p25"] == pytest.approx(p25, abs=1e-9)
+        assert got[g]["p50"] == pytest.approx(p50, abs=1e-9)
+        assert got[g]["p90"] == pytest.approx(p90, abs=1e-9)
+        assert got[g]["n"] == sum(1 for gg, _, _ in rows if gg == g)
+
+
 def test_single_row_groups(spark):
     from heracles_spark.operators.orderstats import (grouped_mad,
                                                      grouped_median)
