@@ -136,7 +136,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
     subs = {"/tmp/heracles_teacher.csv": str(tmp_path / "teacher.csv"),
             "/tmp/heracles_sales.csv": str(tmp_path / "sales.csv")}
     for i, name in enumerate(["demo1_numbers.sql", "demo2_teacher.sql",
-                              "demo3_sales1m.sql"]):
+                              "demo3_sales1m.sql",
+                              "demo4_vector_index.sql"]):
         monkeypatch.setenv("HERACLES_METASTORE",
                            str(tmp_path / f"ms{i}"))
         script = open(os.path.join(ex, name)).read()
@@ -156,6 +157,13 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert lines and len(lines) % 2 == 0
             half = len(lines) // 2
             assert lines[:half] == lines[half:]
+        if name == "demo4_vector_index.sql":
+            assert "\n200\n" in out                    # count(*)
+            # SHOW INDEXES three times: fresh → stale after the
+            # append → fresh again after REFRESH
+            fresh = [l.split("\t")[-1] for l in out.splitlines()
+                     if l.startswith("v (vector)\t")]
+            assert fresh == ["True", "False", "True"]
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
