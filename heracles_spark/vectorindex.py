@@ -216,6 +216,28 @@ def read_store(spark: SparkSession, catalog, table: str,
     return spark.read.parquet(os.path.join(reg[iname]["path"], "store"))
 
 
+def vector_index_topk_batch(spark: SparkSession, catalog, table: str,
+                            iname: str, queries: DataFrame, k: int = 10,
+                            n_probe: int = 4, qid_col: str = "qid",
+                            qvec_col: str = "qvec") -> DataFrame:
+    """Batch ANN through the catalog store — the 100 TB serving shape:
+    each query ranks cells against the broadcast centroid table,
+    candidates come in through a cell_id equi-join against the
+    cell-partitioned store (Catalyst pushes the probed-cell set into
+    partition pruning via dynamic/static filters on the join), exact
+    rerank per query via window top-k. Returns (qid, vec_id, cosine,
+    rank)."""
+    from heracles_spark.operators import similarity
+
+    tbl = catalog.get_table(table)
+    entry = _registry(tbl)[iname]
+    return similarity.ivf_topk_batch(
+        read_store(spark, catalog, table, iname), queries,
+        centroids=load_centroids(catalog, table, iname), k=k,
+        n_probe=n_probe, id_col=tbl.key_cols[0], vec_col=entry["col"],
+        qid_col=qid_col, qvec_col=qvec_col)
+
+
 def vector_index_topk(spark: SparkSession, catalog, table: str,
                       iname: str, query_vec: list[float], k: int = 10,
                       n_probe: int = 4) -> DataFrame:

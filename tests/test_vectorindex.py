@@ -92,6 +92,29 @@ def test_probe_prunes_partitions(hsession):
     assert re.search(r"PartitionFilters: \[[^\]]*cell_id", plan)
 
 
+def test_batch_topk_through_store(hsession):
+    """Batch retrieval through the catalog store: full probe equals
+    the exact brute-force top-k for every query."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(250, seed=9)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200)")
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rows[i][1]]) for i in (3, 50, 99)],
+        "qid long, qvec array<double>")
+    got = vx.vector_index_topk_batch(spark, catalog, "emb", "v",
+                                     queries, k=4, n_probe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["qid"], []).append(
+            (round(r["cosine"], 4), r["vec_id"]))
+    for qid in (3, 50, 99):
+        qvec = [float(x) for x in rows[qid][1]]
+        assert sorted(by_q[qid], key=lambda t: (-t[0], t[1])) == \
+            _brute_topk(rows, qvec, 4)
+
+
 def test_refresh_incremental_on_append(hsession):
     spark, catalog = hsession.spark, hsession.catalog
     rows = _vecs(300, seed=3)
