@@ -232,14 +232,26 @@ FROM m ORDER BY l_returnflag
 
 
 def percentile_exact(spark, sf_dir):
-    """Exact interpolated percentiles (Spark percentile ≙ DuckDB
-    quantile_cont — both linear interpolation over the sorted set)."""
+    """Exact interpolated percentiles (PERCENTILE_CONT ≙ DuckDB
+    quantile_cont — linear interpolation over the sorted set), through
+    the shared CDF walk (operators/orderstats.grouped_quantile_cont).
+    Round-8 rewrite away from Spark's ``percentile`` aggregate: that
+    plans an ObjectHashAggregate which buffers every group's full
+    value set in executor memory — with 3 order-status groups at
+    100 TB that is rows/3 values on one executor's heap. The CDF walk
+    pre-aggregates to distinct (status, price) counts (combinable)
+    and interpolates between the two bracketing order statistics —
+    same values, bounded memory."""
+    from heracles_spark.operators.orderstats import grouped_quantile_cont
+
     o = _t(spark, sf_dir, "orders")
-    return (o.groupBy("o_orderstatus")
-             .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4)
-                   .alias("median_price"),
-                  F.round(F.expr("percentile(o_totalprice, 0.9)"), 4)
-                   .alias("p90_price"))
+    q = grouped_quantile_cont(
+        o.select("o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"], "o_totalprice",
+        {"median_price": 0.5, "p90_price": 0.9}, n_col=None)
+    return (q.select("o_orderstatus",
+                     F.round("median_price", 4).alias("median_price"),
+                     F.round("p90_price", 4).alias("p90_price"))
              .orderBy("o_orderstatus"))
 
 
