@@ -273,21 +273,29 @@ def percentile_approx_scale(spark, sf_dir):
     asserts the ±ε CONTRACT instead of values — per-group booleans
     "approx within 1% of exact" that a plain-SQL oracle pins to TRUE.
     The tolerance is generous vs the configured rank error (1e-4·n),
-    so it holds under any partitioning (driver's vanilla session too)."""
-    o = _t(spark, sf_dir, "orders")
-    agg = (o.groupBy("o_orderstatus")
-            .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), "
-                        "10000)").alias("ap"),
-                 F.expr("percentile(o_totalprice, array(0.5, 0.9))")
-                  .alias("ex")))
+    so it holds under any partitioning (driver's vanilla session too).
+    The exact side comes from the CDF walk (grouped_quantile_cont) —
+    the sketch is audited against an exact path that is ITSELF scale-
+    safe, not against a group-buffering percentile aggregate."""
+    from heracles_spark.operators.orderstats import grouped_quantile_cont
 
-    def ok(i: int):
-        return (F.abs(F.col("ap").getItem(i) - F.col("ex").getItem(i))
-                <= 0.01 * F.abs(F.col("ex").getItem(i)))
+    o = _t(spark, sf_dir, "orders")
+    ap = (o.groupBy("o_orderstatus")
+           .agg(F.expr("approx_percentile(o_totalprice, array(0.5, 0.9), "
+                       "10000)").alias("ap")))
+    ex = grouped_quantile_cont(
+        o.select("o_orderstatus", "o_totalprice"),
+        ["o_orderstatus"], "o_totalprice",
+        {"ex50": 0.5, "ex90": 0.9}, n_col=None)
+    agg = ap.join(ex, "o_orderstatus")
+
+    def ok(i: int, ex_col: str):
+        return (F.abs(F.col("ap").getItem(i) - F.col(ex_col))
+                <= 0.01 * F.abs(F.col(ex_col)))
 
     return (agg.select("o_orderstatus",
-                       ok(0).alias("p50_within_1pct"),
-                       ok(1).alias("p90_within_1pct"))
+                       ok(0, "ex50").alias("p50_within_1pct"),
+                       ok(1, "ex90").alias("p90_within_1pct"))
                .orderBy("o_orderstatus"))
 
 
