@@ -3315,26 +3315,20 @@ def doc_quality_quantiles(spark, sf_dir):
     semantics — order statistics of the rational quality scorer, so
     every value is a score both engines computed identically): the
     distribution snapshot a curation run reads before picking a
-    quality threshold per language. Rank-based form, not Spark's
-    percentile_disc aggregate (which buffers each group in executor
-    memory — see lineitem_quantile_disc): keyed row_number window
-    (sort-based, spills) + the ⌈p·n⌉ elements."""
-    from pyspark.sql import Window
+    quality threshold per language. Shared CDF walk
+    (operators/orderstats.grouped_quantile_disc — round-8 rewrite of
+    the keyed row_number form): combinable (lang, score) counts, keyed
+    cumsum over DISTINCT scores, quantile = first value whose
+    cumulative count reaches ⌈p·n⌉ — neither Spark's group-buffering
+    percentile_disc aggregate nor a per-group raw-row sort."""
+    from heracles_spark.operators.orderstats import grouped_quantile_disc
 
     d = text.with_quality_score(_docs(spark, sf_dir))
-    w = (Window.partitionBy("lang")
-               .orderBy("quality_score", "doc_id"))
-    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    ranked = (d.select("lang", "doc_id", "quality_score")
-               .withColumn("rn", F.row_number().over(w))
-               .join(F.broadcast(counts), "lang"))
-    picks = [F.max(F.when(
-                 F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
-                 F.col("quality_score"))).alias(f"p{int(q*100)}")
-             for q in (0.1, 0.5, 0.9)]
-    return (ranked.groupBy("lang")
-                  .agg(F.max("n").alias("n"), *picks)
-                  .orderBy("lang"))
+    return (grouped_quantile_disc(
+                d.select("lang", "quality_score"),
+                ["lang"], "quality_score",
+                {"p10": 0.1, "p50": 0.5, "p90": 0.9})
+            .orderBy("lang"))
 
 
 QQUANT_SQL = f"""
