@@ -943,32 +943,29 @@ QUERIES["part_abc_classification"] = (part_abc_classification, ABC_SQL)
 def orders_lead_time_stats(spark, sf_dir):
     """Order→ship lead time per order priority: mean (decimal-exact)
     and EXACT median days between o_orderdate and l_shipdate — the
-    fulfillment-latency summary. Median via the rank-⌈n/2⌉ order
-    statistic through a keyed spillable window (the
-    quantile_disc/MAD discipline); datediff is integer-exact on both
-    engines."""
-    from pyspark.sql import Window
+    fulfillment-latency summary. Median via the shared CDF walk
+    (operators/orderstats.grouped_median, round-8 rewrite of the
+    rank-⌈n/2⌉ raw-row window): lead-time days have a tiny distinct
+    domain (hundreds of values), so the keyed cumsum touches almost
+    nothing after the combinable (priority, lead) count; datediff is
+    integer-exact on both engines."""
+    from heracles_spark.operators.orderstats import grouped_median
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     j = (li.join(o.select("o_orderkey", "o_orderdate", "o_orderpriority"),
                  li.l_orderkey == F.col("o_orderkey"))
-           .select("o_orderpriority", "l_orderkey", "l_linenumber",
+           .select("o_orderpriority",
                    F.datediff(F.col("l_shipdate").cast("date"),
                               F.col("o_orderdate").cast("date"))
                     .alias("lead")))
-    w = (Window.partitionBy("o_orderpriority")
-               .orderBy("lead", "l_orderkey", "l_linenumber"))
     counts = (j.groupBy("o_orderpriority")
                .agg(F.count(F.lit(1)).alias("n"),
                     (F.sum(F.col("lead").cast("decimal(38,0)"))
                       .cast("double") / F.count(F.lit(1)))
                     .alias("mean_lead")))
-    med = (j.withColumn("rn", F.row_number().over(w))
-            .join(F.broadcast(counts.select("o_orderpriority", "n")),
-                  "o_orderpriority")
-            .where(F.col("rn") == F.ceil(F.col("n") / 2))
-            .select("o_orderpriority", F.col("lead").alias("median_lead")))
+    med = grouped_median(j, ["o_orderpriority"], "lead",
+                         out_col="median_lead")
     return (counts.join(med, "o_orderpriority")
                   .select("o_orderpriority", "n",
                           F.round("mean_lead", 6).alias("mean_lead"),
