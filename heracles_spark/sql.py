@@ -666,7 +666,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
             if "=" in kv:
                 k, v = kv.split("=", 1)
                 opts[k.strip().lower()] = int(v.strip())
-        unknown = set(opts) - {"cells", "sample", "seed"}
+        unknown = set(opts) - {"cells", "sample", "seed", "pq_m", "pq_k"}
         if unknown:
             raise ValueError(f"unknown vector index options: "
                              f"{sorted(unknown)}")

@@ -71,22 +71,49 @@ def load_centroids(catalog, table: str, iname: str) -> list[list[float]]:
         return json.load(fh)
 
 
+def load_codebooks(catalog, table: str,
+                   iname: str) -> list[list[list[float]]] | None:
+    """PQ codebooks of the index, or None for a plain IVF index."""
+    path = os.path.join(_store_dir(catalog, table, iname),
+                        "codebooks.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)
+
+
 def _assign_and_write(spark: SparkSession, df: DataFrame, tbl,
                       vec_col: str, centroids: list[list[float]],
-                      store: str, mode: str) -> None:
+                      store: str, mode: str,
+                      codebooks: list[list[list[float]]] | None = None
+                      ) -> None:
     from heracles_spark.operators import similarity
 
     built = similarity.ivf_build(df, id_col=tbl.key_cols[0],
                                  vec_col=vec_col, centroids=centroids)
+    if codebooks is not None:
+        built = similarity.pq_encode(built, codebooks,
+                                     id_col=tbl.key_cols[0],
+                                     vec_col=vec_col)
     (built.write.mode(mode).format("parquet")
           .partitionBy("cell_id").save(os.path.join(store, "store")))
 
 
 def create_vector_index(spark: SparkSession, catalog, table: str,
                         vec_col: str, iname: str, cells: int = 16,
-                        sample: int = 2048, seed: int = 42):
+                        sample: int = 2048, seed: int = 42,
+                        pq_m: int = 0, pq_k: int = 16):
     """Train, assign, and persist the cell-partitioned store; register
-    the index on the base table."""
+    the index on the base table.
+
+    ``pq_m`` > 0 additionally trains product-quantization codebooks
+    (m subspaces × pq_k centroids each — similarity.pq_train, the
+    faiss-IVFPQ at-rest layout) and stores an m-byte ``codes`` column
+    beside each vector. ADC probes then read ONLY the codes column of
+    the probed cells — parquet column pruning makes the bytes read
+    m bytes/vector instead of dim·4, the compression that fits
+    billion-vector serving — and the optional rerank stage reads the
+    float vectors of just the shortlist."""
     from heracles_spark.operators import similarity
 
     tbl = catalog.get_table(table)
@@ -104,15 +131,27 @@ def create_vector_index(spark: SparkSession, catalog, table: str,
     cents = similarity.kmeans_centroids(
         base, n_cells=cells, id_col=tbl.key_cols[0], vec_col=vec_col,
         sample_size=sample, seed=seed)
+    books = None
+    if pq_m:
+        dim = len(cents[0])
+        if dim % pq_m:
+            raise ValueError(f"pq_m={pq_m} must divide dim={dim}")
+        books = similarity.pq_train(
+            base, m=pq_m, k=pq_k, id_col=tbl.key_cols[0],
+            vec_col=vec_col, dim=dim, sample_size=sample, seed=seed)
     store = _store_dir(catalog, table, iname)
     os.makedirs(store, exist_ok=True)
     with open(os.path.join(store, "centroids.json"), "w") as fh:
         json.dump(cents, fh)
+    if books is not None:
+        with open(os.path.join(store, "codebooks.json"), "w") as fh:
+            json.dump(books, fh)
     _assign_and_write(spark, base, tbl, vec_col, cents, store,
-                      mode="overwrite")
+                      mode="overwrite", codebooks=books)
 
     reg[iname] = {"col": vec_col, "path": store, "cells": cells,
-                  "sample": sample, "seed": seed,
+                  "sample": sample, "seed": seed, "pq_m": pq_m,
+                  "pq_k": pq_k,
                   "built_version": catalog.get_table(table).version + 1}
     _commit_registry(catalog, table, reg, f"create-vector-index:{iname}")
     return reg[iname]
@@ -165,7 +204,9 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
             if collisions == 0:
                 _assign_and_write(spark, new_rows, tbl, vec_col,
                                   load_centroids(catalog, table, iname),
-                                  store, mode="append")
+                                  store, mode="append",
+                                  codebooks=load_codebooks(catalog, table,
+                                                           iname))
                 mode = "incremental"
     if mode == "rebuild":
         from heracles_spark.operators import similarity
@@ -177,8 +218,18 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
             seed=entry.get("seed", 42))
         with open(os.path.join(store, "centroids.json"), "w") as fh:
             json.dump(cents, fh)
+        books = None
+        if entry.get("pq_m"):
+            books = similarity.pq_train(
+                base, m=entry["pq_m"], k=entry.get("pq_k", 16),
+                id_col=tbl.key_cols[0], vec_col=vec_col,
+                dim=len(cents[0]),
+                sample_size=entry.get("sample", 2048),
+                seed=entry.get("seed", 42))
+            with open(os.path.join(store, "codebooks.json"), "w") as fh:
+                json.dump(books, fh)
         _assign_and_write(spark, base, tbl, vec_col, cents, store,
-                          mode="overwrite")
+                          mode="overwrite", codebooks=books)
     LAST_VECTOR_INDEX_STATS = {
         "mode": mode,
         "new_files": (len(cur_paths - old_paths)
@@ -214,6 +265,38 @@ def read_store(spark: SparkSession, catalog, table: str,
     if iname not in reg:
         raise ValueError(f"no such vector index: {iname}")
     return spark.read.parquet(os.path.join(reg[iname]["path"], "store"))
+
+
+def vector_index_topk_adc(spark: SparkSession, catalog, table: str,
+                          iname: str, query_vec: list[float],
+                          k: int = 10, n_probe: int = 4,
+                          rerank: int = 0) -> DataFrame:
+    """IVF-PQ probe through the catalog store: partition-prune to the
+    probed cells, rank by asymmetric distance over the m-byte
+    ``codes`` column (the float vectors are NOT read — parquet column
+    pruning), optionally exact-rerank the ``rerank``-row shortlist
+    against its float vectors. Requires an index created with
+    ``pq_m`` > 0."""
+    from heracles_spark.operators import similarity
+
+    tbl = catalog.get_table(table)
+    entry = _registry(tbl)[iname]
+    books = load_codebooks(catalog, table, iname)
+    if books is None:
+        raise ValueError(f"vector index {iname!r} has no PQ codes — "
+                         f"create it WITH (pq_m=...)")
+    cents = load_centroids(catalog, table, iname)
+    qn = (sum(v * v for v in query_vec) ** 0.5) or 1e-12
+    order = sorted(
+        range(len(cents)),
+        key=lambda ci: -sum(a * b for a, b in
+                            zip(cents[ci], query_vec)) / qn)
+    probe = order[:n_probe]
+    st = read_store(spark, catalog, table, iname) \
+        .where(F.col("cell_id").isin(probe))
+    return similarity.pq_topk_adc(st, query_vec, books, kk=k,
+                                  id_col=tbl.key_cols[0],
+                                  rerank=rerank, vec_col=entry["col"])
 
 
 def vector_index_topk_batch(spark: SparkSession, catalog, table: str,

@@ -159,6 +159,62 @@ def test_refresh_incremental_on_append(hsession):
     assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "noop"
 
 
+def test_pq_index_create_probe_refresh(hsession):
+    """IVF-PQ in the catalog store: CREATE WITH (pq_m=...) stores
+    m-length codes beside each vector; the ADC probe with a full-size
+    rerank equals exact brute force; incremental REFRESH encodes
+    appended rows with the EXISTING codebooks (add-without-retrain),
+    identically to a fresh encode."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(240, seed=11)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200, pq_m=4, pq_k=8)")
+
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert "codes" in st.columns
+    assert st.select(F.size("codes").alias("m")).distinct().collect() \
+        == [spark.createDataFrame([(4,)], "m int").collect()[0]]
+
+    # full probe + rerank over every row == exact brute force
+    qvec = [float(x) for x in rows[5][1]]
+    got = vx.vector_index_topk_adc(spark, catalog, "emb", "v", qvec,
+                                   k=5, n_probe=8, rerank=240).collect()
+    assert [(round(r["cosine"], 4), r["vec_id"]) for r in got] == \
+        _brute_topk(rows, qvec, 5)
+    # ADC-only probe returns k rows scored by code distance
+    adc = vx.vector_index_topk_adc(spark, catalog, "emb", "v", qvec,
+                                   k=5, n_probe=8)
+    assert adc.count() == 5 and "adc_score" in adc.columns
+
+    # append + incremental refresh: codebooks unchanged, appended rows
+    # coded exactly as a fresh encode with the same books
+    books_before = vx.load_codebooks(catalog, "emb", "v")
+    extra = _vecs(40, seed=12, start=5000)
+    from heracles_spark import writer as _w
+    _w.write_key_organized(
+        spark, catalog, "emb",
+        spark.createDataFrame(
+            extra, "vec_id long, embedding array<float>, label int"))
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "incremental"
+    assert vx.load_codebooks(catalog, "emb", "v") == books_before
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert st.count() == 280
+    from heracles_spark.operators import similarity
+    fresh = similarity.pq_encode(
+        similarity.ivf_build(catalog.read_table(spark, "emb"),
+                             id_col="vec_id",
+                             centroids=vx.load_centroids(
+                                 catalog, "emb", "v")),
+        books_before, id_col="vec_id")
+    got_codes = {r["vec_id"]: (r["cell_id"], tuple(r["codes"])) for r in
+                 st.select("vec_id", "cell_id", "codes").collect()}
+    want_codes = {r["vec_id"]: (r["cell_id"], tuple(r["codes"])) for r in
+                  fresh.select("vec_id", "cell_id", "codes").collect()}
+    assert got_codes == want_codes
+
+
 def test_refresh_rebuilds_on_key_collision(hsession):
     spark, catalog = hsession.spark, hsession.catalog
     rows = _vecs(200, seed=5)
