@@ -32,7 +32,8 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       exactly_once: bool = True,
                       refresh_rollups: list[str] | None = None,
                       refresh_indexes: list[str] | None = None,
-                      refresh_text_indexes: list[str] | None = None
+                      refresh_text_indexes: list[str] | None = None,
+                      refresh_vector_indexes: list[str] | None = None
                       ) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
     table, preserving the key-range layout per micro-batch.
@@ -83,6 +84,18 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
             from heracles_spark.textindex import refresh_text_index
             for i in refresh_text_indexes:
                 refresh_text_index(spark, catalog, table, i)
+        if refresh_vector_indexes:
+            # Same shape as the text-index maintenance: pure-append
+            # batches with fresh keys take vectorindex's INCREMENTAL
+            # path — only the batch's vectors are assigned to the
+            # EXISTING centroids (faiss add-without-retrain) and
+            # appended to the cell-partitioned store; a replayed batch
+            # appends no files, so the refresh no-ops. Continuous ANN
+            # maintenance at ingest: the index stays within one
+            # micro-batch of the stream.
+            from heracles_spark.vectorindex import refresh_vector_index
+            for i in refresh_vector_indexes:
+                refresh_vector_index(spark, catalog, table, i)
 
     w = (stream.writeStream
          .foreachBatch(sink)

@@ -454,3 +454,59 @@ def test_stream_ingest_incremental_text_index(spark, catalog, tmp_path):
                   spark.sql("SELECT * FROM evt_ti__tidx_bidx").collect())
     assert got == want
     assert ("spark", 10, 1) in got and ("stream", 11, 1) in got
+
+
+def test_stream_ingest_maintains_vector_index(spark, catalog, tmp_path):
+    """Streaming appends keep a VECTOR INDEX current through the
+    incremental add-without-retrain path: each batch's vectors are
+    assigned to the existing centroids and appended to the
+    cell-partitioned store; the final store equals a from-scratch
+    assignment of the whole table with the same centroids."""
+    import random
+
+    from heracles_spark import vectorindex as vx
+    from heracles_spark import writer
+    from heracles_spark.operators import similarity
+
+    rng = random.Random(31)
+
+    def vecs(n, start):
+        return [(start + i, [rng.uniform(-1, 1) for _ in range(8)], 0)
+                for i in range(n)]
+
+    catalog.create_table(
+        "emb_s", [("vec_id", "bigint"), ("embedding", "array<float>"),
+                  ("label", "int")], ["vec_id"])
+    writer.write_key_organized(
+        spark, catalog, "emb_s",
+        spark.createDataFrame(
+            vecs(120, 0), "vec_id long, embedding array<float>, label int"))
+    vx.create_vector_index(spark, catalog, "emb_s", "embedding", "v",
+                           cells=4, sample=100)
+    cents = vx.load_centroids(catalog, "emb_s", "v")
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    for i in range(2):
+        (spark.createDataFrame(
+            vecs(20, 1000 + 100 * i),
+            "vec_id long, embedding array<float>, label int")
+         .coalesce(1).write.parquet(str(src / f"b{i}.parquet")))
+    from heracles_spark.streaming import ingest
+    q = ingest.stream_into_table(
+        spark, catalog, "emb_s", str(src / "*"),
+        checkpoint_dir=str(tmp_path / "vck"), available_now=True,
+        max_files_per_trigger=1, refresh_vector_indexes=["v"])
+    q.awaitTermination(120)
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "incremental"
+    # centroids untouched; store == fresh assignment of current table
+    assert vx.load_centroids(catalog, "emb_s", "v") == cents
+    st = vx.read_store(spark, catalog, "emb_s", "v")
+    assert st.count() == 160
+    fresh = similarity.ivf_build(catalog.read_table(spark, "emb_s"),
+                                 id_col="vec_id", centroids=cents)
+    got = {(r["vec_id"], r["cell_id"]) for r in
+           st.select("vec_id", "cell_id").collect()}
+    want = {(r["vec_id"], r["cell_id"]) for r in
+            fresh.select("vec_id", "cell_id").collect()}
+    assert got == want
