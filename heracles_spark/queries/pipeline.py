@@ -1898,6 +1898,60 @@ def embedding_ann_ivfpq(spark, sf_dir):
 QUERIES["embedding_ann_ivfpq"] = (embedding_ann_ivfpq, _knn_contract_sql())
 
 
+def embedding_ann_ivfpq_stored(spark, sf_dir):
+    """IVF-PQ probing the CATALOG store (round-8: PQ codes at rest —
+    `CREATE VECTOR INDEX … WITH (pq_m=…)` persists an m-int ``codes``
+    column in the cell-partitioned store, faiss-IVFPQ's at-rest
+    layout). The ADC probe reads ONLY the codes column of the probed
+    cells (partition pruning × parquet column pruning: m bytes per
+    vector instead of dim·4), then exact-reranks the shortlist's
+    float vectors. Value hash pins the recall contract (exact top-10
+    + ≥7/10 hits) AND ``partition_pruned`` from the executed plan —
+    certifying the store pruned, not just filtered."""
+    import os
+    import re
+    import tempfile
+
+    from heracles_spark import vectorindex, writer
+    from heracles_spark.catalog import HeraclesCatalog
+    from heracles_spark.plans import executed_plan_string
+
+    e = _embs(spark, sf_dir)
+    qvec = [float(v) for v in
+            e.where(F.col("vec_id") == 0).select("embedding").first()[0]]
+    cand = e.where(F.col("vec_id") != 0)
+
+    key = os.path.abspath(sf_dir) + ":pq"
+    catalog = _IVF_CATALOG_CACHE.get(key)
+    if catalog is None:
+        catalog = HeraclesCatalog(
+            tempfile.mkdtemp(prefix="heracles_ivfpqcat_"))
+        catalog.create_table(
+            "emb", [("vec_id", "bigint"),
+                    ("embedding", "array<float>"), ("label", "int")],
+            ["vec_id"])
+        writer.write_key_organized(spark, catalog, "emb", cand)
+        vectorindex.create_vector_index(spark, catalog, "emb",
+                                        "embedding", "vpq",
+                                        cells=8, sample=2048,
+                                        pq_m=16, pq_k=16)
+        _IVF_CATALOG_CACHE[key] = catalog
+
+    ann = vectorindex.vector_index_topk_adc(spark, catalog, "emb",
+                                            "vpq", qvec, k=10,
+                                            n_probe=6, rerank=100)
+    pruned = bool(re.search(r"PartitionFilters: \[[^\]]*cell_id",
+                            executed_plan_string(ann)))
+    return (_ann_recall_contract(
+                ann, similarity.cosine_topk(cand, qvec, k=10), min_hits=7)
+            .withColumn("partition_pruned", F.lit(pruned)))
+
+
+QUERIES["embedding_ann_ivfpq_stored"] = (
+    embedding_ann_ivfpq_stored,
+    _knn_contract_sql("TRUE AS recall_ok, TRUE AS partition_pruned"))
+
+
 def orders_bucketed_join(spark, sf_dir):
     """Shuffle-free co-bucketed join (writer.write_bucketed's mechanism,
     ≙ the reference's dead-code shuffle-free aggregation and its
