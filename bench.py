@@ -50,6 +50,12 @@ HEADLINE = [
     "doc_bm25_indexed",   # probes the PRE-BUILT postings index (the
                           # warm-up pass builds it once; the timed runs
                           # measure the deployment-shaped probe path)
+    # round 8 additions
+    "lineitem_percentile_cont",     # CDF-walk exact interpolated
+                                    # percentiles over the big table
+    "embedding_ann_ivf_stored",     # partition-pruned ANN probe of the
+                                    # catalog vector index (index build
+                                    # memoized in warm-up, like bm25)
 ]
 
 
