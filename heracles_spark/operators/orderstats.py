@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 
 
 def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
-                weight_col: str | None = None) -> DataFrame:
+                weight_col: str | None = None,
+                n_buckets: int = 32) -> DataFrame:
     """Collapse raw rows to the per-group value CDF.
 
     Returns one row per distinct (group, value) with columns
@@ -51,18 +52,53 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
     value's total weight (row count when ``weight_col`` is None),
     ``cum`` the cumulative weight in ascending ``value_col`` order and
     ``tot`` the group total. The heavy reduction is the combinable
-    groupBy; the window then touches distinct values only.
+    groupBy; the cumsum then touches distinct values only.
+
+    The cumsum itself is VALUE-RANGE BUCKETED (the
+    ranking.with_global_ordered_cumsum two-phase, applied per group):
+    each distinct value maps to one of ``n_buckets`` equal-width
+    buckets from broadcast per-group (min, max) bounds, the running
+    sum windows over (group, bucket) — so the parallelism unit is
+    group × bucket, NOT the group — and per-bucket totals (one row
+    per group × bucket) are cumulated and broadcast back as offsets.
+    Bucketing is floor((v−mn)/width) on a double cast: monotone in v,
+    ties share a bucket, so prior-bucket weight + local cum is the
+    exact global cum. A skewed value distribution concentrates
+    buckets (still correct, still ≥ the one-task-per-group shape).
+    ``value_col`` must be numeric (all engine callers: prices, counts,
+    decimals, day counts). NULL values, if present, take a dedicated
+    first bucket (Spark ASC = NULLS FIRST window order).
     """
     group_cols = list(group_cols)
     w_expr = (F.count(F.lit(1)) if weight_col is None
               else F.sum(weight_col))
     g = (df.groupBy(*group_cols, value_col)
            .agg(w_expr.cast("long").alias("w")))
-    wcum = (Window.partitionBy(*group_cols).orderBy(value_col)
-                  .rowsBetween(Window.unboundedPreceding, 0))
-    wall = Window.partitionBy(*group_cols)
-    return (g.withColumn("cum", F.sum("w").over(wcum))
-             .withColumn("tot", F.sum("w").over(wall)))
+    bounds = g.groupBy(*group_cols).agg(
+        F.min(F.col(value_col).cast("double")).alias("__mn"),
+        F.max(F.col(value_col).cast("double")).alias("__mx"),
+        F.sum("w").alias("tot"))
+    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
+    vd = F.col(value_col).cast("double")
+    bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
+            (vd - F.col("__mn"))
+            / F.greatest(width, F.lit(1e-12)))))).cast("int")
+    b = (g.join(F.broadcast(bounds), group_cols)
+          .withColumn("__b", bucket)
+          .drop("__mn", "__mx"))
+    wl = (Window.partitionBy(*group_cols, "__b").orderBy(value_col)
+                .rowsBetween(Window.unboundedPreceding, 0))
+    b = b.withColumn("__lcum", F.sum("w").over(wl))
+    btots = b.groupBy(*group_cols, "__b").agg(F.sum("w").alias("__bw"))
+    wo = (Window.partitionBy(*group_cols).orderBy("__b")
+                .rowsBetween(Window.unboundedPreceding, -1))
+    offs = (btots.withColumn(
+                "__off", F.coalesce(F.sum("__bw").over(wo), F.lit(0)))
+                 .select(*group_cols, "__b", "__off"))
+    return (b.join(F.broadcast(offs), group_cols + ["__b"])
+             .withColumn("cum", F.col("__off") + F.col("__lcum"))
+             .drop("__b", "__lcum", "__off"))
 
 
 def grouped_quantile_disc(df: DataFrame, group_cols: Sequence[str],
