@@ -36,11 +36,10 @@ HEADLINE = [
     # round-7 additions: probe-path BM25 (pre-built index via the
     # warm-up pass), DSIR importance selection, PIVOT cross-tab
     "doc_bm25_indexed", "doc_dsir_topk", "pivot_returnflag_status",
-    # round-8 additions: CDF-walk exact order statistics (both sides
-    # run the identical cumulative-count SQL shape), exact
-    # interpolated percentiles over the big table
-    "lineitem_percentile_cont", "lineitem_quantile_disc",
-    "events_value_mad", "lineitem_weighted_median",
+    # round-8 addition (mirrors bench.py's headline): exact
+    # interpolated percentiles over the big table via the bucketed
+    # CDF walk
+    "lineitem_percentile_cont",
 ]
 
 
