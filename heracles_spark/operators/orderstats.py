@@ -172,6 +172,38 @@ def grouped_quantile_cont(df: DataFrame, group_cols: Sequence[str],
     return g.select(*sel)
 
 
+def grouped_equidepth_histogram(df: DataFrame, group_cols: Sequence[str],
+                                value_col: str, n_buckets: int,
+                                weight_col: str | None = None) -> DataFrame:
+    """Equi-depth (equi-height) histogram per group — the optimizer
+    statistic every cost-based planner keeps (e.g. Spark's own ANALYZE
+    TABLE histograms), computed exactly in one CDF pass.
+
+    A distinct value with cumulative weight ``cum`` lands in depth
+    bucket ``⌈cum·k/tot⌉`` — evaluated as the pure-integer
+    ``(cum·k + tot − 1) div tot`` (no float rank, engine-identical).
+    Output: one row per non-empty (group, bucket) with the bucket's
+    inclusive upper boundary (an actual data value), its row weight
+    and distinct-value count. A heavy value that spans several depth
+    ranges occupies the single bucket its cumulative rank reaches, so
+    buckets can exceed tot/k weight and intermediate buckets can be
+    empty — the standard duplicate-handling of equi-depth statistics,
+    identical in the SQL oracle by construction.
+
+    Scale: inherits grouped_cdf's shape — combinable distinct-value
+    collapse, bucketed cumsum windows, then ONE more combinable
+    aggregate over the distinct-value relation. Never buffers a group.
+    """
+    group_cols = list(group_cols)
+    c = grouped_cdf(df, group_cols, value_col, weight_col)
+    depth = F.expr(f"(cum * {int(n_buckets)} + tot - 1) div tot")
+    return (c.withColumn("bucket", depth.cast("int"))
+             .groupBy(*group_cols, "bucket")
+             .agg(F.max(value_col).alias("hi"),
+                  F.sum("w").alias("n_rows"),
+                  F.count(F.lit(1)).alias("n_values")))
+
+
 def grouped_median(df: DataFrame, group_cols: Sequence[str],
                    value_col: str, weight_col: str | None = None,
                    out_col: str = "median",

@@ -765,6 +765,51 @@ FROM n JOIN q USING (l_returnflag) ORDER BY l_returnflag
 QUERIES["lineitem_quantile_disc"] = (lineitem_quantile_disc, QDISC_SQL)
 
 
+def lineitem_equidepth_hist(spark, sf_dir):
+    """Equi-depth histogram of l_extendedprice per (returnflag, linestatus) cell — the
+    cost-based-optimizer statistic (Spark's own ANALYZE TABLE … FOR
+    COLUMNS keeps exactly this shape), computed EXACTLY through the
+    shared CDF walk (operators/orderstats.grouped_equidepth_histogram):
+    raw rows collapse to distinct (flag, status, price) counts, the bucketed
+    cumsum assigns each distinct value its depth bucket via the pure
+    integer ``(cum·k + tot − 1) div tot``, and one more combinable
+    aggregate emits each bucket's upper boundary / row weight /
+    distinct-value count. No group is ever buffered and no raw-row
+    sort exists — the statistics pass itself follows the engine's
+    100 TB order-statistics discipline."""
+    from heracles_spark.operators.orderstats import (
+        grouped_equidepth_histogram)
+
+    li = _t(spark, sf_dir, "lineitem")
+    return (grouped_equidepth_histogram(
+                li.select("l_returnflag", "l_linestatus",
+                          "l_extendedprice"),
+                ["l_returnflag", "l_linestatus"], "l_extendedprice", 8)
+            .orderBy("l_returnflag", "l_linestatus", "bucket"))
+
+
+EQDEPTH_SQL = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus, l_extendedprice AS v, COUNT(*) AS w
+  FROM lineitem GROUP BY 1, 2, 3),
+ c AS (
+  SELECT l_returnflag, l_linestatus, v, w,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus) AS tot
+  FROM g)
+SELECT l_returnflag, l_linestatus,
+       CAST((cum * 8 + tot - 1) // tot AS INT) AS bucket,
+       MAX(v) AS hi, CAST(SUM(w) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_values
+FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
+QUERIES["lineitem_equidepth_hist"] = (lineitem_equidepth_hist,
+                                      EQDEPTH_SQL)
+
+
 def cube_status_priority(spark, sf_dir):
     """GROUP BY CUBE — all 4 grouping sets of (status, priority) in one
     pass (a single Expand node feeding one hash agg, NOT 4 scans);

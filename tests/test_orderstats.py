@@ -125,6 +125,39 @@ def test_grouped_quantile_cont_matches_duckdb_native(spark, rows):
         assert got[g]["n"] == sum(1 for gg, _, _ in rows if gg == g)
 
 
+def test_grouped_equidepth_histogram_matches_brute_force(spark, rows):
+    """Every (group, bucket) row checks against the python recomputation
+    of ⌈cum·k/tot⌉ over the sorted multiset, and bucket weights sum to
+    the group total (no row lost to an empty bucket)."""
+    from heracles_spark.operators.orderstats import (
+        grouped_equidepth_histogram)
+
+    k = 5
+    df = spark.createDataFrame(rows, "g string, v long, w long")
+    got = {(r["g"], r["bucket"]): (r["hi"], r["n_rows"], r["n_values"])
+           for r in grouped_equidepth_histogram(
+               df, ["g"], "v", k).collect()}
+    for g in ("a", "b", "c"):
+        vals = sorted(v for gg, v, _ in rows if gg == g)
+        tot = len(vals)
+        expect: dict[int, list[int]] = {}
+        cum = 0
+        from itertools import groupby
+        for v, grp in groupby(vals):
+            w = len(list(grp))
+            cum += w
+            b = (cum * k + tot - 1) // tot
+            expect.setdefault(b, []).append((v, w))
+        for b, items in expect.items():
+            hi, n_rows, n_values = got[(g, b)]
+            assert hi == max(v for v, _ in items)
+            assert n_rows == sum(w for _, w in items)
+            assert n_values == len(items)
+        assert sum(nr for (gg, _), (_, nr, _) in got.items()
+                   if gg == g) == tot
+        assert not {b for (gg, b) in got if gg == g} - set(expect)
+
+
 def test_single_row_groups(spark):
     from heracles_spark.operators.orderstats import (grouped_mad,
                                                      grouped_median)
