@@ -915,3 +915,64 @@ def pca_from_gram(gram_rows, dim: int = 64, k: int = 8,
                           np.abs(comps).argmax(axis=1)])
     comps = comps * flips[:, None]
     return w[order], comps, n
+
+
+def jl_sign_matrix(k: int, dim: int, salt: str = "jl") -> list[list[int]]:
+    """Deterministic Achlioptas ±1 Johnson–Lindenstrauss matrix:
+    sign(j, i) = +1 iff the first hex digit of md5("{salt}:{j}:{i}")
+    is < 8 (the digest's top bit). hashlib.md5 here and SQL ``md5()``
+    agree on identical strings, so an oracle regenerates the matrix
+    in-engine instead of shipping k×dim literals. (Achlioptas 2003:
+    ±1 entries satisfy the JL lemma with the same distortion bounds
+    as Gaussian entries.)"""
+    import hashlib
+
+    return [[1 if int(hashlib.md5(f"{salt}:{j}:{i}".encode())
+                      .hexdigest()[0], 16) < 8 else -1
+             for i in range(dim)]
+            for j in range(k)]
+
+
+def micro_vec_expr(vec_col: str, micro: int = 1_000_000) -> Column:
+    """float32 vector → exact integer microunits (the
+    embedding_label_centroids rounding argument: a binary fraction
+    cannot hit an exact .5 at 1e6 scale, so ROUND is engine-identical)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * micro).cast("long"))
+
+
+def sq_dist_long(a: Column, b: Column) -> Column:
+    """Σ (aᵢ−bᵢ)² over two integer vectors — BIGINT arithmetic, so the
+    reduction order cannot matter (no float sum to diverge between
+    engines)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("long"), lambda acc, v: acc + v)
+
+
+def random_projection_micro(df: DataFrame, k: int, dim: int,
+                            vec_col: str = "embedding",
+                            micro_col: str = "emb_micro",
+                            out_col: str = "proj",
+                            salt: str = "jl") -> DataFrame:
+    """Johnson–Lindenstrauss sign projection, entirely in the integer
+    domain: quantize the f32 vector to exact microunits, then each of
+    the k output coordinates is a ±1-weighted BIGINT sum over the dim
+    inputs. Adds ``micro_col`` (array<long> len dim) and ``out_col``
+    (array<long> len k; the conventional 1/√k scale is left to the
+    caller so the stored projection stays integer-exact).
+
+    Scale: map-only — no shuffle, no state; at 100 TB this is the
+    dimensionality-reduction prepass that shrinks every downstream
+    ANN / near-dup shuffle by dim/k. The sign matrix is a constant
+    folded into the plan (k×dim literal array), not a join side."""
+    signs = jl_sign_matrix(k, dim, salt)
+    slit = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    proj = F.transform(
+        F.sequence(F.lit(1), F.lit(k)),
+        lambda j: F.aggregate(
+            F.zip_with(F.col(micro_col), F.element_at(slit, j),
+                       lambda x, s: x * s),
+            F.lit(0).cast("long"), lambda acc, v: acc + v))
+    return (df.withColumn(micro_col, micro_vec_expr(vec_col))
+              .withColumn(out_col, proj))

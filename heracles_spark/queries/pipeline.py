@@ -3848,3 +3848,94 @@ FROM pos ORDER BY doc_id
 
 
 QUERIES["doc_fim_transform"] = (doc_fim_transform, FIM_SQL)
+
+
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection (Achlioptas ±1 matrix,
+    64 → 16 dims) with an in-query distortion audit — the
+    dimensionality-reduction prepass that shrinks every downstream
+    ANN / near-dup shuffle by 4× at 100 TB.
+
+    Exactness: the projection runs ENTIRELY in the integer domain
+    (vectors quantized to exact microunits, ±1-weighted BIGINT sums —
+    order-free, no float reduction to diverge), and the deterministic
+    sign matrix derives from md5("jl:{j}:{i}") top-bit parity, which
+    hashlib here and the oracle's md5() compute identically — the
+    oracle REGENERATES the matrix in-engine rather than trusting
+    shipped literals. The audit pairs consecutive vec_ids (a 1:1
+    co-partitioned equi-join, linear in corpus size — never all
+    pairs), compares projected vs original squared distance scaled by
+    1/k, and reduces to distortion statistics with the decimal-sum
+    discipline. Only the final ratio is float arithmetic (one multiply
+    + one divide, identical operation order both engines, rounded to
+    6). JL theory for k=16: ratios concentrate around 1 with heavy
+    spread — the audited fraction within ±50% is the operator's
+    honesty metric, certified in the value hash."""
+    from heracles_spark.operators import similarity as S
+
+    e = _embs(spark, sf_dir)
+    p = S.random_projection_micro(
+        e.select("vec_id", "embedding"), k=16, dim=64)
+    a = p.where(F.col("vec_id") % 2 == 0).select(
+        "vec_id", F.col("emb_micro").alias("ea"), F.col("proj").alias("pa"))
+    b = p.where(F.col("vec_id") % 2 == 1).select(
+        (F.col("vec_id") - 1).alias("vec_id"),
+        F.col("emb_micro").alias("eb"), F.col("proj").alias("pb"))
+    pairs = (a.join(b, "vec_id")
+              .withColumn("osq", S.sq_dist_long(F.col("ea"), F.col("eb")))
+              .where(F.col("osq") > 0)
+              .withColumn("ratio", F.round(
+                  S.sq_dist_long(F.col("pa"), F.col("pb")).cast("double")
+                  / (F.lit(16.0) * F.col("osq").cast("double")), 6)))
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("ratio").cast("decimal(38,6)")).cast("double")
+         .alias("sum_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.sum(F.when(F.abs(F.col("ratio") - 1.0) <= 0.5, 1).otherwise(0))
+         .cast("long").alias("n_within_50pct"))
+
+
+JLPROJ_SQL = """
+WITH em AS (
+  SELECT vec_id,
+         CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS i,
+         CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS e
+  FROM embeddings),
+ sgn AS (
+  SELECT CAST(tj.j AS INT) AS j, CAST(ti.i AS INT) AS i,
+         CASE WHEN substring(md5('jl:' || CAST(tj.j AS VARCHAR) || ':'
+                                 || CAST(ti.i AS VARCHAR)), 1, 1)
+                   IN ('0','1','2','3','4','5','6','7')
+              THEN 1 ELSE -1 END AS s
+  FROM range(0, 16) tj(j), range(0, 64) ti(i)),
+ proj AS (
+  SELECT em.vec_id, sgn.j, SUM(em.e * sgn.s) AS p
+  FROM em JOIN sgn USING (i) GROUP BY 1, 2),
+ psq AS (
+  SELECT a.vec_id, SUM((a.p - b.p) * (a.p - b.p)) AS psq
+  FROM proj a JOIN proj b ON b.vec_id = a.vec_id + 1 AND a.j = b.j
+  WHERE a.vec_id % 2 = 0 GROUP BY 1),
+ osq AS (
+  SELECT a.vec_id, SUM((a.e - b.e) * (a.e - b.e)) AS osq
+  FROM em a JOIN em b ON b.vec_id = a.vec_id + 1 AND a.i = b.i
+  WHERE a.vec_id % 2 = 0 GROUP BY 1),
+ r AS (
+  SELECT psq.vec_id,
+         ROUND(CAST(psq.psq AS DOUBLE)
+               / (CAST(16 AS DOUBLE) * CAST(osq.osq AS DOUBLE)), 6)
+           AS ratio
+  FROM psq JOIN osq USING (vec_id) WHERE osq.osq > 0)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(ratio AS DECIMAL(38,6))) AS DOUBLE) AS sum_ratio,
+       MIN(ratio) AS min_ratio, MAX(ratio) AS max_ratio,
+       CAST(COUNT(CASE WHEN ABS(ratio - 1.0) <= 0.5 THEN 1 END)
+            AS BIGINT) AS n_within_50pct
+FROM r
+"""
+
+
+QUERIES["embedding_random_projection"] = (embedding_random_projection,
+                                          JLPROJ_SQL)

@@ -450,3 +450,44 @@ def test_covariance_accumulate_exact_and_partition_independent(spark, vecs):
     assert n == len(rows)
     assert w[0] > 10 * w[1]
     assert abs(comps[0][0]) > 0.99   # first component ≈ axis 0
+
+
+def test_random_projection_matches_python_recompute(spark, vecs):
+    """Integer-exact JL projection: every projected coordinate equals
+    the python recomputation over the same microunit quantization and
+    the same md5-derived sign matrix, and sq_dist_long equals the
+    brute-force squared distance."""
+    k = 4
+    p = similarity.random_projection_micro(vecs, k=k, dim=DIM)
+    rows = {r["vec_id"]: r for r in p.collect()}
+    signs = similarity.jl_sign_matrix(k, DIM)
+    src = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for vid, r in rows.items():
+        em = [round(float(x) * 1_000_000) for x in src[vid]]
+        assert r["emb_micro"] == em
+        for j in range(k):
+            assert r["proj"][j] == sum(
+                e * s for e, s in zip(em, signs[j]))
+
+    ids = sorted(rows)
+    a, b = ids[0], ids[1]
+    got = (p.where(F.col("vec_id") == a)
+            .crossJoin(p.where(F.col("vec_id") == b)
+                        .select(F.col("emb_micro").alias("mb")))
+            .select(similarity.sq_dist_long(
+                F.col("emb_micro"), F.col("mb")).alias("d"))
+            .first()["d"])
+    ea = [round(float(x) * 1_000_000) for x in src[a]]
+    eb = [round(float(x) * 1_000_000) for x in src[b]]
+    assert got == sum((x - y) ** 2 for x, y in zip(ea, eb))
+
+
+def test_jl_sign_matrix_is_balanced_and_deterministic():
+    s1 = similarity.jl_sign_matrix(8, 64)
+    s2 = similarity.jl_sign_matrix(8, 64)
+    assert s1 == s2
+    flat = [v for row in s1 for v in row]
+    assert set(flat) == {1, -1}
+    # md5 top bit is unbiased: a grossly unbalanced matrix would mean
+    # the hash-derivation broke
+    assert 0.35 < flat.count(1) / len(flat) < 0.65
