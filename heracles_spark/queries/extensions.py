@@ -1317,3 +1317,76 @@ ORDER BY event_type
 
 
 QUERIES["events_value_mad"] = (events_value_mad, MAD_SQL)
+
+
+def events_ewma_anomaly(spark, sf_dir):
+    """EWMA anomaly detection over the hourly event-count series — the
+    monitoring primitive that flags traffic spikes/outages per event
+    type, computed EXACTLY in integer arithmetic.
+
+    The exponentially-weighted forecast uses λ = 1/2 through a
+    12-hour lookback, so the weights are the exact powers of two
+    2^(12−k) and forecast·(2^12 − 1) is a pure BIGINT expression —
+    no float pow() whose cross-engine rounding could flip a ranking.
+    ``dev_num = y·4095 − forecast_num`` is the anomaly score in the
+    same integer domain; only the display column ``forecast`` divides
+    (one IEEE op, rounded). Hours with fewer than 12 OBSERVED prior
+    hours are excluded via NULL lag propagation (both engines
+    identical — the series is over observed hours, not gap-filled,
+    and the docstring is the contract).
+
+    Scale: raw events → hourly counts is a combinable map-side
+    aggregate (the 100 TB reduction); the 12-lag window runs
+    partitioned by event_type over the TINY hourly series (8.8k
+    rows/type/year) — never over raw rows. Top-20 by |dev| is a
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy(F.date_trunc("hour", F.col("ts")).alias("hr"),
+                        "event_type")
+               .agg(F.count(F.lit(1)).alias("y")))
+    w = Window.partitionBy("event_type").orderBy("hr")
+    fnum = None
+    for k in range(1, 13):
+        term = F.lag("y", k).over(w) * F.lit(2 ** (12 - k))
+        fnum = term if fnum is None else fnum + term
+    dev = F.col("y") * F.lit(4095) - F.col("fnum")
+    return (hourly.withColumn("fnum", fnum)
+                  .where(F.col("fnum").isNotNull())
+                  .select("event_type",
+                          F.col("hr").cast("string").alias("hour"),
+                          "y",
+                          F.col("fnum").alias("forecast_num"),
+                          dev.alias("dev_num"),
+                          F.round(F.col("fnum").cast("double") / 4095.0, 4)
+                           .alias("forecast"))
+                  .orderBy(F.abs(F.col("dev_num")).desc(),
+                           "event_type", "hour")
+                  .limit(20))
+
+
+EWMA_SQL = """
+WITH h AS (
+  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr, event_type,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+ l AS (
+  SELECT event_type, hr, y,
+           LAG(y, 1)  OVER w * 2048 + LAG(y, 2)  OVER w * 1024
+         + LAG(y, 3)  OVER w * 512  + LAG(y, 4)  OVER w * 256
+         + LAG(y, 5)  OVER w * 128  + LAG(y, 6)  OVER w * 64
+         + LAG(y, 7)  OVER w * 32   + LAG(y, 8)  OVER w * 16
+         + LAG(y, 9)  OVER w * 8    + LAG(y, 10) OVER w * 4
+         + LAG(y, 11) OVER w * 2    + LAG(y, 12) OVER w * 1 AS fnum
+  FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr))
+SELECT event_type, CAST(hr AS VARCHAR) AS hour, CAST(y AS BIGINT) AS y,
+       CAST(fnum AS BIGINT) AS forecast_num,
+       CAST(y * 4095 - fnum AS BIGINT) AS dev_num,
+       ROUND(CAST(fnum AS DOUBLE) / CAST(4095 AS DOUBLE), 4) AS forecast
+FROM l WHERE fnum IS NOT NULL
+ORDER BY ABS(y * 4095 - fnum) DESC, event_type, hour LIMIT 20
+"""
+
+
+QUERIES["events_ewma_anomaly"] = (events_ewma_anomaly, EWMA_SQL)
