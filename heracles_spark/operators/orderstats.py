@@ -93,9 +93,13 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
         F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
             (vd - F.col("__mn"))
             / F.greatest(width, F.lit(1e-12)))))).cast("int")
-    b = (g.join(F.broadcast(bounds), group_cols)
-          .withColumn("__b", bucket)
-          .drop("__mn", "__mx"))
+    # group_cols may be empty (whole-relation statistics, e.g. ANALYZE
+    # histograms): bounds is then a single row and the equi-join
+    # degrades to the same broadcast as a crossJoin.
+    b = ((g.crossJoin(F.broadcast(bounds)) if not group_cols
+          else g.join(F.broadcast(bounds), group_cols))
+         .withColumn("__b", bucket)
+         .drop("__mn", "__mx"))
 
     # Per-(group, bucket) totals (≤ groups × n_buckets rows) cumulate
     # into the offsets each bucket's local running sum starts from.

@@ -183,7 +183,8 @@ _REFRESH_INDEX = re.compile(
     re.IGNORECASE)
 _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
-    r"(?P<cols>\s+FOR\s+ALL\s+COLUMNS)?\s*$", re.IGNORECASE)
+    r"(?:\s+FOR\s+(?:(?P<cols>ALL\s+COLUMNS)"
+    r"|COLUMNS\s+(?P<named>\w+(?:\s*,\s*\w+)*)))?\s*$", re.IGNORECASE)
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CACHE = re.compile(
@@ -722,12 +723,18 @@ def dispatch(session, statement: str) -> DataFrame | None:
     m = _ANALYZE.match(statement)
     if m:
         name = _resolve(session, m.group("name"))
+        named = ([c.strip() for c in m.group("named").split(",")]
+                 if m.group("named") else None)
         st = writer.analyze_table(spark, catalog, name,
-                                  for_columns=bool(m.group("cols")))
+                                  for_columns=bool(m.group("cols")),
+                                  columns=named)
+        n_hist = sum(1 for c in st.get("columns", {}).values()
+                     if "histogram" in c)
         return spark.createDataFrame(
             [(st["rows"], st["analyzed_version"],
-              len(st.get("columns", {})))],
-            "rows: long, analyzed_version: int, n_column_stats: int")
+              len(st.get("columns", {})), n_hist)],
+            "rows: long, analyzed_version: int, n_column_stats: int, "
+            "n_histograms: int")
 
     m = _CACHE.match(statement)
     if m:

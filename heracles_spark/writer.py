@@ -669,25 +669,50 @@ def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     return name
 
 
+_HIST_TYPES = ("int", "integer", "bigint", "long", "smallint", "tinyint",
+               "float", "double", "decimal", "date")
+
+
 def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
-                  table: str, for_columns: bool = False) -> dict[str, Any]:
+                  table: str, for_columns: bool = False,
+                  columns: "list[str] | None" = None,
+                  hist_buckets: int = 8) -> dict[str, Any]:
     """ANALYZE TABLE: row count (+ per-column approx NDV / null counts
-    with ``for_columns``), committed into table properties as a
+    and, for numeric/date columns, an exact equi-depth histogram with
+    ``for_columns``), committed into table properties as a
     metadata-only version — DESCRIBE EXTENDED surfaces it, and the
     stats record which version they were computed at (staleness is
-    detectable, like the rollup freshness check).
+    detectable, like the rollup freshness check). ``columns`` (the
+    ``FOR COLUMNS a, b`` form) restricts the per-column pass.
 
-    Scale: one aggregation pass; NDV via HLL sketches (approx_count_
-    distinct) — mergeable, bounded memory, no sort. ≙ the engine-side
-    stats that feed broadcast-threshold decisions on a real deployment
-    (Spark's AQE re-derives runtime sizes; these persist across
-    sessions)."""
+    Scale: one aggregation pass for counts/NDV (HLL sketches —
+    mergeable, bounded memory, no sort); histograms go through the
+    shared CDF walk (operators/orderstats.grouped_equidepth_histogram
+    — combinable distinct-value collapse + bucketed cumsum, never a
+    full sort, ≤ hist_buckets rows collected per column). ≙ the
+    engine-side stats that feed broadcast-threshold and selectivity
+    decisions on a real deployment (Spark's AQE re-derives runtime
+    sizes; these persist across sessions, like ANALYZE TABLE … FOR
+    COLUMNS histograms in stock Spark with
+    spark.sql.statistics.histogram.enabled)."""
     import json as _json
+
+    from heracles_spark.operators.orderstats import (
+        grouped_equidepth_histogram)
 
     tbl = catalog.get_table(table)
     df = catalog.read_table(spark, table)
     aggs = [F.count(F.lit(1)).alias("__n")]
-    cols = [c for c, _ in tbl.columns]
+    all_cols = [c for c, _ in tbl.columns]
+    types = dict(tbl.columns)
+    if columns:
+        unknown = [c for c in columns if c not in types]
+        if unknown:
+            raise ValueError(f"ANALYZE: unknown columns {unknown}")
+        cols = list(columns)
+        for_columns = True
+    else:
+        cols = all_cols
     if for_columns:
         for c in cols:
             aggs += [F.approx_count_distinct(c).alias(f"__ndv_{c}"),
@@ -701,6 +726,19 @@ def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
             c: {"ndv": int(row[f"__ndv_{c}"]),
                 "nulls": int(row[f"__nn_{c}"] or 0)}
             for c in cols}
+        for c in cols:
+            base = types[c].lower().split("(")[0].strip()
+            if base not in _HIST_TYPES:
+                continue
+            src = df.select(F.unix_date(F.col(c)).alias("__v")
+                            if base == "date" else F.col(c).alias("__v"))
+            h = grouped_equidepth_histogram(
+                src.where(F.col("__v").isNotNull()), [], "__v",
+                hist_buckets)
+            stats["columns"][c]["histogram"] = [
+                {"bucket": int(r["bucket"]), "hi": float(r["hi"]),
+                 "rows": int(r["n_rows"]), "values": int(r["n_values"])}
+                for r in sorted(h.collect(), key=lambda r: r["bucket"])]
     catalog.update_file_index(table, tbl.files, append=False, op="analyze",
                               properties={"stats": _json.dumps(stats)})
     return stats

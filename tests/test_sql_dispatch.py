@@ -166,6 +166,35 @@ def test_analyze_table_stats(hsession):
     desc = {r.col_name: r.data_type for r in
             hsession.sql("DESCRIBE EXTENDED az").collect()}
     assert "Property: stats" in desc
+    # numeric columns gain an exact equi-depth histogram (CDF walk)
+    assert out.n_histograms == 1
+    hist = stats["columns"]["k"]["histogram"]
+    assert sum(b["rows"] for b in hist) == 3
+    assert hist[-1]["hi"] == 3.0
+    assert all(hist[i]["hi"] < hist[i + 1]["hi"]
+               for i in range(len(hist) - 1))
+
+
+def test_analyze_named_columns_histogram(hsession):
+    hsession.sql("""CREATE TABLE azc (k INT, v STRING, p DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO azc VALUES "
+                 "(1,'a',10.0),(2,'b',20.0),(3,'c',20.0),(4,'d',40.0)")
+    out = hsession.sql(
+        "ANALYZE TABLE azc COMPUTE STATISTICS FOR COLUMNS p").collect()[0]
+    assert out.n_column_stats == 1 and out.n_histograms == 1
+    import json
+    stats = json.loads(
+        hsession.catalog.get_table("azc").properties["stats"])
+    assert set(stats["columns"]) == {"p"}
+    hist = stats["columns"]["p"]["histogram"]
+    # the duplicated 20.0 occupies one bucket with weight 2
+    assert sum(b["rows"] for b in hist) == 4
+    assert any(b["rows"] == 2 and b["hi"] == 20.0 for b in hist)
+    import pytest as _pt
+    with _pt.raises(Exception):
+        hsession.sql(
+            "ANALYZE TABLE azc COMPUTE STATISTICS FOR COLUMNS nope")
 
 
 def test_cache_uncache_table(hsession):
