@@ -56,6 +56,10 @@ HEADLINE = [
     "embedding_ann_ivf_stored",     # partition-pruned ANN probe of the
                                     # catalog vector index (index build
                                     # memoized in warm-up, like bm25)
+    "lineitem_equidepth_hist",      # equi-depth histogram statistics
+                                    # pass (CDF walk over lineitem)
+    "embedding_random_projection",  # integer-domain JL projection +
+                                    # distortion audit (map-heavy fold)
 ]
 
 

@@ -80,3 +80,21 @@ def test_text_and_ranking_operators_build_on_empty(spark):
     ]
     for df in built:
         assert df.collect() == []
+
+
+def test_orderstats_and_projection_build_on_empty(spark):
+    from heracles_spark.operators import similarity as sim
+    from heracles_spark.operators.orderstats import (
+        grouped_equidepth_histogram, grouped_mad, grouped_median)
+
+    e = _empty_embs(spark)
+    v = spark.createDataFrame([], "g: string, v: long")
+    built = [
+        sim.random_projection_micro(e, k=4, dim=8),
+        grouped_equidepth_histogram(v, ["g"], "v", 4),
+        grouped_equidepth_histogram(v, [], "v", 4),   # whole-relation
+        grouped_median(v, ["g"], "v"),
+        grouped_mad(v, ["g"], "v"),
+    ]
+    for df in built:
+        assert df.collect() == []

@@ -80,6 +80,9 @@ AUDITED = [
     "customer_k_anonymity", "lineitem_weighted_median",
     "doc_distinctive_terms", "multimodal_gif_decode",
     "nation_trade_reciprocity", "events_type_overlap",
+    # round-8 additions
+    "lineitem_percentile_cont", "lineitem_equidepth_hist",
+    "embedding_random_projection", "events_ewma_anomaly",
 ]
 
 
