@@ -3939,3 +3939,58 @@ FROM r
 
 QUERIES["embedding_random_projection"] = (embedding_random_projection,
                                           JLPROJ_SQL)
+
+
+def orders_stats_histogram(spark, sf_dir):
+    """End-to-end certification of the ANALYZE statistics path: bulk-load
+    orders into a key-organized catalog table, run the histogram pass
+    (writer.analyze_table — the ``ANALYZE TABLE … COMPUTE STATISTICS FOR
+    COLUMNS o_totalprice`` implementation), and return the PERSISTED
+    equi-depth histogram the catalog now carries. The oracle recomputes
+    the same ⌈cum·k/tot⌉ depth assignment from raw orders, so the value
+    hash certifies that the statistics a planner would consult match the
+    data exactly — boundaries are actual data values, weights are exact
+    BIGINT counts (the CDF walk, never a full sort; same discipline as
+    lineitem_equidepth_hist, here exercised THROUGH the DDL surface
+    like customer_bloom_lookup exercises file skipping)."""
+    import tempfile
+
+    from heracles_spark import writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_stats_"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cat.create_table("ord",
+                     [("o_orderkey", "bigint"), ("o_totalprice", "double")],
+                     ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "ord", o.select("o_orderkey", "o_totalprice"),
+        n_buckets=4)
+    st = writer.analyze_table(spark, cat, "ord", columns=["o_totalprice"])
+    hist = st["columns"]["o_totalprice"]["histogram"]
+    rows = [(int(st["rows"]), b["bucket"], b["hi"], b["rows"], b["values"])
+            for b in hist]
+    return (spark.createDataFrame(
+                rows, "n_rows_total: long, bucket: int, hi: double, "
+                      "bucket_rows: long, bucket_values: long")
+                 .orderBy("bucket"))
+
+
+STATS_HIST_SQL = """
+WITH g AS (
+  SELECT o_totalprice AS v, COUNT(*) AS w FROM orders GROUP BY 1),
+ c AS (
+  SELECT v, w,
+         SUM(w) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS tot
+  FROM g)
+SELECT CAST(tot AS BIGINT) AS n_rows_total,
+       CAST((cum * 8 + tot - 1) // tot AS INT) AS bucket,
+       MAX(v) AS hi, CAST(SUM(w) AS BIGINT) AS bucket_rows,
+       CAST(COUNT(*) AS BIGINT) AS bucket_values
+FROM c GROUP BY 1, 2 ORDER BY bucket
+"""
+
+
+QUERIES["orders_stats_histogram"] = (orders_stats_histogram,
+                                     STATS_HIST_SQL)
