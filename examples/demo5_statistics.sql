@@ -1,0 +1,28 @@
+-- Demo 5 — table statistics for a cost-based planner (round-8
+-- ANALYZE surface): row counts, per-column NDV / null counts, and
+-- EXACT equi-depth histograms computed through the distributed CDF
+-- walk (operators/orderstats — never a full sort, never a buffered
+-- group). Run:
+--   python -m heracles_spark.cli -e "$(cat examples/demo5_statistics.sql)"
+
+CREATE TABLE sales (id BIGINT, region STRING, amount DOUBLE)
+  TBLPROPERTIES('keyCols'='id');
+
+INSERT INTO sales
+SELECT id,
+       concat('region', cast(pmod(id, 5) AS STRING)) AS region,
+       cast(pmod(id * 13, 1000) AS DOUBLE) AS amount
+FROM range(0, 1000);
+
+SELECT COUNT(*) AS n FROM sales;
+
+-- table-level only: row count
+ANALYZE TABLE sales COMPUTE STATISTICS;
+
+-- named columns: NDV + nulls for both, equi-depth histogram for the
+-- numeric one (8 buckets: boundary values, per-bucket row weights)
+ANALYZE TABLE sales COMPUTE STATISTICS FOR COLUMNS region, amount;
+
+-- the stats persist in table properties as a metadata-only version
+DESCRIBE EXTENDED sales;
+DESCRIBE HISTORY sales;

@@ -137,7 +137,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             "/tmp/heracles_sales.csv": str(tmp_path / "sales.csv")}
     for i, name in enumerate(["demo1_numbers.sql", "demo2_teacher.sql",
                               "demo3_sales1m.sql",
-                              "demo4_vector_index.sql"]):
+                              "demo4_vector_index.sql",
+                              "demo5_statistics.sql"]):
         monkeypatch.setenv("HERACLES_METASTORE",
                            str(tmp_path / f"ms{i}"))
         script = open(os.path.join(ex, name)).read()
@@ -164,6 +165,10 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             fresh = [l.split("\t")[-1] for l in out.splitlines()
                      if l.startswith("v (vector)\t")]
             assert fresh == ["True", "False", "True"]
+        if name == "demo5_statistics.sql":
+            assert "\n1000\n" in out                 # count(*)
+            assert "histogram" in out                 # stats property
+            assert '"rows": 1000' in out
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
