@@ -3994,3 +3994,60 @@ FROM c GROUP BY 1, 2 ORDER BY bucket
 
 QUERIES["orders_stats_histogram"] = (orders_stats_histogram,
                                      STATS_HIST_SQL)
+
+
+def embedding_pca_spectrum(spark, sf_dir):
+    """Distributed PCA, certified by contract: the exact integer Gram
+    triangle accumulates cluster-side (operators/similarity.
+    covariance_accumulate — one mapInPandas X^T X panel per partition,
+    then a combinable dim²-sized sum; the ONLY data-size-dependent
+    work), and the dim×dim eigendecomposition finishes driver-side
+    (pca_from_gram — bounded 64×64 LAPACK, the documented
+    training-step pattern shared with IVF k-means).
+
+    The oracle cannot re-run LAPACK, so the value hash certifies what
+    IS engine-reproducible plus the spectrum's mathematical contract:
+    ``n`` and ``trace_micro2`` (Σ_i S_ii — exact BIGINT, recomputed by
+    the oracle term-for-term from microunit squares) and four flags
+    the eigen result must satisfy — sorted nonincreasing, PSD up to
+    float tolerance, Σλ = trace/(n·micro²) to 1e-9 relative (the
+    trace identity), top-1 ≥ mean eigenvalue. A wrong Gram, a broken
+    quantization, or a bogus eigen finish flips a flag or the exact
+    trace."""
+    from heracles_spark.operators import similarity as S
+
+    e = _embs(spark, sf_dir)
+    gram = [r.asDict() for r in
+            S.covariance_accumulate(e, dim=64).collect()]
+    w, _comps, n = S.pca_from_gram(gram, dim=64, k=64)
+    trace = sum(r["s"] for r in gram if r["i"] == r["j"])
+    tr_scaled = trace / (n * 1_000_000.0 ** 2)
+    tol = 1e-9 * max(1.0, abs(tr_scaled))
+    rows = [(int(n), 64, int(trace),
+             bool(all(w[i] >= w[i + 1] - 1e-12
+                      for i in range(len(w) - 1))),
+             bool(all(x >= -1e-9 for x in w)),
+             bool(abs(float(sum(w)) - tr_scaled) <= tol),
+             bool(w[0] >= tr_scaled / 64 - 1e-12))]
+    return spark.createDataFrame(
+        rows, "n: long, d: int, trace_micro2: long, eigs_sorted: boolean, "
+              "eigs_nonneg: boolean, eig_sum_matches_trace: boolean, "
+              "top1_ge_mean: boolean")
+
+
+PCA_SPECTRUM_SQL = """
+WITH em AS (
+  SELECT CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+              AS BIGINT) AS e
+  FROM embeddings)
+SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n,
+       64 AS d,
+       CAST(SUM(e * e) AS BIGINT) AS trace_micro2,
+       TRUE AS eigs_sorted, TRUE AS eigs_nonneg,
+       TRUE AS eig_sum_matches_trace, TRUE AS top1_ge_mean
+FROM em
+"""
+
+
+QUERIES["embedding_pca_spectrum"] = (embedding_pca_spectrum,
+                                     PCA_SPECTRUM_SQL)
