@@ -242,3 +242,48 @@ def decayed_sum_trailing(df: DataFrame, by: str, order_col: str,
     return (rn.join(sums, (F.col("__rn") == F.col("__t"))
                     & (F.col(by) == F.col("__g")))
               .select(by, order_col, value_col, out_col))
+
+
+def densify_series(df: DataFrame, by: "list[str]", time_col: str,
+                   step_seconds: int,
+                   fill: "dict[str, object] | None" = None) -> DataFrame:
+    """Gap-fill a per-group time series to a dense regular grid: every
+    group gains one row per ``step_seconds`` tick between its own min
+    and max ``time_col`` (inclusive), with missing ticks taking the
+    ``fill`` constants (default NULL) — the prerequisite for lag/EWMA/
+    seasonal windows that must mean "previous HOUR", not "previous
+    observed hour".
+
+    Plan shape: a combinable per-group (min, max) aggregate, one
+    ``sequence``+``explode`` to manufacture the grid (rows ∝ time
+    span / step per group — independent of input row count), and a
+    co-partitioned left join back to the observations. No window over
+    raw rows, no driver action. ``time_col`` must be a timestamp
+    (TIMESTAMP or TIMESTAMP_NTZ; the grid arithmetic runs on
+    epoch-anchored tick numbers, so no timezone/DST dependence beyond
+    what the column itself carries)."""
+    by = list(by)
+    step = int(step_seconds)
+    # integer tick index: epoch-seconds div step. Epoch via FIELD
+    # EXTRACTION (the relational._events discipline) — TIMESTAMP_NTZ
+    # neither casts to long nor tolerates timestampdiff (which
+    # session-tz-promotes and shifts across DST).
+    tick = F.expr(
+        f"(unix_date(cast({time_col} as date)) * 86400"
+        f" + cast(hour({time_col}) as bigint) * 3600"
+        f" + cast(minute({time_col}) as bigint) * 60"
+        f" + cast(floor(extract(SECOND from {time_col})) as bigint))"
+        f" div {step}")
+    obs = df.withColumn("__tick", tick)
+    span = obs.groupBy(*by).agg(F.min("__tick").alias("__t0"),
+                                F.max("__tick").alias("__t1"))
+    grid = (span.withColumn("__tick", F.explode(
+                F.sequence(F.col("__t0"), F.col("__t1"))))
+                .select(*by, "__tick"))
+    out = grid.join(obs.drop(time_col), by + ["__tick"], "left")
+    out = out.withColumn(time_col, F.expr(
+        f"timestampadd(SECOND, __tick * {step}, "
+        f"TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    for c, v in (fill or {}).items():
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(v)))
+    return out.drop("__tick")

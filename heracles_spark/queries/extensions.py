@@ -1390,3 +1390,65 @@ ORDER BY ABS(y * 4095 - fnum) DESC, event_type, hour LIMIT 20
 
 
 QUERIES["events_ewma_anomaly"] = (events_ewma_anomaly, EWMA_SQL)
+
+
+def events_dense_hourly(spark, sf_dir):
+    """Gap-filled hourly series (operators/temporal.densify_series):
+    every event type's hourly-count series densified to a regular
+    hour grid between its own first and last hour, missing hours
+    filled with 0 — the prerequisite for calendar-correct lag/EWMA/
+    seasonal windows ("previous hour", not "previous observed hour";
+    the caveat events_ewma_anomaly documents is what this operator
+    removes). Output reduces the dense grid to per-type coverage
+    facts, all exact integers.
+
+    Scale: raw events reduce via a combinable hourly aggregate; the
+    grid is sequence+explode, rows ∝ time span — INDEPENDENT of event
+    count; the fill join is co-partitioned on (type, tick). Tick
+    arithmetic is field-extraction epoch math (TIMESTAMP_NTZ-safe, no
+    DST dependence)."""
+    from heracles_spark.operators.temporal import densify_series
+
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.date_trunc("hour", F.col("ts")).alias("hr"))
+               .agg(F.count(F.lit(1)).alias("y")))
+    dense = densify_series(hourly, ["event_type"], "hr", 3600,
+                           fill={"y": 0})
+    return (dense.groupBy("event_type")
+                 .agg(F.count(F.lit(1)).alias("n_hours"),
+                      F.sum((F.col("y") > 0).cast("long"))
+                       .alias("n_observed"),
+                      F.sum((F.col("y") == 0).cast("long"))
+                       .alias("n_gaps"),
+                      F.sum("y").alias("total_events"))
+                 .orderBy("event_type"))
+
+
+DENSE_SQL = """
+WITH h AS (
+  SELECT event_type,
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT)
+           AS tick,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2),
+ span AS (
+  SELECT event_type, MIN(tick) AS t0, MAX(tick) AS t1
+  FROM h GROUP BY 1),
+ grid AS (
+  SELECT event_type, unnest(generate_series(t0, t1)) AS tick
+  FROM span),
+ d AS (
+  SELECT g.event_type, g.tick, COALESCE(h.y, 0) AS y
+  FROM grid g LEFT JOIN h ON g.event_type = h.event_type
+                         AND g.tick = h.tick)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(COUNT(CASE WHEN y > 0 THEN 1 END) AS BIGINT) AS n_observed,
+       CAST(COUNT(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS n_gaps,
+       CAST(SUM(y) AS BIGINT) AS total_events
+FROM d GROUP BY 1 ORDER BY event_type
+"""
+
+
+QUERIES["events_dense_hourly"] = (events_dense_hourly, DENSE_SQL)

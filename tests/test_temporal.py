@@ -241,3 +241,32 @@ def test_decayed_sum_trailing_exact(spark):
              decayed_sum_trailing(df.repartition(13), "uid", "ts",
                                   "value", window=3).collect()}
     assert got13 == got
+
+
+def test_densify_series_fills_gaps_exactly(spark):
+    from pyspark.sql import functions as F
+
+    from heracles_spark.operators.temporal import densify_series
+
+    rows = [("a", "2024-03-10 00:00:00", 5),   # DST-transition day (US)
+            ("a", "2024-03-10 03:00:00", 7),   # 2-hour gap
+            ("b", "2024-03-10 01:00:00", 1)]   # single-point series
+    df = spark.createDataFrame(rows, "g string, hr string, y long") \
+              .withColumn("hr", F.col("hr").cast("timestamp_ntz"))
+    dense = densify_series(df, ["g"], "hr", 3600, fill={"y": 0})
+    got = {(r["g"], str(r["hr"])): r["y"] for r in dense.collect()}
+    assert got == {
+        ("a", "2024-03-10 00:00:00"): 5,
+        ("a", "2024-03-10 01:00:00"): 0,
+        ("a", "2024-03-10 02:00:00"): 0,   # NTZ: no spring-forward skip
+        ("a", "2024-03-10 03:00:00"): 7,
+        ("b", "2024-03-10 01:00:00"): 1,
+    }
+    # default fill is NULL
+    dense_null = densify_series(df, ["g"], "hr", 3600)
+    assert (dense_null.where(F.col("y").isNull()).count() == 2)
+    # partition-count independence
+    got17 = {(r["g"], str(r["hr"])): r["y"]
+             for r in densify_series(df.repartition(17), ["g"], "hr",
+                                     3600, fill={"y": 0}).collect()}
+    assert got17 == got
