@@ -26,3 +26,12 @@ ANALYZE TABLE sales COMPUTE STATISTICS FOR COLUMNS region, amount;
 -- the stats persist in table properties as a metadata-only version
 DESCRIBE EXTENDED sales;
 DESCRIBE HISTORY sales;
+
+-- append a batch: REFRESH is incremental (counts add, NDV sketches
+-- union, histograms recompute column-pruned) — O(appended files)
+INSERT INTO sales
+SELECT id, concat('region', cast(pmod(id, 5) AS STRING)),
+       cast(pmod(id * 13, 1000) AS DOUBLE)
+FROM range(1000, 1500);
+
+REFRESH STATISTICS ON sales;

@@ -185,6 +185,9 @@ _ANALYZE = re.compile(
     r"^\s*ANALYZE\s+TABLE\s+(?P<name>[\w.]+)\s+COMPUTE\s+STATISTICS"
     r"(?:\s+FOR\s+(?:(?P<cols>ALL\s+COLUMNS)"
     r"|COLUMNS\s+(?P<named>\w+(?:\s*,\s*\w+)*)))?\s*$", re.IGNORECASE)
+_REFRESH_STATS = re.compile(
+    r"^\s*REFRESH\s+STATISTICS\s+(?:ON\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CACHE = re.compile(
@@ -735,6 +738,16 @@ def dispatch(session, statement: str) -> DataFrame | None:
               len(st.get("columns", {})), n_hist)],
             "rows: long, analyzed_version: int, n_column_stats: int, "
             "n_histograms: int")
+
+    m = _REFRESH_STATS.match(statement)
+    if m:
+        name = _resolve(session, m.group("name"))
+        st = writer.refresh_statistics(spark, catalog, name)
+        return spark.createDataFrame(
+            [(st["mode"], st["rows"], st["analyzed_version"],
+              len(st.get("columns", {})))],
+            "mode: string, rows: long, analyzed_version: int, "
+            "n_column_stats: int")
 
     m = _CACHE.match(statement)
     if m:

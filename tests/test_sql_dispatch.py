@@ -557,3 +557,50 @@ def test_truncate_table_metadata_only(hsession, spark, catalog):
     assert got == [(9, "z")]
     op = catalog.get_table("tr").history[-2]["op"]
     assert op == "truncate"
+
+
+def test_refresh_statistics_incremental(hsession):
+    import json
+
+    hsession.sql("""CREATE TABLE rs (k INT, p DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO rs VALUES (1,10.0),(2,20.0),(3,NULL)")
+    hsession.sql("ANALYZE TABLE rs COMPUTE STATISTICS FOR COLUMNS k, p")
+    st0 = json.loads(hsession.catalog.get_table("rs").properties["stats"])
+    assert st0["rows"] == 3 and st0["columns"]["k"]["ndv"] == 3
+
+    # pure append → incremental: counts add, sketches union,
+    # histogram recomputed over the full column
+    hsession.sql("INSERT INTO rs VALUES (4,40.0),(5,NULL),(6,60.0)")
+    out = hsession.sql("REFRESH STATISTICS ON rs").collect()[0]
+    assert out.mode == "incremental"
+    st1 = json.loads(hsession.catalog.get_table("rs").properties["stats"])
+    assert st1["rows"] == 6
+    assert st1["columns"]["k"]["ndv"] == 6       # HLL exact at small n
+    assert st1["columns"]["p"]["nulls"] == 2
+    hist = st1["columns"]["p"]["histogram"]
+    assert sum(b["rows"] for b in hist) == 4     # non-null p values
+    assert st1["analyzed_version"] == \
+        hsession.catalog.get_table("rs").version - 1
+
+    # incremental NDV == full recompute (sketch union ≡ single pass)
+    hsession.sql("ANALYZE TABLE rs COMPUTE STATISTICS FOR COLUMNS k, p")
+    st_full = json.loads(
+        hsession.catalog.get_table("rs").properties["stats"])
+    assert st_full["columns"]["k"]["ndv"] == st1["columns"]["k"]["ndv"]
+    assert st_full["columns"]["p"]["ndv"] == st1["columns"]["p"]["ndv"]
+
+    # nothing appended → noop restamp
+    out = hsession.sql("REFRESH STATISTICS ON rs").collect()[0]
+    assert out.mode == "noop" and out.rows == 6
+
+    # non-append change (COW delete rewrites files) → full fallback
+    hsession.sql("DELETE FROM rs WHERE k = 1")
+    out = hsession.sql("REFRESH STATISTICS ON rs").collect()[0]
+    assert out.mode == "full" and out.rows == 5
+
+    import pytest as _pt
+    hsession.sql("""CREATE TABLE rs2 (k INT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    with _pt.raises(Exception):
+        hsession.sql("REFRESH STATISTICS ON rs2")   # no ANALYZE yet
