@@ -1,0 +1,137 @@
+"""Statistics-consuming planner helpers — the other half of ANALYZE.
+
+``writer.analyze_table`` / ``REFRESH STATISTICS`` persist row counts,
+per-column NDV/null counts, min/max, average string lengths, and exact
+equi-depth histograms in table properties. This module is what READS
+them: size-estimate a table from its own catalog stats, pick a join
+strategy from the estimate, and estimate predicate selectivity from the
+histogram — the classic System-R loop (statistics → cardinality →
+strategy), realized as Spark join hints so Catalyst still owns the
+physical plan. ≙ the reference's region-statistics-driven scan/join
+planning; stock Spark's CBO cannot see our catalog, so the decision is
+made here and handed to Catalyst as a ``broadcast()`` hint.
+
+Scale notes:
+- The decision is METADATA-ONLY: stats live in the table properties
+  already in driver memory; no data is touched before the plan runs.
+  At 100 TB the win is exactly that — a dimension table whose stats say
+  40 MB gets broadcast without Spark first materializing a shuffle, and
+  a fact table never gets broadcast by a stale file-size heuristic.
+- Estimates are conservative: a table with NO stats returns None and
+  the caller falls back to Spark's own sizing (never guess-broadcast
+  an unmeasured relation).
+- Histogram selectivity error is bounded by one bucket's row count
+  (the straddling bucket), so ``estimate_rows_leq`` is within
+  max(bucket rows) of exact by construction — the contract
+  ``lineitem_stats_selectivity`` certifies.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from heracles_spark.catalog import HeraclesCatalog, KeyTable
+
+# Fixed in-memory widths per SQL type (bytes, parquet-decoded columnar
+# estimate). Variable-length types use recorded avg_len + overhead.
+_FIXED_WIDTH = {
+    "boolean": 1, "tinyint": 1, "smallint": 2,
+    "int": 4, "integer": 4, "float": 4, "date": 4,
+    "bigint": 8, "long": 8, "double": 8, "timestamp": 8,
+    "decimal": 16,
+}
+_VAR_OVERHEAD = 20          # UTF8String/offset+null bookkeeping
+_DEFAULT_VAR_LEN = 20.0     # string column with no avg_len recorded
+_DEFAULT_WIDTH = 64         # arrays/maps/unknown types
+
+DEFAULT_BROADCAST_BYTES = 32 * 1024 * 1024
+
+
+def table_stats(tbl: KeyTable) -> dict[str, Any] | None:
+    """Parsed ANALYZE stats from table properties, or None if the table
+    was never analyzed."""
+    raw = tbl.properties.get("stats")
+    return json.loads(raw) if raw else None
+
+
+def column_width_bytes(sql_type: str, col_stats: dict[str, Any] | None
+                       ) -> float:
+    base = sql_type.lower().split("(")[0].strip()
+    if base in _FIXED_WIDTH:
+        return float(_FIXED_WIDTH[base])
+    if base in ("string", "varchar", "char", "binary"):
+        avg = (col_stats or {}).get("avg_len", _DEFAULT_VAR_LEN)
+        return float(avg) + _VAR_OVERHEAD
+    return float(_DEFAULT_WIDTH)
+
+
+def estimated_table_bytes(tbl: KeyTable) -> int | None:
+    """rows × Σ per-column width, from persisted stats only. None when
+    the table has no ANALYZE stats (callers must not guess)."""
+    stats = table_stats(tbl)
+    if stats is None or "rows" not in stats:
+        return None
+    col_stats = stats.get("columns", {})
+    width = sum(column_width_bytes(t, col_stats.get(c))
+                for c, t in tbl.columns)
+    return int(stats["rows"] * width)
+
+
+def join_with_stats(spark: SparkSession, catalog: HeraclesCatalog,
+                    fact: str, dim: str, on: "list[str] | Any",
+                    how: str = "inner",
+                    broadcast_threshold: int = DEFAULT_BROADCAST_BYTES,
+                    ) -> "tuple[DataFrame, dict[str, Any]]":
+    """Join two catalog tables, choosing the strategy from persisted
+    ANALYZE stats: a dimension whose estimated bytes fit under
+    ``broadcast_threshold`` is handed to Catalyst with a broadcast
+    hint; otherwise (or when the dim was never analyzed) no hint is
+    injected and Spark's own planning applies. Returns (joined
+    DataFrame, decision record) so callers/tests can audit the choice.
+    """
+    fact_df = catalog.read_table(spark, fact)
+    dim_df = catalog.read_table(spark, dim)
+    est = estimated_table_bytes(catalog.get_table(dim))
+    decision: dict[str, Any] = {
+        "dim": dim, "est_bytes": est,
+        "threshold_bytes": int(broadcast_threshold),
+        "strategy": "spark-default",
+    }
+    if est is not None and est <= broadcast_threshold:
+        dim_df = F.broadcast(dim_df)
+        decision["strategy"] = "broadcast"
+    elif est is not None:
+        decision["strategy"] = "shuffle"
+    return fact_df.join(dim_df, on, how), decision
+
+
+def estimate_rows_leq(tbl: KeyTable, column: str, x: float
+                      ) -> float | None:
+    """Estimated row count for ``column <= x`` from the persisted
+    equi-depth histogram: full buckets below x plus linear
+    interpolation inside the straddling bucket (its lower bound is the
+    previous bucket's hi; the first bucket's is the recorded column
+    min). Error ≤ the straddling bucket's row count. None when the
+    column carries no histogram/min."""
+    stats = table_stats(tbl)
+    cst = (stats or {}).get("columns", {}).get(column)
+    if not cst or "histogram" not in cst or "min" not in cst:
+        return None
+    lo = float(cst["min"])
+    if x < lo:
+        return 0.0
+    est = 0.0
+    for b in cst["histogram"]:
+        hi = float(b["hi"])
+        if x >= hi:
+            est += b["rows"]
+        else:
+            if hi > lo:
+                est += b["rows"] * (x - lo) / (hi - lo)
+            break
+        lo = hi
+    return est

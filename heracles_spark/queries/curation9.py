@@ -1,0 +1,212 @@
+"""Ninth batch: the statistics system CONSUMED — stats-driven join
+strategy and histogram selectivity (heracles_spark.planner over the
+ANALYZE/REFRESH STATISTICS state) — plus the QUALIFY SQL surface.
+
+These certify that the catalog statistics aren't inert metadata: the
+broadcast decision and the selectivity estimate are both pinned inside
+the value hash, so a stats regression (wrong rows, broken histogram,
+missing min) flips a boolean the oracle asserts TRUE.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from heracles_spark.queries.relational import _t
+
+QUERIES: dict = {}
+
+
+def orders_stats_broadcast_join(spark, sf_dir):
+    """Cost-based join strategy from the engine's OWN catalog stats:
+    orders (fact) ⋈ customer (dim) through planner.join_with_stats,
+    with Spark's size-based auto-broadcast disabled — so the ONLY
+    thing that can make this a BroadcastHashJoin is the planner
+    reading the dim's persisted ANALYZE stats (rows × typed widths)
+    and injecting the hint. The control join runs the same stats
+    through a 0-byte threshold and must come out a shuffle join.
+    Both executed-plan facts and the stats row count are pinned in
+    the value hash. At 100 TB this is the decision that matters most
+    in a star join: broadcast verdicts from durable catalog stats,
+    not from runtime file-size guesses on a 20 TB scan."""
+    from heracles_spark import planner, writer
+    from heracles_spark.catalog import HeraclesCatalog
+    from heracles_spark.plans import executed_plan_string
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_cbo_"))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cat.create_table("fact", [("o_orderkey", "bigint"),
+                              ("o_custkey", "bigint"),
+                              ("o_totalprice", "double")], ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "fact",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_custkey").cast("bigint"),
+                 F.col("o_totalprice").cast("double")), n_buckets=4)
+    cat.create_table("dim", [("o_custkey", "bigint"),
+                             ("c_nationkey", "int"),
+                             ("c_acctbal", "double")], ["o_custkey"])
+    writer.write_key_organized(
+        spark, cat, "dim",
+        c.select(F.col("c_custkey").cast("bigint").alias("o_custkey"),
+                 F.col("c_nationkey").cast("int"),
+                 F.col("c_acctbal").cast("double")), n_buckets=2)
+    writer.analyze_table(spark, cat, "dim", for_columns=True)
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        def agg(j):
+            return (j.groupBy("c_nationkey")
+                     .agg(F.count(F.lit(1)).alias("n_orders"),
+                          F.sum(F.round(F.col("o_totalprice") * 100)
+                                 .cast("long")).alias("revenue_cents")))
+
+        j1, d1 = planner.join_with_stats(spark, cat, "fact", "dim",
+                                         ["o_custkey"])
+        j2, d2 = planner.join_with_stats(spark, cat, "fact", "dim",
+                                         ["o_custkey"],
+                                         broadcast_threshold=0)
+        p1 = executed_plan_string(agg(j1), "simple")
+        p2 = executed_plan_string(agg(j2), "simple")
+        bhj = (d1["strategy"] == "broadcast"
+               and "BroadcastHashJoin" in p1)
+        smj = (d2["strategy"] == "shuffle"
+               and "BroadcastHashJoin" not in p2
+               and ("SortMergeJoin" in p2 or "ShuffledHashJoin" in p2))
+        n_dim = int(planner.table_stats(cat.get_table("dim"))["rows"])
+        out = (agg(j1)
+               .select(F.col("c_nationkey").cast("int").alias("c_nationkey"),
+                       "n_orders", "revenue_cents",
+                       F.lit(n_dim).cast("long").alias("stats_dim_rows"),
+                       F.lit(bool(bhj)).alias("bhj_from_stats"),
+                       F.lit(bool(smj)).alias("smj_when_forced"))
+               .orderBy("c_nationkey"))
+        # Force the returned plan while the confs are still pinned —
+        # the cached physical plan survives the restore below.
+        executed_plan_string(out, "simple")
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
+
+
+STATS_BROADCAST_SQL = """
+SELECT CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS stats_dim_rows,
+       TRUE AS bhj_from_stats,
+       TRUE AS smj_when_forced
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1 ORDER BY c_nationkey
+"""
+
+QUERIES["orders_stats_broadcast_join"] = (orders_stats_broadcast_join,
+                                          STATS_BROADCAST_SQL)
+
+
+def lineitem_stats_selectivity(spark, sf_dir):
+    """Histogram-driven selectivity: the persisted 8-bucket equi-depth
+    histogram estimates |l_quantity <= x| for a ladder of predicates,
+    and each estimate must land within ONE BUCKET's rows of the exact
+    count — the histogram's theoretical error bound (the only
+    uncertain term is the straddling bucket's interpolation, bounded
+    by that bucket's row count). The exact counts come from one
+    aggregation pass; the oracle recomputes them and pins every
+    within-bound flag TRUE. A planner consulting these stats at 100 TB
+    prunes/sizes scans from O(1) metadata instead of sampling."""
+    from heracles_spark import planner, writer
+    from heracles_spark.catalog import HeraclesCatalog
+
+    cat = HeraclesCatalog(tempfile.mkdtemp(prefix="heracles_sel_"))
+    li = _t(spark, sf_dir, "lineitem")
+    cat.create_table("li", [("l_orderkey", "bigint"),
+                            ("l_quantity", "double")], ["l_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "li",
+        li.select(F.col("l_orderkey").cast("bigint"),
+                  F.col("l_quantity").cast("double")), n_buckets=4)
+    writer.analyze_table(spark, cat, "li", columns=["l_quantity"])
+    tbl = cat.get_table("li")
+    hist = planner.table_stats(tbl)["columns"]["l_quantity"]["histogram"]
+    bound = max(b["rows"] for b in hist)
+
+    thresholds = [3.0, 9.5, 17.0, 25.0, 33.5, 42.0, 50.0]
+    exact_row = (cat.read_table(spark, "li")
+                    .agg(*[F.sum((F.col("l_quantity") <= t).cast("long"))
+                            .alias(f"e{i}")
+                           for i, t in enumerate(thresholds)])
+                    .collect()[0])
+    rows = []
+    for i, t in enumerate(thresholds):
+        est = planner.estimate_rows_leq(tbl, "l_quantity", t)
+        exact = int(exact_row[f"e{i}"] or 0)
+        rows.append((t, exact, bool(abs(est - exact) <= bound)))
+    return spark.createDataFrame(
+        rows, "quantity_leq: double, exact_rows: long, "
+              "est_within_bucket: boolean").orderBy("quantity_leq")
+
+
+STATS_SELECTIVITY_SQL = """
+SELECT t.q AS quantity_leq,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+        WHERE l_quantity <= t.q) AS exact_rows,
+       TRUE AS est_within_bucket
+FROM (VALUES (3.0), (9.5), (17.0), (25.0), (33.5), (42.0), (50.0))
+     AS t(q)
+ORDER BY quantity_leq
+"""
+
+QUERIES["lineitem_stats_selectivity"] = (lineitem_stats_selectivity,
+                                         STATS_SELECTIVITY_SQL)
+
+
+def orders_qualify_topn(spark, sf_dir):
+    """QUALIFY through the SQL dispatcher (sql.rewrite_qualify): top-3
+    orders per priority by price, written the way Snowflake/DuckDB/
+    BigQuery users write it — the window filter in a QUALIFY clause,
+    no manual subquery. Spark has no QUALIFY; the dispatcher rewrites
+    it to an equivalent post-window subquery before Catalyst sees it.
+    The oracle runs the SAME clause natively in DuckDB — direct
+    surface parity. Plan-wise the rewrite is exactly the hand-written
+    form: one partitioned window, filter on rank, no extra shuffle."""
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_q_"))
+    (_t(spark, sf_dir, "orders")
+     .createOrReplaceTempView("orders_qualify_src"))
+    return hs.sql("""
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice DESC,
+                                           o_orderkey) AS rn
+        FROM orders_qualify_src
+        QUALIFY rn <= 3
+        ORDER BY o_orderpriority, rn
+    """)
+
+
+QUALIFY_SQL = """
+SELECT o_orderpriority, o_orderkey, o_totalprice,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC,
+                                        o_orderkey) AS INTEGER) AS rn
+FROM orders
+QUALIFY rn <= 3
+ORDER BY o_orderpriority, rn
+"""
+
+QUERIES["orders_qualify_topn"] = (orders_qualify_topn, QUALIFY_SQL)

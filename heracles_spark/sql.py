@@ -32,6 +32,9 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   RESTORE TABLE t TO VERSION AS OF n (metadata-only rollback)
   VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
             travel past the horizon — heracles_spark.writer.vacuum_table)
+  SELECT ... QUALIFY <cond>  (post-window filter — Snowflake/DuckDB/
+            BigQuery semantics; rewritten to a subquery before Spark,
+            which has no QUALIFY clause)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -873,8 +876,65 @@ def dispatch(session, statement: str) -> DataFrame | None:
                .createOrReplaceTempView(view)
         return view
 
-    return spark.sql(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
-        _ts_asof, statement)))
+    return spark.sql(rewrite_qualify(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
+        _ts_asof, statement))))
+
+
+def _top_level_find(s: str, word: str, start: int = 0) -> int:
+    """Index of the first occurrence of ``word`` (as a whole keyword,
+    case-insensitive) at paren depth 0 outside string literals, or -1."""
+    pat = re.compile(rf"\b{word}\b", re.IGNORECASE)
+    depth, i, n = 0, start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch in ("'", '"'):
+            j = i + 1
+            while j < n and s[j] != ch:
+                j += 2 if s[j] == "\\" else 1
+            i = j
+        elif depth == 0:
+            m = pat.match(s, i)
+            if m:
+                return i
+        i += 1
+    return -1
+
+
+def rewrite_qualify(statement: str) -> str:
+    """Rewrite a top-level ``QUALIFY <cond>`` (filter evaluated AFTER
+    window functions — Snowflake/DuckDB/BigQuery semantics; Spark has
+    no such clause) into an equivalent subquery:
+
+    - cond referencing only select-list aliases → ``SELECT * FROM
+      (head) WHERE cond`` (aliases are columns of the inner relation);
+    - cond containing a window expression itself → the window is
+      computed as an extra column over the inner relation (same rows
+      as the pre-QUALIFY result set, so the frames are identical) and
+      dropped with ``* EXCEPT`` after filtering.
+
+    Trailing ORDER BY / LIMIT stay outermost. Statements without a
+    top-level QUALIFY pass through untouched; QUALIFY inside a
+    subquery is out of scope (Spark will reject it, loudly)."""
+    pos = _top_level_find(statement, "QUALIFY")
+    if pos < 0:
+        return statement
+    head = statement[:pos].rstrip().rstrip(";")
+    rest = statement[pos + len("QUALIFY"):].strip().rstrip(";")
+    cut = len(rest)
+    for stop in (r"ORDER\s+BY", "LIMIT"):
+        p = _top_level_find(rest, stop)
+        if p >= 0:
+            cut = min(cut, p)
+    cond, tail = rest[:cut].strip(), rest[cut:].strip()
+    if re.search(r"\bOVER\b", cond, re.IGNORECASE):
+        return (f"SELECT * EXCEPT (__qualify) FROM "
+                f"(SELECT *, ({cond}) AS __qualify FROM ({head}) __hq_in) "
+                f"__hq WHERE __qualify {tail}")
+    return f"SELECT * FROM ({head}) __hq WHERE {cond} {tail}"
 
 
 def _parse_merge(statement: str):

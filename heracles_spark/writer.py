@@ -671,6 +671,7 @@ def write_bucketed(spark: SparkSession, catalog: HeraclesCatalog, table: str,
 
 _HIST_TYPES = ("int", "integer", "bigint", "long", "smallint", "tinyint",
                "float", "double", "decimal", "date")
+_LEN_TYPES = ("string", "varchar", "char", "binary")
 
 
 def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
@@ -720,6 +721,15 @@ def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
                       .alias(f"__ndv_{c}"),
                      F.sum(F.col(c).isNull().cast("long"))
                       .alias(f"__nn_{c}")]
+            base = types[c].lower().split("(")[0].strip()
+            if base in _HIST_TYPES:
+                v = (F.unix_date(F.col(c)).cast("double")
+                     if base == "date" else F.col(c).cast("double"))
+                aggs += [F.min(v).alias(f"__mn_{c}"),
+                         F.max(v).alias(f"__mx_{c}")]
+            elif base in _LEN_TYPES:
+                aggs += [F.sum(F.length(F.col(c)).cast("long"))
+                          .alias(f"__sl_{c}")]
     row = df.agg(*aggs).collect()[0]
     stats: dict[str, Any] = {"rows": row["__n"],
                              "analyzed_version": tbl.version}
@@ -735,6 +745,14 @@ def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
                     for c in cols if row[f"__sk_{c}"] is not None}
         for c in cols:
             base = types[c].lower().split("(")[0].strip()
+            cst = stats["columns"][c]
+            if base in _HIST_TYPES and row[f"__mn_{c}"] is not None:
+                cst["min"] = float(row[f"__mn_{c}"])
+                cst["max"] = float(row[f"__mx_{c}"])
+            elif base in _LEN_TYPES:
+                nn = int(row["__n"]) - cst["nulls"]
+                if nn > 0:
+                    cst["avg_len"] = float(row[f"__sl_{c}"] or 0) / nn
             if base not in _HIST_TYPES:
                 continue
             src = df.select(F.unix_date(F.col(c)).alias("__v")
@@ -815,12 +833,23 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
         return {"mode": "noop", **stats}
 
     df = spark.read.schema(tbl.schema()).parquet(*new_paths)
+    types = dict(tbl.columns)
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in cols:
         aggs += [_hll_agg(c).alias(f"__sk_{c}"),
                  F.sum(F.col(c).isNull().cast("long")).alias(f"__nn_{c}")]
+        base = types[c].lower().split("(")[0].strip()
+        if base in _HIST_TYPES:
+            v = (F.unix_date(F.col(c)).cast("double")
+                 if base == "date" else F.col(c).cast("double"))
+            aggs += [F.min(v).alias(f"__mn_{c}"),
+                     F.max(v).alias(f"__mx_{c}")]
+        elif base in _LEN_TYPES:
+            aggs += [F.sum(F.length(F.col(c)).cast("long"))
+                      .alias(f"__sl_{c}")]
     row = df.agg(*aggs).collect()[0]
-    stats["rows"] = int(stats["rows"]) + int(row["__n"])
+    old_rows = int(stats["rows"])
+    stats["rows"] = old_rows + int(row["__n"])
 
     sketches = _json.loads(tbl.properties.get("stats_hll", "{}"))
     if cols:
@@ -841,9 +870,25 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
             if r["u"] is not None:
                 sketches[r["c"]] = _b64.b64encode(r["u"]).decode("ascii")
         for c in cols:
-            stats["columns"][c]["nulls"] = (
-                int(stats["columns"][c]["nulls"])
-                + int(row[f"__nn_{c}"] or 0))
+            cst = stats["columns"][c]
+            old_nulls = int(cst["nulls"])
+            new_nulls = int(row[f"__nn_{c}"] or 0)
+            cst["nulls"] = old_nulls + new_nulls
+            base = types[c].lower().split("(")[0].strip()
+            if base in _HIST_TYPES and row.asDict().get(
+                    f"__mn_{c}") is not None:
+                mn, mx = float(row[f"__mn_{c}"]), float(row[f"__mx_{c}"])
+                cst["min"] = min(cst["min"], mn) if "min" in cst else mn
+                cst["max"] = max(cst["max"], mx) if "max" in cst else mx
+            elif base in _LEN_TYPES:
+                # avg_len merges through the exact length sum: the old
+                # sum is avg·non-null-count, both recorded exactly.
+                old_nn = old_rows - old_nulls
+                new_nn = int(row["__n"]) - new_nulls
+                old_sum = cst.get("avg_len", 0.0) * old_nn
+                new_sum = float(row[f"__sl_{c}"] or 0)
+                if old_nn + new_nn > 0:
+                    cst["avg_len"] = (old_sum + new_sum) / (old_nn + new_nn)
     # histograms: boundaries aren't mergeable — recompute (column-
     # pruned full pass) for exactly the columns that carried one
     hist_cols = [c for c in cols
@@ -853,7 +898,6 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
             grouped_equidepth_histogram)
 
         full_df = catalog.read_table(spark, table)
-        types = dict(tbl.columns)
         for c in hist_cols:
             base = types[c].lower().split("(")[0].strip()
             src = full_df.select(

@@ -604,3 +604,28 @@ def test_refresh_statistics_incremental(hsession):
                     TBLPROPERTIES('keyCols'='k')""")
     with _pt.raises(Exception):
         hsession.sql("REFRESH STATISTICS ON rs2")   # no ANALYZE yet
+
+
+def test_qualify_clause(hsession, spark):
+    spark.sql("SELECT * FROM VALUES (1,'a'),(2,'a'),(3,'a'),(9,'b'),(8,'b')"
+              " t(v, g)").createOrReplaceTempView("qsrc")
+    got = hsession.sql(
+        "SELECT g, v, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v DESC)"
+        " AS rn FROM qsrc QUALIFY rn <= 2 ORDER BY g, rn").collect()
+    assert [(r.g, r.v, r.rn) for r in got] == [
+        ("a", 3, 1), ("a", 2, 2), ("b", 9, 1), ("b", 8, 2)]
+    # window expression directly in QUALIFY (no alias), schema preserved
+    got = hsession.sql(
+        "SELECT g, v FROM qsrc QUALIFY ROW_NUMBER() OVER "
+        "(PARTITION BY g ORDER BY v) = 1 ORDER BY g")
+    assert got.columns == ["g", "v"]
+    assert [(r.g, r.v) for r in got.collect()] == [("a", 1), ("b", 8)]
+    # LIMIT stays outermost; QUALIFY text inside a string literal ignored
+    got = hsession.sql(
+        "SELECT g, v, RANK() OVER (ORDER BY v DESC) AS rk, 'QUALIFY x' AS"
+        " lit FROM qsrc QUALIFY rk <= 4 ORDER BY rk LIMIT 2").collect()
+    assert [r.v for r in got] == [9, 8]
+    # statements without top-level QUALIFY pass through untouched
+    from heracles_spark.sql import rewrite_qualify
+    s = "SELECT a FROM (SELECT 1 AS a) t WHERE a > 0"
+    assert rewrite_qualify(s) == s
