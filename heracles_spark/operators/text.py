@@ -788,3 +788,66 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text",
         "gopher_pass",
         F.col("ok_word_count") & F.col("ok_mean_word_len")
         & F.col("ok_symbol_ratio") & F.col("ok_stopwords"))
+
+
+def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
+                         min_len: int = 2) -> DataFrame:
+    """Distributed Kneser-Ney bigram LM estimation (Kneser & Ney 1995;
+    Chen & Goodman 1998 eq. 4.25 with one absolute discount) — the
+    TRAINING side of the CCNet-style LM quality filter (lm_score is
+    the scoring side; KenLM is the reference implementation of this
+    estimator).
+
+    Tokens are whitespace-split, stripped to ASCII letters, lowercased
+    (the term_frequencies discipline), short residues dropped, and
+    adjacency taken over the FILTERED sequence. One corpus pass builds
+    the bigram-type relation; everything after is vocabulary-sized:
+
+    - c12 = c(w1 w2), c1 = Σ_w c(w1 w), fan_out = N1+(w1 ·),
+      fan_in = N1+(· w2), n_types = |{(w1,w2)}|,
+      n1/n2 = bigram types seen exactly once/twice,
+    - discount D = n1/(n1 + 2·n2)  (Ney/Essen/Kneser estimate),
+    - P_KN(w2|w1) = (c12 − D)/c1 + D·fan_out/c1 · (fan_in/n_types)
+      (c12 ≥ 1 > D, so the discounted term needs no clamp).
+
+    All inputs to the probability are EXACT integers; the double chain
+    is a fixed op sequence a SQL oracle mirrors term-for-term.
+
+    Scale: explode → one combinable groupBy to bigram types (the only
+    corpus-sized shuffle); the four stat relations and the final joins
+    are bigram-TYPE-sized (Heaps-bounded, ≪ corpus at 100 TB). The
+    bigram relation is lineage-truncated once for its four consumers.
+    """
+    toks = F.filter(
+        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: F.lower(
+                        F.regexp_replace(x, "[^a-zA-Z]", ""))),
+        lambda x: F.length(x) >= min_len)
+    seqs = df.select(toks.alias("a")).where(F.size("a") >= 2)
+    pairs = (seqs.select(F.explode(F.expr(
+                 "transform(sequence(1, size(a) - 1), "
+                 "i -> struct(element_at(a, i) AS w1, "
+                 "element_at(a, i + 1) AS w2))")).alias("p"))
+                 .select("p.w1", "p.w2"))
+    bc = (pairs.groupBy("w1", "w2")
+               .agg(F.count(F.lit(1)).alias("c12"))
+               .localCheckpoint())
+    left = bc.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                F.count(F.lit(1)).alias("fan_out"))
+    right = bc.groupBy("w2").agg(F.count(F.lit(1)).alias("fan_in"))
+    tot = bc.agg(F.count(F.lit(1)).alias("n_types"),
+                 F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
+                 F.sum((F.col("c12") == 2).cast("long")).alias("n2"))
+    disc = (F.col("n1").cast("double")
+            / (F.col("n1") + F.lit(2) * F.col("n2")).cast("double"))
+    p_kn = ((F.col("c12").cast("double") - disc)
+            / F.col("c1").cast("double")
+            + disc * F.col("fan_out").cast("double")
+            / F.col("c1").cast("double")
+            * (F.col("fan_in").cast("double")
+               / F.col("n_types").cast("double")))
+    return (bc.join(left, "w1").join(right, "w2")
+              .crossJoin(F.broadcast(tot))
+              .select("w1", "w2", "c12", "c1", "fan_out", "fan_in",
+                      "n_types", "n1", "n2",
+                      F.round(p_kn, 9).alias("p_kn")))

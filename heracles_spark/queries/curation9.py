@@ -210,3 +210,152 @@ ORDER BY o_orderpriority, rn
 """
 
 QUERIES["orders_qualify_topn"] = (orders_qualify_topn, QUALIFY_SQL)
+
+
+def doc_kn_bigram_lm(spark, sf_dir):
+    """Kneser-Ney bigram LM estimation over the corpus
+    (operators.text.kneser_ney_bigram_lm — the TRAINING side of the
+    CCNet/KenLM quality-filter loop; doc_lm_score is the scoring
+    side). Top-20 bigrams by (count DESC, w1, w2) with every exact
+    integer input to the estimator (bigram/context counts, fan-out/
+    fan-in continuation counts, global count-of-counts n1/n2) and the
+    smoothed P_KN itself — the oracle recomputes the whole estimator,
+    discount included, so a wrong continuation count or a broken
+    discount flips the hash."""
+    from heracles_spark.operators.text import kneser_ney_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    return (kneser_ney_bigram_lm(d, "text", min_len=2)
+            .orderBy(F.desc("c12"), "w1", "w2")
+            .limit(20))
+
+
+KN_LM_SQL = r"""
+WITH f AS (
+  SELECT list_filter(
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          x -> lower(regexp_replace(x, '[^a-zA-Z]', '',
+                                                    'g'))),
+           x -> length(x) >= 2) AS a
+  FROM documents),
+ bg AS (
+  SELECT u.p[1] AS w1, u.p[2] AS w2
+  FROM f, unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS u(p)
+  WHERE len(a) >= 2),
+ bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2),
+ lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                CAST(COUNT(*) AS BIGINT) AS fan_out
+         FROM bc GROUP BY 1),
+ rgt AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS fan_in
+         FROM bc GROUP BY 1),
+ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2
+         FROM bc)
+SELECT bc.w1, bc.w2, bc.c12, lft.c1, lft.fan_out, rgt.fan_in,
+       tot.n_types, tot.n1, tot.n2,
+       ROUND((CAST(bc.c12 AS DOUBLE)
+              - CAST(tot.n1 AS DOUBLE)
+                / CAST(tot.n1 + 2 * tot.n2 AS DOUBLE))
+             / CAST(lft.c1 AS DOUBLE)
+             + CAST(tot.n1 AS DOUBLE)
+               / CAST(tot.n1 + 2 * tot.n2 AS DOUBLE)
+               * CAST(lft.fan_out AS DOUBLE) / CAST(lft.c1 AS DOUBLE)
+               * (CAST(rgt.fan_in AS DOUBLE)
+                  / CAST(tot.n_types AS DOUBLE)), 9) AS p_kn
+FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+ORDER BY c12 DESC, w1, w2 LIMIT 20
+"""
+
+QUERIES["doc_kn_bigram_lm"] = (doc_kn_bigram_lm, KN_LM_SQL)
+
+
+def events_theil_sen_trend(spark, sf_dir):
+    """Theil-Sen robust trend (Theil 1950 / Sen 1968: the median of all
+    pairwise slopes — 29% breakdown point vs OLS's zero) of each event
+    type's hourly-count series, computed EXACTLY: every slope is the
+    rational (y2−y1)/(h2−h1) over integer counts and epoch-hour
+    indices, ordered by its IEEE double value (identical in both
+    engines) with the exact (num, den) pair as total-order tiebreak,
+    and the LOWER MEDIAN picked at rank ⌈P/2⌉ — the returned
+    numerator/denominator are exact integers; only the display slope
+    divides once.
+
+    Scale: raw events reduce via one combinable hourly aggregate; the
+    pair self-join is over the HOURLY series, so pairs grow with the
+    square of the time span, never with event volume (the 100 TB
+    reduction happens before the quadratic step). The rank window
+    sorts pairs per type — bounded by (hours)², independent of rows.
+    """
+    from heracles_spark.queries.relational import _events
+    from pyspark.sql import Window
+
+    e = _events(spark, sf_dir)
+    # One corpus pass; the hourly series (span-sized, 3.6k rows here)
+    # is lineage-truncated for its three consumers and broadcast into
+    # the quadratic self-join so no shuffle touches the pair stage.
+    hourly = (e.groupBy("event_type",
+                        F.expr("ts_ns div 3600000000000").alias("h"))
+               .agg(F.count(F.lit(1)).alias("y"))
+               .localCheckpoint())
+    a = hourly.select("event_type", F.col("h").alias("h1"),
+                      F.col("y").alias("y1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"),
+                      F.col("y").alias("y2"))
+    pairs = (a.join(F.broadcast(b), "event_type")
+              .where(F.col("h2") > F.col("h1"))
+              .select("event_type",
+                      (F.col("y2") - F.col("y1")).alias("num"),
+                      (F.col("h2") - F.col("h1")).alias("den")))
+    w = Window.partitionBy("event_type").orderBy(
+        (F.col("num").cast("double") / F.col("den").cast("double")),
+        "num", "den")
+    cnt = Window.partitionBy("event_type")
+    ranked = (pairs.withColumn("rk", F.row_number().over(w))
+                   .withColumn("n_pairs", F.count(F.lit(1)).over(cnt)))
+    med = ranked.where(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
+    npts = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_points"))
+    return (med.join(npts, "event_type")
+               .select("event_type", "n_points", "n_pairs",
+                       F.col("num").alias("med_num"),
+                       F.col("den").alias("med_den"),
+                       F.round(F.col("num").cast("double")
+                               / F.col("den").cast("double"), 9)
+                        .alias("slope_per_hour"))
+               .orderBy("event_type"))
+
+
+THEIL_SEN_SQL = """
+WITH h AS (
+  SELECT event_type, epoch_ns(ts) // 3600000000000 AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2),
+ p AS (
+  SELECT a.event_type, CAST(b.y - a.y AS BIGINT) AS num,
+         CAST(b.h - a.h AS BIGINT) AS den
+  FROM h a JOIN h b ON a.event_type = b.event_type AND b.h > a.h),
+ r AS (
+  SELECT event_type, num, den,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY CAST(num AS DOUBLE)
+                                     / CAST(den AS DOUBLE),
+                                     num, den) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+  FROM p),
+ n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+       FROM h GROUP BY 1)
+SELECT r.event_type, n.n_points, CAST(r.n_pairs AS BIGINT) AS n_pairs,
+       r.num AS med_num, r.den AS med_den,
+       ROUND(CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE), 9)
+         AS slope_per_hour
+FROM r JOIN n USING (event_type)
+WHERE r.rk = (r.n_pairs + 1) // 2
+ORDER BY event_type
+"""
+
+QUERIES["events_theil_sen_trend"] = (events_theil_sen_trend,
+                                     THEIL_SEN_SQL)

@@ -610,3 +610,34 @@ def test_temperature_mix_counts(spark):
                                  group_col="source").collect()}
     assert q5["small"] > 10 and q5["big"] < 90
     assert q5["small"] <= 100
+
+
+def test_kneser_ney_bigram_lm_exact(spark):
+    # corpus: "aa bb aa bb" and "aa bb cc" (min_len=2 keeps all)
+    # bigrams: (aa,bb)x3, (bb,aa)x1, (bb,cc)x1
+    df = spark.createDataFrame([("aa bb aa bb",), ("aa bb cc",)],
+                               "text: string")
+    rows = {(r.w1, r.w2): r for r in
+            text.kneser_ney_bigram_lm(df, "text").collect()}
+    assert set(rows) == {("aa", "bb"), ("bb", "aa"), ("bb", "cc")}
+    r = rows[("aa", "bb")]
+    assert (r.c12, r.c1, r.fan_out, r.fan_in) == (3, 3, 1, 1)
+    # count-of-counts: two singleton types, zero doubles -> D = 1.0
+    assert (r.n1, r.n2, r.n_types) == (2, 0, 3)
+    d = 2.0 / (2 + 2 * 0)
+    # P(bb|aa) = (3-D)/3 + D*1/3 * (1/3)
+    assert r.p_kn == pytest.approx(round((3 - d) / 3 + d * 1 / 3 * (1 / 3), 9))
+    r = rows[("bb", "cc")]
+    assert (r.c12, r.c1, r.fan_out, r.fan_in) == (1, 2, 2, 1)
+    # P(cc|bb) = (1-D)/2 + D*2/2 * (1/3)
+    assert r.p_kn == pytest.approx(round((1 - d) / 2 + d * 2 / 2 * (1 / 3), 9))
+    # probabilities over observed continuations stay in (0, 1]
+    assert all(0.0 < v.p_kn <= 1.0 for v in rows.values())
+
+
+def test_kneser_ney_filters_short_tokens_before_adjacency(spark):
+    # 'x' is dropped (min_len=2): adjacency bridges the gap -> (bb,cc)
+    df = spark.createDataFrame([("bb x cc",)], "text: string")
+    got = {(r.w1, r.w2) for r in
+           text.kneser_ney_bigram_lm(df, "text").collect()}
+    assert got == {("bb", "cc")}
