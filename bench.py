@@ -60,6 +60,8 @@ HEADLINE = [
                                     # pass (CDF walk over lineitem)
     "embedding_random_projection",  # integer-domain JL projection +
                                     # distortion audit (map-heavy fold)
+    "doc_kn_bigram_lm",             # Kneser-Ney bigram LM estimation
+                                    # (corpus pass -> vocab-sized stats)
 ]
 
 

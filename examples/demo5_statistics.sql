@@ -35,3 +35,6 @@ SELECT id, concat('region', cast(pmod(id, 5) AS STRING)),
 FROM range(1000, 1500);
 
 REFRESH STATISTICS ON sales;
+
+-- metadata-only cardinality estimate from the persisted histogram
+EXPLAIN ESTIMATE SELECT * FROM sales WHERE amount <= 500;

@@ -135,3 +135,25 @@ def estimate_rows_leq(tbl: KeyTable, column: str, x: float
             break
         lo = hi
     return est
+
+
+def estimate_equijoin_rows(left: KeyTable, right: KeyTable,
+                           left_key: str, right_key: str
+                           ) -> float | None:
+    """Classic System-R equi-join cardinality estimate from persisted
+    NDVs: |L| · |R| / max(ndv_L(key), ndv_R(key)) — assumes key-value
+    containment, the standard CBO assumption. None unless BOTH sides
+    carry ANALYZE column stats for their key (no guessing). The NDVs
+    come from the mergeable HLL sketches, so the estimate stays honest
+    across incremental REFRESH STATISTICS appends."""
+    ls, rs = table_stats(left), table_stats(right)
+    try:
+        lr, rr = ls["rows"], rs["rows"]
+        lndv = ls["columns"][left_key]["ndv"]
+        rndv = rs["columns"][right_key]["ndv"]
+    except (TypeError, KeyError):
+        return None
+    denom = max(int(lndv), int(rndv))
+    if denom <= 0:
+        return float(lr) * float(rr)
+    return float(lr) * float(rr) / denom

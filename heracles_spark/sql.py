@@ -35,6 +35,12 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   SELECT ... QUALIFY <cond>  (post-window filter — Snowflake/DuckDB/
             BigQuery semantics; rewritten to a subquery before Spark,
             which has no QUALIFY clause)
+  ANALYZE TABLE t COMPUTE STATISTICS [FOR COLUMNS a, b | ALL COLUMNS]
+  REFRESH STATISTICS [ON] t  (incremental on pure appends: counts add,
+            HLL NDV sketches union, histograms recompute column-pruned)
+  EXPLAIN ESTIMATE SELECT ... FROM t WHERE col <= x  (histogram
+            cardinality estimate from persisted stats, metadata-only;
+            also <, >=, >, BETWEEN)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -191,6 +197,12 @@ _ANALYZE = re.compile(
 _REFRESH_STATS = re.compile(
     r"^\s*REFRESH\s+STATISTICS\s+(?:ON\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
+_EXPLAIN_EST = re.compile(
+    r"^\s*EXPLAIN\s+ESTIMATE\s+SELECT\s+.*?\s+FROM\s+(?P<name>[\w.]+)"
+    r"\s+WHERE\s+(?P<col>\w+)\s*"
+    r"(?:(?P<op><=|>=|<|>)\s*(?P<val>-?\d+(?:\.\d+)?)"
+    r"|BETWEEN\s+(?P<lo>-?\d+(?:\.\d+)?)\s+AND\s+(?P<hi>-?\d+(?:\.\d+)?))"
+    r"\s*$", re.IGNORECASE | re.DOTALL)
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _CACHE = re.compile(
@@ -751,6 +763,45 @@ def dispatch(session, statement: str) -> DataFrame | None:
               len(st.get("columns", {})))],
             "mode: string, rows: long, analyzed_version: int, "
             "n_column_stats: int")
+
+    m = _EXPLAIN_EST.match(statement)
+    if m:
+        # EXPLAIN ESTIMATE SELECT … FROM t WHERE col <= x — surface the
+        # planner's histogram selectivity estimate (planner.py) without
+        # touching any data: cardinality from the PERSISTED equi-depth
+        # histogram, error ≤ one bucket by construction. Supports the
+        # range shapes a histogram can answer (<=, <, >=, >, BETWEEN);
+        # anything else belongs to EXPLAIN proper.
+        from heracles_spark import planner
+
+        name = _resolve(session, m.group("name"))
+        tbl = catalog.get_table(name)
+        col = m.group("col")
+        st = planner.table_stats(tbl)
+        total = st["rows"] if st else None
+
+        def leq(x: float) -> "float | None":
+            return planner.estimate_rows_leq(tbl, col, x)
+
+        if m.group("op") is not None:
+            op, x = m.group("op"), float(m.group("val"))
+            pred = f"{col} {op} {m.group('val')}"
+            # <= and < (resp. >= and >) share the estimate: a histogram
+            # cannot see the mass AT a point, only up to it.
+            est = leq(x)
+            if est is not None and op in (">", ">="):
+                est = float(total) - est
+        else:
+            lo, hi = float(m.group("lo")), float(m.group("hi"))
+            pred = f"{col} BETWEEN {m.group('lo')} AND {m.group('hi')}"
+            a, b = leq(lo), leq(hi)
+            est = None if a is None else max(0.0, b - a)
+        method = "equi-depth-histogram" if est is not None else "none"
+        return spark.createDataFrame(
+            [(name, pred, total,
+              int(round(est)) if est is not None else None, method)],
+            "table_name: string, predicate: string, table_rows: long, "
+            "estimated_rows: long, method: string")
 
     m = _CACHE.match(statement)
     if m:

@@ -170,6 +170,7 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert "histogram" in out                 # stats property
             assert '"rows": 1000' in out
             assert "incremental\t1500" in out         # REFRESH output
+            assert "equi-depth-histogram" in out      # EXPLAIN ESTIMATE
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):

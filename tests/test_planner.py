@@ -95,3 +95,19 @@ def test_column_width_defaults():
     assert planner.column_width_bytes("string", None) == 40.0
     assert planner.column_width_bytes("string", {"avg_len": 5.0}) == 25.0
     assert planner.column_width_bytes("array<float>", None) == 64
+
+
+def test_estimate_equijoin_rows(spark, catalog):
+    _mk(spark, catalog, "l", 1000, with_strings=False)
+    _mk(spark, catalog, "r", 100, with_strings=False)
+    from heracles_spark.planner import estimate_equijoin_rows
+    lt, rt = catalog.get_table("l"), catalog.get_table("r")
+    assert estimate_equijoin_rows(lt, rt, "k", "k") is None
+    writer.analyze_table(spark, catalog, "l", for_columns=True)
+    writer.analyze_table(spark, catalog, "r", for_columns=True)
+    lt, rt = catalog.get_table("l"), catalog.get_table("r")
+    est = estimate_equijoin_rows(lt, rt, "k", "k")
+    # keys 0..999 vs 0..99: true join rows = 100; estimate
+    # 1000*100/max(ndv) with ~1.6% HLL error
+    assert est == pytest.approx(100.0, rel=0.1)
+    assert estimate_equijoin_rows(lt, rt, "k", "nope") is None

@@ -629,3 +629,26 @@ def test_qualify_clause(hsession, spark):
     from heracles_spark.sql import rewrite_qualify
     s = "SELECT a FROM (SELECT 1 AS a) t WHERE a > 0"
     assert rewrite_qualify(s) == s
+
+
+def test_explain_estimate(hsession):
+    hsession.sql("""CREATE TABLE ee (k INT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO ee SELECT CAST(id AS INT), "
+                 "CAST(id AS DOUBLE) FROM range(0, 1000)")
+    # no stats yet -> method 'none', NULL estimate
+    r = hsession.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM ee WHERE v <= 250").collect()[0]
+    assert r.method == "none" and r.estimated_rows is None
+    hsession.sql("ANALYZE TABLE ee COMPUTE STATISTICS FOR COLUMNS v")
+    r = hsession.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM ee WHERE v <= 250").collect()[0]
+    assert r.method == "equi-depth-histogram" and r.table_rows == 1000
+    assert abs(r.estimated_rows - 251) <= 125 + 1   # one 8-bucket depth
+    r = hsession.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM ee WHERE v > 250").collect()[0]
+    assert abs(r.estimated_rows - 749) <= 126
+    r = hsession.sql("EXPLAIN ESTIMATE SELECT * FROM ee "
+                     "WHERE v BETWEEN 100 AND 300").collect()[0]
+    assert abs(r.estimated_rows - 200) <= 2 * 126
+    assert r.predicate == "v BETWEEN 100 AND 300"

@@ -83,6 +83,8 @@ AUDITED = [
     # round-8 additions
     "lineitem_percentile_cont", "lineitem_equidepth_hist",
     "embedding_random_projection", "events_ewma_anomaly",
+    "doc_kn_bigram_lm", "events_theil_sen_trend", "orders_qualify_topn",
+    "orders_stats_broadcast_join",
 ]
 
 
