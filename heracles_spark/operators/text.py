@@ -806,7 +806,11 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
     - c12 = c(w1 w2), c1 = Σ_w c(w1 w), fan_out = N1+(w1 ·),
       fan_in = N1+(· w2), n_types = |{(w1,w2)}|,
       n1/n2 = bigram types seen exactly once/twice,
-    - discount D = n1/(n1 + 2·n2)  (Ney/Essen/Kneser estimate),
+    - discount D = n1/(n1 + 2·n2)  (Ney/Essen/Kneser estimate); when
+      the corpus has NO singleton/doubleton bigram types the estimate
+      is undefined (KenLM aborts here) — this falls back to the
+      classic fixed absolute discount D = 0.5, keeping the operator
+      total,
     - P_KN(w2|w1) = (c12 − D)/c1 + D·fan_out/c1 · (fan_in/n_types)
       (c12 ≥ 1 > D, so the discounted term needs no clamp).
 
@@ -838,8 +842,10 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
     tot = bc.agg(F.count(F.lit(1)).alias("n_types"),
                  F.sum((F.col("c12") == 1).cast("long")).alias("n1"),
                  F.sum((F.col("c12") == 2).cast("long")).alias("n2"))
-    disc = (F.col("n1").cast("double")
-            / (F.col("n1") + F.lit(2) * F.col("n2")).cast("double"))
+    denom = F.col("n1") + F.lit(2) * F.col("n2")
+    disc = (F.when(denom == 0, F.lit(0.5))
+             .otherwise(F.col("n1").cast("double")
+                        / denom.cast("double")))
     p_kn = ((F.col("c12").cast("double") - disc)
             / F.col("c1").cast("double")
             + disc * F.col("fan_out").cast("double")

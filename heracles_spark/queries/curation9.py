@@ -254,19 +254,19 @@ WITH f AS (
                      AS BIGINT) AS n1,
                 CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
                      AS BIGINT) AS n2
-         FROM bc)
+         FROM bc),
+ td AS (SELECT *, CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(n1 AS DOUBLE)
+                            / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+        FROM tot)
 SELECT bc.w1, bc.w2, bc.c12, lft.c1, lft.fan_out, rgt.fan_in,
-       tot.n_types, tot.n1, tot.n2,
-       ROUND((CAST(bc.c12 AS DOUBLE)
-              - CAST(tot.n1 AS DOUBLE)
-                / CAST(tot.n1 + 2 * tot.n2 AS DOUBLE))
-             / CAST(lft.c1 AS DOUBLE)
-             + CAST(tot.n1 AS DOUBLE)
-               / CAST(tot.n1 + 2 * tot.n2 AS DOUBLE)
+       td.n_types, td.n1, td.n2,
+       ROUND((CAST(bc.c12 AS DOUBLE) - td.d) / CAST(lft.c1 AS DOUBLE)
+             + td.d
                * CAST(lft.fan_out AS DOUBLE) / CAST(lft.c1 AS DOUBLE)
                * (CAST(rgt.fan_in AS DOUBLE)
-                  / CAST(tot.n_types AS DOUBLE)), 9) AS p_kn
-FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+                  / CAST(td.n_types AS DOUBLE)), 9) AS p_kn
+FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN td
 ORDER BY c12 DESC, w1, w2 LIMIT 20
 """
 

@@ -33,7 +33,8 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
                       refresh_rollups: list[str] | None = None,
                       refresh_indexes: list[str] | None = None,
                       refresh_text_indexes: list[str] | None = None,
-                      refresh_vector_indexes: list[str] | None = None
+                      refresh_vector_indexes: list[str] | None = None,
+                      refresh_stats: bool = False
                       ) -> StreamingQuery:
     """Continuously ingest files from ``source_dir`` into a key-organized
     table, preserving the key-range layout per micro-batch.
@@ -96,6 +97,16 @@ def stream_into_table(spark: SparkSession, catalog, table: str,
             from heracles_spark.vectorindex import refresh_vector_index
             for i in refresh_vector_indexes:
                 refresh_vector_index(spark, catalog, table, i)
+        if refresh_stats:
+            # Catalog statistics stay within one micro-batch of the
+            # stream: the pure-append batch takes refresh_statistics'
+            # INCREMENTAL path (counts add, NDV sketches union,
+            # histograms recompute column-pruned); a replayed batch
+            # appends no files, so the refresh no-ops — idempotent
+            # like the rollup/index maintenance above. Tables never
+            # ANALYZEd are skipped (nothing to maintain yet).
+            if catalog.get_table(table).properties.get("stats"):
+                writer.refresh_statistics(spark, catalog, table)
 
     w = (stream.writeStream
          .foreachBatch(sink)

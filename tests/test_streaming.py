@@ -510,3 +510,38 @@ def test_stream_ingest_maintains_vector_index(spark, catalog, tmp_path):
     want = {(r["vec_id"], r["cell_id"]) for r in
             fresh.select("vec_id", "cell_id").collect()}
     assert got == want
+
+
+def test_stream_ingest_keeps_statistics_fresh(spark, catalog, tmp_path):
+    """refresh_stats=True: catalog ANALYZE statistics ride the same
+    per-micro-batch maintenance as rollups/indexes — each pure-append
+    batch takes the incremental path (counts add, NDV sketches union),
+    so the stats end exactly where a full re-ANALYZE would land."""
+    import json
+
+    from heracles_spark import writer
+
+    catalog.create_table("evs", [("k", "int"), ("v", "double")], ["k"])
+    writer.insert_rows(spark, catalog, "evs", [(0, 0.0)])
+    writer.analyze_table(spark, catalog, "evs", for_columns=True)
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.createDataFrame([(i, float(i)) for i in range(1, 11)],
+                          "k int, v double").coalesce(1) \
+        .write.parquet(str(src / "b1"))
+    spark.createDataFrame([(i, None) for i in range(100, 105)],
+                          "k int, v double").coalesce(1) \
+        .write.parquet(str(src / "b2"))
+    q = ingest.stream_into_table(
+        spark, catalog, "evs", str(src) + "/*",
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+        max_files_per_trigger=1, refresh_stats=True)
+    q.awaitTermination(180)
+    st = json.loads(catalog.get_table("evs").properties["stats"])
+    assert st["rows"] == 16
+    assert st["columns"]["v"]["nulls"] == 5
+    assert st["columns"]["k"]["ndv"] == 16      # HLL exact at small n
+    assert st["columns"]["v"]["max"] == 10.0
+    # stats are stamped at the data version they describe (the analyze
+    # commit itself is one version later — fresh, not stale)
+    assert st["analyzed_version"] == catalog.get_table("evs").version - 1

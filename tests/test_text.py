@@ -641,3 +641,18 @@ def test_kneser_ney_filters_short_tokens_before_adjacency(spark):
     got = {(r.w1, r.w2) for r in
            text.kneser_ney_bigram_lm(df, "text").collect()}
     assert got == {("bb", "cc")}
+
+
+def test_kneser_ney_no_rare_bigrams_fallback_discount(spark):
+    # every bigram type occurs 3x -> n1 = n2 = 0 -> D falls back to 0.5
+    df = spark.createDataFrame([("aa bb aa bb aa bb",)] * 1,
+                               "text: string").selectExpr(
+        "concat(text, ' ', text, ' aa') AS text")
+    # sequence: aa bb aa bb aa bb aa bb aa bb aa bb aa ->
+    # (aa,bb) x6, (bb,aa) x6
+    rows = {(r.w1, r.w2): r for r in
+            text.kneser_ney_bigram_lm(df, "text").collect()}
+    r = rows[("aa", "bb")]
+    assert (r.n1, r.n2) == (0, 0)
+    assert r.p_kn == pytest.approx(
+        round((6 - 0.5) / 6 + 0.5 * 1 / 6 * (1 / 2), 9))

@@ -40,6 +40,10 @@ HEADLINE = [
     # interpolated percentiles over the big table via the bucketed
     # CDF walk
     "lineitem_percentile_cont",
+    # round-8 third wave: KN LM estimation (corpus pass -> vocab-sized
+    # stats) and the QUALIFY surface (same clause runs natively on the
+    # DuckDB side)
+    "doc_kn_bigram_lm", "orders_qualify_topn",
 ]
 
 
