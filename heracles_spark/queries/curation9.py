@@ -313,13 +313,16 @@ def events_theil_sen_trend(spark, sf_dir):
     w = Window.partitionBy("event_type").orderBy(
         (F.col("num").cast("double") / F.col("den").cast("double")),
         "num", "den")
-    cnt = Window.partitionBy("event_type")
-    ranked = (pairs.withColumn("rk", F.row_number().over(w))
-                   .withColumn("n_pairs", F.count(F.lit(1)).over(cnt)))
-    med = ranked.where(F.col("rk") == F.expr("(n_pairs + 1) div 2"))
-    npts = hourly.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_points"))
-    return (med.join(npts, "event_type")
+    ranked = pairs.withColumn("rk", F.row_number().over(w))
+    # n_pairs = C(n_points, 2) — derived from the series size, so the
+    # rank pass is the ONLY window over the pair relation.
+    npts = (hourly.groupBy("event_type")
+                  .agg(F.count(F.lit(1)).alias("n_points"))
+                  .withColumn("n_pairs", F.expr(
+                      "n_points * (n_points - 1) div 2")))
+    med = (ranked.join(F.broadcast(npts), "event_type")
+                 .where(F.col("rk") == F.expr("(n_pairs + 1) div 2")))
+    return (med
                .select("event_type", "n_points", "n_pairs",
                        F.col("num").alias("med_num"),
                        F.col("den").alias("med_den"),
