@@ -158,3 +158,38 @@ def test_grid_epsilon_join_is_equi_join(spark):
     assert (has_node(j, "SortMergeJoin")
             or has_node(j, "ShuffledHashJoin")
             or has_node(j, "BroadcastHashJoin"))
+
+
+def test_kn_bigram_lm_plan_shape(spark):
+    """KN LM: the corpus pass is the only row-bound shuffle; the vocab
+    joins broadcast. No python nodes, no cartesian over the corpus
+    (the one nested-loop is the 1-row totals crossJoin)."""
+    from heracles_spark.queries.curation9 import doc_kn_bigram_lm
+
+    df = doc_kn_bigram_lm(spark, SF_SMALL)
+    assert count_exchanges(df) <= 3
+    assert not has_node(df, "CartesianProduct")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+
+def test_theil_sen_single_window_no_raw_row_sort(spark):
+    """Theil-Sen: exactly one window (the slope rank) over the
+    span-bounded pair relation, partitioned by event type — never an
+    unpartitioned window, never a second count pass."""
+    from heracles_spark.queries.curation9 import events_theil_sen_trend
+
+    df = events_theil_sen_trend(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [") + plan.count("window [") <= 1
+    assert "PartitionBy: []" not in plan
+
+
+def test_qualify_rewrite_plans_like_handwritten(spark):
+    """QUALIFY rewrite must not add shuffles over the hand-written
+    subquery form: one window exchange, filter on the rank."""
+    from heracles_spark.queries.curation9 import orders_qualify_topn
+
+    df = orders_qualify_topn(spark, SF_SMALL)
+    assert count_exchanges(df) <= 2      # window hash + final sort
+    assert not has_node(df, "CartesianProduct")
