@@ -362,3 +362,57 @@ ORDER BY event_type
 
 QUERIES["events_theil_sen_trend"] = (events_theil_sen_trend,
                                      THEIL_SEN_SQL)
+
+
+def events_asof_sql(spark, sf_dir):
+    """The ASOF JOIN SQL surface (sql._rewrite_asof_join): last-click
+    attribution written the way DuckDB/Snowflake users write it — for
+    each purchase, the most recent prior click of the same user,
+    unmatched purchases kept with NULLs. The dispatcher routes the
+    clause to the single-shuffle union-and-carry operator
+    (operators/temporal.asof_join — the plan every as-of query in the
+    registry certifies: one hash shuffle on user_id, no range
+    self-join). The oracle runs a native ASOF LEFT JOIN in DuckDB —
+    direct surface parity, deterministic because (user_id, ts) is
+    unique in the corpus. Epoch-nanos longs keep the time axis
+    NTZ-safe on both engines."""
+    import tempfile
+
+    from heracles_spark.queries.relational import _events
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_aj_"))
+    e = _events(spark, sf_dir)
+    (e.where(F.col("event_type") == "purchase")
+      .select("user_id", F.col("ts_ns").alias("t"),
+              F.col("value").alias("amount"))
+      .createOrReplaceTempView("asof_purchases"))
+    (e.where(F.col("event_type") == "click")
+      .select("user_id", F.col("ts_ns").alias("t"),
+              F.col("ts_ns").alias("click_t"),
+              F.col("value").alias("click_value"))
+      .createOrReplaceTempView("asof_clicks"))
+    return hs.sql("""
+        SELECT p.user_id, p.t AS purchase_ns, p.amount,
+               c.click_t_right AS click_ns,
+               c.click_value_right AS click_value
+        FROM asof_purchases p ASOF JOIN asof_clicks c
+          ON p.user_id = c.user_id AND p.t >= c.t
+        ORDER BY user_id, purchase_ns
+    """)
+
+
+ASOF_SQL_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS t, value AS amount
+  FROM events WHERE event_type = 'purchase'),
+ c AS (
+  SELECT user_id, epoch_ns(ts) AS t, value AS cv
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.t AS purchase_ns, p.amount,
+       c.t AS click_ns, c.cv AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+ORDER BY p.user_id, purchase_ns
+"""
+
+QUERIES["events_asof_sql"] = (events_asof_sql, ASOF_SQL_SQL)

@@ -41,6 +41,12 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   EXPLAIN ESTIMATE SELECT ... FROM t WHERE col <= x  (histogram
             cardinality estimate from persisted stats, metadata-only;
             also <, >=, >, BETWEEN)
+  SELECT ... FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts
+            (DuckDB/Snowflake as-of join surface — routed to the
+            single-shuffle union-and-carry operator; >= backward,
+            <= forward; right payload carries the _right suffix)
+  INSERT OVERWRITE [TABLE] t SELECT ...  (atomic replace, one catalog
+            version; old files retire in place for time travel)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -82,8 +88,8 @@ _INSERT_VALUES = re.compile(
     r"VALUES\s*(?P<rows>\(.*\))\s*$",
     re.IGNORECASE | re.DOTALL)
 _INSERT_SELECT = re.compile(
-    r"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>[\w.]+)\s+"
-    r"(?P<select>SELECT\s+.*)$",
+    r"^\s*INSERT\s+(?:INTO|(?P<over>OVERWRITE))\s+(?:TABLE\s+)?"
+    r"(?P<name>[\w.]+)\s+(?P<select>SELECT\s+.*)$",
     re.IGNORECASE | re.DOTALL)
 _MERGE_HEAD = re.compile(
     r"^\s*MERGE\s+INTO\s+(?P<name>[\w.]+)"
@@ -386,7 +392,11 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         name = _resolve(session, m.group("name"))
         df = spark.sql(m.group("select"))
-        writer.write_key_organized(spark, catalog, name, df, mode="append")
+        # INSERT OVERWRITE replaces the table contents in one atomic
+        # catalog-version swap (COW: old files retire in place, time
+        # travel still sees them until VACUUM).
+        mode = "overwrite" if m.group("over") else "append"
+        writer.write_key_organized(spark, catalog, name, df, mode=mode)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -927,8 +937,91 @@ def dispatch(session, statement: str) -> DataFrame | None:
                .createOrReplaceTempView(view)
         return view
 
+    rewritten = _rewrite_asof_join(session, statement)
+    if rewritten is not None:
+        statement = rewritten
     return spark.sql(rewrite_qualify(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
         _ts_asof, statement))))
+
+
+_ASOF_JOIN = re.compile(
+    r"^(?P<head>\s*SELECT\s+.*?\s+FROM)\s+"
+    r"(?P<lt>[\w.]+)(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?"
+    r"\s+ASOF\s+JOIN\s+"
+    r"(?P<rt>[\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"(?P<tail>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|QUALIFY)\b.*)?$",
+    re.IGNORECASE | re.DOTALL)
+_ASOF_EQ = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
+_ASOF_INEQ = re.compile(r"^(\w+)\.(\w+)\s*(<=|>=)\s*(\w+)\.(\w+)$")
+
+
+def _rewrite_asof_join(session, statement: str) -> "str | None":
+    """``FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts`` — the
+    DuckDB/Snowflake ASOF JOIN surface, routed to the single-shuffle
+    union-and-carry operator (operators/temporal.asof_join) instead of
+    a self-join: ``>=`` picks the most recent right row at or before
+    the left time (backward), ``<=`` the earliest at or after
+    (forward). Right-side payload columns appear with the operator's
+    ``_right`` suffix; the equi-key and time column keep the LEFT
+    names. Supported shape: exactly one equality + one inequality
+    conjunct, both alias-qualified; anything else passes through
+    (Spark then rejects the ASOF keyword loudly). Scale: this is the
+    same plan every as-of query in the registry certifies — one hash
+    shuffle on the key, no point lookups, no range self-join."""
+    m = _ASOF_JOIN.match(statement.rstrip().rstrip(";"))
+    if not m:
+        return None
+    conj = [c.strip() for c in re.split(r"\s+AND\s+", m.group("cond"),
+                                        flags=re.IGNORECASE)]
+    if len(conj) != 2:
+        return None
+    eq = ineq = None
+    for c in conj:
+        if _ASOF_EQ.match(c):
+            eq = _ASOF_EQ.match(c)
+        elif _ASOF_INEQ.match(c):
+            ineq = _ASOF_INEQ.match(c)
+    if eq is None or ineq is None:
+        return None
+    la = (m.group("la") or m.group("lt")).lower()
+    ra = (m.group("ra") or m.group("rt")).lower()
+    q1, k1, q2, k2 = eq.groups()
+    t1, c1, op, t2, c2 = ineq.groups()
+    sides = {q1.lower(): k1, q2.lower(): k2}
+    tsides = {t1.lower(): c1, t2.lower(): c2}
+    if set(sides) != {la, ra} or set(tsides) != {la, ra}:
+        return None
+    lk, rk = sides[la], sides[ra]
+    lts, rts = tsides[la], tsides[ra]
+    # direction: left.ts >= right.ts  ⇔ most recent right at/before
+    if t1.lower() == la:
+        direction = "backward" if op == ">=" else "forward"
+    else:
+        direction = "forward" if op == ">=" else "backward"
+
+    from heracles_spark.operators.temporal import asof_join
+
+    spark, catalog = session.spark, session.catalog
+
+    def rel(name: str):
+        if catalog.table_exists(_resolve(session, name)):
+            return catalog.read_table(spark, _resolve(session, name))
+        return spark.table(name)
+
+    left, right = rel(m.group("lt")), rel(m.group("rt"))
+    right = right.withColumnRenamed(rk, lk).withColumnRenamed(rts, lts)
+    out = asof_join(left, right, on=lts, by=lk, direction=direction)
+    view = f"__asof_{m.group('lt').replace('.', '_')}_" \
+           f"{m.group('rt').replace('.', '_')}"
+    out.createOrReplaceTempView(view)
+    strip = re.compile(rf"\b(?:{re.escape(la)}|{re.escape(ra)}|"
+                       rf"{re.escape(m.group('lt'))}|"
+                       rf"{re.escape(m.group('rt'))})\.",
+                       re.IGNORECASE)
+    head = strip.sub("", m.group("head"))
+    tail = strip.sub("", m.group("tail") or "")
+    return f"{head} {view} {tail}"
 
 
 def _top_level_find(s: str, word: str, start: int = 0) -> int:

@@ -652,3 +652,46 @@ def test_explain_estimate(hsession):
                      "WHERE v BETWEEN 100 AND 300").collect()[0]
     assert abs(r.estimated_rows - 200) <= 2 * 126
     assert r.predicate == "v BETWEEN 100 AND 300"
+
+
+def test_insert_overwrite_select(hsession, catalog):
+    hsession.sql("""CREATE TABLE io (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO io VALUES (1,'a'),(2,'b')")
+    hsession.sql("INSERT OVERWRITE io SELECT CAST(id AS INT), "
+                 "CAST(id AS STRING) FROM range(10, 13)")
+    got = sorted((r.k, r.v) for r in hsession.sql(
+        "SELECT * FROM io").collect())
+    assert got == [(10, "10"), (11, "11"), (12, "12")]
+    # overwrite is one atomic version; the pre-overwrite rows are still
+    # time-travelable
+    v = catalog.get_table("io").version
+    old = sorted((r.k, r.v) for r in hsession.sql(
+        f"SELECT * FROM io VERSION AS OF {v - 1}").collect())
+    assert old == [(1, "a"), (2, "b")]
+
+
+def test_asof_join_sql_surface(hsession, spark):
+    spark.sql("SELECT * FROM VALUES (1, 10, 'c1'),(1, 20, 'c2'),"
+              "(2, 15, 'c3') t(uid, t, tag)") \
+         .createOrReplaceTempView("aj_left")
+    spark.sql("SELECT * FROM VALUES (1, 5, 100.0),(1, 18, 200.0),"
+              "(2, 30, 300.0) t(uid, t, price)") \
+         .createOrReplaceTempView("aj_right")
+    got = hsession.sql(
+        "SELECT l.uid, l.t, l.tag, r.price_right FROM aj_left l "
+        "ASOF JOIN aj_right r ON l.uid = r.uid AND l.t >= r.t "
+        "ORDER BY l.uid, l.t").collect()
+    assert [(x.uid, x.t, x.tag, x.price_right and float(x.price_right))
+            for x in got] == [
+        (1, 10, "c1", 100.0), (1, 20, "c2", 200.0), (2, 15, "c3", None)]
+    # forward direction via <=
+    got = hsession.sql(
+        "SELECT l.t, r.price_right FROM aj_left l ASOF JOIN aj_right r "
+        "ON l.uid = r.uid AND l.t <= r.t ORDER BY l.uid, l.t").collect()
+    assert [(x.t, x.price_right and float(x.price_right))
+            for x in got] == [(10, 200.0), (20, None), (15, 300.0)]
+    # unsupported shapes pass through untouched (Spark rejects ASOF)
+    from heracles_spark.sql import _rewrite_asof_join
+    assert _rewrite_asof_join(
+        hsession, "SELECT * FROM a ASOF JOIN b ON a.x = b.y") is None
