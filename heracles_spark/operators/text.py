@@ -857,3 +857,97 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
               .select("w1", "w2", "c12", "c1", "fan_out", "fan_in",
                       "n_types", "n1", "n2",
                       F.round(p_kn, 9).alias("p_kn")))
+
+
+def kneser_ney_trigram_lm(df: DataFrame, text_col: str = "text",
+                          min_len: int = 2) -> DataFrame:
+    """Interpolated trigram Kneser-Ney (Chen & Goodman 1998 eq. 4.25,
+    recursion depth 3) — the full KenLM model shape, distributed. The
+    ONLY corpus-sized stage is one explode → combinable groupBy to
+    trigram TYPES; every lower order derives from that relation by
+    CONTINUATION counting, exactly KenLM's adjusted-count pipeline
+    (lower-order counts = distinct left-extensions of the higher
+    order, never re-scanned from the corpus):
+
+    - c123 = c(w1w2w3); c12 = Σ_w c(w1w2 w), fan12 = N1+(w1w2 ·)
+    - adjusted bigram: cnt23 = N1+(· w2w3); c2tot = N1+(· w2 ·),
+      fan2 = distinct w3 following w2 in the adjusted relation
+    - adjusted unigram: c3 = N1+(· w3) over adjusted bigram types,
+      B = |adjusted bigram types|
+    - discounts D3/D2 = n1/(n1+2·n2) from each order's own
+      count-of-counts (0.5 fallback when that order has no
+      singleton/doubleton types — same totality rule as the bigram
+      operator)
+    - P(w3|w2) = (cnt23 − D2)/c2tot + D2·fan2/c2tot · (c3/B)
+    - P(w3|w1w2) = (c123 − D3)/c12 + D3·fan12/c12 · P(w3|w2)
+
+    Sequences shorter than 3 tokens contribute nothing (no
+    sentence-boundary padding — documented divergence from KenLM's
+    <s> markers; the estimator contract is over interior trigrams).
+    All probability inputs are exact integers; the double chain is a
+    fixed op sequence a SQL oracle mirrors term-for-term.
+
+    Scale: trigram types are Heaps-bounded; the stat relations and
+    joins are all type-sized. The trigram and adjusted-bigram
+    relations are lineage-truncated once for their multiple consumers.
+    """
+    toks = F.filter(
+        F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
+                    lambda x: F.lower(
+                        F.regexp_replace(x, "[^a-zA-Z]", ""))),
+        lambda x: F.length(x) >= min_len)
+    seqs = df.select(toks.alias("a")).where(F.size("a") >= 3)
+    tri = (seqs.select(F.explode(F.expr(
+               "transform(sequence(1, size(a) - 2), "
+               "i -> struct(element_at(a, i) AS w1, "
+               "element_at(a, i + 1) AS w2, "
+               "element_at(a, i + 2) AS w3))")).alias("p"))
+               .select("p.w1", "p.w2", "p.w3"))
+    tc = (tri.groupBy("w1", "w2", "w3")
+             .agg(F.count(F.lit(1)).alias("c123"))
+             .localCheckpoint())
+    c12 = tc.groupBy("w1", "w2").agg(F.sum("c123").alias("c12"),
+                                     F.count(F.lit(1)).alias("fan12"))
+    # adjusted (continuation) bigram relation: one row per (w2, w3)
+    # with the count of DISTINCT w1 extending it leftward
+    cont23 = (tc.groupBy("w2", "w3")
+                .agg(F.count(F.lit(1)).alias("cnt23"))
+                .localCheckpoint())
+    c2tot = cont23.groupBy("w2").agg(F.sum("cnt23").alias("c2tot"),
+                                     F.count(F.lit(1)).alias("fan2"))
+    c3 = cont23.groupBy("w3").agg(F.count(F.lit(1)).alias("c3"))
+
+    def _cc(rel, cnt_col, n1_name, n2_name):
+        return rel.agg(
+            F.sum((F.col(cnt_col) == 1).cast("long")).alias(n1_name),
+            F.sum((F.col(cnt_col) == 2).cast("long")).alias(n2_name))
+
+    tot3 = _cc(tc, "c123", "n1_3", "n2_3")
+    tot2 = (_cc(cont23, "cnt23", "n1_2", "n2_2")
+            .crossJoin(cont23.agg(F.count(F.lit(1)).alias("n_big"))))
+
+    def _disc(n1c, n2c):
+        denom = F.col(n1c) + F.lit(2) * F.col(n2c)
+        return (F.when(denom == 0, F.lit(0.5))
+                 .otherwise(F.col(n1c).cast("double")
+                            / denom.cast("double")))
+
+    d3, d2 = _disc("n1_3", "n2_3"), _disc("n1_2", "n2_2")
+    p_mid = ((F.col("cnt23").cast("double") - d2)
+             / F.col("c2tot").cast("double")
+             + d2 * F.col("fan2").cast("double")
+             / F.col("c2tot").cast("double")
+             * (F.col("c3").cast("double")
+                / F.col("n_big").cast("double")))
+    p_tri = ((F.col("c123").cast("double") - d3)
+             / F.col("c12").cast("double")
+             + d3 * F.col("fan12").cast("double")
+             / F.col("c12").cast("double") * p_mid)
+    return (tc.join(c12, ["w1", "w2"]).join(cont23, ["w2", "w3"])
+              .join(c2tot, "w2").join(c3, "w3")
+              .crossJoin(F.broadcast(tot3))
+              .crossJoin(F.broadcast(tot2))
+              .select("w1", "w2", "w3", "c123", "c12", "fan12",
+                      "cnt23", "c2tot", "fan2", "c3", "n_big",
+                      "n1_3", "n2_3", "n1_2", "n2_2",
+                      F.round(p_tri, 9).alias("p_kn3")))

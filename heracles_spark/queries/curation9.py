@@ -231,18 +231,18 @@ def doc_kn_bigram_lm(spark, sf_dir):
 
 
 KN_LM_SQL = r"""
-WITH f AS (
+WITH f AS MATERIALIZED (
   SELECT list_filter(
            list_transform(string_split_regex(trim(text), '\s+'),
                           x -> lower(regexp_replace(x, '[^a-zA-Z]', '',
                                                     'g'))),
            x -> length(x) >= 2) AS a
   FROM documents),
- bg AS (
+ bg AS MATERIALIZED (
   SELECT u.p[1] AS w1, u.p[2] AS w2
   FROM f, unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS u(p)
   WHERE len(a) >= 2),
- bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+ bc AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
         FROM bg GROUP BY 1, 2),
  lft AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
                 CAST(COUNT(*) AS BIGINT) AS fan_out
@@ -416,3 +416,88 @@ ORDER BY p.user_id, purchase_ns
 """
 
 QUERIES["events_asof_sql"] = (events_asof_sql, ASOF_SQL_SQL)
+
+
+def doc_kn_trigram_lm(spark, sf_dir):
+    """Full interpolated trigram Kneser-Ney over the corpus
+    (operators.text.kneser_ney_trigram_lm) — the KenLM model shape:
+    lower orders derived by CONTINUATION counting from the trigram
+    relation (adjusted counts), per-order discounts from each order's
+    own count-of-counts, two-level interpolation down to the
+    continuation unigram. Top-20 trigrams by (count DESC, w1, w2, w3)
+    with EVERY exact-integer input to the estimator exposed, plus the
+    smoothed probability itself: the oracle recomputes the whole
+    recursion in SQL, so a wrong adjusted count at any order, a broken
+    discount, or a mis-nested interpolation flips the hash."""
+    from heracles_spark.operators.text import kneser_ney_trigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    return (kneser_ney_trigram_lm(d, "text", min_len=2)
+            .orderBy(F.desc("c123"), "w1", "w2", "w3")
+            .limit(20))
+
+
+KN_TRI_SQL = r"""
+WITH f AS MATERIALIZED (
+  SELECT list_filter(
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          x -> lower(regexp_replace(x, '[^a-zA-Z]', '',
+                                                    'g'))),
+           x -> length(x) >= 2) AS a
+  FROM documents),
+ tg AS MATERIALIZED (
+  SELECT u.p[1] AS w1, u.p[2] AS w2, u.p[3] AS w3
+  FROM f, unnest(list_zip(a[1:len(a) - 2], a[2:len(a) - 1],
+                          a[3:len(a)])) AS u(p)
+  WHERE len(a) >= 3),
+ tc AS MATERIALIZED (SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+        FROM tg GROUP BY 1, 2, 3),
+ c12 AS (SELECT w1, w2, CAST(SUM(c123) AS BIGINT) AS c12,
+                CAST(COUNT(*) AS BIGINT) AS fan12
+         FROM tc GROUP BY 1, 2),
+ cont23 AS MATERIALIZED (SELECT w2, w3, CAST(COUNT(*) AS BIGINT) AS cnt23
+            FROM tc GROUP BY 1, 2),
+ c2t AS (SELECT w2, CAST(SUM(cnt23) AS BIGINT) AS c2tot,
+                CAST(COUNT(*) AS BIGINT) AS fan2
+         FROM cont23 GROUP BY 1),
+ c3t AS (SELECT w3, CAST(COUNT(*) AS BIGINT) AS c3
+         FROM cont23 GROUP BY 1),
+ t3 AS (SELECT CAST(SUM(CASE WHEN c123 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1_3,
+               CAST(SUM(CASE WHEN c123 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2_3
+        FROM tc),
+ t2 AS (SELECT CAST(SUM(CASE WHEN cnt23 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1_2,
+               CAST(SUM(CASE WHEN cnt23 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2_2,
+               CAST(COUNT(*) AS BIGINT) AS n_big
+        FROM cont23),
+ d3 AS (SELECT *, CASE WHEN n1_3 + 2 * n2_3 = 0 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(n1_3 AS DOUBLE)
+                            / CAST(n1_3 + 2 * n2_3 AS DOUBLE) END AS dd3
+        FROM t3),
+ d2 AS (SELECT *, CASE WHEN n1_2 + 2 * n2_2 = 0 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(n1_2 AS DOUBLE)
+                            / CAST(n1_2 + 2 * n2_2 AS DOUBLE) END AS dd2
+        FROM t2)
+SELECT tc.w1, tc.w2, tc.w3, tc.c123, c12.c12, c12.fan12,
+       cont23.cnt23, c2t.c2tot, c2t.fan2, c3t.c3, d2.n_big,
+       d3.n1_3, d3.n2_3, d2.n1_2, d2.n2_2,
+       ROUND((CAST(tc.c123 AS DOUBLE) - d3.dd3)
+               / CAST(c12.c12 AS DOUBLE)
+             + d3.dd3 * CAST(c12.fan12 AS DOUBLE)
+               / CAST(c12.c12 AS DOUBLE)
+               * ((CAST(cont23.cnt23 AS DOUBLE) - d2.dd2)
+                    / CAST(c2t.c2tot AS DOUBLE)
+                  + d2.dd2 * CAST(c2t.fan2 AS DOUBLE)
+                    / CAST(c2t.c2tot AS DOUBLE)
+                    * (CAST(c3t.c3 AS DOUBLE)
+                       / CAST(d2.n_big AS DOUBLE))), 9) AS p_kn3
+FROM tc JOIN c12 USING (w1, w2) JOIN cont23 USING (w2, w3)
+        JOIN c2t USING (w2) JOIN c3t USING (w3)
+        CROSS JOIN d3 CROSS JOIN d2
+ORDER BY c123 DESC, w1, w2, w3 LIMIT 20
+"""
+
+QUERIES["doc_kn_trigram_lm"] = (doc_kn_trigram_lm, KN_TRI_SQL)

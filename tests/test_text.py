@@ -656,3 +656,25 @@ def test_kneser_ney_no_rare_bigrams_fallback_discount(spark):
     assert (r.n1, r.n2) == (0, 0)
     assert r.p_kn == pytest.approx(
         round((6 - 0.5) / 6 + 0.5 * 1 / 6 * (1 / 2), 9))
+
+
+def test_kneser_ney_trigram_lm_exact(spark):
+    # one doc: aa bb cc aa bb cc ->
+    # trigrams (aa,bb,cc)x2, (bb,cc,aa), (cc,aa,bb)
+    df = spark.createDataFrame([("aa bb cc aa bb cc",)], "text: string")
+    rows = {(r.w1, r.w2, r.w3): r for r in
+            text.kneser_ney_trigram_lm(df, "text").collect()}
+    assert set(rows) == {("aa", "bb", "cc"), ("bb", "cc", "aa"),
+                         ("cc", "aa", "bb")}
+    r = rows[("aa", "bb", "cc")]
+    assert (r.c123, r.c12, r.fan12) == (2, 2, 1)
+    assert (r.cnt23, r.c2tot, r.fan2, r.c3, r.n_big) == (1, 1, 1, 1, 3)
+    # D3 = n1/(n1+2 n2) = 2/(2+2) = 0.5; all adjusted bigrams are
+    # singletons -> D2 = 3/(3+0) = 1.0 -> middle prob = backoff = 1/3
+    assert (r.n1_3, r.n2_3, r.n1_2, r.n2_2) == (2, 1, 3, 0)
+    p_mid = (1 - 1.0) / 1 + 1.0 * 1 / 1 * (1 / 3)
+    assert r.p_kn3 == pytest.approx(
+        round((2 - 0.5) / 2 + 0.5 * 1 / 2 * p_mid, 9))
+    # two-token docs contribute nothing (no trigram, documented)
+    df2 = spark.createDataFrame([("aa bb",)], "text: string")
+    assert text.kneser_ney_trigram_lm(df2, "text").count() == 0

@@ -84,7 +84,7 @@ AUDITED = [
     "lineitem_percentile_cont", "lineitem_equidepth_hist",
     "embedding_random_projection", "events_ewma_anomaly",
     "doc_kn_bigram_lm", "events_theil_sen_trend", "orders_qualify_topn",
-    "orders_stats_broadcast_join",
+    "orders_stats_broadcast_join", "doc_kn_trigram_lm", "events_asof_sql",
 ]
 
 
