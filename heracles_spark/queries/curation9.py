@@ -501,3 +501,75 @@ ORDER BY c123 DESC, w1, w2, w3 LIMIT 20
 """
 
 QUERIES["doc_kn_trigram_lm"] = (doc_kn_trigram_lm, KN_TRI_SQL)
+
+
+def stream_stats_maintenance(spark, sf_dir):
+    """Statistics maintained AT INGEST: seed a catalog table with half
+    the documents, ANALYZE, then stream the other half in as three
+    micro-batches with ``refresh_stats=True`` — each batch takes the
+    incremental path (counts add, HLL NDV sketches union, min/max and
+    avg_len merge exactly). The certificate is the HLL union identity:
+    after the stream, the incrementally-maintained NDV must equal a
+    from-scratch full ANALYZE **exactly** (register-max union ≡ single
+    pass by construction — not approximately, bit-for-bit), pinned as
+    a boolean the oracle asserts TRUE; rows/nulls are exact integers
+    the oracle recomputes from raw. At 100 TB this is "stats one
+    micro-batch behind the stream for O(batch) cost", the same
+    maintenance discipline the rollup/text/vector indexes certify."""
+    import json
+    import tempfile
+
+    from heracles_spark import writer
+    from heracles_spark.catalog import HeraclesCatalog
+    from heracles_spark.streaming import ingest as sing
+
+    base = tempfile.mkdtemp(prefix="heracles_ss_")
+    cat = HeraclesCatalog(f"{base}/meta")
+    d = (_t(spark, sf_dir, "documents")
+         .select(F.col("doc_id").cast("bigint"),
+                 F.col("source").cast("string"),
+                 F.col("n_chars").cast("bigint")))
+    cat.create_table("docs", [("doc_id", "bigint"), ("source", "string"),
+                              ("n_chars", "bigint")], ["doc_id"])
+    mid = d.agg(F.expr("percentile_approx(doc_id, 0.5)")).collect()[0][0]
+    writer.write_key_organized(spark, cat, "docs",
+                               d.where(F.col("doc_id") <= mid),
+                               n_buckets=2)
+    writer.analyze_table(spark, cat, "docs", for_columns=True)
+    rest = d.where(F.col("doc_id") > mid)
+    (rest.repartition(3).write.mode("overwrite")
+         .parquet(f"{base}/src"))
+    q = sing.stream_into_table(
+        spark, cat, "docs", f"{base}/src",
+        checkpoint_dir=f"{base}/ckpt", available_now=True,
+        max_files_per_trigger=1, refresh_stats=True)
+    q.awaitTermination(300)
+    st = json.loads(cat.get_table("docs").properties["stats"])
+    full = writer.analyze_table(spark, cat, "docs", for_columns=True)
+    ndv_identical = all(
+        st["columns"][c]["ndv"] == full["columns"][c]["ndv"]
+        for c in ("doc_id", "source", "n_chars"))
+    rows = [(int(st["rows"]), int(st["columns"]["source"]["nulls"]),
+             int(st["columns"]["n_chars"]["nulls"]),
+             bool(ndv_identical),
+             bool(st["columns"]["n_chars"]["min"]
+                  == full["columns"]["n_chars"]["min"]
+                  and st["columns"]["n_chars"]["max"]
+                  == full["columns"]["n_chars"]["max"]))]
+    return spark.createDataFrame(
+        rows, "rows_total: long, nulls_source: long, nulls_nchars: long, "
+              "ndv_union_eq_full: boolean, minmax_eq_full: boolean")
+
+
+STREAM_STATS_SQL = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS rows_total,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE source IS NULL) AS nulls_source,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+        WHERE n_chars IS NULL) AS nulls_nchars,
+       TRUE AS ndv_union_eq_full,
+       TRUE AS minmax_eq_full
+"""
+
+QUERIES["stream_stats_maintenance"] = (stream_stats_maintenance,
+                                       STREAM_STATS_SQL)

@@ -1013,3 +1013,26 @@ def write_audit_publish(spark: SparkSession, catalog: HeraclesCatalog,
             "version": catalog.get_table(table).version,
             "failed": [], "rows_before": rows_before,
             "rows_after": rows_after}
+
+
+def maybe_auto_analyze(spark: SparkSession, catalog: HeraclesCatalog,
+                       table: str) -> "dict[str, Any] | None":
+    """Property-driven statistics maintenance: tables created with
+    ``TBLPROPERTIES('autoAnalyze'='true')`` keep their catalog stats
+    current on EVERY dispatcher write path — the first write runs a
+    full ``ANALYZE … FOR ALL COLUMNS``; later writes go through
+    ``refresh_statistics`` (incremental on pure appends, full fallback
+    on rewrites). Called by sql.dispatch after LOAD/INSERT/MERGE/
+    UPDATE/DELETE commits; a no-op for tables without the property,
+    and never raises (stats maintenance must not fail a write — the
+    next ANALYZE heals)."""
+    try:
+        tbl = catalog.get_table(table)
+        if tbl.properties.get("autoAnalyze", "").lower() != "true":
+            return None
+        if tbl.properties.get("stats"):
+            return refresh_statistics(spark, catalog, table)
+        return {"mode": "full",
+                **analyze_table(spark, catalog, table, for_columns=True)}
+    except Exception:           # noqa: BLE001 — see docstring
+        return None

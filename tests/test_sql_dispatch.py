@@ -695,3 +695,26 @@ def test_asof_join_sql_surface(hsession, spark):
     from heracles_spark.sql import _rewrite_asof_join
     assert _rewrite_asof_join(
         hsession, "SELECT * FROM a ASOF JOIN b ON a.x = b.y") is None
+
+
+def test_auto_analyze_property(hsession, catalog):
+    import json
+
+    hsession.sql("""CREATE TABLE aa (k INT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k', 'autoAnalyze'='true')""")
+    hsession.sql("INSERT INTO aa VALUES (1, 1.0), (2, 2.0)")
+    st = json.loads(catalog.get_table("aa").properties["stats"])
+    assert st["rows"] == 2 and st["columns"]["v"]["max"] == 2.0
+    # second write refreshes incrementally
+    hsession.sql("INSERT INTO aa VALUES (3, 30.0)")
+    st = json.loads(catalog.get_table("aa").properties["stats"])
+    assert st["rows"] == 3 and st["columns"]["v"]["max"] == 30.0
+    assert st["columns"]["k"]["ndv"] == 3
+    # rewrite path (DELETE) falls back to a full re-ANALYZE
+    hsession.sql("DELETE FROM aa WHERE k = 3")
+    st = json.loads(catalog.get_table("aa").properties["stats"])
+    assert st["rows"] == 2 and st["columns"]["v"]["max"] == 2.0
+    # tables without the property stay stat-less
+    hsession.sql("CREATE TABLE nn (k INT) TBLPROPERTIES('keyCols'='k')")
+    hsession.sql("INSERT INTO nn VALUES (1)")
+    assert "stats" not in catalog.get_table("nn").properties
