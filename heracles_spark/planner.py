@@ -101,6 +101,9 @@ def join_with_stats(spark: SparkSession, catalog: HeraclesCatalog,
         "threshold_bytes": int(broadcast_threshold),
         "strategy": "spark-default",
     }
+    if isinstance(on, list) and len(on) == 1:
+        decision["est_join_rows"] = estimate_equijoin_rows(
+            catalog.get_table(fact), catalog.get_table(dim), on[0], on[0])
     if est is not None and est <= broadcast_threshold:
         dim_df = F.broadcast(dim_df)
         decision["strategy"] = "broadcast"

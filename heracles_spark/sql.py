@@ -50,6 +50,8 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   TBLPROPERTIES('autoAnalyze'='true')  (statistics maintained on every
             write path: first write full ANALYZE, later writes the
             incremental REFRESH; rewrites fall back to full)
+  SHOW STATISTICS [FOR] t  (tabular per-column view of the persisted
+            ANALYZE state: ndv/nulls/min/max/avg_len/histogram size)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -205,6 +207,9 @@ _ANALYZE = re.compile(
     r"|COLUMNS\s+(?P<named>\w+(?:\s*,\s*\w+)*)))?\s*$", re.IGNORECASE)
 _REFRESH_STATS = re.compile(
     r"^\s*REFRESH\s+STATISTICS\s+(?:ON\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
+_SHOW_STATS = re.compile(
+    r"^\s*SHOW\s+STATISTICS\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
 _EXPLAIN_EST = re.compile(
     r"^\s*EXPLAIN\s+ESTIMATE\s+SELECT\s+.*?\s+FROM\s+(?P<name>[\w.]+)"
@@ -782,6 +787,32 @@ def dispatch(session, statement: str) -> DataFrame | None:
               len(st.get("columns", {})))],
             "mode: string, rows: long, analyzed_version: int, "
             "n_column_stats: int")
+
+    m = _SHOW_STATS.match(statement)
+    if m:
+        # Tabular per-column view of the persisted ANALYZE state (the
+        # raw JSON lives in DESCRIBE EXTENDED's properties).
+        import json as _json
+
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        raw = tbl.properties.get("stats")
+        st = _json.loads(raw) if raw else {}
+        tr = int(st["rows"]) if st else None
+        av = int(st["analyzed_version"]) if st else None
+        rows = [(c, tr, av, int(cs["ndv"]), int(cs["nulls"]),
+                 float(cs["min"]) if "min" in cs else None,
+                 float(cs["max"]) if "max" in cs else None,
+                 float(cs["avg_len"]) if "avg_len" in cs else None,
+                 len(cs.get("histogram", [])))
+                for c, cs in sorted(st.get("columns", {}).items())]
+        if not rows and st:
+            # table analyzed without FOR COLUMNS: one summary row
+            rows = [(None, tr, av, None, None, None, None, None, None)]
+        return spark.createDataFrame(
+            rows, "column: string, table_rows: long, "
+                  "analyzed_version: int, ndv: long, nulls: long, "
+                  "min: double, max: double, avg_len: double, "
+                  "hist_buckets: int")
 
     m = _EXPLAIN_EST.match(statement)
     if m:

@@ -718,3 +718,20 @@ def test_auto_analyze_property(hsession, catalog):
     hsession.sql("CREATE TABLE nn (k INT) TBLPROPERTIES('keyCols'='k')")
     hsession.sql("INSERT INTO nn VALUES (1)")
     assert "stats" not in catalog.get_table("nn").properties
+
+
+def test_show_statistics(hsession, catalog):
+    hsession.sql("""CREATE TABLE ss (k INT, s STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO ss VALUES (1,'abc'), (2,NULL), (3,'de')")
+    assert hsession.sql("SHOW STATISTICS ss").count() == 0   # no ANALYZE
+    hsession.sql("ANALYZE TABLE ss COMPUTE STATISTICS")
+    got = hsession.sql("SHOW STATISTICS FOR ss").collect()
+    assert len(got) == 1 and got[0].table_rows == 3
+    assert got[0].column is None
+    hsession.sql("ANALYZE TABLE ss COMPUTE STATISTICS FOR ALL COLUMNS")
+    got = {r.column: r for r in
+           hsession.sql("SHOW STATISTICS ss").collect()}
+    assert got["k"].ndv == 3 and got["k"].min == 1.0
+    assert got["k"].hist_buckets > 0
+    assert got["s"].nulls == 1 and 2.0 < got["s"].avg_len < 3.0
