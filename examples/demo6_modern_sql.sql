@@ -1,0 +1,45 @@
+-- Demo 6 — the modern-SQL surface and the self-maintaining planner
+-- (round 8): autoAnalyze tables, SHOW STATISTICS, QUALIFY, ASOF JOIN.
+-- Run:
+--   python -m heracles_spark.cli -e "$(cat examples/demo6_modern_sql.sql)"
+
+-- autoAnalyze: statistics maintained on every write, no manual ANALYZE
+CREATE TABLE trades (id BIGINT, sym STRING, ts BIGINT, px DOUBLE)
+  TBLPROPERTIES('keyCols'='id', 'autoAnalyze'='true');
+
+INSERT INTO trades
+SELECT id, concat('S', cast(pmod(id, 3) AS STRING)),
+       id * 10, cast(100 + pmod(id * 7, 50) AS DOUBLE)
+FROM range(0, 300);
+
+-- stats already there (the INSERT ran the full ANALYZE)
+SHOW STATISTICS FOR trades;
+
+-- append: the write itself runs the incremental REFRESH
+INSERT INTO trades
+SELECT id, concat('S', cast(pmod(id, 3) AS STRING)),
+       id * 10, cast(100 + pmod(id * 7, 50) AS DOUBLE)
+FROM range(300, 400);
+
+SHOW STATISTICS FOR trades;
+
+-- metadata-only cardinality from the maintained histogram
+EXPLAIN ESTIMATE SELECT * FROM trades WHERE px <= 120;
+
+-- QUALIFY: top-2 trades per symbol by price, no manual subquery
+SELECT sym, id, px,
+       ROW_NUMBER() OVER (PARTITION BY sym ORDER BY px DESC, id) AS rn
+FROM trades QUALIFY rn <= 2 ORDER BY sym, rn;
+
+-- ASOF JOIN: latest quote at or before each order's time
+CREATE TABLE quotes (qid BIGINT, sym2 STRING, qts BIGINT, bid DOUBLE)
+  TBLPROPERTIES('keyCols'='qid');
+INSERT INTO quotes VALUES
+  (1, 'S0', 50, 99.5), (2, 'S0', 250, 101.0),
+  (3, 'S1', 100, 88.0), (4, 'S2', 10, 77.0);
+
+SELECT t.sym, t.ts, t.px, q.bid_right AS bid_at_trade
+FROM trades t ASOF JOIN quotes q
+  ON t.sym = q.sym2 AND t.ts >= q.qts
+WHERE t.id < 9
+ORDER BY t.sym, t.ts LIMIT 12;

@@ -138,7 +138,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
     for i, name in enumerate(["demo1_numbers.sql", "demo2_teacher.sql",
                               "demo3_sales1m.sql",
                               "demo4_vector_index.sql",
-                              "demo5_statistics.sql"]):
+                              "demo5_statistics.sql",
+                              "demo6_modern_sql.sql"]):
         monkeypatch.setenv("HERACLES_METASTORE",
                            str(tmp_path / f"ms{i}"))
         script = open(os.path.join(ex, name)).read()
@@ -171,6 +172,16 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert '"rows": 1000' in out
             assert "incremental\t1500" in out         # REFRESH output
             assert "equi-depth-histogram" in out      # EXPLAIN ESTIMATE
+        if name == "demo6_modern_sql.sql":
+            # autoAnalyze kept stats current through both INSERTs
+            stats_rows = [l for l in out.splitlines()
+                          if l.startswith("px\t")]
+            assert len(stats_rows) == 2
+            assert stats_rows[0].split("\t")[1] == "300"   # table_rows
+            assert stats_rows[1].split("\t")[1] == "400"
+            assert "equi-depth-histogram" in out      # EXPLAIN ESTIMATE
+            # ASOF JOIN produced bid values from the right side
+            assert "99.5" in out and "77.0" in out
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
