@@ -573,3 +573,112 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS rows_total,
 
 QUERIES["stream_stats_maintenance"] = (stream_stats_maintenance,
                                        STREAM_STATS_SQL)
+
+
+def doc_kn_score_rank(spark, sf_dir):
+    """The CCNet loop closed with the IN-HOUSE LM: train the bigram KN
+    model on the corpus (kneser_ney_bigram_lm), score every document
+    by its mean smoothed bigram probability, and return the 10 most-
+    and least-fluent documents — the actual quality-filter ranking a
+    pretraining pipeline applies, with the scorer trained by the same
+    engine rather than an external KenLM binary. P_KN values are
+    rounded to 9dp by the operator, so the train-side relation joins
+    the per-doc bigrams on exactly-equal doubles in both engines; the
+    per-doc mean goes through a decimal sum (order-free) and one final
+    double division.
+
+    Scale: training is the certified vocabulary-sized pipeline; the
+    scoring join is (corpus bigrams) ⋈ (bigram types) — one shuffle
+    keyed on the bigram, Heaps-bounded build side."""
+    from heracles_spark.operators.text import kneser_ney_bigram_lm
+
+    d = _t(spark, sf_dir, "documents")
+    lm = kneser_ney_bigram_lm(d, "text", min_len=2) \
+        .select("w1", "w2", "p_kn")
+    toks = F.filter(
+        F.transform(F.split(F.trim(F.col("text")), r"\s+"),
+                    lambda x: F.lower(
+                        F.regexp_replace(x, "[^a-zA-Z]", ""))),
+        lambda x: F.length(x) >= 2)
+    bg = (d.select("doc_id", toks.alias("a")).where(F.size("a") >= 2)
+           .select("doc_id", F.explode(F.expr(
+               "transform(sequence(1, size(a) - 1), "
+               "i -> struct(element_at(a, i) AS w1, "
+               "element_at(a, i + 1) AS w2))")).alias("p"))
+           .select("doc_id", "p.w1", "p.w2"))
+    scored = (bg.join(lm, ["w1", "w2"])
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                     F.sum(F.col("p_kn").cast("decimal(38,12)"))
+                      .alias("__s"))
+                .select("doc_id", "n_bigrams",
+                        F.round(F.col("__s").cast("double")
+                                / F.col("n_bigrams").cast("double"), 9)
+                         .alias("mean_p")))
+    best = (scored.orderBy(F.desc("mean_p"), "doc_id").limit(10)
+                  .select(F.lit("best").alias("kind"), "doc_id",
+                          "n_bigrams", "mean_p"))
+    worst = (scored.orderBy(F.asc("mean_p"), "doc_id").limit(10)
+                   .select(F.lit("worst").alias("kind"), "doc_id",
+                           "n_bigrams", "mean_p"))
+    return best.unionAll(worst).orderBy("kind", F.desc("mean_p"),
+                                        "doc_id")
+
+
+KN_SCORE_SQL = r"""
+WITH f AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(
+           list_transform(string_split_regex(trim(text), '\s+'),
+                          x -> lower(regexp_replace(x, '[^a-zA-Z]', '',
+                                                    'g'))),
+           x -> length(x) >= 2) AS a
+  FROM documents),
+ bg AS MATERIALIZED (
+  SELECT doc_id, u.p[1] AS w1, u.p[2] AS w2
+  FROM f, unnest(list_zip(a[1:len(a) - 1], a[2:len(a)])) AS u(p)
+  WHERE len(a) >= 2),
+ bc AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM bg GROUP BY 1, 2),
+ lft AS MATERIALIZED (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS fan_out
+        FROM bc GROUP BY 1),
+ rgt AS MATERIALIZED (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS fan_in
+        FROM bc GROUP BY 1),
+ tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+                CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n1,
+                CAST(SUM(CASE WHEN c12 = 2 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n2
+         FROM bc),
+ td AS (SELECT *, CASE WHEN n1 + 2 * n2 = 0 THEN CAST(0.5 AS DOUBLE)
+                       ELSE CAST(n1 AS DOUBLE)
+                            / CAST(n1 + 2 * n2 AS DOUBLE) END AS d
+        FROM tot),
+ lm AS MATERIALIZED (
+  SELECT bc.w1, bc.w2,
+         ROUND((CAST(bc.c12 AS DOUBLE) - td.d)
+                 / CAST(lft.c1 AS DOUBLE)
+               + td.d
+                 * CAST(lft.fan_out AS DOUBLE) / CAST(lft.c1 AS DOUBLE)
+                 * (CAST(rgt.fan_in AS DOUBLE)
+                    / CAST(td.n_types AS DOUBLE)), 9) AS p_kn
+  FROM bc JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN td),
+ scored AS MATERIALIZED (
+  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         ROUND(CAST(SUM(CAST(lm.p_kn AS DECIMAL(38,12))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE), 9) AS mean_p
+  FROM bg JOIN lm USING (w1, w2) GROUP BY bg.doc_id)
+SELECT * FROM (
+  SELECT 'best' AS kind, doc_id, n_bigrams, mean_p FROM scored
+  ORDER BY mean_p DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT * FROM (
+  SELECT 'worst' AS kind, doc_id, n_bigrams, mean_p FROM scored
+  ORDER BY mean_p ASC, doc_id LIMIT 10)
+ORDER BY kind, mean_p DESC, doc_id
+"""
+
+QUERIES["doc_kn_score_rank"] = (doc_kn_score_rank, KN_SCORE_SQL)

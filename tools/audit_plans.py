@@ -85,6 +85,7 @@ AUDITED = [
     "embedding_random_projection", "events_ewma_anomaly",
     "doc_kn_bigram_lm", "events_theil_sen_trend", "orders_qualify_topn",
     "orders_stats_broadcast_join", "doc_kn_trigram_lm", "events_asof_sql",
+    "doc_kn_score_rank",
 ]
 
 
