@@ -508,12 +508,15 @@ def stream_stats_maintenance(spark, sf_dir):
     the documents, ANALYZE, then stream the other half in as three
     micro-batches with ``refresh_stats=True`` — each batch takes the
     incremental path (counts add, HLL NDV sketches union, min/max and
-    avg_len merge exactly). The certificate is the HLL union identity:
-    after the stream, the incrementally-maintained NDV must equal a
-    from-scratch full ANALYZE **exactly** (register-max union ≡ single
-    pass by construction — not approximately, bit-for-bit), pinned as
-    a boolean the oracle asserts TRUE; rows/nulls are exact integers
-    the oracle recomputes from raw. At 100 TB this is "stats one
+    avg_len merge exactly). Certificate: the incrementally-maintained
+    NDV must land within the sketch's documented error of the EXACT
+    distinct count (lgK=12 ⇒ 3σ ≈ 2.5%; we pin 3% + 1) for every
+    column — note the Datasketches union is NOT bit-identical to a
+    single pass once sketches leave exact coupon mode (the staged
+    sparse→HLL promotions differ), so the contract is the error bound,
+    not register equality; min/max ARE exact merges and are pinned
+    equal to a full re-ANALYZE. Rows/nulls are exact integers the
+    oracle recomputes from raw. At 100 TB this is "stats one
     micro-batch behind the stream for O(batch) cost", the same
     maintenance discipline the rollup/text/vector indexes certify."""
     import json
@@ -546,19 +549,24 @@ def stream_stats_maintenance(spark, sf_dir):
     q.awaitTermination(300)
     st = json.loads(cat.get_table("docs").properties["stats"])
     full = writer.analyze_table(spark, cat, "docs", for_columns=True)
-    ndv_identical = all(
-        st["columns"][c]["ndv"] == full["columns"][c]["ndv"]
+    exact = (cat.read_table(spark, "docs")
+                .agg(*[F.countDistinct(c).alias(c)
+                       for c in ("doc_id", "source", "n_chars")])
+                .collect()[0])
+    ndv_ok = all(
+        abs(st["columns"][c]["ndv"] - int(exact[c]))
+        <= 0.03 * int(exact[c]) + 1
         for c in ("doc_id", "source", "n_chars"))
     rows = [(int(st["rows"]), int(st["columns"]["source"]["nulls"]),
              int(st["columns"]["n_chars"]["nulls"]),
-             bool(ndv_identical),
+             bool(ndv_ok),
              bool(st["columns"]["n_chars"]["min"]
                   == full["columns"]["n_chars"]["min"]
                   and st["columns"]["n_chars"]["max"]
                   == full["columns"]["n_chars"]["max"]))]
     return spark.createDataFrame(
         rows, "rows_total: long, nulls_source: long, nulls_nchars: long, "
-              "ndv_union_eq_full: boolean, minmax_eq_full: boolean")
+              "ndv_within_tol: boolean, minmax_eq_full: boolean")
 
 
 STREAM_STATS_SQL = """
@@ -567,7 +575,7 @@ SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS rows_total,
         WHERE source IS NULL) AS nulls_source,
        (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
         WHERE n_chars IS NULL) AS nulls_nchars,
-       TRUE AS ndv_union_eq_full,
+       TRUE AS ndv_within_tol,
        TRUE AS minmax_eq_full
 """
 

@@ -796,9 +796,13 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
 
     The append check diffs the current file list against the file list
     recorded at ``analyzed_version`` in table history. On a pure
-    append: row/null counts ADD (exact), NDV sketches UNION (the HLL
-    register-max merge is exactly the sketch a full single pass would
-    build, so incremental == full recompute by construction), and
+    append: row/null counts ADD (exact), NDV sketches UNION (the merge
+    is exact while sketches are in coupon mode, and within the
+    sketch's ~1% error band once promoted to HLL registers — the
+    Datasketches union's staged sparse→dense promotions are not
+    bit-identical to a single pass; stream_stats_maintenance certifies
+    the error-bound contract), min/max merge monotonically (exact),
+    avg_len merges through exact length sums, and
     equi-depth histograms — whose boundaries are NOT mergeable —
     recompute through the CDF walk for exactly the columns that had
     them (a column-pruned pass). Any non-append change (DELETE,
