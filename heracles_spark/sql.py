@@ -41,6 +41,9 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   EXPLAIN ESTIMATE SELECT ... FROM t WHERE col <= x  (histogram
             cardinality estimate from persisted stats, metadata-only;
             also <, >=, >, BETWEEN)
+  EXPLAIN ESTIMATE SELECT ... FROM a JOIN b ON a.k = b.k  (System-R
+            join cardinality from persisted NDVs + the broadcast/
+            shuffle strategy the stats planner would pick)
   SELECT ... FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts
             (DuckDB/Snowflake as-of join surface — routed to the
             single-shuffle union-and-carry operator; >= backward,
@@ -216,6 +219,11 @@ _EXPLAIN_EST = re.compile(
     r"\s+WHERE\s+(?P<col>\w+)\s*"
     r"(?:(?P<op><=|>=|<|>)\s*(?P<val>-?\d+(?:\.\d+)?)"
     r"|BETWEEN\s+(?P<lo>-?\d+(?:\.\d+)?)\s+AND\s+(?P<hi>-?\d+(?:\.\d+)?))"
+    r"\s*$", re.IGNORECASE | re.DOTALL)
+_EXPLAIN_EST_JOIN = re.compile(
+    r"^\s*EXPLAIN\s+ESTIMATE\s+SELECT\s+.*?\s+FROM\s+(?P<l>[\w.]+)\s+"
+    r"JOIN\s+(?P<r>[\w.]+)\s+ON\s+"
+    r"(?P<lq>[\w.]+)\.(?P<lk>\w+)\s*=\s*(?P<rq>[\w.]+)\.(?P<rk>\w+)"
     r"\s*$", re.IGNORECASE | re.DOTALL)
 _TRUNCATE = re.compile(
     r"^\s*TRUNCATE\s+TABLE\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
@@ -813,6 +821,38 @@ def dispatch(session, statement: str) -> DataFrame | None:
                   "analyzed_version: int, ndv: long, nulls: long, "
                   "min: double, max: double, avg_len: double, "
                   "hist_buckets: int")
+
+    m = _EXPLAIN_EST_JOIN.match(statement)
+    if m:
+        # EXPLAIN ESTIMATE over an equi-join: the System-R cardinality
+        # estimate (|L|·|R|/max NDV from persisted HLL stats) plus the
+        # strategy join_with_stats would pick — all metadata-only.
+        from heracles_spark import planner
+
+        ln = _resolve(session, m.group("l"))
+        rn = _resolve(session, m.group("r"))
+        lt, rt = catalog.get_table(ln), catalog.get_table(rn)
+        # map key columns to sides by qualifier (table name or alias-
+        # free form); fall back to declaration order
+        lk, rk = m.group("lk"), m.group("rk")
+        if m.group("lq") in (rn, m.group("r")) \
+                or m.group("rq") in (ln, m.group("l")):
+            lk, rk = rk, lk
+        est_rows = planner.estimate_equijoin_rows(lt, rt, lk, rk)
+        est_bytes = planner.estimated_table_bytes(rt)
+        strategy = "spark-default"
+        if est_bytes is not None:
+            strategy = ("broadcast"
+                        if est_bytes <= planner.DEFAULT_BROADCAST_BYTES
+                        else "shuffle")
+        return spark.createDataFrame(
+            [(ln, rn, f"{lk} = {rk}",
+              int(round(est_rows)) if est_rows is not None else None,
+              est_bytes, strategy,
+              "ndv-containment" if est_rows is not None else "none")],
+            "left_table: string, right_table: string, join_on: string, "
+            "estimated_rows: long, right_est_bytes: long, "
+            "strategy: string, method: string")
 
     m = _EXPLAIN_EST.match(statement)
     if m:

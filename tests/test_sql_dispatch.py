@@ -735,3 +735,25 @@ def test_show_statistics(hsession, catalog):
     assert got["k"].ndv == 3 and got["k"].min == 1.0
     assert got["k"].hist_buckets > 0
     assert got["s"].nulls == 1 and 2.0 < got["s"].avg_len < 3.0
+
+
+def test_explain_estimate_join(hsession):
+    hsession.sql("""CREATE TABLE ej_f (k INT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE ej_d (k INT, name STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO ej_f SELECT CAST(pmod(id, 100) AS INT), "
+                 "CAST(id AS DOUBLE) FROM range(0, 1000)")
+    hsession.sql("INSERT INTO ej_d SELECT CAST(id AS INT), "
+                 "concat('n', id) FROM range(0, 100)")
+    r = hsession.sql("EXPLAIN ESTIMATE SELECT * FROM ej_f JOIN ej_d "
+                     "ON ej_f.k = ej_d.k").collect()[0]
+    assert r.method == "none" and r.estimated_rows is None
+    hsession.sql("ANALYZE TABLE ej_f COMPUTE STATISTICS FOR COLUMNS k")
+    hsession.sql("ANALYZE TABLE ej_d COMPUTE STATISTICS FOR COLUMNS k")
+    r = hsession.sql("EXPLAIN ESTIMATE SELECT * FROM ej_f JOIN ej_d "
+                     "ON ej_f.k = ej_d.k").collect()[0]
+    # true join rows = 1000 (every fact row matches); est = 1000*100/100
+    assert r.method == "ndv-containment"
+    assert abs(r.estimated_rows - 1000) <= 60     # HLL ~1.6% band
+    assert r.strategy == "broadcast" and r.right_est_bytes > 0
