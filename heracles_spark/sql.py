@@ -21,8 +21,9 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
             (non-key only — ≙ hbaseCommands.scala:33-59, which the
             reference CLI marks "Unsupported yet"; wired here)
   OPTIMIZE t (compaction + global re-sort; heracles_spark.writer)
-  OPTIMIZE t COMPACT [TARGET n ROWS]  (minor compaction: bin-pack only
-            undersized files, O(small files) not O(table))
+  OPTIMIZE t COMPACT [TARGET n ROWS] [DRY RUN]  (minor compaction:
+            bin-pack only undersized files, O(small files) not
+            O(table); DRY RUN previews the plan metadata-only)
   CREATE ROLLUP r ON t GROUP BY g[, a = expr] AGG o = FN(c)[, ...]
   REFRESH ROLLUP r   (incremental continuous aggregate;
             heracles_spark.rollup — returns (mode, new_files))
@@ -126,7 +127,8 @@ _OPTIMIZE = re.compile(
     r"(?:\s+CURVE\s+(?P<curve>HILBERT|MORTON))?)?"
     r"(?:\s+(?P<compact>COMPACT)"
     r"(?:\s+TARGET\s+(?P<target>\d+)\s+ROWS)?)?"
-    r"(?:\s+REPARTITION\s+(?P<nbuckets>\d+))?\s*$", re.IGNORECASE)
+    r"(?:\s+REPARTITION\s+(?P<nbuckets>\d+))?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.IGNORECASE)
 _UPDATE = re.compile(
     r"^\s*UPDATE\s+(?P<name>[\w.]+)\s+SET\s+(?P<rest>.+)$",
     re.IGNORECASE | re.DOTALL)
@@ -488,7 +490,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
                     "REPARTITION, which rewrite the whole table")
             target = int(m.group("target")) if m.group("target") else None
             st = writer.compact_small_files(spark, catalog, name,
-                                            target_rows=target)
+                                            target_rows=target,
+                                            dry_run=bool(m.group("dry")))
             catalog.read_table(spark, name).createOrReplaceTempView(
                 catalog.view_name(name))
             return spark.createDataFrame(
@@ -496,6 +499,9 @@ def dispatch(session, statement: str) -> DataFrame | None:
                   st["files_written"], st["rows_compacted"])],
                 "files_total: int, files_compacted: int, "
                 "files_written: int, rows_compacted: long")
+        if m.group("dry"):
+            raise ValueError("OPTIMIZE: DRY RUN is only supported with "
+                             "COMPACT (the metadata-only preview)")
         if m.group("zcols"):
             if m.group("nbuckets"):
                 raise ValueError(

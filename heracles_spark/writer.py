@@ -607,7 +607,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
 
 def compact_small_files(spark: SparkSession, catalog: HeraclesCatalog,
                         table: str,
-                        target_rows: int | None = None) -> dict[str, Any]:
+                        target_rows: int | None = None,
+                        dry_run: bool = False) -> dict[str, Any]:
     """MINOR compaction — ``OPTIMIZE t COMPACT [TARGET n ROWS]``.
 
     Bin-packs only the UNDERSIZED files (rows < target/2) into
@@ -629,6 +630,14 @@ def compact_small_files(spark: SparkSession, catalog: HeraclesCatalog,
         # one small file is already as packed as it can get
         return {"files_total": len(tbl.files), "files_compacted": 0,
                 "files_written": 0, "rows_compacted": 0}
+    if dry_run:
+        # Metadata-only preview from the in-memory file index: what the
+        # bin-pack WOULD do, no data touched, no version committed.
+        n_rows = sum(f["rows"] for f in small)
+        return {"files_total": len(tbl.files),
+                "files_compacted": len(small),
+                "files_written": max(1, math.ceil(n_rows / target)),
+                "rows_compacted": n_rows}
     small_paths = sorted(f["path"] for f in small)
     keep = [f for f in tbl.files if f["path"] not in set(small_paths)]
     df = spark.read.schema(tbl.schema()).parquet(*small_paths)

@@ -757,3 +757,25 @@ def test_explain_estimate_join(hsession):
     assert r.method == "ndv-containment"
     assert abs(r.estimated_rows - 1000) <= 60     # HLL ~1.6% band
     assert r.strategy == "broadcast" and r.right_est_bytes > 0
+
+
+def test_optimize_compact_dry_run(hsession, catalog):
+    hsession.sql("""CREATE TABLE dr (k INT, v INT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    for i in range(4):                       # four tiny files
+        hsession.sql(f"INSERT INTO dr VALUES ({i}, {i * 10})")
+    v0 = catalog.get_table("dr").version
+    r = hsession.sql(
+        "OPTIMIZE dr COMPACT TARGET 100 ROWS DRY RUN").collect()[0]
+    assert r.files_compacted == 4 and r.rows_compacted == 4
+    assert r.files_written == 1
+    # preview committed nothing: same version, same files
+    assert catalog.get_table("dr").version == v0
+    # the real compaction matches its own preview
+    r2 = hsession.sql(
+        "OPTIMIZE dr COMPACT TARGET 100 ROWS").collect()[0]
+    assert (r2.files_compacted, r2.files_written) == (4, 1)
+    assert catalog.get_table("dr").version == v0 + 1
+    import pytest as _pt
+    with _pt.raises(Exception):
+        hsession.sql("OPTIMIZE dr DRY RUN")   # only valid with COMPACT
