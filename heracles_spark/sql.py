@@ -31,8 +31,9 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
   DESCRIBE HISTORY t (per-version op/file/row counts, newest first)
   SELECT ... FROM t VERSION AS OF n  (rewritten to a per-version view)
   RESTORE TABLE t TO VERSION AS OF n (metadata-only rollback)
-  VACUUM t [RETAIN n VERSIONS] (reclaim retired files; fences time
-            travel past the horizon — heracles_spark.writer.vacuum_table)
+  VACUUM t [RETAIN n VERSIONS] [DRY RUN] (reclaim retired files;
+            fences time travel past the horizon; DRY RUN previews the
+            reclaim count without deleting or pruning history)
   SELECT ... QUALIFY <cond>  (post-window filter — Snowflake/DuckDB/
             BigQuery semantics; rewritten to a subquery before Spark,
             which has no QUALIFY clause)
@@ -157,7 +158,8 @@ _RESTORE_TS = re.compile(
     r"\s+'(?P<ts>[^']+)'\s*$", re.IGNORECASE)
 _VACUUM = re.compile(
     r"^\s*VACUUM\s+(?P<name>[\w.]+)"
-    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?\s*$", re.IGNORECASE)
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+VERSIONS?)?"
+    r"(?:\s+(?P<dry>DRY\s+RUN))?\s*$", re.IGNORECASE)
 _DESC_HISTORY = re.compile(
     r"^\s*DESC(?:RIBE)?\s+HISTORY\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 _ADD_CONSTRAINT = re.compile(
@@ -592,7 +594,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
     if m:
         name = _resolve(session, m.group("name"))
         st = writer.vacuum_table(catalog, name,
-                                 retain_versions=int(m.group("n") or 1))
+                                 retain_versions=int(m.group("n") or 1),
+                                 dry_run=bool(m.group("dry")))
         return spark.createDataFrame(
             [(st["removed_files"], st["retained_versions"])],
             "removed_files: int, retained_versions: int")

@@ -366,7 +366,7 @@ def restore_table(catalog: HeraclesCatalog, table: str,
 
 
 def vacuum_table(catalog: HeraclesCatalog, table: str,
-                 retain_versions: int = 1) -> dict:
+                 retain_versions: int = 1, dry_run: bool = False) -> dict:
     """Reclaim retired files — ``VACUUM t [RETAIN n VERSIONS]``.
 
     Copy-on-write keeps every replaced file on disk so earlier versions
@@ -409,8 +409,13 @@ def vacuum_table(catalog: HeraclesCatalog, table: str,
                 continue
             p = os.path.join(root, fn)
             if p not in referenced:
-                os.remove(p)
+                if not dry_run:
+                    os.remove(p)
                 removed += 1
+    if dry_run:
+        # Preview only: nothing deleted, history untouched.
+        return {"removed_files": removed,
+                "retained_versions": len(keep_entries)}
     tbl.history = keep_entries
     catalog._save(tbl)
     return {"removed_files": removed, "retained_versions": len(keep_entries)}

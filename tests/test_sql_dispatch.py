@@ -779,3 +779,22 @@ def test_optimize_compact_dry_run(hsession, catalog):
     import pytest as _pt
     with _pt.raises(Exception):
         hsession.sql("OPTIMIZE dr DRY RUN")   # only valid with COMPACT
+
+
+def test_vacuum_dry_run(hsession, catalog):
+    hsession.sql("""CREATE TABLE vd (k INT) TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO vd VALUES (1)")
+    hsession.sql("INSERT OVERWRITE vd SELECT CAST(id AS INT) "
+                 "FROM range(5, 7)")
+    hist_before = len(catalog.get_table("vd").history)
+    r = hsession.sql("VACUUM vd RETAIN 1 VERSIONS DRY RUN").collect()[0]
+    assert r.removed_files >= 1
+    # nothing deleted, history intact, time travel still works
+    assert len(catalog.get_table("vd").history) == hist_before
+    v = catalog.get_table("vd").version
+    old = hsession.sql(
+        f"SELECT * FROM vd VERSION AS OF {v - 1}").collect()
+    assert [x.k for x in old] == [1]
+    # the real vacuum removes exactly what the preview reported
+    r2 = hsession.sql("VACUUM vd RETAIN 1 VERSIONS").collect()[0]
+    assert r2.removed_files == r.removed_files
