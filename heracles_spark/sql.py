@@ -57,6 +57,8 @@ Intercepted surface (≙ hbaseCommands.scala / HBaseCatalog):
             incremental REFRESH; rewrites fall back to full)
   SHOW STATISTICS [FOR] t  (tabular per-column view of the persisted
             ANALYZE state: ndv/nulls/min/max/avg_len/histogram size)
+  DESCRIBE DETAIL t  (one metadata row: location, files/rows/bytes,
+            version, history depth, has_statistics — Delta's shape)
 
 ``nonKeyCols`` and ``encodingFormat`` properties are accepted and stored
 but do not affect layout: column families/qualifiers are meaningless in
@@ -245,6 +247,8 @@ _SHOW_CREATE = re.compile(
 _DESCRIBE = re.compile(
     r"^\s*DESC(?:RIBE)?\s+(?P<extended>EXTENDED\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
+_DESC_DETAIL = re.compile(
+    r"^\s*DESC(?:RIBE)?\s+DETAIL\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
 
 
 def _resolve(session, name: str) -> str:
@@ -964,6 +968,31 @@ def dispatch(session, statement: str) -> DataFrame | None:
         props_s = ", ".join(f"'{k}'='{v}'" for k, v in sorted(props.items()))
         ddl = f"CREATE TABLE {tbl.name} ({cols}) TBLPROPERTIES({props_s})"
         return spark.createDataFrame([(ddl,)], "createtab_stmt: string")
+
+    m = _DESC_DETAIL.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        # One metadata row (Delta's DESCRIBE DETAIL shape): location,
+        # file/row counts from the in-memory index, on-disk bytes from
+        # a driver-side stat walk over the LIVE file list — O(files)
+        # metadata, no Spark job, no data read.
+        import os as _os
+
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        n_rows = sum(f.get("rows", 0) for f in tbl.files)
+        size = 0
+        for f in tbl.files:
+            try:
+                size += _os.path.getsize(f["path"])
+            except OSError:
+                pass
+        return spark.createDataFrame(
+            [(tbl.name, tbl.data_dir, ";".join(tbl.key_cols),
+              len(tbl.files), n_rows, size, tbl.version,
+              len(tbl.history),
+              bool(tbl.properties.get("stats")))],
+            "name: string, location: string, key_cols: string, "
+            "num_files: int, num_rows: long, size_bytes: long, "
+            "version: int, history_entries: int, has_statistics: boolean")
 
     m = _DESCRIBE.match(statement)
     if m and catalog.table_exists(_resolve(session, m.group("name"))):

@@ -798,3 +798,16 @@ def test_vacuum_dry_run(hsession, catalog):
     # the real vacuum removes exactly what the preview reported
     r2 = hsession.sql("VACUUM vd RETAIN 1 VERSIONS").collect()[0]
     assert r2.removed_files == r.removed_files
+
+
+def test_describe_detail(hsession):
+    hsession.sql("""CREATE TABLE dd2 (k INT, v STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO dd2 VALUES (1,'a'),(2,'b')")
+    r = hsession.sql("DESCRIBE DETAIL dd2").collect()[0]
+    assert r.name == "dd2" and r.num_rows == 2 and r.num_files >= 1
+    assert r.size_bytes > 0 and r.key_cols == "k"
+    assert r.has_statistics is False
+    hsession.sql("ANALYZE TABLE dd2 COMPUTE STATISTICS")
+    r = hsession.sql("DESC DETAIL dd2").collect()[0]
+    assert r.has_statistics is True
