@@ -364,18 +364,7 @@ QUERIES["events_theil_sen_trend"] = (events_theil_sen_trend,
                                      THEIL_SEN_SQL)
 
 
-def events_asof_sql(spark, sf_dir):
-    """The ASOF JOIN SQL surface (sql._rewrite_asof_join): last-click
-    attribution written the way DuckDB/Snowflake users write it — for
-    each purchase, the most recent prior click of the same user,
-    unmatched purchases kept with NULLs. The dispatcher routes the
-    clause to the single-shuffle union-and-carry operator
-    (operators/temporal.asof_join — the plan every as-of query in the
-    registry certifies: one hash shuffle on user_id, no range
-    self-join). The oracle runs a native ASOF LEFT JOIN in DuckDB —
-    direct surface parity, deterministic because (user_id, ts) is
-    unique in the corpus. Epoch-nanos longs keep the time axis
-    NTZ-safe on both engines."""
+def _asof_views(spark, sf_dir):
     import tempfile
 
     from heracles_spark.queries.relational import _events
@@ -389,13 +378,29 @@ def events_asof_sql(spark, sf_dir):
       .createOrReplaceTempView("asof_purchases"))
     (e.where(F.col("event_type") == "click")
       .select("user_id", F.col("ts_ns").alias("t"),
-              F.col("ts_ns").alias("click_t"),
               F.col("value").alias("click_value"))
       .createOrReplaceTempView("asof_clicks"))
+    return hs
+
+
+def events_asof_sql(spark, sf_dir):
+    """The ASOF JOIN SQL surface (sql._rewrite_asof_join): last-click
+    attribution written EXACTLY the way DuckDB/Snowflake users write
+    it — plain ``ASOF JOIN`` is an INNER join (unmatched purchases
+    dropped, round-9 advisor fix), right columns referenced by their
+    natural alias-qualified names (``c.t``, ``c.click_value`` — the
+    rewriter maps qualifiers instead of stripping them, so ``c.t`` is
+    the MATCHED click's timestamp, not the purchase time). Routed to
+    the single-shuffle union-and-carry operator
+    (operators/temporal.asof_join — one hash shuffle on user_id, no
+    range self-join). The oracle runs DuckDB's native ASOF JOIN —
+    direct surface parity, deterministic because (user_id, ts) is
+    unique in the corpus. Epoch-nanos longs keep the time axis
+    NTZ-safe on both engines."""
+    hs = _asof_views(spark, sf_dir)
     return hs.sql("""
         SELECT p.user_id, p.t AS purchase_ns, p.amount,
-               c.click_t_right AS click_ns,
-               c.click_value_right AS click_value
+               c.t AS click_ns, c.click_value AS click_value
         FROM asof_purchases p ASOF JOIN asof_clicks c
           ON p.user_id = c.user_id AND p.t >= c.t
         ORDER BY user_id, purchase_ns
@@ -411,11 +416,55 @@ WITH p AS (
   FROM events WHERE event_type = 'click')
 SELECT p.user_id, p.t AS purchase_ns, p.amount,
        c.t AS click_ns, c.cv AS click_value
-FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.t >= c.t
 ORDER BY p.user_id, purchase_ns
 """
 
 QUERIES["events_asof_sql"] = (events_asof_sql, ASOF_SQL_SQL)
+
+
+def events_asof_sql_tolerance(spark, sf_dir):
+    """ASOF LEFT JOIN with a tolerance conjunct (round-9 advisor ask):
+    ``AND c.t >= p.t - N`` bounds the attribution window to N nanos —
+    matches farther back than one hour are dropped to NULL but the
+    purchase row is kept (LEFT semantics). DuckDB has no native
+    tolerance, so the oracle is the explicit window form: rank prior
+    clicks per purchase, keep the latest, null it past the bound.
+    Same single-shuffle operator plan; the tolerance is a post-carry
+    codegen filter, no extra exchange."""
+    hs = _asof_views(spark, sf_dir)
+    return hs.sql("""
+        SELECT p.user_id, p.t AS purchase_ns, p.amount,
+               c.t AS click_ns, c.click_value AS click_value
+        FROM asof_purchases p ASOF LEFT JOIN asof_clicks c
+          ON p.user_id = c.user_id AND p.t >= c.t
+             AND c.t >= p.t - 3600000000000
+        ORDER BY user_id, purchase_ns
+    """)
+
+
+ASOF_TOL_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_ns(ts) AS t, value AS amount
+  FROM events WHERE event_type = 'purchase'),
+ c AS (
+  SELECT user_id, epoch_ns(ts) AS t, value AS cv
+  FROM events WHERE event_type = 'click'),
+ m AS (
+  SELECT p.user_id, p.t, p.amount, c.t AS ct, c.cv,
+         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.t
+                            ORDER BY c.t DESC) AS rk
+  FROM p LEFT JOIN c
+    ON p.user_id = c.user_id AND c.t <= p.t
+       AND c.t >= p.t - 3600000000000)
+SELECT user_id, t AS purchase_ns, amount,
+       ct AS click_ns, cv AS click_value
+FROM m WHERE rk = 1
+ORDER BY user_id, purchase_ns
+"""
+
+QUERIES["events_asof_sql_tolerance"] = (events_asof_sql_tolerance,
+                                        ASOF_TOL_SQL)
 
 
 def doc_kn_trigram_lm(spark, sf_dir):

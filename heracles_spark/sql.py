@@ -68,6 +68,7 @@ columnar storage and both encodings collapse to native types
 
 from __future__ import annotations
 
+import hashlib
 import re
 import shlex
 
@@ -1055,9 +1056,21 @@ def dispatch(session, statement: str) -> DataFrame | None:
                .createOrReplaceTempView(view)
         return view
 
-    rewritten = _rewrite_asof_join(session, statement)
-    if rewritten is not None:
-        statement = rewritten
+    asof_rw = _rewrite_asof_join(session, statement)
+    if asof_rw is not None:
+        # Side-effect-free dispatch: the operator DataFrame is built
+        # lazily and the temp view exists only for the duration of the
+        # (eagerly-analyzing) spark.sql call — a statement that fails
+        # to parse leaves no __asof_* view behind, and the view is
+        # dropped as soon as the plan is resolved.
+        statement, view, build = asof_rw
+        final = rewrite_qualify(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
+            _ts_asof, statement)))
+        build().createOrReplaceTempView(view)
+        try:
+            return spark.sql(final)
+        finally:
+            spark.catalog.dropTempView(view)
     return spark.sql(rewrite_qualify(_VERSION_ASOF.sub(_asof, _TS_ASOF.sub(
         _ts_asof, statement))))
 
@@ -1065,42 +1078,63 @@ def dispatch(session, statement: str) -> DataFrame | None:
 _ASOF_JOIN = re.compile(
     r"^(?P<head>\s*SELECT\s+.*?\s+FROM)\s+"
     r"(?P<lt>[\w.]+)(?:\s+(?:AS\s+)?(?!ASOF\b)(?P<la>\w+))?"
-    r"\s+ASOF\s+JOIN\s+"
+    r"\s+ASOF\s+(?P<left>LEFT\s+)?JOIN\s+"
     r"(?P<rt>[\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ra>\w+))?"
     r"\s+ON\s+(?P<cond>.+?)"
     r"(?P<tail>\s+(?:WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|QUALIFY)\b.*)?$",
     re.IGNORECASE | re.DOTALL)
 _ASOF_EQ = re.compile(r"^(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)$")
 _ASOF_INEQ = re.compile(r"^(\w+)\.(\w+)\s*(<=|>=)\s*(\w+)\.(\w+)$")
+_ASOF_TOL = re.compile(
+    r"^(\w+)\.(\w+)\s*(<=|>=)\s*(\w+)\.(\w+)\s*([+-])\s*(\d+)$")
 
 
-def _rewrite_asof_join(session, statement: str) -> "str | None":
-    """``FROM l ASOF JOIN r ON l.k = r.k AND l.ts >= r.ts`` — the
-    DuckDB/Snowflake ASOF JOIN surface, routed to the single-shuffle
-    union-and-carry operator (operators/temporal.asof_join) instead of
-    a self-join: ``>=`` picks the most recent right row at or before
-    the left time (backward), ``<=`` the earliest at or after
-    (forward). Right-side payload columns appear with the operator's
-    ``_right`` suffix; the equi-key and time column keep the LEFT
-    names. Supported shape: exactly one equality + one inequality
-    conjunct, both alias-qualified; anything else passes through
-    (Spark then rejects the ASOF keyword loudly). Scale: this is the
-    same plan every as-of query in the registry certifies — one hash
-    shuffle on the key, no point lookups, no range self-join."""
+def _rewrite_asof_join(session, statement: str):
+    """``FROM l ASOF [LEFT] JOIN r ON l.k = r.k AND l.ts >= r.ts
+    [AND r.ts >= l.ts - N]`` — the DuckDB/Snowflake ASOF JOIN surface,
+    routed to the single-shuffle union-and-carry operator
+    (operators/temporal.asof_join) instead of a self-join: ``>=``
+    picks the most recent right row at or before the left time
+    (backward), ``<=`` the earliest at or after (forward). Plain
+    ``ASOF JOIN`` is an INNER join (unmatched left rows dropped, the
+    DuckDB/Snowflake semantics); ``ASOF LEFT JOIN`` keeps them with
+    NULL carries. An optional third conjunct bounds the match gap
+    (tolerance, same units as the time column): for backward any of
+    ``r.ts >= l.ts - N`` / ``l.ts <= r.ts + N``, mirrored for forward.
+
+    Qualifier rewriting (round-9 advisor fix): ``l.col`` → ``col``;
+    ``r.col`` → ``col_right`` for right payload columns; the right
+    equi-key and time column resolve to sentinel carries of the
+    MATCHED right row's own values (NULL when unmatched — DuckDB's
+    semantics for ``r.ts`` under ASOF LEFT JOIN). Qualifiers are never
+    blindly stripped, so ``r.v`` can no longer silently bind to a left
+    column ``v``.
+
+    Supported shape: one equality + one inequality (+ optional
+    tolerance) conjunct, all alias-qualified; anything else passes
+    through (Spark then rejects the ASOF keyword loudly).
+
+    Side-effect-free: returns ``(rewritten_stmt, view_name, build)``
+    — the caller registers ``build()`` under ``view_name`` only when
+    the full statement is about to run, and drops it right after
+    analysis. Scale: one hash shuffle on the key, no point lookups,
+    no range self-join."""
     m = _ASOF_JOIN.match(statement.rstrip().rstrip(";"))
     if not m:
         return None
     conj = [c.strip() for c in re.split(r"\s+AND\s+", m.group("cond"),
                                         flags=re.IGNORECASE)]
-    if len(conj) != 2:
+    if len(conj) not in (2, 3):
         return None
-    eq = ineq = None
+    eq = ineq = tol_m = None
     for c in conj:
         if _ASOF_EQ.match(c):
             eq = _ASOF_EQ.match(c)
         elif _ASOF_INEQ.match(c):
             ineq = _ASOF_INEQ.match(c)
-    if eq is None or ineq is None:
+        elif _ASOF_TOL.match(c):
+            tol_m = _ASOF_TOL.match(c)
+    if eq is None or ineq is None or (len(conj) == 3 and tol_m is None):
         return None
     la = (m.group("la") or m.group("lt")).lower()
     ra = (m.group("ra") or m.group("rt")).lower()
@@ -1118,8 +1152,28 @@ def _rewrite_asof_join(session, statement: str) -> "str | None":
     else:
         direction = "forward" if op == ">=" else "backward"
 
-    from heracles_spark.operators.temporal import asof_join
+    tolerance = None
+    if tol_m is not None:
+        a1, ac, top, a2, ac2, sign, num = tol_m.groups()
+        # Normalize to a gap bound. backward gap = l.ts - r.ts ∈ [0,N]:
+        #   r.ts >= l.ts - N   or   l.ts <= r.ts + N
+        # forward  gap = r.ts - l.ts ∈ [0,N]:
+        #   r.ts <= l.ts + N   or   l.ts >= r.ts - N
+        tref = {a1.lower(): ac, a2.lower(): ac2}
+        if (set(tref) != {la, ra} or tref[la] != lts or tref[ra] != rts):
+            return None
+        first_is_left = a1.lower() == la
+        shape = (top, sign, first_is_left)
+        backward_ok = shape in {(">=", "-", False), ("<=", "+", True)}
+        forward_ok = shape in {("<=", "+", False), (">=", "-", True)}
+        if direction == "backward" and backward_ok:
+            tolerance = int(num)
+        elif direction == "forward" and forward_ok:
+            tolerance = int(num)
+        else:
+            return None
 
+    inner = m.group("left") is None
     spark, catalog = session.spark, session.catalog
 
     def rel(name: str):
@@ -1127,19 +1181,46 @@ def _rewrite_asof_join(session, statement: str) -> "str | None":
             return catalog.read_table(spark, _resolve(session, name))
         return spark.table(name)
 
+    # Resolve the relations now (DataFrame construction is lazy,
+    # nothing executes here) so build() closes over them.
     left, right = rel(m.group("lt")), rel(m.group("rt"))
-    right = right.withColumnRenamed(rk, lk).withColumnRenamed(rts, lts)
-    out = asof_join(left, right, on=lts, by=lk, direction=direction)
-    view = f"__asof_{m.group('lt').replace('.', '_')}_" \
-           f"{m.group('rt').replace('.', '_')}"
-    out.createOrReplaceTempView(view)
-    strip = re.compile(rf"\b(?:{re.escape(la)}|{re.escape(ra)}|"
-                       rf"{re.escape(m.group('lt'))}|"
-                       rf"{re.escape(m.group('rt'))})\.",
-                       re.IGNORECASE)
-    head = strip.sub("", m.group("head"))
-    tail = strip.sub("", m.group("tail") or "")
-    return f"{head} {view} {tail}"
+
+    def build():
+        from heracles_spark.operators.temporal import asof_join
+
+        # Sentinels carry the MATCHED right row's own key/timestamp
+        # (DuckDB's `r.ts` is the matched value, NULL when unmatched —
+        # not the left probe time); INNER also filters on the ts one.
+        r2 = (right.withColumnRenamed(rk, lk)
+                   .withColumnRenamed(rts, lts)
+                   .withColumn("__asof_rts", F.col(lts))
+                   .withColumn("__asof_rk", F.col(lk)))
+        out = asof_join(left, r2, on=lts, by=lk, direction=direction,
+                        tolerance=tolerance)
+        if inner:
+            out = out.where(F.col("__asof_rts_right").isNotNull())
+        return out
+
+    view = "__asof_" + hashlib.md5(
+        statement.encode()).hexdigest()[:12]
+
+    def _q(qm):
+        side, col = qm.group(1).lower(), qm.group(2)
+        if side in (la, m.group("lt").lower()):
+            return col
+        if col == rk:
+            return "__asof_rk_right"
+        if col == rts:
+            return "__asof_rts_right"
+        return col + "_right"   # unknown right col ⇒ loud analysis error
+
+    qual = re.compile(rf"\b({re.escape(la)}|{re.escape(ra)}|"
+                      rf"{re.escape(m.group('lt'))}|"
+                      rf"{re.escape(m.group('rt'))})\.(\w+)",
+                      re.IGNORECASE)
+    head = qual.sub(_q, m.group("head"))
+    tail = qual.sub(_q, m.group("tail") or "")
+    return f"{head} {view} {tail}", view, build
 
 
 def _top_level_find(s: str, word: str, start: int = 0) -> int:

@@ -678,23 +678,96 @@ def test_asof_join_sql_surface(hsession, spark):
     spark.sql("SELECT * FROM VALUES (1, 5, 100.0),(1, 18, 200.0),"
               "(2, 30, 300.0) t(uid, t, price)") \
          .createOrReplaceTempView("aj_right")
+    # Plain ASOF JOIN is INNER (DuckDB/Snowflake): unmatched (2,15)
+    # is DROPPED. Natural qualifiers: r.price, and r.t is the MATCHED
+    # right timestamp.
     got = hsession.sql(
-        "SELECT l.uid, l.t, l.tag, r.price_right FROM aj_left l "
+        "SELECT l.uid, l.t, l.tag, r.t AS rt, r.price AS price "
+        "FROM aj_left l "
         "ASOF JOIN aj_right r ON l.uid = r.uid AND l.t >= r.t "
         "ORDER BY l.uid, l.t").collect()
-    assert [(x.uid, x.t, x.tag, x.price_right and float(x.price_right))
+    assert [(x.uid, x.t, x.tag, x.rt, float(x.price))
             for x in got] == [
-        (1, 10, "c1", 100.0), (1, 20, "c2", 200.0), (2, 15, "c3", None)]
-    # forward direction via <=
+        (1, 10, "c1", 5, 100.0), (1, 20, "c2", 18, 200.0)]
+    # ASOF LEFT JOIN keeps unmatched left rows with NULL carries.
     got = hsession.sql(
-        "SELECT l.t, r.price_right FROM aj_left l ASOF JOIN aj_right r "
+        "SELECT l.uid, l.t, l.tag, r.t AS rt, r.price AS price "
+        "FROM aj_left l "
+        "ASOF LEFT JOIN aj_right r ON l.uid = r.uid AND l.t >= r.t "
+        "ORDER BY l.uid, l.t").collect()
+    assert [(x.uid, x.t, x.tag, x.rt,
+             x.price if x.price is None else float(x.price))
+            for x in got] == [
+        (1, 10, "c1", 5, 100.0), (1, 20, "c2", 18, 200.0),
+        (2, 15, "c3", None, None)]
+    # forward direction via <= (LEFT to observe the unmatched row)
+    got = hsession.sql(
+        "SELECT l.t, r.price AS price FROM aj_left l ASOF LEFT JOIN aj_right r "
         "ON l.uid = r.uid AND l.t <= r.t ORDER BY l.uid, l.t").collect()
-    assert [(x.t, x.price_right and float(x.price_right))
+    assert [(x.t, x.price if x.price is None else float(x.price))
             for x in got] == [(10, 200.0), (20, None), (15, 300.0)]
+    # tolerance conjunct bounds the gap: at t=20 the nearest earlier
+    # click is 18 (gap 2); a tolerance of 1 drops it to NULL.
+    got = hsession.sql(
+        "SELECT l.t, r.price AS price FROM aj_left l ASOF LEFT JOIN aj_right r "
+        "ON l.uid = r.uid AND l.t >= r.t AND r.t >= l.t - 1 "
+        "ORDER BY l.uid, l.t").collect()
+    assert [(x.t, x.price if x.price is None else float(x.price))
+            for x in got] == [(10, None), (20, None), (15, None)]
+    # INNER + tolerance drops out-of-tolerance rows entirely
+    got = hsession.sql(
+        "SELECT l.t, r.price AS price FROM aj_left l ASOF JOIN aj_right r "
+        "ON l.uid = r.uid AND l.t >= r.t AND r.t >= l.t - 5 "
+        "ORDER BY l.uid, l.t").collect()
+    assert [(x.t, float(x.price)) for x in got] == [(10, 100.0),
+                                                    (20, 200.0)]
     # unsupported shapes pass through untouched (Spark rejects ASOF)
     from heracles_spark.sql import _rewrite_asof_join
     assert _rewrite_asof_join(
         hsession, "SELECT * FROM a ASOF JOIN b ON a.x = b.y") is None
+
+
+def test_asof_join_dispatch_side_effect_free(hsession, spark):
+    """Round-9 advisor ask: a statement whose outer part fails to
+    parse must leave no __asof_* temp views behind, and a successful
+    dispatch drops its view after analysis."""
+    import pytest
+
+    spark.sql("SELECT * FROM VALUES (1, 10) t(uid, t)") \
+         .createOrReplaceTempView("aj_l2")
+    spark.sql("SELECT * FROM VALUES (1, 5, 9.0) t(uid, t, v)") \
+         .createOrReplaceTempView("aj_r2")
+
+    def asof_views():
+        return [t.name for t in spark.catalog.listTables()
+                if t.name.startswith("__asof")]
+
+    with pytest.raises(Exception):
+        hsession.sql(
+            "SELECT l.uid, THIS_IS_NOT_A_FUNCTION(l.t,) FROM aj_l2 l "
+            "ASOF JOIN aj_r2 r ON l.uid = r.uid AND l.t >= r.t "
+            "ORDER BY l.uid")
+    assert asof_views() == []
+    df = hsession.sql(
+        "SELECT l.uid, r.v AS v FROM aj_l2 l ASOF JOIN aj_r2 r "
+        "ON l.uid = r.uid AND l.t >= r.t")
+    assert asof_views() == []
+    # the returned DataFrame stays executable after the view is gone
+    assert [(x.uid, float(x.v)) for x in df.collect()] == [(1, 9.0)]
+
+
+def test_asof_join_shared_column_binds_right(hsession, spark):
+    """Round-9 advisor fix: when both sides share a payload column
+    name, r.col must bind to the RIGHT value, never silently to the
+    left one (the old rewrite stripped qualifiers)."""
+    spark.sql("SELECT * FROM VALUES (1, 10, 'L') t(uid, t, v)") \
+         .createOrReplaceTempView("aj_l3")
+    spark.sql("SELECT * FROM VALUES (1, 5, 'R') t(uid, t, v)") \
+         .createOrReplaceTempView("aj_r3")
+    got = hsession.sql(
+        "SELECT l.v AS lv, r.v AS rv FROM aj_l3 l ASOF JOIN aj_r3 r "
+        "ON l.uid = r.uid AND l.t >= r.t").collect()
+    assert [(x.lv, x.rv) for x in got] == [("L", "R")]
 
 
 def test_auto_analyze_property(hsession, catalog):
