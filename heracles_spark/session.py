@@ -92,6 +92,9 @@ class HeraclesSession:
             metastore_dir or os.environ.get(
                 "HERACLES_METASTORE", os.path.join(os.getcwd(), ".heracles")))
         self.current_db = "default"
+        # Audit trail of the stats planner's broadcast/shuffle verdicts
+        # for the most recent dispatched SELECT (sql._inject_stats_hints).
+        self.last_join_decisions: list[dict] = []
         self.catalog.register_all(self.spark)
 
     def sql(self, statement: str):

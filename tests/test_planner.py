@@ -111,3 +111,59 @@ def test_estimate_equijoin_rows(spark, catalog):
     # 1000*100/max(ndv) with ~1.6% HLL error
     assert est == pytest.approx(100.0, rel=0.1)
     assert estimate_equijoin_rows(lt, rt, "k", "nope") is None
+
+
+def test_inject_stats_hints_sql_surface(spark, catalog, hsession):
+    """Round-9: the dispatched SELECT surface consults ANALYZE stats
+    and injects the broadcast hint itself (sql._inject_stats_hints)."""
+    from heracles_spark.sql import _inject_stats_hints
+
+    _mk(spark, catalog, "hfact", 2000, with_strings=False)
+    _mk(spark, catalog, "hdim", 50, with_strings=False)
+    _mk(spark, catalog, "hdim_raw", 50, with_strings=False)
+    writer.analyze_table(spark, catalog, "hdim", for_columns=True)
+    writer.analyze_table(spark, catalog, "hfact", for_columns=True)
+
+    stmt = ("SELECT f.k, d.v FROM hfact f JOIN hdim d ON f.k = d.k "
+            "WHERE d.v > 10")
+    out, dec = _inject_stats_hints(hsession, stmt)
+    assert "/*+ BROADCAST(" in out and "d" in out
+    by_table = {d["table"]: d["strategy"] for d in dec}
+    assert by_table["hdim"] == "broadcast"
+    assert by_table["hfact"] == "broadcast"  # tiny test fixture fits too
+    # unanalyzed table: no decision, no hint for it
+    out2, dec2 = _inject_stats_hints(
+        hsession, "SELECT f.k FROM hfact f JOIN hdim_raw d ON f.k = d.k")
+    assert all(d["table"] != "hdim_raw" for d in dec2)
+    assert "hdim_raw" not in out2.split("*/")[0]  # not inside the hint
+    # user-provided hints win; single-table statements untouched
+    pre = "SELECT /*+ MERGE(d) */ * FROM hfact f JOIN hdim d ON f.k = d.k"
+    assert _inject_stats_hints(hsession, pre) == (pre, [])
+    single = "SELECT k FROM hdim"
+    assert _inject_stats_hints(hsession, single) == (single, [])
+    # a dim estimated over the threshold stays a shuffle verdict
+    spark.conf.set("spark.sql.heracles.broadcastThreshold", "1")
+    try:
+        out3, dec3 = _inject_stats_hints(hsession, stmt)
+        assert "/*+" not in out3
+        assert {d["strategy"] for d in dec3} == {"shuffle"}
+    finally:
+        spark.conf.unset("spark.sql.heracles.broadcastThreshold")
+    # end-to-end: plan carries BroadcastHashJoin with size heuristic off
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        catalog.register_all(spark)
+        df = hsession.sql(stmt)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert {d["table"]: d["strategy"]
+                for d in hsession.last_join_decisions}["hdim"] \
+            == "broadcast"
+    finally:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
