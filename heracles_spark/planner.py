@@ -140,6 +140,60 @@ def estimate_rows_leq(tbl: KeyTable, column: str, x: float
     return est
 
 
+def estimate_predicate_rows(tbl: KeyTable, column: str, op: str,
+                            lo: float, hi: "float | None" = None
+                            ) -> float | None:
+    """Estimated row count for one range predicate from the persisted
+    histogram. ``op`` ∈ {"<=", "<", ">=", ">", "between"} (<=/< and
+    >=/> share an estimate — a histogram sees mass up to a point, not
+    AT it). NULL-aware (round-9 advisor fix): the histogram is built
+    over non-null values only, so ``>`` estimates difference against
+    the column's NON-NULL count, not the table total — otherwise a
+    null-heavy column inflates the estimate past the one-bucket bound.
+    None when the column carries no histogram."""
+    stats = table_stats(tbl)
+    cst = (stats or {}).get("columns", {}).get(column)
+    if not cst or "histogram" not in cst or "min" not in cst:
+        return None
+    nonnull = float(stats["rows"]) - float(cst.get("nulls", 0))
+    if op == "between":
+        a = estimate_rows_leq(tbl, column, lo)
+        b = estimate_rows_leq(tbl, column, float(hi))
+        return None if a is None or b is None else max(0.0, b - a)
+    est = estimate_rows_leq(tbl, column, lo)
+    if est is None:
+        return None
+    if op in (">", ">="):
+        est = max(0.0, nonnull - est)
+    return est
+
+
+def estimate_conjunction_rows(tbl: KeyTable, preds: "list[tuple]"
+                              ) -> "tuple[float | None, list]":
+    """Combined cardinality for a conjunction of range predicates
+    under the standard independence assumption: |T| · Π sel_i, with
+    sel_i = est_i / |T|. Returns (combined_estimate, per_step) where
+    per_step is a list of (predicate_index, est_rows_alone) — the
+    System-R composition EXPLAIN ESTIMATE surfaces per conjunct. Any
+    un-estimable conjunct makes the combined estimate None (no
+    guessing: a planner that cannot see one factor must not pretend
+    it can see the product)."""
+    stats = table_stats(tbl)
+    if stats is None or "rows" not in stats:
+        return None, [(i, None) for i in range(len(preds))]
+    total = float(stats["rows"])
+    per_step: list = []
+    combined: "float | None" = total
+    for i, (col, op, lo, hi) in enumerate(preds):
+        est = estimate_predicate_rows(tbl, col, op, lo, hi)
+        per_step.append((i, est))
+        if est is None or combined is None:
+            combined = None
+        elif total > 0:
+            combined *= est / total
+    return combined, per_step
+
+
 def estimate_equijoin_rows(left: KeyTable, right: KeyTable,
                            left_key: str, right_key: str
                            ) -> float | None:

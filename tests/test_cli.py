@@ -180,6 +180,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert stats_rows[0].split("\t")[1] == "300"   # table_rows
             assert stats_rows[1].split("\t")[1] == "400"
             assert "equi-depth-histogram" in out      # EXPLAIN ESTIMATE
+            assert "independence" in out              # conjunction row
+            assert "ndv-containment" in out           # join-chain row
             # ASOF JOIN produced bid values from the right side
             assert "99.5" in out and "77.0" in out
 
