@@ -392,16 +392,21 @@ def events_theil_sen_trend(spark, sf_dir):
     Scale: raw events reduce via one combinable hourly aggregate; the
     pair self-join is over the HOURLY series, so pairs grow with the
     square of the time span, never with event volume (the 100 TB
-    reduction happens before the quadratic step). The rank window
-    sorts pairs per type — bounded by (hours)², independent of rows.
+    reduction happens before the quadratic step). The median pair is
+    selected by the bucketed CDF walk (orderstats.grouped_rank_row,
+    round-9 hardening): the cumsum runs over DISTINCT slope values in
+    group × 32 value-range buckets and only the median value's tie
+    set is ever sorted in one task — no window sorts all C(span,2)
+    pairs of a type anymore, so a decade-long hourly series (4×10⁹
+    pairs/type) no longer funnels through a single sort task.
     """
+    from heracles_spark.operators.orderstats import grouped_rank_row
     from heracles_spark.queries.relational import _events
-    from pyspark.sql import Window
 
     e = _events(spark, sf_dir)
     # One corpus pass; the hourly series (span-sized, 3.6k rows here)
-    # is lineage-truncated for its three consumers and broadcast into
-    # the quadratic self-join so no shuffle touches the pair stage.
+    # is lineage-truncated for its consumers and broadcast into the
+    # quadratic self-join so no shuffle touches the pair stage.
     hourly = (e.groupBy("event_type",
                         F.expr("ts_ns div 3600000000000").alias("h"))
                .agg(F.count(F.lit(1)).alias("y"))
@@ -414,21 +419,24 @@ def events_theil_sen_trend(spark, sf_dir):
               .where(F.col("h2") > F.col("h1"))
               .select("event_type",
                       (F.col("y2") - F.col("y1")).alias("num"),
-                      (F.col("h2") - F.col("h1")).alias("den")))
-    w = Window.partitionBy("event_type").orderBy(
-        (F.col("num").cast("double") / F.col("den").cast("double")),
-        "num", "den")
-    ranked = pairs.withColumn("rk", F.row_number().over(w))
-    # n_pairs = C(n_points, 2) — derived from the series size, so the
-    # rank pass is the ONLY window over the pair relation.
+                      (F.col("h2") - F.col("h1")).alias("den"))
+              # try_divide, not /: the CDF walk's equi-join on the
+              # computed slope infers isnotnull(num/den), which
+              # Catalyst pushes BELOW the h2>h1 filter — under ANSI a
+              # plain / then evaluates den=0 pre-filter rows and
+              # throws. den >= 1 on every surviving row either way.
+              .withColumn("slope",
+                          F.try_divide(F.col("num").cast("double"),
+                                       F.col("den").cast("double"))))
+    # Lower median at rank (P+1) div 2 under (slope, num, den) — the
+    # same total order as before, now rank-selected via the CDF walk.
+    med = grouped_rank_row(pairs, ["event_type"], "slope",
+                           ["num", "den"])
     npts = (hourly.groupBy("event_type")
-                  .agg(F.count(F.lit(1)).alias("n_points"))
-                  .withColumn("n_pairs", F.expr(
-                      "n_points * (n_points - 1) div 2")))
-    med = (ranked.join(F.broadcast(npts), "event_type")
-                 .where(F.col("rk") == F.expr("(n_pairs + 1) div 2")))
-    return (med
-               .select("event_type", "n_points", "n_pairs",
+                  .agg(F.count(F.lit(1)).alias("n_points")))
+    return (med.join(F.broadcast(npts), "event_type")
+               .select("event_type", "n_points",
+                       F.col("tot").alias("n_pairs"),
                        F.col("num").alias("med_num"),
                        F.col("den").alias("med_den"),
                        F.round(F.col("num").cast("double")

@@ -216,3 +216,79 @@ def test_queries_match_oracles_at_sf_small(spark):
                     assert x == pytest.approx(float(y), abs=1e-9)
                 else:
                     assert x == y, (fn.__name__, a, b)
+
+
+def test_grouped_rank_row_vs_bruteforce(spark):
+    """grouped_rank_row must equal a full sort's lower median under
+    (value, *tiebreaks), including heavy ties, without any full-group
+    sort window (round-9 Theil-Sen hardening)."""
+    import random
+
+    from heracles_spark.operators.orderstats import grouped_rank_row
+
+    rnd = random.Random(9)
+    rows = []
+    for g in ("a", "b", "c"):
+        n = {"a": 501, "b": 500, "c": 7}[g]
+        for i in range(n):
+            v = float(rnd.choice([0.0, 1.5, 2.25, -3.0, 8.0]))
+            rows.append((g, v, rnd.randrange(20), rnd.randrange(20)))
+    df = spark.createDataFrame(
+        rows, "g string, slope double, num int, den int")
+    got = {r.g: (r.slope, r.num, r.den, r.tot)
+           for r in grouped_rank_row(df, ["g"], "slope",
+                                     ["num", "den"]).collect()}
+    from collections import defaultdict
+    by_g = defaultdict(list)
+    for g, v, num, den in rows:
+        by_g[g].append((v, num, den))
+    for g, vals in by_g.items():
+        vals.sort()
+        want = vals[(len(vals) + 1) // 2 - 1]     # lower median, 1-based
+        assert got[g][:3] == want, g
+        assert got[g][3] == len(vals)
+
+
+def test_theil_sen_long_span_no_full_pair_sort(spark):
+    """Synthetic long-span series (3000 hours ⇒ ~4.5M pairs/type): the
+    slope median must come out exactly, and the executed plan must not
+    contain a window that sorts the full pair relation of a group in
+    one task — every slope-ordered window is value-range-bucketed
+    (partition spec carries the __b bucket column)."""
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from heracles_spark.operators.orderstats import grouped_rank_row
+
+    hours = 3000
+    hourly = spark.createDataFrame(
+        [("t", h, 100 + 3 * h + (h * h) % 7) for h in range(hours)],
+        "event_type string, h long, y long").localCheckpoint()
+    a = hourly.select("event_type", F.col("h").alias("h1"),
+                      F.col("y").alias("y1"))
+    b = hourly.select("event_type", F.col("h").alias("h2"),
+                      F.col("y").alias("y2"))
+    pairs = (a.join(F.broadcast(b), "event_type")
+              .where(F.col("h2") > F.col("h1"))
+              .select("event_type",
+                      (F.col("y2") - F.col("y1")).alias("num"),
+                      (F.col("h2") - F.col("h1")).alias("den"))
+              .withColumn("slope",
+                          F.try_divide(F.col("num").cast("double"),
+                                       F.col("den").cast("double"))))
+    med = grouped_rank_row(pairs, ["event_type"], "slope",
+                           ["num", "den"])
+    row = med.collect()[0]
+    # signal 3/hour + bounded periodic noise: the median slope is 3
+    assert abs(row.slope - 3.0) < 0.01
+    assert row.tot == hours * (hours - 1) // 2
+    plan = med._jdf.queryExecution().executedPlan().toString()
+    # every window ordered by the slope must be bucket-partitioned;
+    # the only event_type-partitioned sorts are over the tie set
+    # (num, den) or the per-bucket offsets (__b) — never the slope
+    # over the full pair relation.
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "slope" in spec:
+            assert "__b" in spec, spec
