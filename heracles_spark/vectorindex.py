@@ -84,7 +84,7 @@ def load_codebooks(catalog, table: str,
 
 def _assign_and_write(spark: SparkSession, df: DataFrame, tbl,
                       vec_col: str, centroids: list[list[float]],
-                      store: str, mode: str,
+                      store: str, segment: str = "store",
                       codebooks: list[list[list[float]]] | None = None
                       ) -> None:
     from heracles_spark.operators import similarity
@@ -95,8 +95,46 @@ def _assign_and_write(spark: SparkSession, df: DataFrame, tbl,
         built = similarity.pq_encode(built, codebooks,
                                      id_col=tbl.key_cols[0],
                                      vec_col=vec_col)
-    (built.write.mode(mode).format("parquet")
-          .partitionBy("cell_id").save(os.path.join(store, "store")))
+    (built.write.mode("overwrite").format("parquet")
+          .partitionBy("cell_id").save(os.path.join(store, segment)))
+
+
+def _manifest_path(store: str) -> str:
+    return os.path.join(store, "_manifest.json")
+
+
+def _load_manifest(store: str) -> "dict | None":
+    try:
+        with open(_manifest_path(store)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return None
+
+
+def _commit_manifest(store: str, manifest: dict) -> None:
+    """Atomic (tmp + rename) — this commit, not the parquet write, is
+    what makes a segment visible to probes; see refresh_vector_index's
+    crash-safety notes (round-9 advisor fix)."""
+    tmp = _manifest_path(store) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(store))
+
+
+def _gc_orphan_segments(store: str, manifest: dict) -> None:
+    """Remove segment dirs a crashed refresh wrote but never
+    manifested (they are invisible to probes either way)."""
+    import shutil
+
+    live = {s["dir"] for s in manifest["segments"]}
+    try:
+        entries = os.listdir(store)
+    except OSError:
+        return
+    for d in entries:
+        if (d.startswith("seg_") or d == "store") and d not in live \
+                and os.path.isdir(os.path.join(store, d)):
+            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
 
 
 def create_vector_index(spark: SparkSession, catalog, table: str,
@@ -147,7 +185,10 @@ def create_vector_index(spark: SparkSession, catalog, table: str,
         with open(os.path.join(store, "codebooks.json"), "w") as fh:
             json.dump(books, fh)
     _assign_and_write(spark, base, tbl, vec_col, cents, store,
-                      mode="overwrite", codebooks=books)
+                      codebooks=books)
+    _commit_manifest(store, {"segments": [
+        {"dir": "store",
+         "source_paths": sorted(f["path"] for f in tbl.files)}]})
 
     reg[iname] = {"col": vec_col, "path": store, "cells": cells,
                   "sample": sample, "seed": seed, "pq_m": pq_m,
@@ -159,13 +200,25 @@ def create_vector_index(spark: SparkSession, catalog, table: str,
 
 def refresh_vector_index(spark: SparkSession, catalog, table: str,
                          iname: str):
-    """Bring the store current. Pure appends since the built version
-    take the INCREMENTAL path: only new files are read, their vectors
-    assigned to the EXISTING centroids (faiss add-without-retrain) and
-    appended — guarded by a key-collision probe (a re-used key would
-    leave a stale store row). Rewrites, or any collision, rebuild from
+    """Bring the store current. Pure appends since the last refresh
+    take the INCREMENTAL path: only unindexed files are read, their
+    vectors assigned to the EXISTING centroids (faiss
+    add-without-retrain) and written as a NEW SEGMENT — guarded by a
+    key-collision probe against the store (a re-used key would leave
+    a stale store row). Rewrites, or any collision, rebuild from
     scratch WITH retraining. Either way a probe sees every current
-    base row exactly once."""
+    base row exactly once.
+
+    Crash safety (round-9 advisor fix): the store is a MANIFEST of
+    segments, each recording the source files it indexed, and probes
+    read only manifested segments. The incremental batch lands in a
+    fresh ``seg_*`` dir that becomes visible through one atomic
+    manifest rename. A failure before the manifest commit leaves an
+    orphan dir (invisible, GC'd next refresh) and the retry re-stages
+    from the manifest's source set; a failure between manifest and
+    registry commit makes the retry a no-op (the manifest already
+    covers every current file) — duplicates are impossible at every
+    crash point."""
     global LAST_VECTOR_INDEX_STATS
 
     tbl = catalog.get_table(table)
@@ -175,38 +228,56 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
     entry = reg[iname]
     vec_col, store = entry["col"], entry["path"]
 
-    if entry.get("built_version") == tbl.version:
+    cur_paths = {f["path"] for f in tbl.files}
+    manifest = _load_manifest(store)
+    if manifest is None:
+        # Legacy store (pre-manifest): reconstruct coverage from the
+        # built version's file list if history still has it.
+        hist = {h["v"]: h for h in tbl.history}
+        built = hist.get(entry.get("built_version"))
+        if built and "paths" in built:
+            manifest = {"segments": [
+                {"dir": "store", "source_paths": sorted(built["paths"])}]}
+        else:
+            manifest = {"segments": []}       # unknown ⇒ rebuild
+
+    ingested: set = set()
+    for seg in manifest["segments"]:
+        ingested |= set(seg["source_paths"])
+
+    if entry.get("built_version") == tbl.version \
+            and ingested == cur_paths:
         LAST_VECTOR_INDEX_STATS = {"mode": "noop", "new_files": 0}
         return entry
 
-    hist = {h["v"]: h for h in tbl.history}
-    built = hist.get(entry.get("built_version"))
-    cur_paths = {f["path"] for f in tbl.files}
-    old_paths = set(built["paths"]) if built and "paths" in built else None
-
+    new_paths = sorted(cur_paths - ingested)
     mode = "rebuild"
-    if old_paths is not None and old_paths <= cur_paths:
-        new_paths = sorted(cur_paths - old_paths)
+    if manifest["segments"] and ingested <= cur_paths:
         if not new_paths:
             mode = "noop"
         else:
             new_rows = spark.read.schema(tbl.schema()).parquet(*new_paths)
-            if old_paths:
-                old_keys = (spark.read.schema(tbl.schema())
-                            .parquet(*sorted(old_paths))
-                            .select(*tbl.key_cols))
-                collisions = (new_rows.select(*tbl.key_cols)
-                              .join(old_keys, list(tbl.key_cols),
-                                    "left_semi")
-                              .limit(1).count())
-            else:
-                collisions = 0
+            # Collision probe against the STORE itself (one key-column
+            # scan), not the source files — still correct after the
+            # sources are VACUUMed.
+            store_keys = (_read_segments(spark, store, manifest)
+                          .select(tbl.key_cols[0]))
+            collisions = (new_rows.select(tbl.key_cols[0])
+                          .join(store_keys, [tbl.key_cols[0]],
+                                "left_semi")
+                          .limit(1).count())
             if collisions == 0:
+                import uuid
+
+                seg_dir = f"seg_{uuid.uuid4().hex[:10]}"
                 _assign_and_write(spark, new_rows, tbl, vec_col,
                                   load_centroids(catalog, table, iname),
-                                  store, mode="append",
+                                  store, segment=seg_dir,
                                   codebooks=load_codebooks(catalog, table,
                                                            iname))
+                manifest["segments"].append(
+                    {"dir": seg_dir, "source_paths": new_paths})
+                _commit_manifest(store, manifest)   # the visibility point
                 mode = "incremental"
     if mode == "rebuild":
         from heracles_spark.operators import similarity
@@ -229,11 +300,12 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
             with open(os.path.join(store, "codebooks.json"), "w") as fh:
                 json.dump(books, fh)
         _assign_and_write(spark, base, tbl, vec_col, cents, store,
-                          mode="overwrite", codebooks=books)
-    LAST_VECTOR_INDEX_STATS = {
-        "mode": mode,
-        "new_files": (len(cur_paths - old_paths)
-                      if old_paths is not None else None)}
+                          codebooks=books)
+        manifest = {"segments": [
+            {"dir": "store", "source_paths": sorted(cur_paths)}]}
+        _commit_manifest(store, manifest)
+    _gc_orphan_segments(store, manifest)
+    LAST_VECTOR_INDEX_STATS = {"mode": mode, "new_files": len(new_paths)}
 
     reg = _registry(catalog.get_table(table))
     if iname in reg:
@@ -256,6 +328,18 @@ def drop_vector_index(catalog, table: str, iname: str) -> None:
     _commit_registry(catalog, table, reg, f"drop-vector-index:{iname}")
 
 
+def _read_segments(spark: SparkSession, store: str,
+                   manifest: dict) -> DataFrame:
+    """Union of the manifested segments (each cell_id-partitioned —
+    filters on cell_id prune at scan time per segment). Orphan dirs
+    from crashed refreshes are never read."""
+    from functools import reduce
+
+    dfs = [spark.read.parquet(os.path.join(store, s["dir"]))
+           for s in manifest["segments"]]
+    return reduce(DataFrame.unionByName, dfs)
+
+
 def read_store(spark: SparkSession, catalog, table: str,
                iname: str) -> DataFrame:
     """The cell-partitioned store as a DataFrame (cell_id is the
@@ -264,7 +348,11 @@ def read_store(spark: SparkSession, catalog, table: str,
     reg = _registry(tbl)
     if iname not in reg:
         raise ValueError(f"no such vector index: {iname}")
-    return spark.read.parquet(os.path.join(reg[iname]["path"], "store"))
+    store = reg[iname]["path"]
+    manifest = _load_manifest(store)
+    if manifest is None or not manifest["segments"]:
+        return spark.read.parquet(os.path.join(store, "store"))
+    return _read_segments(spark, store, manifest)
 
 
 def vector_index_topk_adc(spark: SparkSession, catalog, table: str,

@@ -266,3 +266,57 @@ def test_array_key_rejected(catalog):
     with pytest.raises(CatalogError, match="array column cannot be a key"):
         catalog.create_table(
             "bad", [("v", "array<float>"), ("x", "int")], ["v"])
+
+
+def test_refresh_crash_safety_no_duplicates(hsession):
+    """Round-9 advisor fix: a refresh interrupted at ANY point must
+    not leave probes seeing duplicate vectors on retry."""
+    import json
+    import os
+
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(200, seed=11)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=4, sample=128)")
+    store = vx._registry(catalog.get_table("emb"))["v"]["path"]
+
+    # --- crash point A: segment written, manifest NOT committed ---
+    extra = _vecs(40, seed=12, start=5000)
+    writer.write_key_organized(
+        spark, catalog, "emb",
+        spark.createDataFrame(
+            extra, "vec_id long, embedding array<float>, label int"))
+    tbl = catalog.get_table("emb")
+    new_paths = sorted(
+        set(f["path"] for f in tbl.files)
+        - set(vx._load_manifest(store)["segments"][0]["source_paths"]))
+    orphan_rows = spark.read.schema(tbl.schema()).parquet(*new_paths)
+    vx._assign_and_write(spark, orphan_rows, tbl, "embedding",
+                         vx.load_centroids(catalog, "emb", "v"),
+                         store, segment="seg_orphaned99")
+    # probes never see the unmanifested segment
+    assert vx.read_store(spark, catalog, "emb", "v").count() == 200
+    # retry: stages its own segment, exactly-once result, orphan GC'd
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "incremental"
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert st.count() == 240
+    assert st.select("vec_id").distinct().count() == 240
+    assert not os.path.isdir(os.path.join(store, "seg_orphaned99"))
+
+    # --- crash point B: manifest committed, registry commit lost ---
+    reg = vx._registry(catalog.get_table("emb"))
+    reg["v"]["built_version"] = 1                  # stale version
+    vx._commit_registry(catalog, "emb", reg, "simulate-crash")
+    hsession.sql("REFRESH VECTOR INDEX v ON emb")  # retry
+    assert vx.LAST_VECTOR_INDEX_STATS["mode"] == "noop"
+    st = vx.read_store(spark, catalog, "emb", "v")
+    assert st.count() == 240
+    assert st.select("vec_id").distinct().count() == 240
+    # manifest coverage equals the live file set
+    covered = set()
+    for seg in vx._load_manifest(store)["segments"]:
+        covered |= set(seg["source_paths"])
+    assert covered == {f["path"]
+                       for f in catalog.get_table("emb").files}
