@@ -62,6 +62,11 @@ HEADLINE = [
                                     # distortion audit (map-heavy fold)
     "doc_kn_bigram_lm",             # Kneser-Ney bigram LM estimation
                                     # (corpus pass -> vocab-sized stats)
+    # round 9 additions (the round-8 heavy family, judge ask #7)
+    "doc_kn_trigram_lm",            # full interpolated trigram KN
+    "doc_kn_score_rank",            # LM scoring join over the corpus
+    "events_theil_sen_trend",       # robust trend via bucketed CDF walk
+    "lineitem_quantile_disc",       # exact discrete quantiles (CDF walk)
 ]
 
 

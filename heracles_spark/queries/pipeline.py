@@ -485,16 +485,29 @@ def doc_ngram_jaccard(spark, sf_dir):
     see ngram_jaccard_pairs). The production path's score is a LOWER
     bound on true Jaccard (precision 1), so recovered ⊆ exact and the
     flag measures pure recall."""
+    import os as _os
+    import tempfile as _tempfile
+
     d = _docs(spark, sf_dir)
     # Exact side: sampled input up front + hash prefix order (any
     # fixed global order is lossless for the UNCAPPED join, and at
     # sample size the df-rarity pass costs more in stages than its
-    # candidate savings).
-    exact = dedup._persist(
-        dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
-                                  threshold=0.8, unit="word",
-                                  max_doc_freq=1 << 60,
-                                  prefix_order="hash"))
+    # candidate savings). Memoized per (process, sf_dir) as a parquet
+    # materialization (round-9 sweep hygiene, the BM25-postings
+    # pattern): the contract's ground truth is input-determined, so
+    # repeat calls in one session read the pair set back instead of
+    # re-running the uncapped join — and the parquet cut also serves
+    # the two in-query consumers (rows + total) without _persist.
+    ckey = _os.path.abspath(sf_dir)
+    if ckey not in _NGJ_EXACT_CACHE:
+        path = _tempfile.mkdtemp(prefix="heracles_ngj_")
+        (dedup.ngram_jaccard_pairs(d.where(_doc_sample_pred()), n=3,
+                                   threshold=0.8, unit="word",
+                                   max_doc_freq=1 << 60,
+                                   prefix_order="hash")
+              .write.mode("overwrite").parquet(path))
+        _NGJ_EXACT_CACHE[ckey] = path
+    exact = spark.read.parquet(_NGJ_EXACT_CACHE[ckey])
     prod = dedup.ngram_jaccard_pairs(d, n=3, threshold=0.8,
                                      max_doc_frac=0.01, unit="word",
                                      pair_filter=_doc_sample_pred())
@@ -2596,6 +2609,10 @@ QUERIES["doc_approx_topk_terms"] = (doc_approx_topk_terms, TOPK_SQL)
 # (process, sf_dir) → metastore dir of the built postings index: the
 # deployment shape is build-once/probe-many, so repeat calls probe.
 _BM25_INDEX_CACHE: dict[str, str] = {}
+
+# doc_ngram_jaccard's sampled-exact ground truth, parquet-materialized
+# per (process, sf_dir) — see the query docstring.
+_NGJ_EXACT_CACHE: dict[str, str] = {}
 
 def doc_bm25_ranking(spark, sf_dir):
     """BM25 retrieval scoring for the query {vector, stream, merge}
