@@ -852,3 +852,166 @@ ORDER BY kind, mean_p DESC, doc_id
 """
 
 QUERIES["doc_kn_score_rank"] = (doc_kn_score_rank, KN_SCORE_SQL)
+
+
+def embedding_kmeans_step(spark, sf_dir):
+    """One EXACT Lloyd iteration of k-means over the embedding corpus
+    — the training step behind the IVF vector index
+    (similarity.kmeans_centroids) certified with a FULL value oracle
+    for the first time: vectors quantize to integer micro-units
+    (round(x·10⁶), the repo's integer-domain discipline — distances
+    and sums become exact BIGINT arithmetic, no cross-engine float
+    summation order to diverge), the k=4 seed centroids are the first
+    vectors by vec_id, each vector assigns to the argmin squared-L2
+    centroid (ties break on centroid id), and per cluster the oracle
+    pins member count, total inertia (Σ squared distance to the OLD
+    centroid), and the element sum of the NEW mean numerator — every
+    assignment and the mean update participate in the hash.
+
+    Scale: centroids broadcast (k rows), assignment is one map-side
+    k×dim fold per vector, the argmin is a combinable min(struct) —
+    no shuffle before the k-row aggregate. This is the per-iteration
+    plan a billion-vector k-means needs."""
+    from heracles_spark.queries.relational import _t
+
+    e = _t(spark, sf_dir, "embeddings")
+    ei = e.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
+               " * 1000000) AS BIGINT))").alias("v"))
+    cents = (ei.where(F.col("vec_id") < 4)
+               .select(F.col("vec_id").alias("cid"),
+                       F.col("v").alias("cv")))
+    j = (ei.crossJoin(F.broadcast(cents))
+           .select("vec_id", "cid",
+                   F.expr("aggregate(zip_with(v, cv, (x, y) -> "
+                          "(x - y) * (x - y)), 0L, (a, x) -> a + x)")
+                    .alias("dist"),
+                   F.expr("aggregate(v, 0L, (a, x) -> a + x)")
+                    .alias("s")))
+    assigned = (j.select("vec_id",
+                         F.struct("dist", "cid", "s").alias("t"))
+                 .groupBy("vec_id").agg(F.min("t").alias("m")))
+    return (assigned
+            .groupBy(F.col("m.cid").alias("cluster_id"))
+            .agg(F.count(F.lit(1)).alias("n_members"),
+                 F.sum("m.dist").alias("inertia_micro2"),
+                 F.sum("m.s").alias("new_mean_l1_micro_num"))
+            .orderBy("cluster_id"))
+
+
+KMEANS_STEP_SQL = """
+WITH ei AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+ c AS (SELECT vec_id AS cid, v AS cv FROM ei WHERE vec_id < 4),
+ d AS (
+  SELECT ei.vec_id, c.cid,
+         CAST(list_sum(list_transform(list_zip(ei.v, c.cv),
+           s -> (s[1] - s[2]) * (s[1] - s[2])))
+           AS BIGINT) AS dist,
+         CAST(list_sum(ei.v) AS BIGINT) AS s
+  FROM ei CROSS JOIN c),
+ a AS (
+  SELECT vec_id, cid, dist, s,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rk
+  FROM d)
+SELECT cid AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       CAST(SUM(dist) AS BIGINT) AS inertia_micro2,
+       CAST(SUM(s) AS BIGINT) AS new_mean_l1_micro_num
+FROM a WHERE rk = 1
+GROUP BY 1 ORDER BY cluster_id
+"""
+
+QUERIES["embedding_kmeans_step"] = (embedding_kmeans_step,
+                                    KMEANS_STEP_SQL)
+
+
+def orders_explain_chain(spark, sf_dir):
+    """The round-9 EXPLAIN ESTIMATE join-chain surface certified
+    externally: a three-table star chain (orders ⋈ customer ⋈ nation)
+    over ANALYZEd catalog tables gets per-step System-R cardinality
+    estimates from persisted HLL NDVs, and the value hash pins — per
+    step — the estimation method, the stats-driven broadcast verdict,
+    and a within-5% agreement flag against the step's ACTUAL row
+    count (key containment holds in TPC-H, so the only slack is the
+    sketch's ~1.6% band). Metadata-only estimation: the estimates are
+    produced before any data is read; the actual counts come from the
+    real joins the oracle reproduces."""
+    from heracles_spark import writer
+    from heracles_spark.queries.relational import _t
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_chn_"))
+    cat = hs.catalog
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    cat.create_table("chf", [("o_orderkey", "bigint"),
+                             ("o_custkey", "bigint")], ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "chf",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_custkey").cast("bigint")), n_buckets=4)
+    cat.create_table("chc", [("o_custkey", "bigint"),
+                             ("c_nationkey", "int")], ["o_custkey"])
+    writer.write_key_organized(
+        spark, cat, "chc",
+        c.select(F.col("c_custkey").cast("bigint").alias("o_custkey"),
+                 F.col("c_nationkey").cast("int")), n_buckets=2)
+    cat.create_table("chn", [("c_nationkey", "int"),
+                             ("n_name", "string")], ["c_nationkey"])
+    writer.write_key_organized(
+        spark, cat, "chn",
+        n.select(F.col("n_nationkey").cast("int").alias("c_nationkey"),
+                 "n_name"), n_buckets=1)
+    for t in ("chf", "chc", "chn"):
+        writer.analyze_table(spark, cat, t, for_columns=True)
+    cat.register_all(spark)
+
+    steps = hs.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM chf "
+        "JOIN chc ON chf.o_custkey = chc.o_custkey "
+        "JOIN chn ON chc.c_nationkey = chn.c_nationkey").collect()
+    actual1 = (cat.read_table(spark, "chf")
+                  .join(cat.read_table(spark, "chc"), "o_custkey")
+                  .count())
+    actual2 = (cat.read_table(spark, "chf")
+                  .join(cat.read_table(spark, "chc"), "o_custkey")
+                  .join(cat.read_table(spark, "chn"), "c_nationkey")
+                  .count())
+    rows = []
+    for step, actual in zip(steps, (actual1, actual2)):
+        ok = (step.estimated_rows is not None and actual > 0
+              and abs(step.estimated_rows - actual) <= 0.05 * actual)
+        rows.append((step.right_table, int(actual),
+                     step.method == "ndv-containment",
+                     step.strategy == "broadcast", bool(ok)))
+    return spark.createDataFrame(
+        rows, "right_table: string, actual_rows: long, "
+              "ndv_method: boolean, broadcast_verdict: boolean, "
+              "estimate_within_5pct: boolean").orderBy("right_table")
+
+
+EXPLAIN_CHAIN_SQL = """
+SELECT t.right_table,
+       CASE t.right_table
+         WHEN 'chc' THEN (SELECT CAST(COUNT(*) AS BIGINT)
+                          FROM orders o JOIN customer c
+                            ON o.o_custkey = c.c_custkey)
+         ELSE (SELECT CAST(COUNT(*) AS BIGINT)
+               FROM orders o
+               JOIN customer c ON o.o_custkey = c.c_custkey
+               JOIN nation n ON c.c_nationkey = n.n_nationkey)
+       END AS actual_rows,
+       TRUE AS ndv_method, TRUE AS broadcast_verdict,
+       TRUE AS estimate_within_5pct
+FROM (VALUES ('chc'), ('chn')) AS t(right_table)
+ORDER BY right_table
+"""
+
+QUERIES["orders_explain_chain"] = (orders_explain_chain,
+                                   EXPLAIN_CHAIN_SQL)
