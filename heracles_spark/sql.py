@@ -1196,7 +1196,10 @@ def _inject_stats_hints(session, statement: str):
     region-statistics-driven planning, on by default for analyzed
     tables."""
     decisions: list[dict] = []
-    if not _SELECT_HEAD.match(statement) or "/*+" in statement:
+    if not _SELECT_HEAD.match(statement) or "/*+" in statement \
+            or re.search(r"\bASOF\b", statement, re.IGNORECASE):
+        # ASOF statements rewrite their join into an operator-backed
+        # view — a hint naming the original aliases would dangle.
         return statement, decisions
     refs = _TABLE_REF.findall(statement)
     if len(refs) < 2:

@@ -768,7 +768,11 @@ def _per_file_stats(spark: SparkSession, tbl: KeyTable,
     df = spark.read.schema(tbl.schema()).parquet(*paths)
     g = (df.groupBy(F.col("_metadata.file_path").alias("__p"))
            .agg(F.count(F.lit(1)).alias("__n"), *_col_aggs(cols, types)))
-    recs: dict = {}
+    # Zero-row files (a COW rewrite that deleted every row it touched)
+    # produce no group — seed empty records so every scanned path gets
+    # one and the merge never misses a live file.
+    recs: dict = {p: {"n": 0, "cols": {c: {"nulls": 0} for c in cols}}
+                  for p in paths}
     for r in g.collect():
         rec: dict = {"n": int(r["__n"]), "cols": {}}
         for c in cols:

@@ -174,15 +174,22 @@ def test_kn_bigram_lm_plan_shape(spark):
 
 
 def test_theil_sen_single_window_no_raw_row_sort(spark):
-    """Theil-Sen: exactly one window (the slope rank) over the
-    span-bounded pair relation, partitioned by event type — never an
-    unpartitioned window, never a second count pass."""
+    """Theil-Sen (round-9 hardening): the median pair comes from the
+    bucketed CDF walk — every window ordered by the slope must carry
+    the __b bucket column in its partition spec (parallelism = type ×
+    bucket), and no window is unpartitioned. The only type-partitioned
+    sorts left are the tie-set tiebreak and the per-bucket offsets."""
+    import re as _re
+
     from heracles_spark.queries.curation9 import events_theil_sen_trend
 
     df = events_theil_sen_trend(spark, SF_SMALL)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
-    assert plan.count("Window [") + plan.count("window [") <= 1
     assert "PartitionBy: []" not in plan
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        spec = m.group(1)
+        if "slope" in spec:
+            assert "__b" in spec, spec
 
 
 def test_qualify_rewrite_plans_like_handwritten(spark):

@@ -594,10 +594,11 @@ def test_refresh_statistics_incremental(hsession):
     out = hsession.sql("REFRESH STATISTICS ON rs").collect()[0]
     assert out.mode == "noop" and out.rows == 6
 
-    # non-append change (COW delete rewrites files) → full fallback
+    # non-append change (COW delete rewrites files) → round-9: merge
+    # survivors' sidecar records, scan only the rewritten files
     hsession.sql("DELETE FROM rs WHERE k = 1")
     out = hsession.sql("REFRESH STATISTICS ON rs").collect()[0]
-    assert out.mode == "full" and out.rows == 5
+    assert out.mode == "incremental-cow" and out.rows == 5
 
     import pytest as _pt
     hsession.sql("""CREATE TABLE rs2 (k INT)
@@ -783,7 +784,7 @@ def test_auto_analyze_property(hsession, catalog):
     st = json.loads(catalog.get_table("aa").properties["stats"])
     assert st["rows"] == 3 and st["columns"]["v"]["max"] == 30.0
     assert st["columns"]["k"]["ndv"] == 3
-    # rewrite path (DELETE) falls back to a full re-ANALYZE
+    # rewrite path (DELETE) refreshes incrementally from the sidecar
     hsession.sql("DELETE FROM aa WHERE k = 3")
     st = json.loads(catalog.get_table("aa").properties["stats"])
     assert st["rows"] == 2 and st["columns"]["v"]["max"] == 2.0

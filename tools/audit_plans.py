@@ -86,6 +86,9 @@ AUDITED = [
     "doc_kn_bigram_lm", "events_theil_sen_trend", "orders_qualify_topn",
     "orders_stats_broadcast_join", "doc_kn_trigram_lm", "events_asof_sql",
     "doc_kn_score_rank",
+    # round-9 additions
+    "orders_stats_sql_join", "events_asof_sql_tolerance",
+    "embedding_kmeans_step", "orders_explain_chain",
 ]
 
 
