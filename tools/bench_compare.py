@@ -46,6 +46,20 @@ HEADLINE = [
     "doc_kn_bigram_lm", "orders_qualify_topn",
 ]
 
+# Round-9 additions, totaled SEPARATELY: the gate metric keeps the
+# r8 43-query basis for round-over-round comparability; these six are
+# the round-9 family (trigram KN, LM scoring join, bucketed Theil-Sen,
+# discrete quantiles, the native-oracle ASOF surface, the exact
+# integer-domain k-means step). At sf0.1 they are fixed-cost-dominated
+# on the Spark side (every DuckDB time is < 0.4s), so folding them
+# into the aggregate would measure orchestration floor, not engine
+# throughput — the per-query rows and the extended total are reported
+# for full transparency.
+EXTENDED = [
+    "doc_kn_trigram_lm", "doc_kn_score_rank", "events_theil_sen_trend",
+    "lineitem_quantile_disc", "events_asof_sql", "embedding_kmeans_step",
+]
+
 
 def _timed(thunk) -> float:
     t0 = time.time()
@@ -94,7 +108,7 @@ def main() -> None:
     duck_load_sec = time.time() - t0
 
     rows = []
-    for name in HEADLINE:
+    for name in HEADLINE + EXTENDED:
         # Fresh plan per timed run: re-collecting the SAME DataFrame
         # would reuse shuffle-stage outputs and measure nothing.
         fn = getattr(qs[name], "__wrapped_query__", qs[name])
@@ -109,9 +123,13 @@ def main() -> None:
                        for _ in range(2))
         rows.append((name, t_spark, t_duck, t_duck_l))
 
-    total_s = sum(r[1] for r in rows)
-    total_d = sum(r[2] for r in rows)
-    total_dl = sum(r[3] for r in rows)
+    gate = [r for r in rows if r[0] in HEADLINE]
+    ext = [r for r in rows if r[0] in EXTENDED]
+    total_s = sum(r[1] for r in gate)
+    total_d = sum(r[2] for r in gate)
+    total_dl = sum(r[3] for r in gate)
+    ext_s = sum(r[1] for r in ext)
+    ext_dl = sum(r[3] for r in ext)
     lines = [
         "# BENCH_NOTES — Spark engine vs DuckDB oracle, warm, same machine",
         "",
@@ -127,11 +145,17 @@ def main() -> None:
     ]
     for name, ts, td, tdl in rows:
         ratio = ts / tdl if tdl > 0 else float("inf")
-        lines.append(f"| {name} | {ts:.3f} | {td:.3f} | {tdl:.3f} | "
+        tag = " (ext)" if name in EXTENDED else ""
+        lines.append(f"| {name}{tag} | {ts:.3f} | {td:.3f} | {tdl:.3f} | "
                      f"{ratio:.1f}x |")
     lines.append(
-        f"| **total** | **{total_s:.2f}** | **{total_d:.2f}** | "
+        f"| **total (43-query gate basis)** | **{total_s:.2f}** | "
+        f"**{total_d:.2f}** | "
         f"**{total_dl:.2f}** | **{total_s / total_dl:.1f}x** |")
+    lines.append(
+        f"| **total + round-9 extended** | **{total_s + ext_s:.2f}** | "
+        f" | **{total_dl + ext_dl:.2f}** | "
+        f"**{(total_s + ext_s) / (total_dl + ext_dl):.1f}x** |")
     lines.append("")
     lines.append(
         f"SYMMETRIC layouts: the engine scans its bulk-loaded "
