@@ -36,6 +36,11 @@ INSERT INTO symbols VALUES ('S0','tech'), ('S1','energy'), ('S2','tech');
 EXPLAIN ESTIMATE SELECT * FROM trades
   JOIN symbols ON trades.sym = symbols.sym3;
 
+-- ... and WHERE filters compose into the chain (σ rows per filter)
+EXPLAIN ESTIMATE SELECT * FROM trades t
+  JOIN symbols s ON t.sym = s.sym3
+  WHERE t.px <= 120;
+
 -- QUALIFY: top-2 trades per symbol by price, no manual subquery
 SELECT sym, id, px,
        ROW_NUMBER() OVER (PARTITION BY sym ORDER BY px DESC, id) AS rn

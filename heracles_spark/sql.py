@@ -232,13 +232,49 @@ _EST_PRED = re.compile(
 _EST_AND = re.compile(r"\s+AND\s+", re.IGNORECASE)
 _EXPLAIN_EST_JOIN = re.compile(
     r"^\s*EXPLAIN\s+ESTIMATE\s+SELECT\s+.*?\s+FROM\s+(?P<base>[\w.]+)"
-    r"(?P<joins>(?:\s+JOIN\s+[\w.]+\s+ON\s+"
+    r"(?:\s+(?:AS\s+)?(?!JOIN\b)(?P<balias>\w+))?"
+    r"(?P<joins>(?:\s+JOIN\s+[\w.]+(?:\s+(?:AS\s+)?(?!ON\b)\w+)?\s+ON\s+"
     r"[\w.]+\.\w+\s*=\s*[\w.]+\.\w+)+)"
+    r"(?:\s+WHERE\s+(?P<where>.+?))?"
     r"\s*$", re.IGNORECASE | re.DOTALL)
 _EST_JOIN_STEP = re.compile(
-    r"\s+JOIN\s+(?P<r>[\w.]+)\s+ON\s+"
+    r"\s+JOIN\s+(?P<r>[\w.]+)(?:\s+(?:AS\s+)?(?!ON\b)(?P<ralias>\w+))?"
+    r"\s+ON\s+"
     r"(?P<aq>[\w.]+)\.(?P<ak>\w+)\s*=\s*(?P<bq>[\w.]+)\.(?P<bk>\w+)",
     re.IGNORECASE)
+_EST_QPRED = re.compile(
+    r"(?P<q>\w+)\.(?P<col>\w+)\s*"
+    r"(?:(?P<op><=|>=|<|>)\s*(?P<val>-?\d+(?:\.\d+)?)"
+    r"|BETWEEN\s+(?P<lo>-?\d+(?:\.\d+)?)\s+AND\s+(?P<hi>-?\d+(?:\.\d+)?))",
+    re.IGNORECASE)
+
+
+def _parse_est_qualified_conjunction(where: str):
+    """Like :func:`_parse_est_conjunction` but every predicate column
+    must be alias/table-qualified (the join-chain WHERE form). Returns
+    list of (text, qualifier, col, op, lo, hi) or None."""
+    preds, pos, n = [], 0, len(where)
+    while pos < n:
+        m = _EST_QPRED.match(where, pos)
+        if m is None:
+            return None
+        if m.group("op") is not None:
+            op, lo, hi = m.group("op"), float(m.group("val")), None
+            text = f"{m.group('q')}.{m.group('col')} {op} {m.group('val')}"
+        else:
+            op, lo, hi = "between", float(m.group("lo")), float(m.group("hi"))
+            text = (f"{m.group('q')}.{m.group('col')} BETWEEN "
+                    f"{m.group('lo')} AND {m.group('hi')}")
+        preds.append((text, m.group("q").lower(), m.group("col"),
+                      op, lo, hi))
+        pos = m.end()
+        if pos >= n:
+            break
+        sep = _EST_AND.match(where, pos)
+        if sep is None:
+            return None
+        pos = sep.end()
+    return preds or None
 
 
 def _parse_est_conjunction(where: str):
@@ -892,37 +928,89 @@ def dispatch(session, statement: str) -> DataFrame | None:
         if not all(catalog.table_exists(n) for n in [base] + step_names):
             return spark.sql(statement)   # loud: not our tables
         chain = {m.group("base").lower(): base, base: base}
+        if m.group("balias"):
+            chain[m.group("balias").lower()] = base
+        for s in _EST_JOIN_STEP.finditer(m.group("joins")):
+            rn_ = _resolve(session, s.group("r"))
+            chain[s.group("r").lower()] = rn_
+            chain[rn_] = rn_
+            if s.group("ralias"):
+                chain[s.group("ralias").lower()] = rn_
+
+        # WHERE composition (round-9, second wave): alias-qualified
+        # range conjuncts contribute their histogram selectivity to
+        # the table they filter — the base's factor scales the chain
+        # entry cardinality, a dim's factor scales every step from its
+        # join onward (System-R independence). Each filter gets its
+        # own report row. An un-parseable WHERE makes the whole shape
+        # unsupported (falls through, Spark rejects loudly).
+        sel: dict = {}
+        rows_out = []
+        if m.group("where"):
+            qpreds = _parse_est_qualified_conjunction(m.group("where"))
+            if qpreds is None:
+                return spark.sql(statement)
+            for text, q, col, op, lo, hi in qpreds:
+                tname = chain.get(q)
+                if tname is None:
+                    return spark.sql(statement)
+                tref = catalog.get_table(tname)
+                tst = planner.table_stats(tref)
+                est = planner.estimate_predicate_rows(tref, col, op,
+                                                      lo, hi)
+                if est is None or not tst or not tst.get("rows"):
+                    sel[tname] = None
+                    rows_out.append((tname, "σ", text, None, None,
+                                     "spark-default", "none"))
+                else:
+                    f = est / float(tst["rows"])
+                    sel[tname] = (sel.get(tname, 1.0) or 1.0) * f
+                    rows_out.append(
+                        (tname, "σ", text,
+                         int(round(float(tst["rows"])
+                                   * sel[tname])), None,
+                         "spark-default", "equi-depth-histogram"))
+
+        def _sel(tname):
+            return sel.get(tname, 1.0)
+
         label = m.group("base")
         run_rows = None
         bst = planner.table_stats(catalog.get_table(base))
         if bst and "rows" in bst:
-            run_rows = float(bst["rows"])
-        rows_out = []
+            run_rows = (None if _sel(base) is None
+                        else float(bst["rows"]) * _sel(base))
         for s in _EST_JOIN_STEP.finditer(m.group("joins")):
             rn = _resolve(session, s.group("r"))
             rt = catalog.get_table(rn)
-            # Assign key columns: the qualifier naming the NEW table is
-            # the right key; the other qualifier must already be in the
-            # chain (its base table supplies ndv_L).
+            # Assign key columns: the qualifier naming the NEW table
+            # (its name, resolved name, or alias) is the right key;
+            # the other qualifier's base table supplies ndv_L.
             aq, ak = s.group("aq").lower(), s.group("ak")
             bq, bk = s.group("bq").lower(), s.group("bk")
-            if aq in (s.group("r").lower(), rn):
+            rids = {s.group("r").lower(), rn}
+            if s.group("ralias"):
+                rids.add(s.group("ralias").lower())
+            if aq in rids:
                 lq, lk, rk = bq, bk, ak
             else:
                 lq, lk, rk = aq, ak, bk
             lbase = chain.get(lq)
             step_est = None
-            if lbase is not None:
+            if lbase is not None and lbase not in rids:
                 pair = planner.estimate_equijoin_rows(
                     catalog.get_table(lbase), rt, lk, rk)
                 lrows = planner.table_stats(
                     catalog.get_table(lbase)).get("rows") \
                     if planner.table_stats(
                         catalog.get_table(lbase)) else None
+                rsel = _sel(rn)
                 if (pair is not None and run_rows is not None
-                        and lrows):
-                    # pair = |Lbase|·|R|/maxndv ⇒ scale Lbase → chain
-                    step_est = pair * run_rows / float(lrows)
+                        and lrows and rsel is not None):
+                    # pair = |Lbase|·|R|/maxndv ⇒ scale Lbase → chain;
+                    # the right side's own filter selectivity composes
+                    # multiplicatively (independence)
+                    step_est = pair * run_rows / float(lrows) * rsel
             est_bytes = planner.estimated_table_bytes(rt)
             strategy = "spark-default"
             if est_bytes is not None:

@@ -970,3 +970,40 @@ def test_explain_estimate_join_chain(hsession):
     assert rows[0].method == "none" and rows[0].estimated_rows is None
     # downstream steps cannot pretend to see the product
     assert rows[1].estimated_rows is None
+
+
+def test_explain_estimate_chain_with_where_and_aliases(hsession):
+    """Round-9 second wave: the chain estimator accepts aliases and a
+    WHERE over alias-qualified range conjuncts — each filter gets a σ
+    report row and its selectivity composes into every step from its
+    table's join onward."""
+    hsession.sql("""CREATE TABLE cw_f (k INT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE cw_d (k INT, w DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("INSERT INTO cw_f SELECT CAST(pmod(id, 100) AS INT), "
+                 "CAST(id AS DOUBLE) FROM range(0, 1000)")
+    hsession.sql("INSERT INTO cw_d SELECT CAST(id AS INT), "
+                 "CAST(id AS DOUBLE) FROM range(0, 100)")
+    for t in ("cw_f", "cw_d"):
+        hsession.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS "
+                     "FOR ALL COLUMNS")
+    rows = hsession.sql(
+        "EXPLAIN ESTIMATE SELECT * FROM cw_f f JOIN cw_d d "
+        "ON f.k = d.k WHERE f.v <= 500 AND d.w <= 50").collect()
+    # two σ rows + one join step
+    assert len(rows) == 3
+    sigma = {r.left_table: r for r in rows if r.right_table == "σ"}
+    assert abs(sigma["cw_f"].estimated_rows - 501) <= 126
+    assert abs(sigma["cw_d"].estimated_rows - 51) <= 14
+    step = [r for r in rows if r.right_table == "cw_d"][0]
+    # truth: f.v<=500 keeps 501 fact rows; of those, k in 0..100 all
+    # match, and d.w<=50 keeps about half the dim -> ~255 rows.
+    # composed estimate: 1000*sel_f * 100/100 * sel_d
+    assert step.method == "ndv-containment"
+    assert 130 <= step.estimated_rows <= 390
+    # an unparseable WHERE falls through to Spark (loud rejection)
+    import pytest as _pt
+    with _pt.raises(Exception):
+        hsession.sql("EXPLAIN ESTIMATE SELECT * FROM cw_f f "
+                     "JOIN cw_d d ON f.k = d.k WHERE f.v LIKE 'x%'")
