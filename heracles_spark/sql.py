@@ -1284,12 +1284,26 @@ def _inject_stats_hints(session, statement: str):
     region-statistics-driven planning, on by default for analyzed
     tables."""
     decisions: list[dict] = []
-    if not _SELECT_HEAD.match(statement) or "/*+" in statement \
+    if "/*+" in statement \
             or re.search(r"\bASOF\b", statement, re.IGNORECASE):
         # ASOF statements rewrite their join into an operator-backed
         # view — a hint naming the original aliases would dangle.
         return statement, decisions
-    refs = _TABLE_REF.findall(statement)
+    m_head = _SELECT_HEAD.match(statement)
+    if m_head is not None:
+        inject_at = m_head.end()
+    elif re.match(r"\s*WITH\b", statement, re.IGNORECASE):
+        # CTE statement: hint the MAIN query block (the first
+        # top-level SELECT after the WITH definitions) and consider
+        # only its table references — a hint naming an alias that
+        # lives inside a CTE body would dangle.
+        pos = _top_level_find(statement, "SELECT")
+        if pos < 0:
+            return statement, decisions
+        inject_at = pos + len("SELECT")
+    else:
+        return statement, decisions
+    refs = _TABLE_REF.findall(statement[inject_at:])
     if len(refs) < 2:
         return statement, decisions
 
@@ -1324,8 +1338,7 @@ def _inject_stats_hints(session, statement: str):
     if targets:
         hint = " /*+ BROADCAST(" + ", ".join(
             dict.fromkeys(targets)) + ") */"
-        statement = _SELECT_HEAD.sub(lambda m: m.group(0) + hint,
-                                     statement, count=1)
+        statement = statement[:inject_at] + hint + statement[inject_at:]
     return statement, decisions
 
 

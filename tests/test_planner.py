@@ -240,3 +240,37 @@ def test_batched_histograms_one_pass(spark, catalog):
                 for r in sorted(single.collect(),
                                 key=lambda r: r["bucket"])]
         assert got[c] == want, c
+
+
+def test_inject_stats_hints_cte_statement(spark, catalog, hsession):
+    """Round-9 second wave: CTE statements hint their MAIN query block
+    only — outer-block catalog refs get the broadcast verdict, aliases
+    living inside CTE bodies are never named (no dangling hints)."""
+    from heracles_spark.sql import _inject_stats_hints
+
+    _mk(spark, catalog, "cte_f", 1000, with_strings=False)
+    _mk(spark, catalog, "cte_d", 40, with_strings=False)
+    writer.analyze_table(spark, catalog, "cte_d", for_columns=True)
+    stmt = ("WITH big AS (SELECT k, v FROM cte_f WHERE v > 10) "
+            "SELECT big.k, d.v FROM big JOIN cte_d d ON big.k = d.k")
+    out, dec = _inject_stats_hints(hsession, stmt)
+    assert "/*+ BROADCAST(d) */" in out
+    # the hint sits in the main block, after the CTE definitions
+    assert out.index("/*+") > out.index(")")
+    assert {d["table"] for d in dec} == {"cte_d"}
+    # end-to-end through the dispatcher
+    catalog.register_all(spark)
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = hsession.sql(stmt)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert df.count() == 40 - 6   # keys 6..39 survive v > 10
+    finally:
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        if saved is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
