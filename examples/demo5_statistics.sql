@@ -38,3 +38,10 @@ REFRESH STATISTICS ON sales;
 
 -- metadata-only cardinality estimate from the persisted histogram
 EXPLAIN ESTIMATE SELECT * FROM sales WHERE amount <= 500;
+
+-- round 9: the layout advisor — clustering depth from the file-range
+-- index (metadata-only; the INSERT above overlapped the key range, so
+-- point reads may open extra files until an OPTIMIZE)
+EXPLAIN LAYOUT sales;
+OPTIMIZE sales;
+EXPLAIN LAYOUT sales;

@@ -112,6 +112,64 @@ def join_with_stats(spark: SparkSession, catalog: HeraclesCatalog,
     return fact_df.join(dim_df, on, how), decision
 
 
+def layout_metrics(tbl: KeyTable) -> list[dict[str, Any]]:
+    """Clustering-depth metrics for a table's file layout — the
+    OPTIMIZE advisor (``EXPLAIN LAYOUT`` SQL surface), metadata-only
+    over the per-file key-range index (no data read, O(files log
+    files) driver-side sweep).
+
+    For each key column, every file's [min, max] interval is scored by
+    its OVERLAP DEPTH: how many file intervals (itself included) a
+    point query inside it may have to open — the LSM-literature
+    read-amplification number, and exactly what drives
+    ``pruning.prune_files`` effectiveness. A freshly key-organized or
+    OPTIMIZEd table is depth 1 everywhere (disjoint ranges: point
+    reads open one file); every unsorted append adds a full-range
+    overlap layer and depth climbs toward n_files.
+
+    Returns one record per key column: n_files, avg/max overlap depth,
+    disjoint_fraction (files overlapping nothing else), and a
+    recommendation — 'optimal', 'acceptable', or the OPTIMIZE /
+    OPTIMIZE ZORDER statement that would restore depth 1. At 100 TB
+    this is the compaction-scheduling signal a table service polls:
+    O(files) metadata, never a scan."""
+    from bisect import bisect_left, bisect_right
+
+    out: list[dict[str, Any]] = []
+    for pos, col in enumerate(tbl.key_cols):
+        ivs = [(f["min"][col], f["max"][col]) for f in tbl.files
+               if f.get("min", {}).get(col) is not None
+               and f.get("max", {}).get(col) is not None]
+        if not ivs:
+            continue
+        n = len(ivs)
+        starts = sorted(a for a, _ in ivs)
+        ends = sorted(b for _, b in ivs)
+        depths = []
+        for mn, mx in ivs:
+            # overlap count = n - (starts > mx) - (ends < mn), self incl.
+            depths.append(n - (n - bisect_right(starts, mx))
+                          - bisect_left(ends, mn))
+        avg_d = sum(depths) / n
+        max_d = max(depths)
+        disjoint = sum(1 for d in depths if d == 1) / n
+        if avg_d <= 1.01:
+            rec = "optimal"
+        elif avg_d <= 2.0:
+            rec = "acceptable"
+        elif pos == 0:
+            rec = f"OPTIMIZE {tbl.name}"
+        else:
+            rec = (f"OPTIMIZE {tbl.name} ZORDER BY "
+                   f"({', '.join(tbl.key_cols)})")
+        out.append({"key_col": col, "n_files": n,
+                    "avg_overlap_depth": round(avg_d, 3),
+                    "max_overlap_depth": int(max_d),
+                    "disjoint_fraction": round(disjoint, 3),
+                    "recommendation": rec})
+    return out
+
+
 def estimate_rows_leq(tbl: KeyTable, column: str, x: float
                       ) -> float | None:
     """Estimated row count for ``column <= x`` from the persisted

@@ -322,6 +322,9 @@ _DESCRIBE = re.compile(
     re.IGNORECASE)
 _DESC_DETAIL = re.compile(
     r"^\s*DESC(?:RIBE)?\s+DETAIL\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_EXPLAIN_LAYOUT = re.compile(
+    r"^\s*EXPLAIN\s+LAYOUT\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$",
+    re.IGNORECASE)
 
 
 def _resolve(session, name: str) -> str:
@@ -907,6 +910,23 @@ def dispatch(session, statement: str) -> DataFrame | None:
                   "analyzed_version: int, ndv: long, nulls: long, "
                   "min: double, max: double, avg_len: double, "
                   "hist_buckets: int")
+
+    m = _EXPLAIN_LAYOUT.match(statement)
+    if m and catalog.table_exists(_resolve(session, m.group("name"))):
+        # Clustering-depth advisor: metadata-only sweep over the
+        # per-file key-range index (planner.layout_metrics) — the
+        # compaction-scheduling signal, no data read.
+        from heracles_spark import planner
+
+        tbl = catalog.get_table(_resolve(session, m.group("name")))
+        recs = planner.layout_metrics(tbl)
+        return spark.createDataFrame(
+            [(r["key_col"], r["n_files"], r["avg_overlap_depth"],
+              r["max_overlap_depth"], r["disjoint_fraction"],
+              r["recommendation"]) for r in recs],
+            "key_col: string, n_files: int, avg_overlap_depth: double, "
+            "max_overlap_depth: int, disjoint_fraction: double, "
+            "recommendation: string")
 
     m = _EXPLAIN_EST_JOIN.match(statement)
     if m:

@@ -274,3 +274,33 @@ def test_inject_stats_hints_cte_statement(spark, catalog, hsession):
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_explain_layout_advisor(spark, catalog, hsession):
+    """EXPLAIN LAYOUT: clustering-depth metrics from the file-range
+    index — depth 1 on a key-organized table, climbing with unsorted
+    appends, restored by OPTIMIZE."""
+    hsession.sql("""CREATE TABLE lay (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    from pyspark.sql import functions as F
+    writer.write_key_organized(
+        spark, catalog, "lay",
+        spark.range(1000).select(F.col("id").alias("k"),
+                                 (F.col("id") * 1.0).alias("v")),
+        n_buckets=4)
+    rows = hsession.sql("EXPLAIN LAYOUT lay").collect()
+    assert rows[0].key_col == "k" and rows[0].n_files >= 4
+    assert rows[0].avg_overlap_depth == 1.0
+    assert rows[0].disjoint_fraction == 1.0
+    assert rows[0].recommendation == "optimal"
+    # three full-range appends -> every point query may open 4 files
+    for _ in range(3):
+        hsession.sql("INSERT INTO lay SELECT id, CAST(id AS DOUBLE) "
+                     "FROM range(0, 1000)")
+    r = hsession.sql("EXPLAIN LAYOUT lay").collect()[0]
+    assert r.avg_overlap_depth > 2.0
+    assert r.recommendation == "OPTIMIZE lay"
+    # OPTIMIZE restores disjoint ranges
+    hsession.sql("OPTIMIZE lay")
+    r = hsession.sql("EXPLAIN LAYOUT lay").collect()[0]
+    assert r.avg_overlap_depth == 1.0 and r.recommendation == "optimal"
