@@ -475,7 +475,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
         writer.bulk_load_csv(spark, catalog, name, m.group("path"),
                              overwrite=bool(m.group("overwrite")),
                              bad_records_dir=m.group("bad"))
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -485,7 +485,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
         name = _resolve(session, m.group("name"))
         writer.insert_rows(spark, catalog, name,
                            _parse_value_rows(m.group("rows")))
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -499,7 +499,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
         # travel still sees them until VACUUM).
         mode = "overwrite" if m.group("over") else "append"
         writer.write_key_organized(spark, catalog, name, df, mode=mode)
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -517,7 +517,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
             target_alias=parsed["talias"] or name,
             source_alias=parsed["salias"] or parsed["source_table"]
             or "source")
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         return None
@@ -534,7 +534,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
                 raise ValueError(f"UPDATE: bad assignment {part!r}")
             assignments[am.group(1)] = am.group(2).strip()
         dml.update_table(spark, catalog, name, assignments, where)
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         st = dml.LAST_DML_STATS
@@ -552,7 +552,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
             raise ValueError(
                 f"DELETE: unexpected tokens before WHERE: {tail.strip()!r}")
         dml.delete_from(spark, catalog, name, where)
-        writer.maybe_auto_analyze(spark, catalog, name)
+        writer.post_write_maintenance(spark, catalog, name)
         catalog.read_table(spark, name).createOrReplaceTempView(
             catalog.view_name(name))
         st = dml.LAST_DML_STATS

@@ -1122,6 +1122,48 @@ def write_audit_publish(spark: SparkSession, catalog: HeraclesCatalog,
             "rows_after": rows_after}
 
 
+def maybe_auto_optimize(spark: SparkSession, catalog: HeraclesCatalog,
+                        table: str) -> "dict[str, Any] | None":
+    """Property-driven compaction — the layout advisor wired into the
+    write path (autoAnalyze's sibling): tables created with
+    ``TBLPROPERTIES('autoOptimize'='true')`` re-sort themselves when
+    the clustering depth (planner.layout_metrics — metadata-only,
+    O(files log files)) crosses ``autoOptimizeDepth`` (default 4.0)
+    and the table has at least ``autoOptimizeMinFiles`` (default 8)
+    files for the rewrite to pay for itself. The check per write is
+    pure metadata; the rewrite, when it fires, is the same one-range-
+    exchange OPTIMIZE a user would schedule — Delta's auto-compaction
+    discipline on this catalog's own versioning. Never raises (layout
+    maintenance must not fail a write)."""
+    try:
+        tbl = catalog.get_table(table)
+        if tbl.properties.get("autoOptimize", "").lower() != "true":
+            return None
+        depth_thr = float(tbl.properties.get("autoOptimizeDepth", "4"))
+        min_files = int(tbl.properties.get("autoOptimizeMinFiles", "8"))
+        if len(tbl.files) < min_files:
+            return None
+        from heracles_spark import planner
+
+        recs = planner.layout_metrics(tbl)
+        if not recs or recs[0]["avg_overlap_depth"] < depth_thr:
+            return None
+        optimize_table(spark, catalog, table)
+        return {"optimized": True,
+                "depth_before": recs[0]["avg_overlap_depth"]}
+    except Exception:           # noqa: BLE001 — see docstring
+        return None
+
+
+def post_write_maintenance(spark: SparkSession, catalog: HeraclesCatalog,
+                           table: str) -> "dict[str, Any] | None":
+    """Every dispatcher write path's epilogue: auto-compaction first
+    (so the stats refresh sees the final layout and takes the
+    incremental-cow path over it), then auto-analyze."""
+    maybe_auto_optimize(spark, catalog, table)
+    return maybe_auto_analyze(spark, catalog, table)
+
+
 def maybe_auto_analyze(spark: SparkSession, catalog: HeraclesCatalog,
                        table: str) -> "dict[str, Any] | None":
     """Property-driven statistics maintenance: tables created with

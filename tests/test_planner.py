@@ -304,3 +304,32 @@ def test_explain_layout_advisor(spark, catalog, hsession):
     hsession.sql("OPTIMIZE lay")
     r = hsession.sql("EXPLAIN LAYOUT lay").collect()[0]
     assert r.avg_overlap_depth == 1.0 and r.recommendation == "optimal"
+
+
+def test_auto_optimize_property(spark, catalog, hsession):
+    """autoOptimize: the layout advisor wired into the write path —
+    overlapping appends trip the depth threshold and the table
+    re-sorts itself; tables without the property never do."""
+    hsession.sql("""CREATE TABLE ao (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k', 'autoOptimize'='true',
+                                  'autoOptimizeMinFiles'='4',
+                                  'autoOptimizeDepth'='3')""")
+    from heracles_spark import planner
+    for i in range(5):
+        hsession.sql("INSERT INTO ao SELECT id, CAST(id AS DOUBLE) "
+                     "FROM range(0, 500)")
+    tbl = catalog.get_table("ao")
+    recs = planner.layout_metrics(tbl)
+    # the auto pass fired at some write: depth is back at 1 and the
+    # history carries an optimize op
+    assert recs[0]["avg_overlap_depth"] < 3
+    assert any(h["op"] == "optimize" for h in tbl.history)
+    assert hsession.sql("SELECT COUNT(*) AS n FROM ao").first().n == 2500
+    # control: no property -> no optimize ever
+    hsession.sql("""CREATE TABLE ao_ctl (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    for i in range(5):
+        hsession.sql("INSERT INTO ao_ctl SELECT id, CAST(id AS DOUBLE) "
+                     "FROM range(0, 500)")
+    assert not any(h["op"] == "optimize"
+                   for h in catalog.get_table("ao_ctl").history)
