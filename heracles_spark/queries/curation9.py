@@ -541,8 +541,10 @@ def events_asof_sql_tolerance(spark, sf_dir):
     ``AND c.t >= p.t - N`` bounds the attribution window to N nanos —
     matches farther back than one hour are dropped to NULL but the
     purchase row is kept (LEFT semantics). DuckDB has no native
-    tolerance, so the oracle is the explicit window form: rank prior
-    clicks per purchase, keep the latest, null it past the bound.
+    tolerance, but ASOF picks the NEAREST earlier click, so the bound
+    is a post-filter: native ASOF LEFT JOIN, then NULL the carry when
+    it falls outside the window (if the nearest is out of tolerance,
+    every other candidate is even farther).
     Same single-shuffle operator plan; the tolerance is a post-carry
     codegen filter, no extra exchange."""
     hs = _asof_views(spark, sf_dir)
@@ -562,18 +564,13 @@ WITH p AS (
   FROM events WHERE event_type = 'purchase'),
  c AS (
   SELECT user_id, epoch_ns(ts) AS t, value AS cv
-  FROM events WHERE event_type = 'click'),
- m AS (
-  SELECT p.user_id, p.t, p.amount, c.t AS ct, c.cv,
-         ROW_NUMBER() OVER (PARTITION BY p.user_id, p.t
-                            ORDER BY c.t DESC) AS rk
-  FROM p LEFT JOIN c
-    ON p.user_id = c.user_id AND c.t <= p.t
-       AND c.t >= p.t - 3600000000000)
-SELECT user_id, t AS purchase_ns, amount,
-       ct AS click_ns, cv AS click_value
-FROM m WHERE rk = 1
-ORDER BY user_id, purchase_ns
+  FROM events WHERE event_type = 'click')
+SELECT p.user_id, p.t AS purchase_ns, p.amount,
+       CASE WHEN c.t >= p.t - 3600000000000 THEN c.t END AS click_ns,
+       CASE WHEN c.t >= p.t - 3600000000000 THEN c.cv END
+         AS click_value
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.t >= c.t
+ORDER BY p.user_id, purchase_ns
 """
 
 QUERIES["events_asof_sql_tolerance"] = (events_asof_sql_tolerance,
