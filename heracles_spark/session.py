@@ -95,6 +95,9 @@ class HeraclesSession:
         # Audit trail of the stats planner's broadcast/shuffle verdicts
         # for the most recent dispatched SELECT (sql._inject_stats_hints).
         self.last_join_decisions: list[dict] = []
+        # Audit of the most recent dispatched SELECT's access-path
+        # routing (sql._route_pruned_select).
+        self.last_select_route: dict = {}
         self.catalog.register_all(self.spark)
 
     def sql(self, statement: str):

@@ -1244,6 +1244,13 @@ def dispatch(session, statement: str) -> DataFrame | None:
                .createOrReplaceTempView(view)
         return view
 
+    # Access-path selection first (round-9): simple single-table
+    # predicates route through the pruned scan / secondary index
+    # instead of the all-files view — same rows, fewer files opened.
+    routed = _route_pruned_select(session, statement)
+    if routed is not None:
+        return routed
+
     # Stats-driven join strategy for the plain SELECT surface (round-9
     # judge ask): a dispatched statement that joins an ANALYZEd catalog
     # table whose estimated bytes clear the broadcast threshold gets
@@ -1274,6 +1281,108 @@ def dispatch(session, statement: str) -> DataFrame | None:
 
 
 _SELECT_HEAD = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
+_SIMPLE_SELECT = re.compile(
+    r"^\s*SELECT\s+(?P<cols>\*|\w+(?:\s*,\s*\w+)*)\s+FROM\s+"
+    r"(?P<name>[\w.]+)\s+WHERE\s+(?P<pred>[^;]+?)\s*;?\s*$",
+    re.IGNORECASE)
+_LIT = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
+_SIMPLE_PRED = re.compile(
+    rf"^(?P<col>\w+)\s*(?:(?P<op><=|>=|=|<|>)\s*(?P<val>{_LIT})"
+    rf"|BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
+    rf"|IN\s*\((?P<vals>\s*{_LIT}(?:\s*,\s*{_LIT})*\s*)\))\s*$",
+    re.IGNORECASE)
+_ROUTE_TYPES = ("int", "integer", "bigint", "long", "smallint",
+                "tinyint", "float", "double", "decimal", "string",
+                "varchar", "char")
+
+
+def _lit_value(raw: str, sql_type: str):
+    raw = raw.strip()
+    if raw.startswith("'"):
+        return raw[1:-1]
+    base = sql_type.lower().split("(")[0]
+    if base in ("float", "double", "decimal") or "." in raw:
+        return float(raw)
+    return int(raw)
+
+
+def _route_pruned_select(session, statement: str):
+    """Access-path selection for the dispatched SELECT surface
+    (round-9): a single-table statement whose WHERE is ONE simple
+    range/equality/IN predicate routes through the engine's own access
+    paths instead of the registered all-files view —
+
+    * predicate on a KEY column → ``pruning.scan`` (typed min/max file
+      pruning + residual: the reference's region pruning, now applied
+      to plain SQL point/range queries — a key lookup opens the files
+      that MAY hold the key, not every file);
+    * predicate on an INDEXED non-key column → ``index.indexed_lookup``
+      (index-only when the projection is covered; pointer-driven base
+      pruning otherwise; built-in fallbacks on stale index/pointer
+      blow-up).
+
+    Everything else returns None and takes the normal Spark path.
+    Conservative by construction: bare column projections only, one
+    conjunct, typed literals, no tail clauses — the same statement
+    always produces the same rows either way, routing only changes
+    which files are opened. The routing verdict is recorded on
+    ``session.last_select_route`` for audit."""
+    m = _SIMPLE_SELECT.match(statement)
+    if not m:
+        return None
+    catalog = session.catalog
+    name = _resolve(session, m.group("name"))
+    if not catalog.table_exists(name):
+        return None
+    tbl = catalog.get_table(name)
+    types = dict(tbl.columns)
+    pm = _SIMPLE_PRED.match(m.group("pred").strip())
+    if not pm:
+        return None
+    cmap = {c.lower(): c for c in types}
+    col = cmap.get(pm.group("col").lower())
+    if col is None \
+            or types[col].lower().split("(")[0] not in _ROUTE_TYPES:
+        return None
+    try:
+        if pm.group("op"):
+            pred = (pm.group("op"), col,
+                    _lit_value(pm.group("val"), types[col]))
+        elif pm.group("lo"):
+            pred = ("between", col,
+                    _lit_value(pm.group("lo"), types[col]),
+                    _lit_value(pm.group("hi"), types[col]))
+        else:
+            pred = ("in", col,
+                    [_lit_value(v, types[col])
+                     for v in re.findall(_LIT, pm.group("vals"))])
+    except ValueError:
+        return None
+    cols = None
+    if m.group("cols").strip() != "*":
+        cols = [cmap.get(c.strip().lower())
+                for c in m.group("cols").split(",")]
+        if any(c is None for c in cols):
+            return None
+
+    from heracles_spark import index as index_mod
+    from heracles_spark.pruning import prune_files, scan, to_nnf
+
+    if col in tbl.key_cols:
+        df = scan(session.spark, catalog, name, pred)
+        kept = prune_files(tbl.files, to_nnf(pred), tbl.key_cols)
+        session.last_select_route = {
+            "route": "pruned-scan", "files_read": len(kept),
+            "files_total": len(tbl.files)}
+        return df.select(*cols) if cols else df
+    if any(col in e.get("cols", [e["col"]])
+           for e in index_mod._indexes(tbl).values()):
+        df = index_mod.indexed_lookup(session.spark, catalog, name,
+                                      pred, columns=cols)
+        session.last_select_route = {
+            "route": "indexed", **index_mod.LAST_INDEX_STATS}
+        return df
+    return None
 _TABLE_REF = re.compile(
     r"\b(?:FROM|JOIN)\s+([\w.]+)"
     r"(?:\s+(?:AS\s+)?(?!ON\b|WHERE\b|GROUP\b|ORDER\b|LIMIT\b|LEFT\b"

@@ -1007,3 +1007,58 @@ def test_explain_estimate_chain_with_where_and_aliases(hsession):
     with _pt.raises(Exception):
         hsession.sql("EXPLAIN ESTIMATE SELECT * FROM cw_f f "
                      "JOIN cw_d d ON f.k = d.k WHERE f.v LIKE 'x%'")
+
+
+def test_route_pruned_select_key_and_index(hsession, catalog):
+    """Round-9 access-path selection: simple dispatched SELECTs route
+    through file pruning (key predicates) or the secondary index
+    (indexed non-key predicates); everything else falls through."""
+    from heracles_spark import index as index_mod
+
+    hsession.sql("""CREATE TABLE rt (k BIGINT, v DOUBLE, s STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    # 4 key-ordered files via one range-partitioned bulk write
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+    writer.write_key_organized(
+        hsession.spark, catalog, "rt",
+        hsession.spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("s")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    # key-column point lookup: pruned to fewer files, same rows
+    got = hsession.sql("SELECT k, v FROM rt WHERE k = 500").collect()
+    assert [(r.k, r.v) for r in got] == [(500, 1000.0)]
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    assert hsession.last_select_route["files_read"] \
+        < hsession.last_select_route["files_total"]
+    # range + IN shapes
+    assert hsession.sql(
+        "SELECT k FROM rt WHERE k BETWEEN 10 AND 14").count() == 5
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    assert hsession.sql(
+        "SELECT k FROM rt WHERE k IN (1, 2, 999)").count() == 3
+
+    # indexed non-key column: index-only covered projection
+    index_mod.create_index(hsession.spark, catalog, "rt", "v",
+                           name="rt_v")
+    got = hsession.sql("SELECT v, k FROM rt WHERE v = 808").collect()
+    assert [(r.v, r.k) for r in got] == [(808.0, 404)]
+    assert hsession.last_select_route["route"] == "indexed"
+    assert hsession.last_select_route["mode"] == "index-only"
+    assert hsession.last_select_route.get("base_files_read") == 0
+
+    # non-indexed non-key predicate: normal Spark path, same answer
+    got = hsession.sql("SELECT k FROM rt WHERE s = 's7'").collect()
+    assert [r.k for r in got] == [7]
+    # complex shapes fall through untouched
+    assert hsession.sql(
+        "SELECT count(k) AS n FROM rt WHERE k < 10").first().n == 10
+    assert hsession.sql(
+        "SELECT k FROM rt WHERE k = 1 AND v = 2.0").count() == 1
+    # routed and unrouted answers agree on a sample
+    a = sorted(r.k for r in hsession.sql(
+        "SELECT k FROM rt WHERE k <= 25").collect())
+    assert a == list(range(26))
