@@ -1012,3 +1012,79 @@ ORDER BY right_table
 
 QUERIES["orders_explain_chain"] = (orders_explain_chain,
                                    EXPLAIN_CHAIN_SQL)
+
+
+def orders_routed_sql_lookup(spark, sf_dir):
+    """Round-9 access-path routing certified on the SQL surface: a
+    plain dispatched ``SELECT ... WHERE o_orderkey = k`` routes
+    through typed min/max file pruning (files_read < files_total
+    pinned TRUE — the reference's region pruning on the statement a
+    user actually types), and a ``WHERE o_totalprice BETWEEN ...`` on
+    an indexed non-key column routes through the covering secondary
+    index with ZERO base files read (index-only, pinned). Values come
+    from the routed DataFrames; the oracle recomputes them from raw
+    orders, so a routing bug that loses or duplicates rows flips the
+    hash, and a routing bug that stops pruning flips the booleans."""
+    from heracles_spark import index as index_mod
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_rt_"))
+    cat = hs.catalog
+    o = _t(spark, sf_dir, "orders")
+    cat.create_table("rto", [("o_orderkey", "bigint"),
+                             ("o_custkey", "bigint"),
+                             ("o_totalprice", "double")], ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "rto",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_custkey").cast("bigint"),
+                 F.col("o_totalprice").cast("double")), n_buckets=4)
+    index_mod.create_index(spark, cat, "rto", "o_totalprice",
+                           name="rto_px")
+    cat.register_all(spark)
+
+    key = int(o.agg(F.max("o_orderkey")).first()[0])
+    point = hs.sql(f"SELECT o_orderkey, o_custkey, o_totalprice "
+                   f"FROM rto WHERE o_orderkey = {key}")
+    pr = dict(hs.last_select_route)
+    point_rows = point.collect()
+    rng = hs.sql("SELECT o_totalprice, o_orderkey FROM rto "
+                 "WHERE o_totalprice BETWEEN 20000 AND 30000")
+    ir = dict(hs.last_select_route)
+    rng_rows = rng.collect()
+    pruned = bool(pr.get("route") == "pruned-scan"
+                  and pr.get("files_read", 99) < pr.get("files_total", 0))
+    index_only = bool(ir.get("route") == "indexed"
+                      and ir.get("mode") == "index-only"
+                      and ir.get("base_files_read") == 0)
+    out = ([("point", int(r.o_orderkey), float(r.o_totalprice))
+            for r in point_rows]
+           + [("range", int(r.o_orderkey), float(r.o_totalprice))
+              for r in rng_rows])
+    return (spark.createDataFrame(
+                out, "kind: string, o_orderkey: long, "
+                     "o_totalprice: double")
+                 .withColumn("point_pruned", F.lit(pruned))
+                 .withColumn("range_index_only", F.lit(index_only))
+                 .orderBy("kind", "o_orderkey"))
+
+
+ROUTED_SQL_SQL = """
+WITH pt AS (
+  SELECT 'point' AS kind, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         o_totalprice
+  FROM orders
+  WHERE o_orderkey = (SELECT MAX(o_orderkey) FROM orders)),
+ rg AS (
+  SELECT 'range' AS kind, CAST(o_orderkey AS BIGINT) AS o_orderkey,
+         o_totalprice
+  FROM orders WHERE o_totalprice BETWEEN 20000 AND 30000)
+SELECT kind, o_orderkey, o_totalprice,
+       TRUE AS point_pruned, TRUE AS range_index_only
+FROM (SELECT * FROM pt UNION ALL SELECT * FROM rg)
+ORDER BY kind, o_orderkey
+"""
+
+QUERIES["orders_routed_sql_lookup"] = (orders_routed_sql_lookup,
+                                       ROUTED_SQL_SQL)
