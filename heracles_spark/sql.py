@@ -1283,7 +1283,9 @@ def dispatch(session, statement: str) -> DataFrame | None:
 _SELECT_HEAD = re.compile(r"^\s*SELECT\b", re.IGNORECASE)
 _SIMPLE_SELECT = re.compile(
     r"^\s*SELECT\s+(?P<cols>\*|\w+(?:\s*,\s*\w+)*)\s+FROM\s+"
-    r"(?P<name>[\w.]+)\s+WHERE\s+(?P<pred>[^;]+?)\s*;?\s*$",
+    r"(?P<name>[\w.]+)\s+WHERE\s+(?P<pred>[^;]+?)"
+    r"(?:\s+ORDER\s+BY\s+(?P<ocol>\w+)(?:\s+(?P<odir>ASC|DESC))?)?"
+    r"(?:\s+LIMIT\s+(?P<limit>\d+))?\s*;?\s*$",
     re.IGNORECASE)
 _LIT = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
 _SIMPLE_PRED = re.compile(
@@ -1364,6 +1366,21 @@ def _route_pruned_select(session, statement: str):
                 for c in m.group("cols").split(",")]
         if any(c is None for c in cols):
             return None
+    ocol = None
+    if m.group("ocol"):
+        ocol = cmap.get(m.group("ocol").lower())
+        if ocol is None or (cols is not None and ocol not in cols):
+            return None     # ordering col must survive the projection
+    limit = int(m.group("limit")) if m.group("limit") else None
+
+    def _tail(df):
+        if ocol is not None:
+            df = df.orderBy(F.col(ocol).desc()
+                            if (m.group("odir") or "").upper() == "DESC"
+                            else F.col(ocol).asc())
+        if limit is not None:
+            df = df.limit(limit)    # plans as TakeOrderedAndProject
+        return df
 
     from heracles_spark import index as index_mod
     from heracles_spark.pruning import prune_files, scan, to_nnf
@@ -1374,14 +1391,14 @@ def _route_pruned_select(session, statement: str):
         session.last_select_route = {
             "route": "pruned-scan", "files_read": len(kept),
             "files_total": len(tbl.files)}
-        return df.select(*cols) if cols else df
+        return _tail(df.select(*cols) if cols else df)
     if any(col in e.get("cols", [e["col"]])
            for e in index_mod._indexes(tbl).values()):
         df = index_mod.indexed_lookup(session.spark, catalog, name,
                                       pred, columns=cols)
         session.last_select_route = {
             "route": "indexed", **index_mod.LAST_INDEX_STATS}
-        return df
+        return _tail(df)
     return None
 _TABLE_REF = re.compile(
     r"\b(?:FROM|JOIN)\s+([\w.]+)"

@@ -1062,3 +1062,35 @@ def test_route_pruned_select_key_and_index(hsession, catalog):
     a = sorted(r.k for r in hsession.sql(
         "SELECT k FROM rt WHERE k <= 25").collect())
     assert a == list(range(26))
+
+
+def test_route_pruned_select_tail_clauses(hsession, catalog):
+    """Routing covers ORDER BY / LIMIT tails (the reference's
+    key-range-scan-with-limit shape) and bails when the ordering
+    column doesn't survive the projection."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE rtt (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "rtt",
+        hsession.spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+    got = hsession.sql("SELECT k, v FROM rtt WHERE k BETWEEN 100 AND "
+                       "200 ORDER BY k DESC LIMIT 3").collect()
+    assert [r.k for r in got] == [200, 199, 198]
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    assert hsession.last_select_route["files_read"] \
+        < hsession.last_select_route["files_total"]
+    got = hsession.sql(
+        "SELECT k FROM rtt WHERE k < 5 ORDER BY k LIMIT 2").collect()
+    assert [r.k for r in got] == [0, 1]
+    # ordering column outside the projection: normal Spark path
+    hsession.last_select_route = {}
+    got = hsession.sql(
+        "SELECT v FROM rtt WHERE k < 5 ORDER BY k LIMIT 2").collect()
+    assert [r.v for r in got] == [0.0, 1.0]
+    assert hsession.last_select_route == {}
