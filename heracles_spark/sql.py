@@ -1166,6 +1166,8 @@ def dispatch(session, statement: str) -> DataFrame | None:
         # metadata, no Spark job, no data read.
         import os as _os
 
+        from heracles_spark import planner as _planner
+
         tbl = catalog.get_table(_resolve(session, m.group("name")))
         n_rows = sum(f.get("rows", 0) for f in tbl.files)
         size = 0
@@ -1174,14 +1176,17 @@ def dispatch(session, statement: str) -> DataFrame | None:
                 size += _os.path.getsize(f["path"])
             except OSError:
                 pass
+        lm = _planner.layout_metrics(tbl)
+        depth = lm[0]["avg_overlap_depth"] if lm else None
         return spark.createDataFrame(
             [(tbl.name, tbl.data_dir, ";".join(tbl.key_cols),
               len(tbl.files), n_rows, size, tbl.version,
               len(tbl.history),
-              bool(tbl.properties.get("stats")))],
+              bool(tbl.properties.get("stats")), depth)],
             "name: string, location: string, key_cols: string, "
             "num_files: int, num_rows: long, size_bytes: long, "
-            "version: int, history_entries: int, has_statistics: boolean")
+            "version: int, history_entries: int, "
+            "has_statistics: boolean, clustering_depth: double")
 
     m = _DESCRIBE.match(statement)
     if m and catalog.table_exists(_resolve(session, m.group("name"))):

@@ -885,6 +885,10 @@ def test_describe_detail(hsession):
     hsession.sql("ANALYZE TABLE dd2 COMPUTE STATISTICS")
     r = hsession.sql("DESC DETAIL dd2").collect()[0]
     assert r.has_statistics is True
+    assert r.clustering_depth == 1.0     # single sorted write
+    hsession.sql("INSERT INTO dd2 VALUES (1,'x'),(2,'y')")
+    r = hsession.sql("DESC DETAIL dd2").collect()[0]
+    assert r.clustering_depth == 2.0     # overlapping append layer
 
 
 def test_explain_estimate_conjunction_and_nulls(hsession):
