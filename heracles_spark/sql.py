@@ -1255,6 +1255,17 @@ def dispatch(session, statement: str) -> DataFrame | None:
     routed = _route_pruned_select(session, statement)
     if routed is not None:
         return routed
+    # EXPLAIN must describe the plan that would actually RUN: when the
+    # inner statement routes, explain the routed DataFrame (Spark's
+    # view-path explain would show a plan execution never takes).
+    m_ex = re.match(r"^\s*EXPLAIN\s+(?!ESTIMATE\b|LAYOUT\b)(?P<rest>.+)$",
+                    statement, re.IGNORECASE | re.DOTALL)
+    if m_ex:
+        routed = _route_pruned_select(session, m_ex.group("rest"))
+        if routed is not None:
+            return spark.createDataFrame(
+                [(routed._jdf.queryExecution().toString(),)],
+                "plan: string")
 
     # Stats-driven join strategy for the plain SELECT surface (round-9
     # judge ask): a dispatched statement that joins an ANALYZEd catalog

@@ -1098,3 +1098,32 @@ def test_route_pruned_select_tail_clauses(hsession, catalog):
         "SELECT v FROM rtt WHERE k < 5 ORDER BY k LIMIT 2").collect()
     assert [r.v for r in got] == [0.0, 1.0]
     assert hsession.last_select_route == {}
+
+
+def test_explain_shows_routed_plan(hsession, catalog):
+    """EXPLAIN over a routable statement must describe the plan that
+    actually runs — the pruned file-list scan, not the all-files view."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE rex (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "rex",
+        hsession.spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+    plan = hsession.sql(
+        "EXPLAIN SELECT k FROM rex WHERE k = 7").collect()[0].plan
+    n_files = len(catalog.get_table("rex").files)
+    import re as _re
+    # the routed scan reads fewer parquet files than the table holds
+    m = _re.search(r"(\d+) paths", plan)
+    assert "Physical Plan" in plan or "FileScan" in plan
+    # route actually executed for the inner statement during explain
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    assert hsession.last_select_route["files_read"] < n_files
+    # non-routable EXPLAIN still goes to Spark untouched
+    out = hsession.sql("EXPLAIN SELECT 1 AS one").collect()[0]
+    assert "Project" in out.plan or "Physical" in out.plan
