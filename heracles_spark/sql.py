@@ -1305,10 +1305,11 @@ _SIMPLE_SELECT = re.compile(
     re.IGNORECASE)
 _LIT = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
 _SIMPLE_PRED = re.compile(
-    rf"^(?P<col>\w+)\s*(?:(?P<op><=|>=|=|<|>)\s*(?P<val>{_LIT})"
+    rf"(?P<col>\w+)\s*(?:(?P<op><=|>=|=|<|>)\s*(?P<val>{_LIT})"
     rf"|BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
-    rf"|IN\s*\((?P<vals>\s*{_LIT}(?:\s*,\s*{_LIT})*\s*)\))\s*$",
+    rf"|IN\s*\((?P<vals>\s*{_LIT}(?:\s*,\s*{_LIT})*\s*)\))",
     re.IGNORECASE)
+_PRED_AND = re.compile(r"\s+AND\s+", re.IGNORECASE)
 _ROUTE_TYPES = ("int", "integer", "bigint", "long", "smallint",
                 "tinyint", "float", "double", "decimal", "string",
                 "varchar", "char")
@@ -1354,28 +1355,52 @@ def _route_pruned_select(session, statement: str):
         return None
     tbl = catalog.get_table(name)
     types = dict(tbl.columns)
-    pm = _SIMPLE_PRED.match(m.group("pred").strip())
-    if not pm:
-        return None
     cmap = {c.lower(): c for c in types}
-    col = cmap.get(pm.group("col").lower())
-    if col is None \
-            or types[col].lower().split("(")[0] not in _ROUTE_TYPES:
+
+    # Parse a conjunction of simple predicates (BETWEEN's own AND is
+    # consumed by the predicate pattern, never a separator).
+    text, pos, n = m.group("pred").strip(), 0, None
+    n = len(text)
+    parts = []
+    while pos < n:
+        pm = _SIMPLE_PRED.match(text, pos)
+        if pm is None:
+            return None
+        parts.append(pm)
+        pos = pm.end()
+        if pos >= n:
+            break
+        sep = _PRED_AND.match(text, pos)
+        if sep is None:
+            return None
+        pos = sep.end()
+    if not parts:
         return None
+    preds, pcols = [], []
     try:
-        if pm.group("op"):
-            pred = (pm.group("op"), col,
-                    _lit_value(pm.group("val"), types[col]))
-        elif pm.group("lo"):
-            pred = ("between", col,
-                    _lit_value(pm.group("lo"), types[col]),
-                    _lit_value(pm.group("hi"), types[col]))
-        else:
-            pred = ("in", col,
-                    [_lit_value(v, types[col])
-                     for v in re.findall(_LIT, pm.group("vals"))])
+        for pm in parts:
+            col = cmap.get(pm.group("col").lower())
+            if col is None \
+                    or types[col].lower().split("(")[0] \
+                    not in _ROUTE_TYPES:
+                return None
+            if pm.group("op"):
+                preds.append((pm.group("op"), col,
+                              _lit_value(pm.group("val"), types[col])))
+            elif pm.group("lo"):
+                preds.append(("between", col,
+                              _lit_value(pm.group("lo"), types[col]),
+                              _lit_value(pm.group("hi"), types[col])))
+            else:
+                preds.append(("in", col,
+                              [_lit_value(v, types[col])
+                               for v in re.findall(_LIT,
+                                                   pm.group("vals"))]))
+            pcols.append(col)
     except ValueError:
         return None
+    pred = preds[0] if len(preds) == 1 else ("and", *preds)
+    col = pcols[0]
     cols = None
     if m.group("cols").strip() != "*":
         cols = [cmap.get(c.strip().lower())
@@ -1401,15 +1426,19 @@ def _route_pruned_select(session, statement: str):
     from heracles_spark import index as index_mod
     from heracles_spark.pruning import prune_files, scan, to_nnf
 
-    if col in tbl.key_cols:
+    if any(c in tbl.key_cols for c in pcols):
+        # Any key conjunct makes the whole AND prunable: MAY-match
+        # file pruning is sound over the full AST, non-key conjuncts
+        # ride along as residual (and bloom probes where declared).
         df = scan(session.spark, catalog, name, pred)
         kept = prune_files(tbl.files, to_nnf(pred), tbl.key_cols)
         session.last_select_route = {
             "route": "pruned-scan", "files_read": len(kept),
             "files_total": len(tbl.files)}
         return _tail(df.select(*cols) if cols else df)
-    if any(col in e.get("cols", [e["col"]])
-           for e in index_mod._indexes(tbl).values()):
+    if len(preds) == 1 and any(
+            col in e.get("cols", [e["col"]])
+            for e in index_mod._indexes(tbl).values()):
         df = index_mod.indexed_lookup(session.spark, catalog, name,
                                       pred, columns=cols)
         session.last_select_route = {

@@ -1057,11 +1057,22 @@ def test_route_pruned_select_key_and_index(hsession, catalog):
     # non-indexed non-key predicate: normal Spark path, same answer
     got = hsession.sql("SELECT k FROM rt WHERE s = 's7'").collect()
     assert [r.k for r in got] == [7]
-    # complex shapes fall through untouched
+    # complex projections fall through untouched
     assert hsession.sql(
         "SELECT count(k) AS n FROM rt WHERE k < 10").first().n == 10
+    # AND conjunctions route when any conjunct hits a key column
     assert hsession.sql(
         "SELECT k FROM rt WHERE k = 1 AND v = 2.0").count() == 1
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    assert hsession.sql(
+        "SELECT k FROM rt WHERE k BETWEEN 0 AND 20 AND v > 30.0 "
+        "AND s = 's16'").count() == 1
+    assert hsession.last_select_route["route"] == "pruned-scan"
+    # OR / LIKE shapes stay on the normal path
+    hsession.last_select_route = {}
+    assert hsession.sql(
+        "SELECT k FROM rt WHERE k = 1 OR k = 2").count() == 2
+    assert hsession.last_select_route == {}
     # routed and unrouted answers agree on a sample
     a = sorted(r.k for r in hsession.sql(
         "SELECT k FROM rt WHERE k <= 25").collect())
