@@ -1088,3 +1088,79 @@ ORDER BY kind, o_orderkey
 
 QUERIES["orders_routed_sql_lookup"] = (orders_routed_sql_lookup,
                                        ROUTED_SQL_SQL)
+
+
+def orders_layout_advisor(spark, sf_dir):
+    """EXPLAIN LAYOUT + autoOptimize certified externally: a
+    key-organized orders table reports clustering depth 1.0 (disjoint
+    per-file key ranges — a point read opens one file); three
+    full-range appends push the advisor's depth past the autoOptimize
+    threshold, and the NEXT write's metadata-only epilogue fires the
+    re-sort, returning depth to 1.0 with an 'optimize' entry in table
+    history. The value hash pins the depth-before/after booleans, the
+    fired-by-write fact, AND the table's row aggregate after all the
+    rewriting — so a compaction that loses or duplicates rows flips
+    the hash, and a dead advisor flips the booleans. At 100 TB this is
+    the self-maintaining layout story: the signal is O(files)
+    metadata per write, the rewrite fires only when pruning actually
+    degraded."""
+    from heracles_spark import planner, writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_la_"))
+    cat = hs.catalog
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_totalprice").cast("double")))
+    hs.sql("""CREATE TABLE lao (o_orderkey BIGINT, o_totalprice DOUBLE)
+              TBLPROPERTIES('keyCols'='o_orderkey',
+                            'autoOptimize'='true',
+                            'autoOptimizeMinFiles'='4',
+                            'autoOptimizeDepth'='3')""")
+    writer.write_key_organized(spark, cat, "lao", o, n_buckets=4)
+    d0 = planner.layout_metrics(cat.get_table("lao"))[0]
+    # overlapping appends — each a 2-row file spanning the FULL key
+    # range (min & max sentinel keys), written directly to bypass the
+    # epilogue so the advisor's climb is observable
+    lohi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    extra = spark.createDataFrame(
+        [(int(lohi[0]), 1.0), (int(lohi[1]), 2.0)],
+        "o_orderkey: bigint, o_totalprice: double")
+    for _ in range(3):
+        writer.write_key_organized(spark, cat, "lao", extra,
+                                   n_buckets=1)
+    d1 = planner.layout_metrics(cat.get_table("lao"))[0]
+    # a dispatched write runs the metadata-only epilogue -> re-sort
+    hs.sql("INSERT INTO lao VALUES (99999999, 1.0)")
+    tbl = cat.get_table("lao")
+    d2 = planner.layout_metrics(tbl)[0]
+    fired = any(h["op"] == "optimize" for h in tbl.history)
+    agg = (cat.read_table(spark, "lao")
+              .agg(F.count(F.lit(1)).alias("n_rows"),
+                   F.sum(F.round(F.col("o_totalprice") * 100)
+                          .cast("long")).alias("price_cents")).first())
+    return spark.createDataFrame(
+        [(int(agg.n_rows), int(agg.price_cents),
+          bool(d0["avg_overlap_depth"] == 1.0),
+          bool(d1["avg_overlap_depth"] >= 3.0),
+          bool(fired and d2["avg_overlap_depth"] == 1.0))],
+        "n_rows: long, price_cents: long, fresh_depth_one: boolean, "
+        "appends_degrade: boolean, auto_optimize_restores: boolean")
+
+
+LAYOUT_ADVISOR_SQL = """
+WITH allr AS (
+  SELECT o_totalprice FROM orders
+  UNION ALL SELECT 1.0 FROM range(3)     -- 3x min-key sentinel
+  UNION ALL SELECT 2.0 FROM range(3)     -- 3x max-key sentinel
+  UNION ALL SELECT 1.0)                  -- the epilogue-triggering row
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents,
+       TRUE AS fresh_depth_one, TRUE AS appends_degrade,
+       TRUE AS auto_optimize_restores
+FROM allr
+"""
+
+QUERIES["orders_layout_advisor"] = (orders_layout_advisor,
+                                    LAYOUT_ADVISOR_SQL)
