@@ -231,8 +231,11 @@ def grouped_rank_row(df: DataFrame, group_cols: Sequence[str],
     wanted 1-based rank (default: lower median ``(tot + 1) div 2``).
     Returns the selected rows with all of ``df``'s columns plus
     ``tot`` (the group size). Rows with equal (value, tiebreaks) are
-    interchangeable by construction."""
+    interchangeable by construction. NULL ``value_col`` rows are
+    EXCLUDED up front (ranks are over non-null values — a selected
+    NULL could never survive the equi-join back to its tie set)."""
     group_cols = list(group_cols)
+    df = df.where(F.col(value_col).isNotNull())
     if target_rank is None:
         target = ((F.col("tot") + F.lit(1)) / F.lit(2)) \
             .cast("long")        # lower median: (tot + 1) div 2

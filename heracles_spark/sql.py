@@ -978,13 +978,21 @@ def dispatch(session, statement: str) -> DataFrame | None:
                 tst = planner.table_stats(tref)
                 est = planner.estimate_predicate_rows(tref, col, op,
                                                       lo, hi)
+                # None is STICKY per table (round-9 review fix): an
+                # un-estimable conjunct must poison the table's whole
+                # factor — a later estimable conjunct cannot resurrect
+                # it, and a genuine 0.0 stays 0.0.
                 if est is None or not tst or not tst.get("rows"):
                     sel[tname] = None
                     rows_out.append((tname, "σ", text, None, None,
                                      "spark-default", "none"))
+                elif tname in sel and sel[tname] is None:
+                    rows_out.append((tname, "σ", text, None, None,
+                                     "spark-default",
+                                     "equi-depth-histogram"))
                 else:
                     f = est / float(tst["rows"])
-                    sel[tname] = (sel.get(tname, 1.0) or 1.0) * f
+                    sel[tname] = sel.get(tname, 1.0) * f
                     rows_out.append(
                         (tname, "σ", text,
                          int(round(float(tst["rows"])
@@ -1034,8 +1042,11 @@ def dispatch(session, statement: str) -> DataFrame | None:
             est_bytes = planner.estimated_table_bytes(rt)
             strategy = "spark-default"
             if est_bytes is not None:
+                # Same threshold the dispatcher's hint injector honors
+                # (round-9 review fix): EXPLAIN must report the
+                # strategy the statement would actually get.
                 strategy = ("broadcast" if est_bytes
-                            <= planner.DEFAULT_BROADCAST_BYTES
+                            <= _broadcast_threshold(session)
                             else "shuffle")
             rows_out.append(
                 (label, rn, f"{lk} = {rk}",
@@ -1310,9 +1321,28 @@ _SIMPLE_PRED = re.compile(
     rf"|IN\s*\((?P<vals>\s*{_LIT}(?:\s*,\s*{_LIT})*\s*)\))",
     re.IGNORECASE)
 _PRED_AND = re.compile(r"\s+AND\s+", re.IGNORECASE)
+# No 'decimal': a routed residual would compare against a DOUBLE
+# literal while the unrouted path compares decimals exactly — rows
+# could differ at >15 significant digits (round-9 review fix).
 _ROUTE_TYPES = ("int", "integer", "bigint", "long", "smallint",
-                "tinyint", "float", "double", "decimal", "string",
+                "tinyint", "float", "double", "string",
                 "varchar", "char")
+_CTE_NAME = re.compile(r"(\w+)\s+AS\s*\(", re.IGNORECASE)
+
+
+def _broadcast_threshold(session) -> int:
+    """The stats planner's broadcast-size cutoff, overridable per
+    session via spark.sql.heracles.broadcastThreshold — shared by the
+    hint injector and EXPLAIN ESTIMATE so the explained strategy is
+    the one the dispatcher would actually give."""
+    from heracles_spark import planner
+
+    try:
+        return int(session.spark.conf.get(
+            "spark.sql.heracles.broadcastThreshold",
+            str(planner.DEFAULT_BROADCAST_BYTES)))
+    except (TypeError, ValueError):
+        return planner.DEFAULT_BROADCAST_BYTES
 
 
 def _lit_value(raw: str, sql_type: str):
@@ -1481,21 +1511,31 @@ def _inject_stats_hints(session, statement: str):
         # view — a hint naming the original aliases would dangle.
         return statement, decisions
     m_head = _SELECT_HEAD.match(statement)
+    cte_names: set = set()
     if m_head is not None:
         inject_at = m_head.end()
     elif re.match(r"\s*WITH\b", statement, re.IGNORECASE):
         # CTE statement: hint the MAIN query block (the first
         # top-level SELECT after the WITH definitions) and consider
         # only its table references — a hint naming an alias that
-        # lives inside a CTE body would dangle.
+        # lives inside a CTE body would dangle, and a CTE whose name
+        # SHADOWS an analyzed catalog table must never be hinted (the
+        # hint would broadcast the derived relation — round-9 review
+        # fix).
         pos = _top_level_find(statement, "SELECT")
         if pos < 0:
             return statement, decisions
         inject_at = pos + len("SELECT")
+        cte_names = {m.group(1).lower()
+                     for m in _CTE_NAME.finditer(statement[:inject_at])}
     else:
         return statement, decisions
-    refs = _TABLE_REF.findall(statement[inject_at:])
-    if len(refs) < 2:
+    refs = [(n, a) for n, a in _TABLE_REF.findall(statement[inject_at:])
+            if n.lower() not in cte_names]
+    # Only statements that actually JOIN can use a broadcast hint —
+    # counting joins (not refs) keeps CTE ⋈ catalog-dim hintable.
+    if not refs or not re.search(r"\bJOIN\b", statement[inject_at:],
+                                 re.IGNORECASE):
         return statement, decisions
 
     from heracles_spark import planner
@@ -1503,12 +1543,7 @@ def _inject_stats_hints(session, statement: str):
     catalog = session.catalog
     view_to_table = {catalog.view_name(t): t
                      for t in catalog.list_tables()}
-    try:
-        thr = int(session.spark.conf.get(
-            "spark.sql.heracles.broadcastThreshold",
-            str(planner.DEFAULT_BROADCAST_BYTES)))
-    except (TypeError, ValueError):
-        thr = planner.DEFAULT_BROADCAST_BYTES
+    thr = _broadcast_threshold(session)
     targets: list[str] = []
     for name, alias in refs:
         resolved = _resolve(session, name)

@@ -64,18 +64,26 @@ def _store_dir(catalog, table: str, iname: str) -> str:
                         f"{table}__vidx_{iname}")
 
 
+def _training_path(store: str, kind: str) -> str:
+    """Resolve the centroids/codebooks file: manifest-referenced
+    versioned name when present (atomic with the segment swap —
+    round-9 review fix), legacy fixed name otherwise."""
+    manifest = _load_manifest(store)
+    fname = (manifest or {}).get(kind, f"{kind}.json")
+    return os.path.join(store, fname)
+
+
 def load_centroids(catalog, table: str, iname: str) -> list[list[float]]:
-    path = os.path.join(_store_dir(catalog, table, iname),
-                        "centroids.json")
-    with open(path) as fh:
+    with open(_training_path(_store_dir(catalog, table, iname),
+                             "centroids")) as fh:
         return json.load(fh)
 
 
 def load_codebooks(catalog, table: str,
                    iname: str) -> list[list[list[float]]] | None:
     """PQ codebooks of the index, or None for a plain IVF index."""
-    path = os.path.join(_store_dir(catalog, table, iname),
-                        "codebooks.json")
+    path = _training_path(_store_dir(catalog, table, iname),
+                          "codebooks")
     if not os.path.exists(path):
         return None
     with open(path) as fh:
@@ -122,19 +130,25 @@ def _commit_manifest(store: str, manifest: dict) -> None:
 
 
 def _gc_orphan_segments(store: str, manifest: dict) -> None:
-    """Remove segment dirs a crashed refresh wrote but never
-    manifested (they are invisible to probes either way)."""
+    """Remove segment dirs and versioned training files a crashed or
+    superseded refresh left behind but the manifest doesn't reference
+    (they are invisible to probes either way)."""
     import shutil
 
     live = {s["dir"] for s in manifest["segments"]}
+    live |= {manifest.get("centroids"), manifest.get("codebooks")}
     try:
         entries = os.listdir(store)
     except OSError:
         return
     for d in entries:
+        p = os.path.join(store, d)
         if (d.startswith("seg_") or d == "store") and d not in live \
-                and os.path.isdir(os.path.join(store, d)):
-            shutil.rmtree(os.path.join(store, d), ignore_errors=True)
+                and os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif (d.startswith("centroids_") or d.startswith("codebooks_")) \
+                and d not in live and os.path.isfile(p):
+            os.unlink(p)
 
 
 def create_vector_index(spark: SparkSession, catalog, table: str,
@@ -257,15 +271,29 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
             mode = "noop"
         else:
             new_rows = spark.read.schema(tbl.schema()).parquet(*new_paths)
-            # Collision probe against the STORE itself (one key-column
-            # scan), not the source files — still correct after the
-            # sources are VACUUMed.
-            store_keys = (_read_segments(spark, store, manifest)
-                          .select(tbl.key_cols[0]))
-            collisions = (new_rows.select(tbl.key_cols[0])
-                          .join(store_keys, [tbl.key_cols[0]],
-                                "left_semi")
-                          .limit(1).count())
+            # Collision probe on the FULL composite key against the
+            # ingested source files when they still exist (a
+            # first-key-only probe false-positives every append on
+            # composite-key tables — round-9 review fix); after a
+            # VACUUM removed them, fall back to the store's first key
+            # component — conservative: a false positive rebuilds,
+            # a real collision is never missed.
+            src_paths = sorted(p for p in ingested if os.path.exists(p))
+            if len(src_paths) == len(ingested):
+                old_keys = (spark.read.schema(tbl.schema())
+                            .parquet(*src_paths)
+                            .select(*tbl.key_cols))
+                collisions = (new_rows.select(*tbl.key_cols)
+                              .join(old_keys, list(tbl.key_cols),
+                                    "left_semi")
+                              .limit(1).count())
+            else:
+                store_keys = (_read_segments(spark, store, manifest)
+                              .select(tbl.key_cols[0]))
+                collisions = (new_rows.select(tbl.key_cols[0])
+                              .join(store_keys, [tbl.key_cols[0]],
+                                    "left_semi")
+                              .limit(1).count())
             if collisions == 0:
                 import uuid
 
@@ -280,6 +308,8 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
                 _commit_manifest(store, manifest)   # the visibility point
                 mode = "incremental"
     if mode == "rebuild":
+        import uuid
+
         from heracles_spark.operators import similarity
 
         base = catalog.read_table(spark, table)
@@ -287,8 +317,6 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
             base, n_cells=entry["cells"], id_col=tbl.key_cols[0],
             vec_col=vec_col, sample_size=entry.get("sample", 2048),
             seed=entry.get("seed", 42))
-        with open(os.path.join(store, "centroids.json"), "w") as fh:
-            json.dump(cents, fh)
         books = None
         if entry.get("pq_m"):
             books = similarity.pq_train(
@@ -297,12 +325,27 @@ def refresh_vector_index(spark: SparkSession, catalog, table: str,
                 dim=len(cents[0]),
                 sample_size=entry.get("sample", 2048),
                 seed=entry.get("seed", 42))
-            with open(os.path.join(store, "codebooks.json"), "w") as fh:
-                json.dump(books, fh)
+        # Rebuild into a FRESH segment, never over a live manifested
+        # dir (round-9 review fix): a crash mid-write leaves an
+        # invisible orphan and probes keep serving the old manifest.
+        # The new training state lives in VERSIONED files referenced
+        # by the manifest, so segment + centroids + codebooks all
+        # become visible in the ONE atomic manifest rename — probes
+        # can never see new centroids over an old store or vice versa.
+        tag = uuid.uuid4().hex[:10]
+        seg_dir = f"seg_full_{tag}"
         _assign_and_write(spark, base, tbl, vec_col, cents, store,
-                          codebooks=books)
+                          segment=seg_dir, codebooks=books)
         manifest = {"segments": [
-            {"dir": "store", "source_paths": sorted(cur_paths)}]}
+            {"dir": seg_dir, "source_paths": sorted(cur_paths)}],
+            "centroids": f"centroids_{tag}.json"}
+        with open(os.path.join(store, manifest["centroids"]), "w") as fh:
+            json.dump(cents, fh)
+        if books is not None:
+            manifest["codebooks"] = f"codebooks_{tag}.json"
+            with open(os.path.join(store, manifest["codebooks"]),
+                      "w") as fh:
+                json.dump(books, fh)
         _commit_manifest(store, manifest)
     _gc_orphan_segments(store, manifest)
     LAST_VECTOR_INDEX_STATS = {"mode": mode, "new_files": len(new_paths)}

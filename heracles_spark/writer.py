@@ -744,10 +744,16 @@ def _save_sidecar(tbl: KeyTable, payload: dict) -> None:
 
 
 def _norm_path(p: str) -> str:
-    """``_metadata.file_path`` is a URI (``file:/x`` or ``file:///x``);
-    catalog file lists are plain paths — normalize to the latter."""
+    """``_metadata.file_path`` is a URL-ENCODED URI (``file:/x`` or
+    ``file:///x``, spaces as %20 …); catalog file lists are plain
+    paths — normalize to the latter, decoding percent escapes (a
+    metastore dir with a space would otherwise mis-key the per-file
+    record and silently undercount after a refresh — round-9 review
+    fix)."""
     if p.startswith("file:"):
-        p = p[5:]
+        from urllib.parse import unquote
+
+        p = unquote(p[5:])
         while p.startswith("//"):
             p = p[1:]
     return p

@@ -292,3 +292,17 @@ def test_theil_sen_long_span_no_full_pair_sort(spark):
         spec = m.group(1)
         if "slope" in spec:
             assert "__b" in spec, spec
+
+
+def test_grouped_rank_row_null_values_excluded(spark):
+    """Round-9 review fix: NULL value rows never swallow a group —
+    ranks are over non-null values."""
+    from heracles_spark.operators.orderstats import grouped_rank_row
+
+    df = spark.createDataFrame(
+        [("g", None, 1), ("g", None, 2), ("g", None, 3),
+         ("g", 1.0, 4), ("g", 2.0, 5)],
+        "g string, v double, t int")
+    got = grouped_rank_row(df, ["g"], "v", ["t"]).collect()
+    assert len(got) == 1
+    assert got[0].v == 1.0 and got[0].tot == 2   # lower median of {1,2}

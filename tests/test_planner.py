@@ -333,3 +333,19 @@ def test_auto_optimize_property(spark, catalog, hsession):
                      "FROM range(0, 500)")
     assert not any(h["op"] == "optimize"
                    for h in catalog.get_table("ao_ctl").history)
+
+
+def test_inject_stats_hints_cte_shadowing(spark, catalog, hsession):
+    """Round-9 review fix: a CTE named like an analyzed catalog table
+    must never be hinted (the hint would broadcast the derived
+    relation, not the table)."""
+    from heracles_spark.sql import _inject_stats_hints
+
+    _mk(spark, catalog, "shadow_dim", 50, with_strings=False)
+    _mk(spark, catalog, "shadow_f", 500, with_strings=False)
+    writer.analyze_table(spark, catalog, "shadow_dim", for_columns=True)
+    stmt = ("WITH shadow_dim AS (SELECT k FROM shadow_f) "
+            "SELECT f.k FROM shadow_f f "
+            "JOIN shadow_dim d ON f.k = d.k")
+    out, dec = _inject_stats_hints(hsession, stmt)
+    assert "/*+" not in out and dec == []
