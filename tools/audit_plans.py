@@ -89,7 +89,7 @@ AUDITED = [
     # round-9 additions
     "orders_stats_sql_join", "events_asof_sql_tolerance",
     "embedding_kmeans_step", "orders_explain_chain",
-    "orders_routed_sql_lookup",
+    "orders_routed_sql_lookup", "orders_layout_advisor",
 ]
 
 
