@@ -765,8 +765,20 @@ def _per_file_stats(spark: SparkSession, tbl: KeyTable,
     exactly ``paths`` → {path: record}. Records hold the mergeable
     stats only (counts, min/max, length sums, base64 HLL sketches) —
     the Iceberg-puffin-style sidecar state that makes REFRESH
-    STATISTICS O(files touched) across COW rewrites."""
+    STATISTICS O(files touched) across COW rewrites.
+
+    Records are keyed by the CATALOG path string: scanned groups come
+    back as ``_metadata.file_path`` URIs, which are mapped to their
+    seeded catalog path via ``os.path.realpath`` on both sides — a
+    symlinked tmp dir (macOS /var → /private/var) or a relative
+    metastore_dir would otherwise leave the zero-row seed in place and
+    store the real record under an alien key, silently collapsing
+    rows/NDV to 0 on the next refresh (round-10 advisor fix). A
+    scanned group that maps to NO seeded path is a loud error: there
+    is no correct record to save, and zeroed stats would poison every
+    broadcast/selectivity decision downstream."""
     import base64 as _b64
+    import os as _os
 
     if not paths:
         return {}
@@ -779,6 +791,7 @@ def _per_file_stats(spark: SparkSession, tbl: KeyTable,
     # one and the merge never misses a live file.
     recs: dict = {p: {"n": 0, "cols": {c: {"nulls": 0} for c in cols}}
                   for p in paths}
+    canon = {_os.path.realpath(p): p for p in paths}
     for r in g.collect():
         rec: dict = {"n": int(r["__n"]), "cols": {}}
         for c in cols:
@@ -793,7 +806,16 @@ def _per_file_stats(spark: SparkSession, tbl: KeyTable,
             elif base in _LEN_TYPES:
                 cc["sl"] = int(r[f"__sl_{c}"] or 0)
             rec["cols"][c] = cc
-        recs[_norm_path(r["__p"])] = rec
+        key = _norm_path(r["__p"])
+        if key not in recs:
+            key = canon.get(_os.path.realpath(key))
+            if key is None:
+                raise RuntimeError(
+                    f"ANALYZE {tbl.name}: scanned file "
+                    f"{_norm_path(r['__p'])!r} maps to no catalog path "
+                    f"(seeded {len(paths)} paths) — refusing to save "
+                    f"stats that would undercount")
+        recs[key] = rec
     return recs
 
 
