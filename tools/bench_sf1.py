@@ -1,0 +1,110 @@
+"""sf1 head-to-head: the COMPLETE bench headline (gate basis + extended,
+ONE folded basis) timed at synthetic sf1 (10× sf0.1, FK-consistent
+key-shifted replicas — tools/scale_check.py generation) against
+DuckDB-loaded on the SAME sf1 data, same machine.
+
+Round-10 judge ask #1: at sf0.1 half the corpus sits on Spark's
+~0.1-0.2s per-query orchestration floor, so the 2× gate partly measures
+measurement physics; at sf1 the floor amortizes and every query —
+including the round-9 extended family that was floor-bound at sf0.1 —
+can share one basis honestly. This number is the tracked scale metric.
+
+Layouts: Spark reads the sf1_synth directories directly (they are
+Spark-written multi-file parquet — already the bulk-loaded layout;
+layout.prepare is for the driver's single-row-group files). DuckDB gets
+native tables via CREATE TABLE AS over the same files (the
+"duckdb-loaded" methodology from tools/bench_compare.py).
+
+Usage: python tools/bench_sf1.py [query ...]   # default: full headline
+Prints a markdown table + one JSON line; paste the table into
+BENCH_NOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import duckdb
+
+from tools.bench_compare import EXTENDED, HEADLINE
+from tools.scale_check import DEST, _gen
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def _timed(thunk) -> float:
+    t0 = time.time()
+    thunk()
+    return time.time() - t0
+
+
+def main() -> None:
+    from heracles_spark.queries import all_oracles, all_queries
+    from heracles_spark.session import get_session
+
+    names = [a for a in sys.argv[1:] if not a.startswith("--")] \
+        or (HEADLINE + EXTENDED)
+    spark = get_session("bench-sf1", extra_conf={
+        "spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--regen" in sys.argv or not os.path.exists(
+            f"{DEST}/lineitem.parquet/_SUCCESS"):
+        _gen(spark)
+
+    qs, os_ = all_queries(), all_oracles()
+
+    con = duckdb.connect()
+    t0 = time.time()
+    for t in TABLES:
+        src = f"{DEST}/{t}.parquet"
+        if os.path.isdir(src):
+            con.execute(f"CREATE TABLE {t} AS SELECT * FROM "
+                        f"read_parquet('{src}/*.parquet')")
+        else:
+            con.execute(f"CREATE TABLE {t} AS SELECT * FROM '{src}'")
+    duck_load = time.time() - t0
+    print(f"duckdb sf1 load: {duck_load:.1f}s", file=sys.stderr)
+
+    rows = []
+    for name in names:
+        fn = getattr(qs[name], "__wrapped_query__", qs[name])
+        try:
+            fn(spark, DEST).collect()              # warm (codegen + IO)
+            t_spark = min(_timed(lambda: fn(spark, DEST).collect())
+                          for _ in range(2))
+        except Exception as e:                     # pragma: no cover
+            print(f"SPARK FAIL {name}: {e}", file=sys.stderr)
+            t_spark = float("nan")
+        try:
+            con.execute(os_[name]).fetchall()      # warm
+            t_duck = min(_timed(lambda: con.execute(os_[name]).fetchall())
+                         for _ in range(2))
+        except Exception as e:                     # pragma: no cover
+            print(f"DUCK FAIL {name}: {e}", file=sys.stderr)
+            t_duck = float("nan")
+        rows.append((name, t_spark, t_duck))
+        print(f"| {name} | {t_spark:.3f} | {t_duck:.3f} | "
+              f"{t_spark / t_duck if t_duck else float('inf'):.1f}x |",
+              flush=True)
+
+    ok = [r for r in rows if r[1] == r[1] and r[2] == r[2]]
+    tot_s = sum(r[1] for r in ok)
+    tot_d = sum(r[2] for r in ok)
+    print(f"| **total ({len(ok)} queries, one folded basis)** | "
+          f"**{tot_s:.2f}** | **{tot_d:.2f}** | "
+          f"**{tot_s / tot_d:.1f}x** |")
+    print(json.dumps({
+        "metric": "sf1_headline_total", "value": round(tot_s, 2),
+        "unit": "sec", "duckdb_loaded_sec": round(tot_d, 2),
+        "ratio": round(tot_s / tot_d, 2), "n_queries": len(ok),
+        "duck_load_sec": round(duck_load, 1), "sf": 1.0}))
+
+
+if __name__ == "__main__":
+    main()
