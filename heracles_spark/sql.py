@@ -1646,6 +1646,12 @@ def _expand_cosine_distance(statement: str) -> str:
             out.append(statement[pos:])
             break
         out.append(statement[pos:m.start()])
+        # inside a string literal? (odd count of quotes before the
+        # match — '' escapes contribute two, keeping parity correct)
+        if statement.count("'", 0, m.start()) % 2 == 1:
+            out.append(statement[m.start():m.end()])
+            pos = m.end()
+            continue
         args, end = _split_call_args(statement, m.end())
         if args is None or len(args) != 2:
             out.append(statement[m.start():m.end()])

@@ -1302,3 +1302,67 @@ def test_stats_join_reorder(hsession, catalog):
     hsession.sql("SELECT count(*) AS n FROM jf LEFT JOIN jm "
                  "ON jf.m = jm.m JOIN jd ON jf.d = jd.d").first()
     assert hsession.last_join_reorder == {}
+
+
+def test_explain_mirrors_stats_hints_and_ref_scanner(hsession, catalog):
+    """Round-10 advisor fixes: (1) EXPLAIN of a join SELECT carries the
+    same BROADCAST hint the statement gets when it runs; (2) FROM/JOIN
+    refs are collected at the main block's top level only — string
+    literals and scalar FROM syntax can't conjure a hint target; (3) a
+    CTE with a COLUMN LIST shadowing an analyzed table is never
+    hinted."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE ef (k BIGINT, d BIGINT, s STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE ed (d BIGINT, nm STRING)
+                    TBLPROPERTIES('keyCols'='d')""")
+    hsession.sql("""CREATE TABLE et (z BIGINT)
+                    TBLPROPERTIES('keyCols'='z')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "ef",
+        hsession.spark.range(5000).select(
+            F.col("id").alias("k"), (F.col("id") % 20).alias("d"),
+            F.lit("x").alias("s")), n_buckets=2)
+    writer.write_key_organized(
+        hsession.spark, catalog, "ed",
+        hsession.spark.range(20).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm")), n_buckets=1)
+    writer.write_key_organized(
+        hsession.spark, catalog, "et",
+        hsession.spark.range(5).select(F.col("id").alias("z")),
+        n_buckets=1)
+    for t in ("ef", "ed", "et"):
+        writer.analyze_table(hsession.spark, catalog, t,
+                             for_columns=True)
+    catalog.register_all(hsession.spark)
+
+    # isolate the injected hint from Spark's own size heuristic
+    hsession.spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = "\n".join(
+            r[0] for r in hsession.sql(
+                "EXPLAIN SELECT ef.k, ed.nm FROM ef "
+                "JOIN ed ON ef.d = ed.d").collect())
+        assert "BroadcastHashJoin" in plan
+        assert any(d["table"] == "ed" and d["strategy"] == "broadcast"
+                   for d in hsession.last_join_decisions)
+
+        # a string literal naming an analyzed table is NOT a ref
+        hsession.sql("SELECT ef.k FROM ef JOIN ed ON ef.d = ed.d "
+                     "WHERE ef.s <> 'from et'").collect()
+        assert all(d["table"] != "et"
+                   for d in hsession.last_join_decisions)
+
+        # CTE with a column list shadowing the analyzed dim: no hint
+        # may bind to the derived relation
+        hsession.sql(
+            "WITH ed(d, nm) AS (SELECT d, s FROM ef) "
+            "SELECT ef.k FROM ef JOIN ed ON ef.d = ed.d").collect()
+        assert all(d["table"] != "ed"
+                   for d in hsession.last_join_decisions)
+    finally:
+        hsession.spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                                str(64 * 1024 * 1024))

@@ -38,10 +38,41 @@ TABLES = ("region nation customer supplier part orders lineitem events "
           "documents embeddings").split()
 
 
+# The documented O(n²) ground-truth baseline: at sf1 (20k vectors) its
+# EXACT all-pairs oracle is 2e8 pair dot-products — intractable for the
+# DuckDB side (>1h observed). The scale path for near-dup is the
+# banded LSH/SimHash/IVF family, all of which stay in the basis; the
+# exact baseline's recall contract is certified at sf≤0.1.
+SKIP_AT_SF1 = {"embedding_near_dup_exact"}
+
+DUCK_TIMEOUT_S = 300.0
+
+
 def _timed(thunk) -> float:
     t0 = time.time()
     thunk()
     return time.time() - t0
+
+
+def _duck_call(con, sql: str) -> float:
+    """Run one DuckDB statement with a watchdog: interrupt past
+    DUCK_TIMEOUT_S so a pathological oracle can't wedge the harness."""
+    import threading
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(DUCK_TIMEOUT_S):
+            con.interrupt()
+
+    w = threading.Thread(target=_watch, daemon=True)
+    w.start()
+    try:
+        t0 = time.time()
+        con.execute(sql).fetchall()
+        return time.time() - t0
+    finally:
+        done.set()
 
 
 def main() -> None:
@@ -73,6 +104,11 @@ def main() -> None:
 
     rows = []
     for name in names:
+        if name in SKIP_AT_SF1:
+            print(f"| {name} | excluded | excluded | — | (documented "
+                  f"O(n²) exact baseline; LSH/IVF are the scale path)",
+                  flush=True)
+            continue
         fn = getattr(qs[name], "__wrapped_query__", qs[name])
         try:
             fn(spark, DEST).collect()              # warm (codegen + IO)
@@ -82,9 +118,8 @@ def main() -> None:
             print(f"SPARK FAIL {name}: {e}", file=sys.stderr)
             t_spark = float("nan")
         try:
-            con.execute(os_[name]).fetchall()      # warm
-            t_duck = min(_timed(lambda: con.execute(os_[name]).fetchall())
-                         for _ in range(2))
+            _duck_call(con, os_[name])             # warm
+            t_duck = min(_duck_call(con, os_[name]) for _ in range(2))
         except Exception as e:                     # pragma: no cover
             print(f"DUCK FAIL {name}: {e}", file=sys.stderr)
             t_duck = float("nan")
