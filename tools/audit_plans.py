@@ -90,6 +90,9 @@ AUDITED = [
     "orders_stats_sql_join", "events_asof_sql_tolerance",
     "embedding_kmeans_step", "orders_explain_chain",
     "orders_routed_sql_lookup", "orders_layout_advisor",
+    # round-10 additions
+    "orders_routed_sql_or", "embedding_ann_sql_routed",
+    "orders_join_reorder", "catalog_multiwriter_appends",
 ]
 
 
