@@ -87,7 +87,15 @@ def main():
     con = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem events "
               "documents embeddings").split():
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            # Spark-written table (e.g. the sf1_synth scale data): a
+            # DIRECTORY of part files — glob it so the same oracle SQL
+            # verifies correctness at scale, not just at sf<=0.01.
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                        f"read_parquet('{src}/*.parquet')")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     queries, oracles = all_queries(), all_oracles()
     n_pass = n_fail = n_noracle = 0
