@@ -1827,6 +1827,31 @@ def _maybe_reorder_joins(session, statement: str) -> str:
     if n < 3 or n > 8 or len(edges) != n - 1:
         return statement
 
+    # WHERE selectivity composes into the cost (round-10 second wave —
+    # the classic reorder trigger is a FILTERED dimension, invisible to
+    # NDV containment alone): qualified range conjuncts scale their
+    # table's effective cardinality by the histogram estimate, exactly
+    # the EXPLAIN ESTIMATE composition. A WHERE outside that shape
+    # falls back to NDV-only cost (never abandons the reorder).
+    sel: dict[str, float] = {k: 1.0 for k in nodes}
+    if m.group("tail"):
+        mw = re.match(
+            r"\s+WHERE\s+(?P<w>.*?)(?:\s+GROUP\s+BY|\s+ORDER\s+BY"
+            r"|\s+LIMIT|\s+HAVING|\s+QUALIFY|\s*;?\s*$)",
+            m.group("tail"), re.IGNORECASE | re.DOTALL)
+        if mw:
+            qpreds = _parse_est_qualified_conjunction(mw.group("w"))
+            if qpreds:
+                for _text, q, col, op, lo, hi in qpreds:
+                    key = q if q in nodes else None
+                    if key is None:
+                        continue
+                    tref = catalog.get_table(nodes[key]["table"])
+                    est = planner.estimate_predicate_rows(tref, col, op,
+                                                          lo, hi)
+                    if est is not None and nodes[key]["rows"] > 0:
+                        sel[key] *= est / nodes[key]["rows"]
+
     def _pair_rows(owner: str, new: str, ok: str, nk: str):
         return planner.estimate_equijoin_rows(
             catalog.get_table(nodes[owner]["table"]),
@@ -1834,9 +1859,10 @@ def _maybe_reorder_joins(session, statement: str) -> str:
 
     def _cost(order: list[str]):
         """Σ intermediate cardinalities over the left-deep order, or
-        None when disconnected / un-estimable."""
+        None when disconnected / un-estimable. Filter selectivity
+        multiplies each table's contribution (independence)."""
         placed = {order[0]}
-        running = nodes[order[0]]["rows"]
+        running = nodes[order[0]]["rows"] * sel[order[0]]
         total = 0.0
         for key in order[1:]:
             edge = next((e for e in edges
@@ -1851,7 +1877,7 @@ def _maybe_reorder_joins(session, statement: str) -> str:
             pair = _pair_rows(owner, key, ok, nk)
             if pair is None or nodes[owner]["rows"] <= 0:
                 return None
-            running = pair * running / nodes[owner]["rows"]
+            running = pair * sel[key] * running / nodes[owner]["rows"]
             total += running
             placed.add(key)
         return total

@@ -1303,6 +1303,35 @@ def test_stats_join_reorder(hsession, catalog):
                  "ON jf.m = jm.m JOIN jd ON jf.d = jd.d").first()
     assert hsession.last_join_reorder == {}
 
+    # WHERE selectivity composes into the cost (round-10 second wave):
+    # a FILTERED dimension — invisible to NDV containment alone — must
+    # trigger the reorder via its histogram estimate
+    hsession.sql("""CREATE TABLE jc2 (d BIGINT, w BIGINT)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "jc2",
+        hsession.spark.range(1000).select(
+            F.col("id").alias("d"), F.col("id").alias("w")),
+        n_buckets=1)
+    writer.analyze_table(hsession.spark, catalog, "jc2",
+                         for_columns=True)
+    catalog.register_all(hsession.spark)
+    fstmt = ("SELECT count(*) AS n FROM jf JOIN jm ON jf.m = jm.m "
+             "JOIN jc2 ON jf.d = jc2.d WHERE jc2.w < 10")
+    n = hsession.sql(fstmt).first().n
+    audit = dict(hsession.last_join_reorder)
+    assert audit["applied"] is True and audit["factor"] >= 10
+    # the filtered dim joins BEFORE the 1:1 fact-fact edge ([jc2,jf,jm]
+    # and [jf,jc2,jm] tie at optimal — the base's own rows are not an
+    # intermediate; what matters is jm last)
+    order = audit["best_order"]
+    assert order.index("jc2") < order.index("jm")
+    hsession.spark.conf.set("spark.sql.heracles.joinReorder", "false")
+    try:
+        assert hsession.sql(fstmt).first().n == n == 200
+    finally:
+        hsession.spark.conf.unset("spark.sql.heracles.joinReorder")
+
 
 def test_explain_mirrors_stats_hints_and_ref_scanner(hsession, catalog):
     """Round-10 advisor fixes: (1) EXPLAIN of a join SELECT carries the
