@@ -447,10 +447,11 @@ class HeraclesCatalog:
     # file index, a ≫1e3-version log would graduate to a sidecar dataset.
     HISTORY_MAX = 50
 
-    def update_file_index(self, name: str, files: list[dict[str, Any]],
+    def update_file_index(self, name: str,
+                          files: "list[dict[str, Any]] | None",
                           append: bool = False, op: str = "write",
-                          properties: dict[str, str] | None = None
-                          ) -> KeyTable:
+                          properties: dict[str, str] | None = None,
+                          base_version: int | None = None) -> KeyTable:
         """Atomically publish a new table version: replace (or extend) the
         live file index and append a history entry. This is the single
         commit point every writer goes through — the catalog-entry swap
@@ -472,16 +473,29 @@ class HeraclesCatalog:
         the claim retries against the fresh state — an APPEND is
         re-applied on top of the winner's files, so two sessions
         interleaving appends both land and DESCRIBE HISTORY shows both
-        commits. Replace-style ops (COW rewrites, analyze) re-apply
-        their full file list, which preserves today's last-writer-wins
-        semantics for conflicting REWRITES of the same rows — honest
-        OCC conflict *detection* for those would need the caller's
-        read-version, out of scope. Markers older than HISTORY_MAX
-        versions are GC'd; a marker orphaned by a crash between claim
-        and save is reclaimed after CAS_STALE_S."""
+        commits. Markers older than HISTORY_MAX versions are GC'd; a
+        marker orphaned by a crash between claim and save is reclaimed
+        after CAS_STALE_S.
+
+        ``files=None`` commits a PROPERTIES-ONLY version (ANALYZE,
+        rollup bookkeeping): the live file set is whatever the fresh
+        disk state holds, so a concurrent append can never be dropped
+        by a stats commit re-applying a stale snapshot.
+
+        ``base_version`` enables OCC conflict DETECTION for
+        replace-style commits (COW DELETE/UPDATE/MERGE, OPTIMIZE): the
+        caller passes the version its kept-file list was computed
+        from; if the table moved on, the commit raises instead of
+        silently dropping the interleaved writer's files — the caller
+        (or user) re-runs the operation against fresh state."""
         name = name.lower()
         if self._txn is not None:
             tbl = self.get_table(name)
+            if base_version is not None and tbl.version != base_version:
+                raise CatalogError(
+                    f"write conflict on {name!r}: operation read "
+                    f"v{base_version}, table is now v{tbl.version} — "
+                    f"retry the operation")
             if name not in self._txn.working:
                 # First write to this table inside the transaction:
                 # version a private copy so the committed state (cache
@@ -494,6 +508,11 @@ class HeraclesCatalog:
             raise CatalogError(f"no such table: {name}")
         for attempt in range(self.CAS_RETRIES):
             tbl = self._load(name)      # fresh disk state, never cache
+            if base_version is not None and tbl.version != base_version:
+                raise CatalogError(
+                    f"write conflict on {name!r}: operation read "
+                    f"v{base_version}, table is now v{tbl.version} — "
+                    f"retry the operation")
             self._apply_update(tbl, files, append, op, properties)
             if self._claim_version(name, tbl.version):
                 self._save(tbl)
@@ -505,9 +524,13 @@ class HeraclesCatalog:
             f"claim {self.CAS_RETRIES} times — another writer is "
             f"committing faster than this one can retry")
 
-    def _apply_update(self, tbl: KeyTable, files: list[dict[str, Any]],
+    def _apply_update(self, tbl: KeyTable,
+                      files: "list[dict[str, Any]] | None",
                       append: bool, op: str,
                       properties: dict[str, str] | None) -> None:
+        if files is None:               # properties-only commit
+            files = tbl.files
+            append = False
         tbl.files = (tbl.files + files) if append else files
         if properties:
             tbl.properties.update(properties)

@@ -244,7 +244,8 @@ def delete_from(spark: SparkSession, catalog: HeraclesCatalog, table: str,
            if where else F.lit(True))
     n_hit = df.where(hit).count()
     remaining = df.where(~hit)
-    out = writer.write_cow_files(spark, catalog, table, remaining, kept)
+    out = writer.write_cow_files(spark, catalog, table, remaining,
+                                 kept, base_version=tbl.version)
     LAST_DML_STATS = {"op": "delete", "files_total": len(tbl.files),
                       "files_rewritten": len(touched),
                       "rows_affected": n_hit}
@@ -282,7 +283,7 @@ def update_table(spark: SparkSession, catalog: HeraclesCatalog, table: str,
             .alias(c) if c in assignments else F.col(c))
            for c, _ in tbl.columns]
     out = writer.write_cow_files(spark, catalog, table, df.select(*sel),
-                                 kept)
+                                 kept, base_version=tbl.version)
     LAST_DML_STATS = {"op": "update", "files_total": len(tbl.files),
                       "files_rewritten": len(touched),
                       "rows_affected": n_hit}

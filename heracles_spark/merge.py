@@ -208,7 +208,7 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
                     # commit it even though no data moved (e.g. a rollup
                     # refresh recording zero-row source files as folded).
                     return catalog.update_file_index(
-                        table, tbl.files, append=False, op="merge-noop",
+                        table, None, op="merge-noop",
                         properties=commit_properties)
                 return tbl
             npred = to_nnf(pred)
@@ -332,7 +332,8 @@ def merge_into(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     if cow_keep is not None:
         out = writer.write_cow_files(spark, catalog, table, result,
                                      keep=cow_keep,
-                                     commit_properties=commit_properties)
+                                     commit_properties=commit_properties,
+                                     base_version=tbl.version)
         LAST_MERGE_STATS = {"mode": "cow", "files_total": n_total,
                             "files_rewritten": n_total - len(cow_keep)}
     else:

@@ -58,8 +58,8 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
                         n_buckets: int | None = None,
                         upsert: bool = False,
                         op: str | None = None,
-                        commit_properties: dict[str, str] | None = None
-                        ) -> KeyTable:
+                        commit_properties: dict[str, str] | None = None,
+                        base_version: int | None = None) -> KeyTable:
     """Write ``df`` into ``table`` with key-range layout and refresh the
     file index. ``mode`` is 'append' or 'overwrite'."""
     tbl = catalog.get_table(table)
@@ -124,7 +124,8 @@ def write_key_organized(spark: SparkSession, catalog: HeraclesCatalog,
     if mode == "overwrite":
         return catalog.update_file_index(table, new_entries, append=False,
                                          op=op or "overwrite",
-                                         properties=commit_properties)
+                                         properties=commit_properties,
+                                         base_version=base_version)
     return catalog.update_file_index(table, new_entries, append=True,
                                      op=op or "append",
                                      properties=commit_properties)
@@ -440,9 +441,13 @@ def optimize_table(spark: SparkSession, catalog: HeraclesCatalog,
     concurrent writers)."""
     tbl = catalog.get_table(table)
     df = catalog.read_table(spark, table)
-    del tbl
+    # OCC read-version: the rewrite's content is THIS snapshot — commit
+    # raises on a concurrent foreign write instead of dropping its rows
+    # (round-10 multi-writer). INSERT OVERWRITE deliberately passes no
+    # base_version: replace-whatever-is-there is a legal serialization.
     return write_key_organized(spark, catalog, table, df, mode="overwrite",
-                               n_buckets=n_buckets, op="optimize")
+                               n_buckets=n_buckets, op="optimize",
+                               base_version=tbl.version)
 
 
 def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
@@ -504,7 +509,8 @@ def append_batch_exactly_once(spark: SparkSession, catalog: HeraclesCatalog,
         dset = set(dsts)
         kept = [f for f in tbl.files if f["path"] not in dset]
         out = catalog.update_file_index(table, kept + new_entries,
-                                        append=False, op="stream-append")
+                                        append=False, op="stream-append",
+                                        base_version=tbl.version)
         # The checkpointed stream replays at most the LAST uncommitted
         # batch: once this batch's index commit lands, older markers can
         # never be replayed — prune them so VACUUM's marker protection
@@ -551,7 +557,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
                     keep: list[dict[str, Any]],
                     n_buckets: int | None = None,
                     commit_properties: dict[str, str] | None = None,
-                    op: str = "merge-cow") -> KeyTable:
+                    op: str = "merge-cow",
+                    base_version: int | None = None) -> KeyTable:
     """Copy-on-write partial rewrite: replace the table's files NOT listed
     in ``keep`` with a fresh key-range layout of ``df``, leaving ``keep``
     files untouched on disk, and splice the file index incrementally.
@@ -570,6 +577,11 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
     import uuid
 
     tbl = catalog.get_table(table)
+    if base_version is None:
+        # OCC read-version: the kept-file list is only valid against
+        # this snapshot — the commit below raises on a concurrent
+        # foreign write instead of dropping its files (round-10).
+        base_version = tbl.version
     keys = tbl.key_cols
     keep_paths = {f["path"] for f in keep}
     old_paths = [f["path"] for f in tbl.files if f["path"] not in keep_paths]
@@ -607,7 +619,8 @@ def write_cow_files(spark: SparkSession, catalog: HeraclesCatalog,
                                      bloom_cols=_bloom_cols(tbl))
     return catalog.update_file_index(table, list(keep) + new_entries,
                                      append=False, op=op,
-                                     properties=commit_properties)
+                                     properties=commit_properties,
+                                     base_version=base_version)
 
 
 def compact_small_files(spark: SparkSession, catalog: HeraclesCatalog,
@@ -649,7 +662,8 @@ def compact_small_files(spark: SparkSession, catalog: HeraclesCatalog,
     n_rows = sum(f["rows"] for f in small)
     n_out = max(1, math.ceil(n_rows / target))
     out = write_cow_files(spark, catalog, table, df, keep,
-                          n_buckets=n_out, op="compact")
+                          n_buckets=n_out, op="compact",
+                          base_version=tbl.version)
     return {"files_total": len(tbl.files),
             "files_compacted": len(small_paths),
             "files_written": len(out.files) - len(keep),
@@ -954,7 +968,11 @@ def analyze_table(spark: SparkSession, catalog: HeraclesCatalog,
         # stays readable; refresh_statistics unions against it.
         props["stats_hll"] = _json.dumps(sketches)
     _save_sidecar(tbl, {"cols": scan_cols, "files": recs})
-    catalog.update_file_index(table, tbl.files, append=False, op="analyze",
+    # files=None: a properties-only commit — a concurrent append
+    # between the stats scan and this commit keeps its file (round-10
+    # multi-writer: re-applying the scanned snapshot would drop it
+    # from the index and VACUUM would then delete the data).
+    catalog.update_file_index(table, None, op="analyze",
                               properties=props)
     return stats
 
@@ -1020,7 +1038,7 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
     if not new_paths and not removed:
         stats["analyzed_version"] = tbl.version
         catalog.update_file_index(
-            table, tbl.files, append=False, op="analyze",
+            table, None, op="analyze",
             properties={"stats": _json.dumps(stats)})
         return {"mode": "noop", **stats}
 
@@ -1046,7 +1064,7 @@ def refresh_statistics(spark: SparkSession, catalog: HeraclesCatalog,
     if sketches:
         props["stats_hll"] = _json.dumps(sketches)
     _save_sidecar(tbl, {"cols": scan_cols, "files": recs})
-    catalog.update_file_index(table, tbl.files, append=False, op="analyze",
+    catalog.update_file_index(table, None, op="analyze",
                               properties=props)
     return {"mode": "incremental" if not removed else "incremental-cow",
             "n_new_files": len(new_paths),

@@ -203,5 +203,10 @@ def write_zordered(spark, catalog: HeraclesCatalog, table: str,
     new_paths = writer._stage_and_move(laid_out, tbl)
     files = writer.harvest_file_index(tbl.data_dir, tbl.key_cols,
                                       paths=new_paths)
+    # Overwrite replaces the whole file set computed from THIS snapshot
+    # — OCC-guard it so a concurrent foreign append isn't dropped
+    # (round-10 multi-writer); appends compose and need no guard.
     return catalog.update_file_index(table, files, append=(mode == "append"),
-                                     op=f"zorder-{curve}")
+                                     op=f"zorder-{curve}",
+                                     base_version=(None if mode == "append"
+                                                   else tbl.version))

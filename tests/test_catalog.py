@@ -240,3 +240,67 @@ def test_file_index_sidecar_at_target_scale(catalog):
         == ["/data/part-000000.parquet", "/data/part-099999.parquet"]
     assert commit_s < 30 and load_s < 10 and prune_s < 5, \
         (commit_s, load_s, prune_s)
+
+
+def test_cow_conflict_detection_and_stats_append_safety(tmp_path, spark,
+                                                        monkeypatch):
+    """Round-10 second wave: (1) a COW DELETE whose kept-file list was
+    computed at version N RAISES a write-conflict when a foreign append
+    committed N+1 in between — never silently drops the appended file;
+    a retry against fresh state succeeds with both effects applied.
+    (2) ANALYZE commits properties-ONLY (files=None), so an append that
+    lands between the stats scan and the stats commit keeps its file."""
+    import pytest as _pt
+
+    from heracles_spark import dml, writer
+    from heracles_spark.session import HeraclesSession
+
+    ms = str(tmp_path / "occ_ms")
+    hs1 = HeraclesSession(spark, ms)
+    hs2 = HeraclesSession(spark, ms)
+    hs1.sql("CREATE TABLE t (k BIGINT, v STRING) "
+            "TBLPROPERTIES('keyCols'='k')")
+    from pyspark.sql import functions as F
+    writer.write_key_organized(
+        spark, hs1.catalog, "t",
+        spark.range(20).select(F.col("id").alias("k"),
+                               F.concat(F.lit("v"), F.col("id"))
+                                .alias("v")), n_buckets=2)
+
+    # (1) interleave a foreign append inside the DELETE's read window
+    orig = dml._touched_and_kept
+
+    def racy(tbl, where):
+        out = orig(tbl, where)
+        hs2.sql("INSERT INTO t VALUES (100, 'foreign')")
+        return out
+
+    monkeypatch.setattr(dml, "_touched_and_kept", racy)
+    with _pt.raises(CatalogError, match="write conflict"):
+        dml.delete_from(spark, hs1.catalog, "t", "k < 5")
+    monkeypatch.setattr(dml, "_touched_and_kept", orig)
+    # nothing lost by the failed attempt; retry applies both effects
+    dml.delete_from(spark, hs1.catalog, "t", "k < 5")
+    rows = sorted(r.k for r in
+                  hs1.catalog.read_table(spark, "t").collect())
+    assert rows == list(range(5, 20)) + [100]
+
+    # (2) ANALYZE vs concurrent append: stats commit must not eject
+    # the foreign file from the index
+    orig_sidecar = writer._save_sidecar
+    hit = {"n": 0}
+
+    def racy_sidecar(tbl, payload):
+        if hit["n"] == 0:
+            hit["n"] = 1
+            hs2.sql("INSERT INTO t VALUES (200, 'during-analyze')")
+        return orig_sidecar(tbl, payload)
+
+    monkeypatch.setattr(writer, "_save_sidecar", racy_sidecar)
+    writer.analyze_table(spark, hs1.catalog, "t", for_columns=True)
+    monkeypatch.setattr(writer, "_save_sidecar", orig_sidecar)
+    t = hs1.catalog.get_table("t")
+    assert t.properties.get("stats")            # stats landed
+    rows = sorted(r.k for r in
+                  hs1.catalog.read_table(spark, "t").collect())
+    assert 200 in rows                          # append survived
