@@ -293,3 +293,92 @@ ORDER BY k
 
 QUERIES["catalog_multiwriter_appends"] = (catalog_multiwriter_appends,
                                           MULTIWRITER_SQL)
+
+
+def catalog_occ_conflict(spark, sf_dir):
+    """Round-10 second wave certified: replace-style commits carry
+    their READ-VERSION. A COW DELETE whose kept-file list was computed
+    at version N must RAISE a write-conflict when a foreign session's
+    INSERT commits N+1 inside its read window — never silently drop
+    the appended file — and the retry against fresh state applies both
+    effects. An ANALYZE racing an INSERT commits properties-only and
+    keeps the foreign file. The value hash pins the conflict-raised /
+    retry-healed / append-survived booleans AND the final row set, so
+    a lost update flips the data hash and a dead guard flips a
+    boolean."""
+    from heracles_spark import dml, writer
+    from heracles_spark.catalog import CatalogError
+    from heracles_spark.session import HeraclesSession
+
+    ms = tempfile.mkdtemp(prefix="heracles_occ_")
+    hs1 = HeraclesSession(spark, ms)
+    hs2 = HeraclesSession(spark, ms)
+    hs1.sql("CREATE TABLE occ (k BIGINT, v STRING) "
+            "TBLPROPERTIES('keyCols'='k')")
+    writer.write_key_organized(
+        spark, hs1.catalog, "occ",
+        spark.range(20).select(F.col("id").alias("k"),
+                               F.concat(F.lit("v"), F.col("id"))
+                                .alias("v")), n_buckets=2)
+
+    orig = dml._touched_and_kept
+    hit = {"n": 0}
+
+    def racy(tbl, where):
+        out = orig(tbl, where)
+        if hit["n"] == 0:
+            hit["n"] = 1
+            hs2.sql("INSERT INTO occ VALUES (100, 'foreign')")
+        return out
+
+    dml._touched_and_kept = racy
+    conflict_raised = False
+    try:
+        dml.delete_from(spark, hs1.catalog, "occ", "k < 5")
+    except CatalogError:
+        conflict_raised = True
+    finally:
+        dml._touched_and_kept = orig
+    dml.delete_from(spark, hs1.catalog, "occ", "k < 5")   # retry heals
+
+    # ANALYZE racing an INSERT: properties-only commit keeps the file
+    orig_sc = writer._save_sidecar
+    hit2 = {"n": 0}
+
+    def racy_sc(tbl, payload):
+        if hit2["n"] == 0:
+            hit2["n"] = 1
+            hs2.sql("INSERT INTO occ VALUES (200, 'during-analyze')")
+        return orig_sc(tbl, payload)
+
+    writer._save_sidecar = racy_sc
+    try:
+        writer.analyze_table(spark, hs1.catalog, "occ",
+                             for_columns=True)
+    finally:
+        writer._save_sidecar = orig_sc
+    stats_present = bool(
+        hs1.catalog.get_table("occ").properties.get("stats"))
+
+    rows = [(int(r.k), r.v) for r in
+            hs1.catalog.read_table(spark, "occ")
+               .orderBy("k").collect()]
+    return (spark.createDataFrame(rows, "k: long, v: string")
+                 .withColumn("conflict_raised", F.lit(conflict_raised))
+                 .withColumn("stats_present", F.lit(stats_present))
+                 .orderBy("k"))
+
+
+OCC_CONFLICT_SQL = """
+SELECT CAST(k AS BIGINT) AS k,
+       CASE WHEN k = 100 THEN 'foreign'
+            WHEN k = 200 THEN 'during-analyze'
+            ELSE 'v' || CAST(k AS VARCHAR) END AS v,
+       TRUE AS conflict_raised, TRUE AS stats_present
+FROM (SELECT UNNEST(ARRAY[5,6,7,8,9,10,11,12,13,14,15,16,17,18,19,
+                          100,200]) AS k)
+ORDER BY k
+"""
+
+QUERIES["catalog_occ_conflict"] = (catalog_occ_conflict,
+                                   OCC_CONFLICT_SQL)
