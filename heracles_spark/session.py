@@ -96,8 +96,11 @@ class HeraclesSession:
         # for the most recent dispatched SELECT (sql._inject_stats_hints).
         self.last_join_decisions: list[dict] = []
         # Audit of the most recent dispatched SELECT's access-path
-        # routing (sql._route_pruned_select).
+        # routing (sql._route_pruned_select / _route_vector_topk).
         self.last_select_route: dict = {}
+        # Audit of the most recent dispatched SELECT's join-reorder
+        # decision (sql._maybe_reorder_joins).
+        self.last_join_reorder: dict = {}
         self.catalog.register_all(self.spark)
 
     def sql(self, statement: str):
