@@ -494,8 +494,15 @@ def ivf_topk(df_with_cells: DataFrame, query_vec: list[float], k: int = 10,
         range(n_cells),
         key=lambda ci: -sum(a * b for a, b in zip(cents[ci], query_vec)) / qn)
     probe = scored[:n_probe]
-    cos = (dot_flat(f"`{vec_col}`", query_vec, dim)
-           / (norm_flat(f"`{vec_col}`", dim) * F.lit(pynorm(query_vec))))
+    # try_divide + coalesce(-1): a ZERO-NORM stored vector has undefined
+    # cosine — rank it last (least similar) instead of throwing ANSI
+    # DIVIDE_BY_ZERO (round-10; matches the SQL cosine_distance macro's
+    # zero-norm behavior so routed and exact paths order consistently).
+    cos = F.coalesce(
+        F.try_divide(dot_flat(f"`{vec_col}`", query_vec, dim),
+                     norm_flat(f"`{vec_col}`", dim)
+                     * F.lit(pynorm(query_vec))),
+        F.lit(-1.0))
     return (df_with_cells.where(F.col("cell_id").isin(probe))
             .select(F.col(id_col), F.round(cos, 6).alias("cosine"))
             .orderBy(F.desc("cosine"), id_col)

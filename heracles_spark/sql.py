@@ -1598,12 +1598,17 @@ def _route_pruned_select(session, statement: str):
 # appear in Sort; a Python UDF would leave the JVM). try_divide keeps
 # zero-norm vectors NULL instead of an ANSI division error.
 _COS_DIST = re.compile(r"\bcosine_distance\s*\(", re.IGNORECASE)
+# coalesce(-1): a zero-norm vector's cosine is undefined — give it
+# similarity -1 (distance 2.0, the maximum), so it ranks LAST under
+# ORDER BY distance on both the exact and the index-routed path
+# (ivf_topk uses the same convention) instead of NULLS-FIRST surprises.
 _COS_TEMPLATE = (
-    "(1.0D - try_divide("
+    "(1.0D - coalesce(try_divide("
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * y), "
     "0D, (acc, v) -> acc + v), "
     "sqrt(aggregate({a}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v)) * "
-    "sqrt(aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))))")
+    "sqrt(aggregate({b}, 0D, (acc, v) -> acc + CAST(v AS DOUBLE) * v))), "
+    "CAST(-1.0 AS DOUBLE)))")
 
 
 def _split_call_args(s: str, start: int):

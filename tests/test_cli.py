@@ -139,7 +139,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
                               "demo3_sales1m.sql",
                               "demo4_vector_index.sql",
                               "demo5_statistics.sql",
-                              "demo6_modern_sql.sql"]):
+                              "demo6_modern_sql.sql",
+                              "demo7_round10.sql"]):
         monkeypatch.setenv("HERACLES_METASTORE",
                            str(tmp_path / f"ms{i}"))
         script = open(os.path.join(ex, name)).read()
@@ -184,6 +185,15 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert "ndv-containment" in out           # join-chain row
             # ASOF JOIN produced bid values from the right side
             assert "99.5" in out and "77.0" in out
+        if name == "demo7_round10.sql":
+            # OR routing returned the 6 edge rows + the degenerate 5
+            assert "\n9997\t999.7\n" in out
+            assert "\n9999\n" in out
+            # exact vector top-1 is the self-match family (vec_id 1 has
+            # embedding exactly [7,11,3,5]); distance to it is 0
+            assert "\n1\t0.0\n" in out
+            # join reorder preserved the answer
+            assert "\n6250\n" in out
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
