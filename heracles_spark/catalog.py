@@ -277,13 +277,20 @@ class HeraclesCatalog:
                     return self._cache[name]
         if not self.table_exists(name):
             raise CatalogError(f"no such table: {name}")
+        # Stat BEFORE loading (round-10 review fix): a foreign write
+        # landing between the two would otherwise pin the OLD table
+        # object under the NEW mtime and serve it as fresh forever —
+        # recording the pre-load mtime errs toward an extra reload.
+        try:
+            mt = os.stat(self._path(name)).st_mtime_ns
+        except OSError:
+            mt = None
         tbl = self._load(name)
         with self._lock:
             self._cache[name] = tbl
-            try:
-                self._cache_mtime[name] = os.stat(
-                    self._path(name)).st_mtime_ns
-            except OSError:
+            if mt is not None:
+                self._cache_mtime[name] = mt
+            else:
                 self._cache_mtime.pop(name, None)
         return tbl
 
@@ -514,7 +521,15 @@ class HeraclesCatalog:
                     f"v{base_version}, table is now v{tbl.version} — "
                     f"retry the operation")
             self._apply_update(tbl, files, append, op, properties)
-            if self._claim_version(name, tbl.version):
+            token = self._claim_version(name, tbl.version)
+            if token is not None and self._own_claim(name, tbl.version,
+                                                     token):
+                # Fencing (round-10 review): a writer stalled past
+                # CAS_STALE_S between claim and save could have had
+                # its orphan-looking marker reclaimed — re-verifying
+                # the token narrows the double-save window to the
+                # check→save gap (the residual caveat of CAS on a
+                # plain filesystem without a lock service).
                 self._save(tbl)
                 self._gc_markers(name, tbl.version)
                 return tbl
@@ -545,23 +560,29 @@ class HeraclesCatalog:
         tbl.history = tbl.history[-self.HISTORY_MAX:]
 
     CAS_RETRIES = 12
-    CAS_STALE_S = 10.0      # orphaned-marker reclaim age
+    CAS_STALE_S = 30.0      # orphaned-marker reclaim age
 
     def _marker(self, name: str, version: int) -> str:
         return os.path.join(self.commits_dir, f"{name}.v{version}")
 
-    def _claim_version(self, name: str, version: int) -> bool:
+    def _claim_version(self, name: str, version: int) -> "str | None":
         """Atomically claim (name, version) via O_CREAT|O_EXCL — the
         compare-and-swap: exactly one writer wins each version number.
-        A marker whose version was never saved (crash between claim
-        and save) is reclaimed once it is CAS_STALE_S old and the
-        on-disk table is still behind it."""
+        Returns the claim's owner TOKEN on success (the fencing value
+        ``_own_claim`` re-verifies before the save), None on a lost
+        claim. A marker whose version was never saved (crash between
+        claim and save) is reclaimed once it is CAS_STALE_S old and
+        the on-disk table is still behind it."""
         os.makedirs(self.commits_dir, exist_ok=True)
         marker = self._marker(name, version)
+        token = uuid.uuid4().hex
         try:
             fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
-            return True
+            try:
+                os.write(fd, token.encode("ascii"))
+            finally:
+                os.close(fd)
+            return token
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(marker)
@@ -570,6 +591,13 @@ class HeraclesCatalog:
                     os.remove(marker)   # orphan; next attempt re-races
             except OSError:
                 pass
+            return None
+
+    def _own_claim(self, name: str, version: int, token: str) -> bool:
+        try:
+            with open(self._marker(name, version)) as f:
+                return f.read() == token
+        except OSError:
             return False
 
     def _gc_markers(self, name: str, version: int) -> None:
@@ -665,16 +693,27 @@ class HeraclesCatalog:
     def _path(self, name: str) -> str:
         return os.path.join(self.tables_dir, f"{name}.json")
 
-    def _index_path(self, name: str) -> str:
+    def _index_path(self, name: str, version: int | None = None) -> str:
         d = os.path.join(self.metastore_dir, "indexes")
         os.makedirs(d, exist_ok=True)
-        return os.path.join(d, f"{name}.files.parquet")
+        if version is None:             # legacy unversioned layout
+            return os.path.join(d, f"{name}.files.parquet")
+        return os.path.join(d, f"{name}.files.v{version}.parquet")
 
     def _save(self, tbl: KeyTable) -> None:
         doc = tbl.to_json()
         if len(tbl.files) > self.FILES_INLINE_MAX:
-            self._write_index_parquet(tbl)
-            doc["files"] = {"__files_ref": self._index_path(tbl.name),
+            # Versioned sidecar, published tmp → os.replace (round-10
+            # review fix): a shared mutable path written in place could
+            # hand a concurrent reader a torn parquet or pair version-N
+            # json with version-M sidecar contents. Each version gets
+            # its own immutable file; the json's __files_ref names it
+            # exactly; stale sidecars are GC'd HISTORY_MAX versions
+            # back (concurrent readers of recent jsons stay safe).
+            ref = self._index_path(tbl.name, tbl.version)
+            self._write_index_parquet(tbl, ref)
+            self._gc_index_parquets(tbl.name, tbl.version)
+            doc["files"] = {"__files_ref": ref,
                             "n": len(tbl.files)}
         tmp = self._path(tbl.name) + ".tmp"
         with open(tmp, "w") as f:
@@ -703,7 +742,7 @@ class HeraclesCatalog:
             doc["files"] = self._read_index_parquet(files["__files_ref"])
         return KeyTable.from_json(doc)
 
-    def _write_index_parquet(self, tbl: KeyTable) -> None:
+    def _write_index_parquet(self, tbl: KeyTable, path: str) -> None:
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -713,7 +752,26 @@ class HeraclesCatalog:
                  "bloom_json": json.dumps(f["bloom"])
                                if f.get("bloom") else None}
                 for f in tbl.files]
-        pq.write_table(pa.Table.from_pylist(rows), self._index_path(tbl.name))
+        tmp = path + ".tmp"
+        pq.write_table(pa.Table.from_pylist(rows), tmp)
+        os.replace(tmp, path)
+
+    def _gc_index_parquets(self, name: str, version: int) -> None:
+        floor = version - self.HISTORY_MAX
+        if floor <= 0:
+            return
+        d = os.path.join(self.metastore_dir, "indexes")
+        prefix = f"{name}.files.v"
+        try:
+            for fn in os.listdir(d):
+                if fn.startswith(prefix) and fn.endswith(".parquet"):
+                    try:
+                        if int(fn[len(prefix):-len(".parquet")]) < floor:
+                            os.remove(os.path.join(d, fn))
+                    except (ValueError, OSError):
+                        pass
+        except OSError:
+            pass
 
     @staticmethod
     def _read_index_parquet(path: str) -> list[dict[str, Any]]:

@@ -107,8 +107,7 @@ def create_index(spark: SparkSession, catalog: HeraclesCatalog,
     idx[name] = {"col": icols[0], "cols": icols, "table": itable,
                  "include": include,
                  "built_version": catalog.get_table(table).version + 1}
-    catalog.update_file_index(table, catalog.get_table(table).files,
-                              append=False, op=f"create-index:{name}",
+    catalog.update_file_index(table, None, op=f"create-index:{name}",
                               properties={_PROP: json.dumps(idx)})
     return itable
 
@@ -177,8 +176,7 @@ def refresh_index(spark: SparkSession, catalog: HeraclesCatalog,
     # changing data, so the index is fresh AS OF that version.
     entry["built_version"] = tbl.version + 1
     idx[name] = entry
-    catalog.update_file_index(table, catalog.get_table(table).files,
-                              append=False, op=f"refresh-index:{name}",
+    catalog.update_file_index(table, None, op=f"refresh-index:{name}",
                               properties={_PROP: json.dumps(idx)})
     return {"refreshed": True, "mode": mode,
             "built_version": entry["built_version"]}
@@ -191,8 +189,7 @@ def drop_index(catalog: HeraclesCatalog, table: str, name: str) -> None:
         raise ValueError(f"no such index {name!r} on {table}")
     itable = idx.pop(name)["table"]
     catalog.drop_table(itable)
-    catalog.update_file_index(table, tbl.files, append=False,
-                              op=f"drop-index:{name}",
+    catalog.update_file_index(table, None, op=f"drop-index:{name}",
                               properties={_PROP: json.dumps(idx)})
 
 

@@ -701,7 +701,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
                 f"violate ({expr})")
         cons[cname] = expr
         catalog.update_file_index(
-            name, tbl.files, append=False, op=f"add-constraint:{cname}",
+            name, None, op=f"add-constraint:{cname}",
             properties={"constraints": _json.dumps(cons)})
         return None
 
@@ -716,7 +716,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
             raise ValueError(f"no such constraint {cname!r}")
         del cons[cname]
         catalog.update_file_index(
-            name, tbl.files, append=False, op=f"drop-constraint:{cname}",
+            name, None, op=f"drop-constraint:{cname}",
             properties={"constraints": _json.dumps(cons)})
         return None
 
@@ -1367,15 +1367,38 @@ def _view_is_shadowed(session, name: str) -> bool:
     registrations are plain reads of the current file set, so semantic
     plan equality against ``read_table`` identifies them; anything
     else — a user view, or a stale pre-write registration — takes the
-    normal (view-resolving) Spark path. Driver-only, no data read."""
+    normal (view-resolving) Spark path. Driver-only, no data read.
+
+    The reference plan is CACHED per (table, version): building
+    ``read_table`` lists every current file at analysis (O(files)
+    driver work — at 1e5 files that would dwarf the prune pass the
+    router saves), so only the first routed statement per table
+    version pays it. Errors resolve conservatively: a missing view
+    means nothing is shadowed; any other analyzer failure disables
+    routing rather than risk bypassing a real user view."""
     catalog = session.catalog
     try:
         cur_view = session.spark.table(catalog.view_name(name))
-        return not cur_view._jdf.queryExecution().analyzed().sameResult(
-            catalog.read_table(session.spark, name)
-            ._jdf.queryExecution().analyzed())
     except Exception:
-        return False      # no such view: nothing is shadowed
+        return False          # no such view: nothing is shadowed
+    tbl = catalog.get_table(name)
+    cache = getattr(session, "_shadow_ref_cache", None)
+    if cache is None:
+        cache = session._shadow_ref_cache = {}
+    ent = cache.get(name)
+    if ent is None or ent[0] != tbl.version:
+        try:
+            ref = (catalog.read_table(session.spark, name)
+                   ._jdf.queryExecution().analyzed())
+        except Exception:
+            return True       # can't build the reference: don't route
+        ent = (tbl.version, ref)
+        cache[name] = ent
+    try:
+        return not cur_view._jdf.queryExecution().analyzed().sameResult(
+            ent[1])
+    except Exception:
+        return True           # analyzer error: conservative, no routing
 
 
 def _broadcast_threshold(session) -> int:
@@ -1675,7 +1698,9 @@ _VEC_TOPK = re.compile(
     r"(?P<vcol>\w+)\s*,\s*array\s*\((?P<vals>[^()]*)\)\s*\)\s*"
     r"(?:ASC\s*)?LIMIT\s+(?P<k>\d+)\s*;?\s*$",
     re.IGNORECASE)
-_NUM_LIT = re.compile(r"[-+]?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?")
+_NUM_ONLY = re.compile(
+    r"\s*[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?[fFdD]?\s*")
+_NUM_SUFFIX = re.compile(r"[fFdD]$")
 
 
 def _route_vector_topk(session, statement: str):
@@ -1722,8 +1747,15 @@ def _route_vector_topk(session, statement: str):
         return None
     if _view_is_shadowed(session, name):
         return None
+    # The array args must be PURELY numeric literals: a column ref or
+    # expression in array(...) would otherwise have its digits scraped
+    # into a garbage constant vector and routed (round-10 review fix) —
+    # non-literal shapes take the exact macro path.
+    parts = m.group("vals").split(",")
+    if not all(_NUM_ONLY.fullmatch(p) for p in parts):
+        return None
     try:
-        qvec = [float(v) for v in _NUM_LIT.findall(m.group("vals"))]
+        qvec = [float(_NUM_SUFFIX.sub("", p.strip())) for p in parts]
     except ValueError:
         return None
     if not qvec:
@@ -1792,6 +1824,19 @@ def _maybe_reorder_joins(session, statement: str) -> str:
     m = _JOIN_CHAIN.match(statement)
     if not m:
         return statement
+    # A top-level `*` (or `t.*`) in the select list expands in JOIN
+    # order — reordering would silently permute the OUTPUT COLUMNS for
+    # positional consumers (round-10 review fix). Stars inside calls
+    # (count(*)) sit at paren depth > 0 and are fine.
+    head = m.group("head")
+    depth = 0
+    for i, ch in enumerate(head):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "*" and depth == 0:
+            return statement
     catalog = session.catalog
 
     # nodes: (key=alias-or-name-lower, sql_text, resolved_table)
@@ -1857,10 +1902,19 @@ def _maybe_reorder_joins(session, statement: str) -> str:
                     if est is not None and nodes[key]["rows"] > 0:
                         sel[key] *= est / nodes[key]["rows"]
 
+    # Memoized: the permutation sweep below revisits each tree edge up
+    # to n!/2 times, but only 2(n-1) distinct (owner, new, keys)
+    # estimates exist — without the memo every visit re-parses both
+    # tables' stats JSON (round-10 review fix).
+    _pair_memo: dict = {}
+
     def _pair_rows(owner: str, new: str, ok: str, nk: str):
-        return planner.estimate_equijoin_rows(
-            catalog.get_table(nodes[owner]["table"]),
-            catalog.get_table(nodes[new]["table"]), ok, nk)
+        key = (owner, new, ok, nk)
+        if key not in _pair_memo:
+            _pair_memo[key] = planner.estimate_equijoin_rows(
+                catalog.get_table(nodes[owner]["table"]),
+                catalog.get_table(nodes[new]["table"]), ok, nk)
+        return _pair_memo[key]
 
     def _cost(order: list[str]):
         """Σ intermediate cardinalities over the left-deep order, or

@@ -47,8 +47,8 @@ def _registry(tbl) -> dict:
 
 
 def _commit_registry(catalog, table: str, reg: dict, op: str) -> None:
-    catalog.update_file_index(table, catalog.get_table(table).files,
-                              append=False, op=op,
+    # files=None: properties-only commit (round-10 review).
+    catalog.update_file_index(table, None, op=op,
                               properties={_PROP: json.dumps(reg)})
 
 

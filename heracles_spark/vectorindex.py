@@ -54,8 +54,9 @@ def _registry(tbl) -> dict:
 
 
 def _commit_registry(catalog, table: str, reg: dict, op: str) -> None:
-    catalog.update_file_index(table, catalog.get_table(table).files,
-                              append=False, op=op,
+    # files=None: properties-only commit — never re-applies a stale
+    # file snapshot under multi-writer concurrency (round-10 review).
+    catalog.update_file_index(table, None, op=op,
                               properties={_PROP: json.dumps(reg)})
 
 
