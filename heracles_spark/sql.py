@@ -322,6 +322,9 @@ _DESCRIBE = re.compile(
     re.IGNORECASE)
 _DESC_DETAIL = re.compile(
     r"^\s*DESC(?:RIBE)?\s+DETAIL\s+(?P<name>[\w.]+)\s*$", re.IGNORECASE)
+_EXPLAIN_REORDER = re.compile(
+    r"^\s*EXPLAIN\s+REORDER\s+(?P<rest>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL)
 _EXPLAIN_LAYOUT = re.compile(
     r"^\s*EXPLAIN\s+LAYOUT\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
@@ -910,6 +913,35 @@ def dispatch(session, statement: str) -> DataFrame | None:
                   "analyzed_version: int, ndv: long, nulls: long, "
                   "min: double, max: double, avg_len: double, "
                   "hist_buckets: int")
+
+    m = _EXPLAIN_REORDER.match(statement)
+    if m:
+        # The reorderer's cost table, metadata-only (completes the
+        # EXPLAIN ESTIMATE / LAYOUT advisor family): written vs best
+        # left-deep order, Σ-intermediate-rows estimates, and whether
+        # the dispatcher would rewrite. Runs the SAME code path the
+        # statement takes, so the verdict is the real one.
+        _maybe_reorder_joins(session, m.group("rest"))
+        a = session.last_join_reorder
+        if not a:
+            return spark.createDataFrame(
+                [(False, None, None, None, None, None, None)],
+                "supported: boolean, written_order: string, "
+                "best_order: string, written_est_rows: long, "
+                "best_est_rows: long, factor: double, "
+                "would_rewrite: boolean")
+        return spark.createDataFrame(
+            [(True,
+              " JOIN ".join(a["written_order"]),
+              " JOIN ".join(a["best_order"]),
+              int(a["written_est_cost"]),
+              int(a["best_est_cost"]),
+              float(round(a["factor"], 3)),
+              bool(a["factor"] >= a["threshold_factor"]))],
+            "supported: boolean, written_order: string, "
+            "best_order: string, written_est_rows: long, "
+            "best_est_rows: long, factor: double, "
+            "would_rewrite: boolean")
 
     m = _EXPLAIN_LAYOUT.match(statement)
     if m and catalog.table_exists(_resolve(session, m.group("name"))):

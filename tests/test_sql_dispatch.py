@@ -1303,6 +1303,19 @@ def test_stats_join_reorder(hsession, catalog):
                  "ON jf.m = jm.m JOIN jd ON jf.d = jd.d").first()
     assert hsession.last_join_reorder == {}
 
+    # EXPLAIN REORDER surfaces the cost table without running the query
+    row = hsession.sql(
+        "EXPLAIN REORDER SELECT count(*) AS n FROM jf "
+        "JOIN jm ON jf.m = jm.m JOIN jd ON jf.d = jd.d").first()
+    assert row.supported and row.would_rewrite
+    assert row.factor >= 10
+    assert row.written_est_rows > row.best_est_rows
+    assert row.best_order.split(" JOIN ")[-1] in ("jm", "jf")
+    # unsupported shapes report supported=False
+    row = hsession.sql(
+        "EXPLAIN REORDER SELECT 1 AS x FROM jf").first()
+    assert row.supported is False and row.would_rewrite is None
+
     # WHERE selectivity composes into the cost (round-10 second wave):
     # a FILTERED dimension — invisible to NDV containment alone — must
     # trigger the reorder via its histogram estimate
