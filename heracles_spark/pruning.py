@@ -42,6 +42,11 @@ MAY, NO = True, False
 # last_select_route) read it instead of re-running prune_files, so a
 # routed statement prunes exactly ONCE (round-10 judge ask #5: two
 # O(files) driver passes double route latency at 1e5+ file counts).
+# Concurrency (round-11 advisor fix): rebound to a FRESH dict per scan
+# (one atomic store under the GIL), never mutated in place — a reader
+# in another thread sees a complete previous record, never a
+# half-cleared one. Callers that must not race at all pass
+# ``stats_out`` and read their own private record.
 LAST_SCAN_STATS: dict[str, int] = {}
 # Monotone call counter, test-visible: pytest pins one prune_files
 # call per routed statement.
@@ -185,16 +190,23 @@ def _lit(v: Any) -> str:
 
 
 def scan(spark: SparkSession, catalog: HeraclesCatalog, table: str,
-         pred: tuple | None = None) -> DataFrame:
+         pred: tuple | None = None,
+         stats_out: "dict[str, int] | None" = None) -> DataFrame:
     """Pruned scan: file-index pruning, then a normal parquet read of the
     survivors with the full predicate as a residual filter (pushed to
     parquet row groups by Spark — ≙ per-partition predicate
-    specialization, HBasePartition.computePredicate)."""
+    specialization, HBasePartition.computePredicate).
+
+    ``stats_out`` (optional) receives this call's own pruning record —
+    the race-free way for a caller to consume the outcome; the module
+    global only mirrors the most recent call."""
+    global LAST_SCAN_STATS
     tbl = catalog.get_table(table)
     keep = prune_files(tbl.files, pred, tbl.key_cols)
-    LAST_SCAN_STATS.clear()
-    LAST_SCAN_STATS.update({"files_read": len(keep),
-                            "files_total": len(tbl.files)})
+    stats = {"files_read": len(keep), "files_total": len(tbl.files)}
+    if stats_out is not None:
+        stats_out.update(stats)
+    LAST_SCAN_STATS = stats
     if not keep:
         return spark.createDataFrame([], tbl.schema())
     df = spark.read.schema(tbl.schema()).parquet(*[f["path"] for f in keep])

@@ -15,14 +15,14 @@ def _registries():
                                         curation, curation2, curation3,
                                         curation4, curation5, curation6,
                                         curation7, curation8, curation9,
-                                        curation10)
+                                        curation10, curation11)
 
     return (relational.QUERIES, relational2.QUERIES, relational3.QUERIES,
             relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES,
             curation.QUERIES, curation2.QUERIES, curation3.QUERIES,
             curation4.QUERIES, curation5.QUERIES, curation6.QUERIES,
             curation7.QUERIES, curation8.QUERIES, curation9.QUERIES,
-            curation10.QUERIES)
+            curation10.QUERIES, curation11.QUERIES)
 
 
 # Registry ordering: external harnesses sample a PREFIX of the registry
@@ -66,8 +66,11 @@ def _round_salt() -> int:
 
 
 def _driver_check_counts() -> dict[str, int]:
-    """How many committed driver rounds have sampled each query —
-    from the CORRECTNESS_r*.json artifacts only (names, not results)."""
+    """How many committed driver rounds have GREEN-checked each query —
+    from the CORRECTNESS_r*.json artifacts only. A sampled-but-failed
+    round does not count as verification (the query was later fixed but
+    the driver never re-saw it), so failed samples keep the query at
+    the front of the coverage schedule until a green check lands."""
     import glob
     import json
     import os
@@ -77,9 +80,15 @@ def _driver_check_counts() -> dict[str, int]:
                                            "CORRECTNESS_r*.json"))):
         try:
             with open(p) as fh:
-                for name in json.load(fh):
-                    counts[name] = counts.get(name, 0) + 1
-        except (OSError, ValueError):
+                for name, res in json.load(fh).items():
+                    ok = (isinstance(res, dict)
+                          and res.get("rows_match")
+                          and res.get("schema_match") is not False
+                          and res.get("hash_match") is not False
+                          and not res.get("err"))
+                    if ok:
+                        counts[name] = counts.get(name, 0) + 1
+        except (OSError, ValueError, AttributeError):
             continue
     return counts
 

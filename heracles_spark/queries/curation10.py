@@ -115,10 +115,11 @@ def embedding_ann_sql_routed(spark, sf_dir):
     stmt = (f"SELECT vec_id FROM annq ORDER BY "
             f"cosine_distance(embedding, array({lit})) LIMIT 10")
 
-    # exact path first (no index yet): macro-expanded codegen
-    hs.last_select_route = {}
+    # exact path first (no index yet): macro-expanded codegen. The
+    # round-11 advisory contract records WHY it didn't route
+    # (reason=no-vector-index) — "unrouted" is route falsy.
     exact_ids = [r.vec_id for r in hs.sql(stmt).collect()]
-    exact_unrouted = hs.last_select_route == {}
+    exact_unrouted = not hs.last_select_route.get("route")
 
     hs.sql("CREATE VECTOR INDEX annv ON annq (embedding) "
            "WITH (cells=16, sample=2048)")

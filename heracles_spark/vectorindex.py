@@ -455,15 +455,28 @@ def vector_index_topk_batch(spark: SparkSession, catalog, table: str,
 
 def vector_index_topk(spark: SparkSession, catalog, table: str,
                       iname: str, query_vec: list[float], k: int = 10,
-                      n_probe: int = 4) -> DataFrame:
+                      n_probe: int = 4,
+                      pred_sql: "str | None" = None) -> DataFrame:
     """ANN top-k through the catalog store: score centroids
     driver-side, read ONLY the probed cells (partition pruning), exact
-    cosine rerank inside them."""
+    cosine rerank inside them.
+
+    ``pred_sql`` (optional) is a SQL condition over the table's
+    columns applied INSIDE the probed cells BEFORE the rank — filtered
+    vector search (round-11): the store carries every base column
+    (ivf_build joins them back), so the filter is a codegen'd
+    pre-filter on the pruned scan, never a post-rank over-fetch.
+    Filtered recall keeps the index's per-probe contract: matching
+    vectors outside the probed cells are missed exactly as unfiltered
+    ANN misses them — raise n_probe for higher filtered recall."""
     from heracles_spark.operators import similarity
 
     tbl = catalog.get_table(table)
     entry = _registry(tbl)[iname]
+    store = read_store(spark, catalog, table, iname)
+    if pred_sql is not None:
+        store = store.where(pred_sql)
     return similarity.ivf_topk(
-        read_store(spark, catalog, table, iname), query_vec, k=k,
+        store, query_vec, k=k,
         n_probe=n_probe, id_col=tbl.key_cols[0], vec_col=entry["col"],
         centroids=load_centroids(catalog, table, iname))

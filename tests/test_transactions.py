@@ -226,3 +226,46 @@ def test_write_audit_publish_view_hygiene(spark, catalog):
     assert not [v.name for v in spark.catalog.listTables()
                 if v.name.startswith("__wap_")]
     spark.catalog.dropTempView("t")
+
+
+def test_commit_conflicts_with_foreign_commit(spark, catalog):
+    """OCC at transaction scope (round-11 advisor fix): a foreign
+    session's commit landing after a table was buffered inside an open
+    transaction must fail the transaction COMMIT — never be silently
+    overwritten by the journal apply."""
+    _mk(catalog, "a")
+    _write(spark, catalog, "a", [(1, 1)])
+    catalog.begin_transaction()
+    _write(spark, catalog, "a", [(2, 2)])       # buffered at base v1
+    foreign = HeraclesCatalog(catalog.metastore_dir)
+    _write(spark, foreign, "a", [(9, 9)])       # lands v2 on disk
+    with pytest.raises(CatalogError, match="write conflict"):
+        catalog.commit_transaction()
+    # The foreign commit survives; the txn published nothing.
+    fresh = HeraclesCatalog(catalog.metastore_dir)
+    assert fresh.get_table("a").version == 2
+    vals = {r.v for r in fresh.read_table(spark, "a").collect()}
+    assert vals == {1, 9}
+    # No journal and no leaked version markers block later commits.
+    assert not [f for f in os.listdir(catalog.txns_dir)
+                if f.endswith(".json")] \
+        if os.path.isdir(catalog.txns_dir) else True
+    _write(spark, fresh, "a", [(3, 3)])         # next commit proceeds
+    assert fresh.get_table("a").version == 3
+
+
+def test_commit_claims_fence_foreign_writer(spark, catalog):
+    """The transaction commit claims each touched table's next version
+    marker — a foreign single-table writer racing the commit window
+    loses its first claim and retries against the committed state (no
+    lost update on either side)."""
+    _mk(catalog, "a")
+    catalog.begin_transaction()
+    _write(spark, catalog, "a", [(1, 1)])
+    touched = catalog.commit_transaction()
+    assert touched == ["a"]
+    foreign = HeraclesCatalog(catalog.metastore_dir)
+    _write(spark, foreign, "a", [(2, 2)])
+    fresh = HeraclesCatalog(catalog.metastore_dir)
+    assert fresh.get_table("a").version == 2
+    assert fresh.read_table(spark, "a").count() == 2
