@@ -167,3 +167,65 @@ SELECT 10 AS n_ann, TRUE AS routed_at_default_probe,
 
 QUERIES["embedding_ann_clustered_default"] = (
     embedding_ann_clustered_default, ANN_CLUSTERED_SQL)
+
+
+def embedding_ann_sql_scored(spark, sf_dir):
+    """Round-11 second wave: the pgvector serving shape — ``SELECT
+    key, cosine_distance(vec, array(...)) AS dist`` repeating the
+    ORDER BY call — routes through the vector index and returns the
+    distance column. At FULL probe (annProbe = cells) the routed ids
+    equal the exact macro path's ids and the projected distances agree
+    within the probe's 6-dp cosine rounding; ascending order pinned."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_ans_"))
+    cat = hs.catalog
+    e = _t(spark, sf_dir, "embeddings")
+    cat.create_table("anns", [("vec_id", "bigint"),
+                              ("embedding", "array<float>")], ["vec_id"])
+    writer.write_key_organized(
+        spark, cat, "anns",
+        e.select(F.col("vec_id").cast("bigint"), "embedding"),
+        n_buckets=4)
+    cat.register_all(spark)
+    qvec = [float(x) for x in e.orderBy("vec_id").first()["embedding"]]
+    lit = ", ".join(repr(v) for v in qvec)
+    stmt = (f"SELECT vec_id, cosine_distance(embedding, array({lit})) "
+            f"AS dist FROM anns ORDER BY "
+            f"cosine_distance(embedding, array({lit})) LIMIT 10")
+
+    exact = hs.sql(stmt).collect()          # no index: macro path
+    exact_unrouted = not hs.last_select_route.get("route")
+
+    hs.sql("CREATE VECTOR INDEX ansv ON anns (embedding) "
+           "WITH (cells=16, sample=2048)")
+    spark.conf.set("spark.sql.heracles.annProbe", "16")   # full probe
+    try:
+        got = hs.sql(stmt).collect()
+        rr = dict(hs.last_select_route)
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
+    routed_scored = bool(rr.get("route") == "vector-index"
+                         and rr.get("scored") is True)
+    ids_equal = [r.vec_id for r in got] == [r.vec_id for r in exact]
+    dist_agree = all(abs(a.dist - b.dist) < 1e-4
+                     for a, b in zip(got, exact))
+    ascending = all(got[i].dist <= got[i + 1].dist + 1e-9
+                    for i in range(len(got) - 1))
+    return spark.createDataFrame(
+        [(len(got), bool(exact_unrouted), routed_scored,
+          bool(ids_equal), bool(dist_agree), bool(ascending))],
+        "n_ann: int, exact_unrouted: boolean, routed_scored: boolean, "
+        "ids_equal_at_full_probe: boolean, dist_within_rounding: "
+        "boolean, ascending_order: boolean")
+
+
+ANN_SCORED_SQL = """
+SELECT 10 AS n_ann, TRUE AS exact_unrouted, TRUE AS routed_scored,
+       TRUE AS ids_equal_at_full_probe, TRUE AS dist_within_rounding,
+       TRUE AS ascending_order
+"""
+
+QUERIES["embedding_ann_sql_scored"] = (embedding_ann_sql_scored,
+                                       ANN_SCORED_SQL)

@@ -325,6 +325,9 @@ _DESC_DETAIL = re.compile(
 _EXPLAIN_REORDER = re.compile(
     r"^\s*EXPLAIN\s+REORDER\s+(?P<rest>SELECT\b.+)$",
     re.IGNORECASE | re.DOTALL)
+_EXPLAIN_ROUTE = re.compile(
+    r"^\s*EXPLAIN\s+ROUTE\s+(?P<rest>SELECT\b.+)$",
+    re.IGNORECASE | re.DOTALL)
 _EXPLAIN_LAYOUT = re.compile(
     r"^\s*EXPLAIN\s+LAYOUT\s+(?:FOR\s+)?(?P<name>[\w.]+)\s*$",
     re.IGNORECASE)
@@ -952,6 +955,37 @@ def dispatch(session, statement: str) -> DataFrame | None:
               bool(a["best_est_cost"] > 0
                    and a["factor"] >= a["threshold_factor"]),
               a.get("reason"))], schema)
+
+    m = _EXPLAIN_ROUTE.match(statement)
+    if m:
+        # Access-path advisory (round-11, completes the EXPLAIN
+        # ESTIMATE/LAYOUT/REORDER family): run the SAME routers the
+        # statement takes at dispatch and surface the verdict — route
+        # taken (pruned-scan / indexed / vector-index) with its
+        # pruning facts, or the decline REASON CODE. The pruned-scan
+        # verdict is metadata-only; a vector join-back verdict
+        # executes the k-row probe (the facts ARE its outcome).
+        inner = m.group("rest")
+        routed = _route_pruned_select(session, inner)
+        if routed is None:
+            routed = _route_vector_topk(session, inner)
+        a = dict(session.last_select_route)
+        if not a:
+            # Neither router even matched the statement's shape.
+            a = {"route": None, "reason": "shape:not-a-routable-select"}
+        return spark.createDataFrame(
+            [(a.get("route"),
+              a.get("reason"),
+              a.get("files_read"), a.get("files_total"),
+              a.get("mode"),
+              a.get("index"), a.get("n_probe"), a.get("k"),
+              a.get("filtered"), a.get("join_back"),
+              a.get("base_files_read"), a.get("base_files_total"))],
+            "route: string, reason: string, files_read: long, "
+            "files_total: long, index_mode: string, vector_index: "
+            "string, n_probe: int, k: int, filtered: boolean, "
+            "join_back: boolean, base_files_read: long, "
+            "base_files_total: long")
 
     m = _EXPLAIN_LAYOUT.match(statement)
     if m and catalog.table_exists(_resolve(session, m.group("name"))):
@@ -1744,9 +1778,14 @@ def _expand_cosine_distance(statement: str) -> str:
     return "".join(out)
 
 
+# The projection may end with the SCORE itself — ``, cosine_distance(
+# vcol, array(...)) AS alias`` (the pgvector serving shape); the call
+# must textually repeat the ORDER BY's call.
 _VEC_TOPK = re.compile(
-    r"^\s*SELECT\s+(?P<cols>\w+(?:\s*,\s*\w+)*)\s+FROM\s+"
-    r"(?P<name>[\w.]+)"
+    r"^\s*SELECT\s+(?P<cols>\w+(?:\s*,\s*\w+)*)"
+    r"(?:\s*,\s*cosine_distance\s*\(\s*(?P<pvcol>\w+)\s*,\s*"
+    r"array\s*\((?P<pvals>[^()]*)\)\s*\)\s+AS\s+(?P<salias>\w+))?"
+    r"\s+FROM\s+(?P<name>[\w.]+)"
     r"(?:\s+WHERE\s+(?P<pred>.+?))?"
     r"\s+ORDER\s+BY\s+cosine_distance\s*\(\s*"
     r"(?P<vcol>\w+)\s*,\s*array\s*\((?P<vals>[^()]*)\)\s*\)\s*"
@@ -1833,6 +1872,15 @@ def _route_vector_topk(session, statement: str):
             for c in m.group("cols").split(",")]
     if any(c is None for c in cols) or len(set(cols)) != len(cols):
         return _decline("unknown-or-duplicate-projection-column")
+    salias = m.group("salias")
+    if salias is not None:
+        # Projected score must repeat the ORDER BY call exactly, and
+        # its alias must not shadow a real column.
+        if m.group("pvcol").lower() != m.group("vcol").lower() \
+                or m.group("pvals").strip() != m.group("vals").strip():
+            return _decline("projected-score-differs-from-order-by")
+        if salias.lower() in cmap:
+            return _decline("score-alias-shadows-column")
     k = int(m.group("k"))
     join_back = cols != [id_col]
     if join_back and k > ANN_JOINBACK_MAX_K:
@@ -1871,9 +1919,16 @@ def _route_vector_topk(session, statement: str):
         n_probe=n_probe, pred_sql=pred_sql)
     audit = {"route": "vector-index", "index": iname,
              "n_probe": n_probe, "k": k,
-             "filtered": pred is not None, "join_back": join_back}
+             "filtered": pred is not None, "join_back": join_back,
+             "scored": salias is not None}
+    # Projected distance = 1 - cosine, from the probe's (rounded)
+    # cosine — the quantity the exact macro computes at full double
+    # precision; an ANN-routed score is approximate by contract.
     if not join_back:
         session.last_select_route = audit
+        if salias is not None:
+            return topk.select(
+                id_col, (F.lit(1.0) - F.col("cosine")).alias(salias))
         return topk.select(id_col)
     # Pointer join-back (secondary-index pattern): ≤k keys prune the
     # base files; the broadcast rank table restores the ANN ordering.
@@ -1888,8 +1943,11 @@ def _route_vector_topk(session, statement: str):
         audit.update({"base_files_read": 0,
                       "base_files_total": len(tbl.files)})
         session.last_select_route = audit
-        return (spark.createDataFrame([], tbl.schema())
-                .select(*cols))
+        empty = spark.createDataFrame([], tbl.schema())
+        if salias is not None:
+            return empty.select(
+                *cols, F.lit(None).cast("double").alias(salias))
+        return empty.select(*cols)
     kpred = ("in", id_col, [r[0] for r in rows])
     stats: dict = {}
     base = pruning.scan(spark, catalog, name, kpred, stats_out=stats)
@@ -1899,9 +1957,12 @@ def _route_vector_topk(session, statement: str):
         base = base.where(pred_sql)
     rank = spark.createDataFrame(
         [(r[0], float(r["cosine"])) for r in rows], rank_schema)
+    proj = list(cols)
+    if salias is not None:
+        proj.append((F.lit(1.0) - F.col("__ann_cosine")).alias(salias))
     out = (base.join(F.broadcast(rank), id_col)
            .orderBy(F.desc("__ann_cosine"), id_col)
-           .select(*cols).limit(k))
+           .select(*proj).limit(k))
     audit.update({"base_files_read": stats.get("files_read"),
                   "base_files_total": stats.get("files_total")})
     session.last_select_route = audit

@@ -459,3 +459,83 @@ def test_ann_filtered_and_projected_from_sql(hsession):
         assert [x.vec_id for x in got] == brute(lambda i, l: l == 1)
     finally:
         spark.conf.unset("spark.sql.heracles.annProbe")
+
+
+def test_ann_scored_projection_from_sql(hsession):
+    """The pgvector serving shape — ``SELECT key, cosine_distance(...)
+    AS d`` repeating the ORDER BY call — routes and returns the
+    distance column; a projected call that DIFFERS from the ORDER BY
+    declines with a reason."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(300, seed=13)
+    _mk(spark, catalog, rows)
+    catalog.register_all(spark)
+    qvec = [float(x) for x in rows[2][1]]
+    lit = ", ".join(repr(v) for v in qvec)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=256)")
+    spark.conf.set("spark.sql.heracles.annProbe", "8")
+    try:
+        got = hsession.sql(
+            f"SELECT vec_id, cosine_distance(embedding, array({lit})) "
+            f"AS d FROM emb ORDER BY "
+            f"cosine_distance(embedding, array({lit})) LIMIT 5").collect()
+        r = dict(hsession.last_select_route)
+        assert r["route"] == "vector-index" and r["scored"] is True
+        assert r["join_back"] is False
+        want = _brute_topk(rows, qvec, 5)
+        assert [x.vec_id for x in got] == [i for _, i in want]
+        assert all(abs((1.0 - c) - x.d) < 1e-4
+                   for (c, _), x in zip(want, got))
+        assert got[0].d == min(x.d for x in got)   # nearest first
+
+        # score + non-key projection: join-back carries the distance
+        got = hsession.sql(
+            f"SELECT vec_id, label, cosine_distance(embedding, "
+            f"array({lit})) AS d FROM emb ORDER BY "
+            f"cosine_distance(embedding, array({lit})) LIMIT 5").collect()
+        r = dict(hsession.last_select_route)
+        assert r["join_back"] is True and r["scored"] is True
+        assert [x.vec_id for x in got] == [i for _, i in want]
+
+        # projected call differing from the ORDER BY call: decline
+        other = ", ".join(repr(v + 1.0) for v in qvec)
+        hsession.sql(
+            f"SELECT vec_id, cosine_distance(embedding, array({other})) "
+            f"AS d FROM emb ORDER BY "
+            f"cosine_distance(embedding, array({lit})) LIMIT 5").collect()
+        assert hsession.last_select_route == {
+            "route": None,
+            "reason": "projected-score-differs-from-order-by"}
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
+
+
+def test_explain_route_advisory(hsession):
+    """EXPLAIN ROUTE surfaces the access-path verdict without running
+    the statement's full scan: the vector route's probe facts, or the
+    decline reason code."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(200, seed=17)
+    _mk(spark, catalog, rows)
+    catalog.register_all(spark)
+    qvec = [float(x) for x in rows[0][1]]
+    lit = ", ".join(repr(v) for v in qvec)
+    stmt = (f"SELECT vec_id FROM emb ORDER BY "
+            f"cosine_distance(embedding, array({lit})) LIMIT 5")
+    row = hsession.sql("EXPLAIN ROUTE " + stmt).first()
+    assert row.route is None and row.reason == "no-vector-index"
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200)")
+    row = hsession.sql("EXPLAIN ROUTE " + stmt).first()
+    assert row.route == "vector-index" and row.vector_index == "v"
+    assert row.n_probe == 4 and row.k == 5
+    row = hsession.sql(
+        "EXPLAIN ROUTE SELECT vec_id FROM emb WHERE vec_id < 10").first()
+    assert row.route == "pruned-scan"
+    assert row.files_read <= row.files_total
+    row = hsession.sql(
+        "EXPLAIN ROUTE SELECT e.vec_id FROM emb e JOIN emb f "
+        "ON e.vec_id = f.vec_id").first()
+    assert row.route is None
+    assert row.reason == "shape:not-a-routable-select"
