@@ -229,3 +229,59 @@ SELECT 10 AS n_ann, TRUE AS exact_unrouted, TRUE AS routed_scored,
 
 QUERIES["embedding_ann_sql_scored"] = (embedding_ann_sql_scored,
                                        ANN_SCORED_SQL)
+
+
+def customer_indexed_residual_sql(spark, sf_dir):
+    """Round-11: a dispatched AND-conjunction whose ONLY selective atom
+    is on a secondary-INDEXED non-key column routes through the index
+    probe with the remaining conjuncts re-applied as residual — the
+    shape (``WHERE indexed BETWEEN a AND b AND other = x``) used to
+    silently full-scan because the router required exactly one atom.
+    Pinned: route=indexed + one residual atom + the row set the oracle
+    recomputes from raw customer."""
+    import tempfile
+
+    from heracles_spark import index as index_mod
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_ixr_"))
+    cat = hs.catalog
+    c = _t(spark, sf_dir, "customer")
+    cat.create_table(
+        "custr",
+        [("c_custkey", "bigint"), ("c_nationkey", "bigint"),
+         ("c_acctbal", "double")], ["c_custkey"])
+    writer.write_key_organized(
+        spark, cat, "custr",
+        c.select(F.col("c_custkey").cast("bigint"),
+                 F.col("c_nationkey").cast("bigint"),
+                 F.col("c_acctbal").cast("double")), n_buckets=8)
+    index_mod.create_index(spark, cat, "custr", "c_acctbal")
+    cat.register_all(spark)
+
+    got = hs.sql("SELECT c_custkey, c_nationkey, c_acctbal FROM custr "
+                 "WHERE c_acctbal BETWEEN 9000.0 AND 9999.0 "
+                 "AND c_nationkey = 7").collect()
+    rr = dict(hs.last_select_route)
+    routed = bool(rr.get("route") == "indexed"
+                  and rr.get("residual_atoms") == 1)
+    return (spark.createDataFrame(
+                [(int(r.c_custkey), int(r.c_nationkey),
+                  float(r.c_acctbal)) for r in got],
+                "c_custkey: long, c_nationkey: long, c_acctbal: double")
+            .withColumn("indexed_residual_routed", F.lit(routed))
+            .orderBy("c_custkey"))
+
+
+IDX_RESIDUAL_SQL = """
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(c_nationkey AS BIGINT) AS c_nationkey, c_acctbal,
+       TRUE AS indexed_residual_routed
+FROM customer
+WHERE c_acctbal BETWEEN 9000.0 AND 9999.0 AND c_nationkey = 7
+ORDER BY c_custkey
+"""
+
+QUERIES["customer_indexed_residual_sql"] = (customer_indexed_residual_sql,
+                                            IDX_RESIDUAL_SQL)

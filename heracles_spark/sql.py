@@ -1693,13 +1693,48 @@ def _route_pruned_select(session, statement: str):
                           stats_out=stats)
         session.last_select_route = {"route": "pruned-scan", **stats}
         return _tail(df.select(*cols) if cols else df)
-    if n_atoms == 1 and any(
-            col in e.get("cols", [e["col"]])
-            for e in index_mod._indexes(tbl).values()):
-        df = index_mod.indexed_lookup(session.spark, catalog, name,
-                                      pred, columns=cols)
+    # Indexed access path: a single atom on an indexed column probes
+    # the secondary index directly; an AND-conjunction with ONE indexed
+    # atom (round-11 — this shape used to bail) probes on that atom and
+    # re-applies the WHOLE predicate as the residual (sound: the full
+    # conjunction's rows are a subset of the indexed atom's rows).
+    # OR/NOT trees without a key atom stay on the normal path — an
+    # index probe on one OR-branch would MISS the other branch's rows.
+    def _and_atoms(p):
+        if p[0].lower() == "and":
+            out = []
+            for q in p[1:]:
+                sub = _and_atoms(q)
+                if sub is None:
+                    return None
+                out.extend(sub)
+            return out
+        if p[0].lower() in ("or", "not"):
+            return None
+        return [p]
+
+    atoms = _and_atoms(pred)
+    indexed_atom = None
+    if atoms:
+        indexed_cols = {c for e in index_mod._indexes(tbl).values()
+                        for c in e.get("cols", [e["col"]])}
+        indexed_atom = next((a for a in atoms if a[1] in indexed_cols),
+                            None)
+    if indexed_atom is not None:
+        if len(atoms) == 1:
+            # Pure indexed atom: keep the covered-projection fast path
+            # (index-only when the projection fits the index columns).
+            df = index_mod.indexed_lookup(session.spark, catalog, name,
+                                          pred, columns=cols)
+        else:
+            df = index_mod.indexed_lookup(session.spark, catalog, name,
+                                          indexed_atom, columns=None)
+            df = df.where(pruning.to_sql(pred))
+            if cols:
+                df = df.select(*cols)
         session.last_select_route = {
-            "route": "indexed", **index_mod.LAST_INDEX_STATS}
+            "route": "indexed", **index_mod.LAST_INDEX_STATS,
+            "residual_atoms": len(atoms) - 1}
         return _tail(df)
     return _decline("no-access-path:non-key-unindexed")
 # cosine_distance macro: expanded to native higher-order functions so

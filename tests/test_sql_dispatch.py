@@ -1054,6 +1054,18 @@ def test_route_pruned_select_key_and_index(hsession, catalog):
     assert hsession.last_select_route["mode"] == "index-only"
     assert hsession.last_select_route.get("base_files_read") == 0
 
+    # AND-conjunction with ONE indexed atom (round-11): probes the
+    # index on that atom, re-applies the whole predicate as residual
+    got = hsession.sql(
+        "SELECT k FROM rt WHERE v = 808 AND s = 's404'").collect()
+    assert [r.k for r in got] == [404]
+    assert hsession.last_select_route["route"] == "indexed"
+    assert hsession.last_select_route["residual_atoms"] == 1
+    got = hsession.sql(
+        "SELECT k FROM rt WHERE v = 808 AND s = 'nope'").collect()
+    assert got == []                       # residual actually filters
+    assert hsession.last_select_route["route"] == "indexed"
+
     # non-indexed non-key predicate: normal Spark path, same answer
     got = hsession.sql("SELECT k FROM rt WHERE s = 's7'").collect()
     assert [r.k for r in got] == [7]
