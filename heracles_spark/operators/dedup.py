@@ -239,7 +239,16 @@ def minhash_dedup_pairs(df: DataFrame, id_col: str = "doc_id",
     est = F.expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CAST(x = y AS INT)), "
         f"0, (a, x) -> a + x) / {float(k)}D")
-    return (cand.join(sa, "id_a").join(sb, "id_b")
+    # shuffle_hash hint on the signature sides (round-11 sf10 finding):
+    # the signature relation is CORPUS-SIZED (k longs per doc — ~270MB
+    # at 1M docs, unbounded at 100 TB), but its pre-materialization
+    # Catalyst estimate can come in under the broadcast threshold, and
+    # the resulting BroadcastExchange died with not-enough-memory at
+    # sf10. Never broadcast a corpus-sized side: shuffle both sides on
+    # the id (hash join, no sort needed), which is also the only plan
+    # that survives a 1000-executor corpus.
+    return (cand.join(sa.hint("shuffle_hash"), "id_a")
+                .join(sb.hint("shuffle_hash"), "id_b")
                 .withColumn("est_jaccard", F.round(est, 6))
                 .where(F.col("est_jaccard") >= threshold)
                 .select("id_a", "id_b", "est_jaccard")

@@ -302,11 +302,17 @@ def doc_minhash_pairs(spark, sf_dir):
                                   threshold=0.7, unit="word",
                                   max_doc_freq=1 << 60,
                                   prefix_order="hash"))
-    # broadcast the sampled ground truth (O(sample²) pairs, tiny by
-    # construction) — the recall probe is then a map-side semi join
-    # over the LSH output, no exchange on either side.
+    # recall probe: semi join of the LSH output against the sampled
+    # ground truth. NO forced broadcast (round-11 scale fix): the
+    # ground-truth size is data-dependent — tiny on real corpora (a
+    # 1-in-8 audit sample), but the sf10 synthetic's cross-replica
+    # planted duplicates inflate it past driver memory, and a forced
+    # broadcast died in BroadcastExchangeExec. AQE's size-based
+    # decision broadcasts it when it IS small (the production case)
+    # and falls back to a shuffled semi join when it isn't — never
+    # force-broadcast a relation whose cardinality you don't control.
     hits = (mh.select("id_a", "id_b")
-              .join(F.broadcast(exact.select("id_a", "id_b")),
+              .join(exact.select("id_a", "id_b").hint("shuffle_hash"),
                     ["id_a", "id_b"], "left_semi")
               .agg(F.count(F.lit(1)).alias("__h")))
     tot = exact.agg(F.count(F.lit(1)).alias("__t"))

@@ -597,19 +597,26 @@ def pivot_returnflag_status(spark, sf_dir):
              .pivot("l_linestatus", ["F", "O"])
              .agg(_dsum(F.col("__rev")))
              .orderBy("l_returnflag"))
-    return piv.select("l_returnflag",
-                      F.coalesce(F.col("F"), F.lit(0.0)).alias("rev_f"),
-                      F.coalesce(F.col("O"), F.lit(0.0)).alias("rev_o"))
+    # ROUND(…, 2) on the double output (round-11 sf10 finding): the
+    # exact decimal sums are identical across engines, but DuckDB's
+    # decimal→double cast came out ONE ULP below the correctly-rounded
+    # double at ~5e11 magnitude (503968667876.770000 → …76.76996 vs
+    # Spark's …76.77); rounding to the cents the data actually carries
+    # absorbs the engine's cast quirk on both sides.
+    return piv.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("rev_f"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("rev_o"))
 
 
 PIVOT_SQL = """
 SELECT l_returnflag,
-       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
+       ROUND(COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'F'
            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
-           END) AS DOUBLE), 0.0) AS rev_f,
-       COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
+           END) AS DOUBLE), 0.0), 2) AS rev_f,
+       ROUND(COALESCE(CAST(SUM(CASE WHEN l_linestatus = 'O'
            THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))
-           END) AS DOUBLE), 0.0) AS rev_o
+           END) AS DOUBLE), 0.0), 2) AS rev_o
 FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 

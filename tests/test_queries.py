@@ -59,4 +59,11 @@ def test_registry_order_blends_coverage_and_rotation():
     prefix = order[:50]
     n_re = sum(1 for n in prefix if checked.get(n, 0) > 0)
     assert n_re >= 5, "rotation slots missing from sampled prefix"
-    assert n_re <= 20, "coverage schedule starved from sampled prefix"
+    # Coverage: every never-GREEN-checked query must land in the
+    # sampled prefix (counts are green-only since round 11, so after
+    # many rounds the min-count tier is itself already-checked — the
+    # old "<=20 re-checks" bound no longer applies).
+    unchecked = [n for n in names if checked.get(n, 0) == 0]
+    if len(unchecked) <= 40:          # 4-of-5 coverage slots in 50
+        missing = [n for n in unchecked if n not in prefix]
+        assert not missing, f"coverage starved: {missing}"

@@ -93,6 +93,9 @@ AUDITED = [
     # round-10 additions
     "orders_routed_sql_or", "embedding_ann_sql_routed",
     "orders_join_reorder", "catalog_multiwriter_appends",
+    # round-11 additions
+    "embedding_ann_sql_filtered", "embedding_ann_clustered_default",
+    "embedding_ann_sql_scored", "customer_indexed_residual_sql",
 ]
 
 

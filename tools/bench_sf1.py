@@ -44,6 +44,14 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 # banded LSH/SimHash/IVF family, all of which stay in the basis; the
 # exact baseline's recall contract is certified at sf≤0.1.
 SKIP_AT_SF1 = {"embedding_near_dup_exact"}
+# At sf10 the key-shifted replication multiplies planted near-dup
+# clusters, so the TRUE pair output of the sketch-based near-dup
+# queries grows ~quadratically per decade BY CONSTRUCTION (r5/r10
+# notes) — exclude the whole planted-quadratic family, same reasoning
+# as scale_check10's timing subset.
+SKIP_AT_SF10 = SKIP_AT_SF1 | {
+    "embedding_near_dup", "doc_minhash_pairs", "doc_simhash_hamming",
+    "doc_duplicate_spans", "doc_simhash_groups", "doc_ngram_jaccard"}
 
 DUCK_TIMEOUT_S = 300.0
 
@@ -81,11 +89,19 @@ def main() -> None:
 
     names = [a for a in sys.argv[1:] if not a.startswith("--")] \
         or (HEADLINE + EXTENDED)
+    # --sf10: the SAME folded basis over .layout/sf10_synth (100x the
+    # sf0.1 gate data; generate via tools/scale_check10.py first).
+    sf10 = "--sf10" in sys.argv
+    dest = DEST
+    skip, sf_label = SKIP_AT_SF1, 1.0
+    if sf10:
+        from tools.scale_check10 import DEST as DEST10
+        dest, skip, sf_label = DEST10, SKIP_AT_SF10, 10.0
     spark = get_session("bench-sf1", extra_conf={
         "spark.ui.showConsoleProgress": "false"})
     spark.sparkContext.setLogLevel("ERROR")
-    if "--regen" in sys.argv or not os.path.exists(
-            f"{DEST}/lineitem.parquet/_SUCCESS"):
+    if not sf10 and ("--regen" in sys.argv or not os.path.exists(
+            f"{DEST}/lineitem.parquet/_SUCCESS")):
         _gen(spark)
 
     qs, os_ = all_queries(), all_oracles()
@@ -93,26 +109,28 @@ def main() -> None:
     con = duckdb.connect()
     t0 = time.time()
     for t in TABLES:
-        src = f"{DEST}/{t}.parquet"
+        src = f"{dest}/{t}.parquet"
         if os.path.isdir(src):
             con.execute(f"CREATE TABLE {t} AS SELECT * FROM "
                         f"read_parquet('{src}/*.parquet')")
         else:
             con.execute(f"CREATE TABLE {t} AS SELECT * FROM '{src}'")
     duck_load = time.time() - t0
-    print(f"duckdb sf1 load: {duck_load:.1f}s", file=sys.stderr)
+    print(f"duckdb sf{sf_label:g} load: {duck_load:.1f}s",
+          file=sys.stderr)
 
     rows = []
     for name in names:
-        if name in SKIP_AT_SF1:
+        if name in skip:
             print(f"| {name} | excluded | excluded | — | (documented "
-                  f"O(n²) exact baseline; LSH/IVF are the scale path)",
+                  f"O(n²) exact baseline / planted-quadratic output; "
+                  f"LSH/IVF are the scale path)",
                   flush=True)
             continue
         fn = getattr(qs[name], "__wrapped_query__", qs[name])
         try:
-            fn(spark, DEST).collect()              # warm (codegen + IO)
-            t_spark = min(_timed(lambda: fn(spark, DEST).collect())
+            fn(spark, dest).collect()              # warm (codegen + IO)
+            t_spark = min(_timed(lambda: fn(spark, dest).collect())
                           for _ in range(2))
         except Exception as e:                     # pragma: no cover
             print(f"SPARK FAIL {name}: {e}", file=sys.stderr)
@@ -135,10 +153,11 @@ def main() -> None:
           f"**{tot_s:.2f}** | **{tot_d:.2f}** | "
           f"**{tot_s / tot_d:.1f}x** |")
     print(json.dumps({
-        "metric": "sf1_headline_total", "value": round(tot_s, 2),
+        "metric": f"sf{sf_label:g}_headline_total",
+        "value": round(tot_s, 2),
         "unit": "sec", "duckdb_loaded_sec": round(tot_d, 2),
         "ratio": round(tot_s / tot_d, 2), "n_queries": len(ok),
-        "duck_load_sec": round(duck_load, 1), "sf": 1.0}))
+        "duck_load_sec": round(duck_load, 1), "sf": sf_label}))
 
 
 if __name__ == "__main__":
