@@ -434,20 +434,29 @@ def vector_index_topk_adc(spark: SparkSession, catalog, table: str,
 def vector_index_topk_batch(spark: SparkSession, catalog, table: str,
                             iname: str, queries: DataFrame, k: int = 10,
                             n_probe: int = 4, qid_col: str = "qid",
-                            qvec_col: str = "qvec") -> DataFrame:
+                            qvec_col: str = "qvec",
+                            pred_sql: "str | None" = None) -> DataFrame:
     """Batch ANN through the catalog store — the 100 TB serving shape:
     each query ranks cells against the broadcast centroid table,
     candidates come in through a cell_id equi-join against the
     cell-partitioned store (Catalyst pushes the probed-cell set into
     partition pruning via dynamic/static filters on the join), exact
     rerank per query via window top-k. Returns (qid, vec_id, cosine,
-    rank)."""
+    rank).
+
+    ``pred_sql`` (round-11, parity with the single-query surface):
+    a SQL condition over the table's columns applied to the store
+    BEFORE the candidate join — filtered batch search with the same
+    per-probe recall contract as the unfiltered path."""
     from heracles_spark.operators import similarity
 
     tbl = catalog.get_table(table)
     entry = _registry(tbl)[iname]
+    store = read_store(spark, catalog, table, iname)
+    if pred_sql is not None:
+        store = store.where(pred_sql)
     return similarity.ivf_topk_batch(
-        read_store(spark, catalog, table, iname), queries,
+        store, queries,
         centroids=load_centroids(catalog, table, iname), k=k,
         n_probe=n_probe, id_col=tbl.key_cols[0], vec_col=entry["col"],
         qid_col=qid_col, qvec_col=qvec_col)

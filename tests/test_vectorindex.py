@@ -539,3 +539,30 @@ def test_explain_route_advisory(hsession):
         "ON e.vec_id = f.vec_id").first()
     assert row.route is None
     assert row.reason == "shape:not-a-routable-select"
+
+
+def test_batch_topk_filtered(hsession):
+    """Filtered BATCH ANN (round-11 parity with the single-query
+    surface): pred_sql pre-filters the store, so every returned
+    candidate satisfies the predicate and full-probe results equal the
+    exact filtered brute force per query."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(250, seed=21)
+    _mk(spark, catalog, rows)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200)")
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in rows[i][1]]) for i in (5, 40)],
+        "qid long, qvec array<double>")
+    got = vx.vector_index_topk_batch(
+        spark, catalog, "emb", "v", queries, k=3, n_probe=8,
+        pred_sql="label = 1").collect()
+    by_id = {rw[0]: rw[2] for rw in rows}
+    assert got and all(by_id[r["vec_id"]] == 1 for r in got)
+    filt = [rw for rw in rows if rw[2] == 1]
+    for qid in (5, 40):
+        qvec = [float(x) for x in rows[qid][1]]
+        want = [i for _, i in _brute_topk(filt, qvec, 3)]
+        mine = sorted([r for r in got if r["qid"] == qid],
+                      key=lambda r: r["rank"])
+        assert [r["vec_id"] for r in mine] == want
