@@ -285,3 +285,80 @@ ORDER BY c_custkey
 
 QUERIES["customer_indexed_residual_sql"] = (customer_indexed_residual_sql,
                                             IDX_RESIDUAL_SQL)
+
+
+def embedding_ann_lateral_sql(spark, sf_dir):
+    """Round-11: batch ANN in RELATIONAL form — the LATERAL
+    correlated-top-k statement. Stock Spark rejects this shape
+    outright (outer references are not allowed in a lateral ORDER BY),
+    so the dispatcher's rewrite IS the surface: with a vector index it
+    routes to the batch probe path (one plan for the whole batch —
+    centroid rank + cell_id equi-join + per-query window top-k); at
+    FULL probe the answer is exact, which the oracle recomputes
+    per-dim in DuckDB. Route pinned; ids exact."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_anl_"))
+    cat = hs.catalog
+    e = _t(spark, sf_dir, "embeddings")
+    cat.create_table("annl", [("vec_id", "bigint"),
+                              ("embedding", "array<float>")], ["vec_id"])
+    writer.write_key_organized(
+        spark, cat, "annl",
+        e.select(F.col("vec_id").cast("bigint"), "embedding"),
+        n_buckets=4)
+    cat.create_table("annq2", [("pid", "bigint"),
+                               ("pvec", "array<float>")], ["pid"])
+    writer.write_key_organized(
+        spark, cat, "annq2",
+        e.where(F.col("vec_id").isin(3, 17))
+         .select((F.col("vec_id") + 1000).cast("bigint").alias("pid"),
+                 F.col("embedding").alias("pvec")), n_buckets=1)
+    cat.register_all(spark)
+    hs.sql("CREATE VECTOR INDEX anlv ON annl (embedding) "
+           "WITH (cells=16, sample=2048)")
+    spark.conf.set("spark.sql.heracles.annProbe", "16")   # full = exact
+    try:
+        got = hs.sql(
+            "SELECT q.pid, x.vec_id AS nn FROM annq2 q, LATERAL ("
+            "SELECT vec_id FROM annl ORDER BY "
+            "cosine_distance(embedding, q.pvec) LIMIT 5) x").collect()
+        rr = dict(hs.last_select_route)
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
+    routed = bool(rr.get("route") == "vector-index-batch"
+                  and rr.get("index") == "anlv"
+                  and rr.get("query_table") == "annq2")
+    return (spark.createDataFrame(
+                [(int(r.pid), int(r.nn)) for r in got],
+                "pid: long, nn: long")
+            .withColumn("batch_routed", F.lit(routed))
+            .orderBy("pid", "nn"))
+
+
+ANN_LATERAL_SQL = """
+WITH p AS (SELECT vec_id + 1000 AS pid, embedding AS pv
+           FROM embeddings WHERE vec_id IN (3, 17)),
+ dots AS (
+  SELECT p.pid, e.vec_id,
+         SUM(CAST(e.embedding[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE))
+           AS dot,
+         SQRT(SUM(CAST(e.embedding[i] AS DOUBLE)
+                  * CAST(e.embedding[i] AS DOUBLE))) AS ne,
+         SQRT(SUM(CAST(p.pv[i] AS DOUBLE) * CAST(p.pv[i] AS DOUBLE)))
+           AS np
+  FROM embeddings e, p, range(1, 65) t(i)
+  GROUP BY p.pid, e.vec_id),
+ ranked AS (
+  SELECT pid, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY pid
+             ORDER BY ROUND(dot / (ne * np), 6) DESC, vec_id) AS rnk
+  FROM dots)
+SELECT CAST(pid AS BIGINT) AS pid, CAST(vec_id AS BIGINT) AS nn,
+       TRUE AS batch_routed
+FROM ranked WHERE rnk <= 5 ORDER BY pid, nn
+"""
+
+QUERIES["embedding_ann_lateral_sql"] = (embedding_ann_lateral_sql,
+                                        ANN_LATERAL_SQL)

@@ -966,9 +966,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
         # verdict is metadata-only; a vector join-back verdict
         # executes the k-row probe (the facts ARE its outcome).
         inner = m.group("rest")
-        routed = _route_pruned_select(session, inner)
-        if routed is None:
-            routed = _route_vector_topk(session, inner)
+        _route_select(session, inner)
         a = dict(session.last_select_route)
         if not a:
             # Neither router even matched the statement's shape.
@@ -1339,12 +1337,10 @@ def dispatch(session, statement: str) -> DataFrame | None:
     # Access-path selection first (round-9): simple single-table
     # predicates route through the pruned scan / secondary index
     # instead of the all-files view — same rows, fewer files opened.
-    routed = _route_pruned_select(session, statement)
-    if routed is None:
-        # ANN access path (round-10 judge ask #4): ORDER BY
-        # cosine_distance(indexed_vec_col, array(...)) LIMIT k routes
-        # through the catalog vector index's probe path.
-        routed = _route_vector_topk(session, statement)
+    # ANN shapes (round-10/11) route through the vector index: single
+    # query vector, filtered/projected/scored variants, and the
+    # LATERAL batch form.
+    routed = _route_select(session, statement)
     if routed is not None:
         return routed
     # EXPLAIN must describe the plan that would actually RUN: when the
@@ -1353,9 +1349,7 @@ def dispatch(session, statement: str) -> DataFrame | None:
     m_ex = re.match(r"^\s*EXPLAIN\s+(?!ESTIMATE\b|LAYOUT\b)(?P<rest>.+)$",
                     statement, re.IGNORECASE | re.DOTALL)
     if m_ex:
-        routed = _route_pruned_select(session, m_ex.group("rest"))
-        if routed is None:
-            routed = _route_vector_topk(session, m_ex.group("rest"))
+        routed = _route_select(session, m_ex.group("rest"))
         if routed is not None:
             return spark.createDataFrame(
                 [(routed._jdf.queryExecution().toString(),)],
@@ -2002,6 +1996,149 @@ def _route_vector_topk(session, statement: str):
                   "base_files_total": stats.get("files_total")})
     session.last_select_route = audit
     return out
+
+
+def _route_select(session, statement: str):
+    """Access-path selection chain for a dispatched SELECT: pruned
+    scan / secondary index → single-query ANN → LATERAL batch ANN.
+    First router whose shape matches wins; None = normal Spark path
+    (the decline reason, if any, stays on ``last_select_route``)."""
+    routed = _route_pruned_select(session, statement)
+    if routed is None:
+        routed = _route_vector_topk(session, statement)
+    if routed is None:
+        routed = _route_vector_topk_lateral(session, statement)
+    return routed
+
+
+# Batch ANN in relational form — the LATERAL correlated-top-k shape:
+#   SELECT q.<qid>, x.<key> FROM <qtbl> q, LATERAL (
+#       SELECT <key> FROM <t> ORDER BY
+#       cosine_distance(<vcol>, q.<qvec>) [ASC] LIMIT <k>) x
+_VEC_TOPK_LATERAL = re.compile(
+    r"^\s*SELECT\s+(?P<q1>\w+)\.(?P<qid>\w+)(?:\s+AS\s+(?P<qida>\w+))?"
+    r"\s*,\s*(?P<x1>\w+)\.(?P<xcol>\w+)(?:\s+AS\s+(?P<xcola>\w+))?\s+"
+    r"FROM\s+(?P<qname>[\w.]+)\s+(?:AS\s+)?(?P<qalias>\w+)\s*,\s*"
+    r"LATERAL\s*\(\s*SELECT\s+(?P<icol>\w+)\s+FROM\s+(?P<name>[\w.]+)\s+"
+    r"ORDER\s+BY\s+cosine_distance\s*\(\s*(?P<vcol>\w+)\s*,\s*"
+    r"(?P<qref>\w+)\.(?P<qvec>\w+)\s*\)\s*(?:ASC\s*)?"
+    r"LIMIT\s+(?P<k>\d+)\s*\)\s*(?:AS\s+)?(?P<xalias>\w+)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+
+
+def _route_vector_topk_lateral(session, statement: str):
+    """Batch ANN access path (round-11): the LATERAL correlated-top-k
+    form — one inner top-k per row of the query table. Stock Spark
+    REJECTS this statement outright (outer references are not allowed
+    in a lateral subquery's ORDER BY —
+    UNSUPPORTED_SUBQUERY_EXPRESSION_CATEGORY.CORRELATED_REFERENCE), so
+    this route is a genuine surface EXTENSION, not just an access-path
+    swap:
+
+    * with a vector index on the ordered-by column →
+      ``vectorindex.vector_index_topk_batch``: every query ranks cells
+      against the broadcast centroid table, candidates come in through
+      ONE cell_id equi-join against the cell-partitioned store, exact
+      rerank per query via window top-k. Fully distributed — no driver
+      collect, no per-query scan: the whole batch is one plan. (The
+      probe set — |queries|×n_probe rows — is broadcast to the
+      candidate join; batches beyond ~1e5 queries should shard the
+      query table, same as any broadcast build side.)
+    * without an index → the EXACT batch brute force
+      (``similarity.cosine_topk_batch``): broadcast query side,
+      cross-join, per-query window top-k — same answer the per-query
+      exact statements give, route='exact-batch' on the audit.
+
+    ANN semantics match the single-query route (an index changes ORDER
+    BY-LIMIT results within recall bounds). Declines record a reason
+    on ``session.last_select_route``; a declined statement then FAILS
+    in Spark with the CORRELATED_REFERENCE error — the reason code is
+    the actionable part."""
+    m = _VEC_TOPK_LATERAL.match(statement)
+    if not m:
+        return None
+    catalog = session.catalog
+
+    def _decline(reason: str):
+        session.last_select_route = {"route": None, "reason": reason}
+        return None
+
+    if m.group("q1").lower() != m.group("qalias").lower() \
+            or m.group("qref").lower() != m.group("qalias").lower() \
+            or m.group("x1").lower() != m.group("xalias").lower():
+        return _decline("lateral:alias-mismatch")
+    if m.group("xcol").lower() != m.group("icol").lower():
+        return _decline("lateral:projection-not-inner-key")
+    name = _resolve(session, m.group("name"))
+    qname = _resolve(session, m.group("qname"))
+    if not catalog.table_exists(name) or not catalog.table_exists(qname):
+        return None
+    tbl = catalog.get_table(name)
+    qtbl = catalog.get_table(qname)
+    from heracles_spark import vectorindex
+
+    reg = vectorindex._registry(tbl)
+    vcol = m.group("vcol").lower()
+    ttypes = {c.lower(): c for c, _ in tbl.columns}
+    if vcol not in ttypes:
+        return _decline("lateral:unknown-vector-column")
+    iname = next((n for n, e in reg.items()
+                  if e.get("col", "").lower() == vcol), None)
+    id_col = tbl.key_cols[0]
+    if m.group("icol").lower() != id_col.lower():
+        return _decline("lateral:projection-not-inner-key")
+    qtypes = {c.lower(): (c, t) for c, t in qtbl.columns}
+    qid = qtypes.get(m.group("qid").lower())
+    qvec = qtypes.get(m.group("qvec").lower())
+    if qid is None or qvec is None:
+        return _decline("lateral:unknown-query-column")
+    if not qvec[1].lower().startswith("array"):
+        return _decline("lateral:query-column-not-a-vector")
+    out_qid = m.group("qida") or qid[0]
+    out_x = m.group("xcola") or id_col
+    if out_qid.lower() == out_x.lower():
+        return _decline("lateral:ambiguous-output-columns")
+    if _view_is_shadowed(session, name) \
+            or _view_is_shadowed(session, qname):
+        return _decline("shadowed-view")
+    try:
+        n_probe = int(session.spark.conf.get(
+            "spark.sql.heracles.annProbe", "4"))
+    except (TypeError, ValueError):
+        n_probe = 4
+    queries = catalog.read_table(session.spark, qname) \
+                     .select(qid[0], qvec[0])
+    k = int(m.group("k"))
+    if iname is not None:
+        df = vectorindex.vector_index_topk_batch(
+            session.spark, catalog, name, iname, queries,
+            k=k, n_probe=n_probe, qid_col=qid[0], qvec_col=qvec[0])
+        session.last_select_route = {
+            "route": "vector-index-batch", "index": iname,
+            "n_probe": n_probe, "k": k, "query_table": qname}
+    else:
+        # Exact batch fallback (Spark cannot run this statement at
+        # all): one first() on the SMALL query side fixes the declared
+        # dim; empty query table ⇒ empty result with the right schema.
+        from heracles_spark.operators import similarity
+
+        head = queries.select(qvec[0]).first()
+        if head is None or head[0] is None:
+            session.last_select_route = {
+                "route": "exact-batch", "k": k, "query_table": qname,
+                "empty_query_table": True}
+            return session.spark.createDataFrame(
+                [], f"`{out_qid}` {qid[1]}, `{out_x}` "
+                    f"{dict(tbl.columns)[id_col]}")
+        df = similarity.cosine_topk_batch(
+            catalog.read_table(session.spark, name), queries, k=k,
+            id_col=id_col, vec_col=ttypes[vcol],
+            qid_col=qid[0], qvec_col=qvec[0], dim=len(head[0]))
+        session.last_select_route = {
+            "route": "exact-batch", "k": k, "query_table": qname}
+    # both operators output fixed names (qid, vec_id, cosine, rank).
+    return df.select(F.col("qid").alias(out_qid),
+                     F.col("vec_id").alias(out_x))
 
 
 _JOIN_KW_STOP = (r"JOIN\b|LEFT\b|RIGHT\b|FULL\b|INNER\b|CROSS\b"

@@ -566,3 +566,67 @@ def test_batch_topk_filtered(hsession):
         mine = sorted([r for r in got if r["qid"] == qid],
                       key=lambda r: r["rank"])
         assert [r["vec_id"] for r in mine] == want
+
+
+def test_ann_lateral_batch_from_sql(hsession):
+    """Round-11: the LATERAL correlated-top-k form — batch ANN in
+    relational SQL. Stock Spark REJECTS the statement (outer refs are
+    not allowed in a lateral ORDER BY), so the dispatcher provides the
+    surface: exact batch brute force without an index, the batch probe
+    path with one — and at full probe the routed answer equals the
+    exact per-query brute force."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(250, seed=23)
+    _mk(spark, catalog, rows)
+    catalog.create_table("probes", [("pid", "bigint"),
+                                    ("pvec", "array<float>")], ["pid"])
+    writer.write_key_organized(
+        spark, catalog, "probes",
+        spark.createDataFrame(
+            [(100 + i, [float(x) for x in rows[i][1]]) for i in (7, 31)],
+            "pid long, pvec array<float>"), n_buckets=1)
+    catalog.register_all(spark)
+    stmt = ("SELECT q.pid, x.vec_id AS nn FROM probes q, LATERAL ("
+            "SELECT vec_id FROM emb ORDER BY "
+            "cosine_distance(embedding, q.pvec) LIMIT 4) x")
+    want = {100 + i: [v for _, v in _brute_topk(rows,
+                      [float(x) for x in rows[i][1]], 4)]
+            for i in (7, 31)}
+
+    # exact path (no index): the engine's exact batch rewrite — stock
+    # Spark cannot run this statement at all
+    got = hsession.sql(stmt).collect()
+    assert hsession.last_select_route["route"] == "exact-batch"
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.pid, []).append(r.nn)
+    assert {k: sorted(v) for k, v in by_q.items()} \
+        == {k: sorted(v) for k, v in want.items()}
+
+    # routed at full probe: equals exact, batch route audited
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200)")
+    spark.conf.set("spark.sql.heracles.annProbe", "8")
+    try:
+        got = hsession.sql(stmt).collect()
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
+    r = dict(hsession.last_select_route)
+    assert r["route"] == "vector-index-batch" and r["index"] == "v"
+    assert r["k"] == 4 and r["query_table"] == "probes"
+    by_q = {}
+    for x in got:
+        by_q.setdefault(x.pid, []).append(x.nn)
+    assert {k: sorted(v) for k, v in by_q.items()} \
+        == {k: sorted(v) for k, v in want.items()}
+
+    # decline ladder: ambiguous output names — reason recorded, and
+    # the statement then fails in Spark (CORRELATED_REFERENCE), since
+    # the engine's rewrite IS the only execution path for this shape
+    with pytest.raises(Exception, match="CORRELATED_REFERENCE|outer"):
+        hsession.sql(
+            "SELECT q.pid AS a, x.vec_id AS a FROM probes q, "
+            "LATERAL (SELECT vec_id FROM emb ORDER BY "
+            "cosine_distance(embedding, q.pvec) LIMIT 2) x").collect()
+    assert hsession.last_select_route == {
+        "route": None, "reason": "lateral:ambiguous-output-columns"}
