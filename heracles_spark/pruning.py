@@ -191,7 +191,8 @@ def _lit(v: Any) -> str:
 
 def scan(spark: SparkSession, catalog: HeraclesCatalog, table: str,
          pred: tuple | None = None,
-         stats_out: "dict[str, int] | None" = None) -> DataFrame:
+         stats_out: "dict[str, int] | None" = None,
+         residual: bool = True) -> DataFrame:
     """Pruned scan: file-index pruning, then a normal parquet read of the
     survivors with the full predicate as a residual filter (pushed to
     parquet row groups by Spark — ≙ per-partition predicate
@@ -199,7 +200,12 @@ def scan(spark: SparkSession, catalog: HeraclesCatalog, table: str,
 
     ``stats_out`` (optional) receives this call's own pruning record —
     the race-free way for a caller to consume the outcome; the module
-    global only mirrors the most recent call."""
+    global only mirrors the most recent call.
+
+    ``residual=False`` returns the pruned files WITHOUT the row filter
+    — for callers that re-apply the original predicate text themselves
+    (the SQL agg router swaps the table ref for this relation and
+    keeps the statement's own WHERE, so the filter runs exactly once)."""
     global LAST_SCAN_STATS
     tbl = catalog.get_table(table)
     keep = prune_files(tbl.files, pred, tbl.key_cols)
@@ -210,6 +216,6 @@ def scan(spark: SparkSession, catalog: HeraclesCatalog, table: str,
     if not keep:
         return spark.createDataFrame([], tbl.schema())
     df = spark.read.schema(tbl.schema()).parquet(*[f["path"] for f in keep])
-    if pred is not None:
+    if pred is not None and residual:
         df = df.where(to_sql(pred))
     return df

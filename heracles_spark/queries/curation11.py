@@ -362,3 +362,69 @@ FROM ranked WHERE rnk <= 5 ORDER BY pid, nn
 
 QUERIES["embedding_ann_lateral_sql"] = (embedding_ann_lateral_sql,
                                         ANN_LATERAL_SQL)
+
+
+def lineitem_routed_agg_sql(spark, sf_dir):
+    """Round-11: the WAREHOUSE statement — GROUP BY aggregates over a
+    key-range WHERE — routes through the pruned scan (general
+    single-table router: the table ref is swapped for the pruned file
+    list, the statement's own WHERE runs once), so the key range opens
+    only the files that MAY hold it instead of the whole table. Route
+    + files_read < files_total pinned; the aggregate values come from
+    the routed run and the oracle recomputes them from raw lineitem,
+    so a pruning bug that loses rows flips the hash."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_rag_"))
+    cat = hs.catalog
+    li = _t(spark, sf_dir, "lineitem")
+    cat.create_table("ragq", [("l_orderkey", "bigint"),
+                              ("l_linenumber", "int"),
+                              ("l_returnflag", "string"),
+                              ("l_quantity", "double")],
+                     ["l_orderkey", "l_linenumber"])
+    writer.write_key_organized(
+        spark, cat, "ragq",
+        li.select(F.col("l_orderkey").cast("bigint"),
+                  F.col("l_linenumber").cast("int"),
+                  "l_returnflag",
+                  F.col("l_quantity").cast("double")), n_buckets=8)
+    cat.register_all(spark)
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    a = int(lo) + (int(hi) - int(lo)) // 4
+    b = int(lo) + (int(hi) - int(lo)) // 2
+    got = hs.sql(
+        f"SELECT l_returnflag, count(*) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) "
+        f"AS sum_qty FROM ragq "
+        f"WHERE l_orderkey BETWEEN {a} AND {b} "
+        f"GROUP BY l_returnflag ORDER BY l_returnflag").collect()
+    rr = dict(hs.last_select_route)
+    routed_pruned = bool(rr.get("route") == "pruned-scan-general"
+                         and rr.get("files_read", 99)
+                         < rr.get("files_total", 0))
+    return (spark.createDataFrame(
+                [(r.l_returnflag, int(r.n), float(r.sum_qty))
+                 for r in got],
+                "l_returnflag: string, n: long, sum_qty: double")
+            .withColumn("agg_routed_pruned", F.lit(routed_pruned))
+            .orderBy("l_returnflag"))
+
+
+ROUTED_AGG_SQL = """
+WITH b AS (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 4 AS a,
+                  MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 2 AS b FROM lineitem)
+SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+         AS sum_qty,
+       TRUE AS agg_routed_pruned
+FROM lineitem l, b
+WHERE l.l_orderkey BETWEEN b.a AND b.b
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+"""
+
+QUERIES["lineitem_routed_agg_sql"] = (lineitem_routed_agg_sql,
+                                      ROUTED_AGG_SQL)

@@ -1412,7 +1412,7 @@ _SIMPLE_SELECT = re.compile(
     re.IGNORECASE)
 _LIT = r"(?:-?\d+(?:\.\d+)?|'[^']*')"
 _SIMPLE_PRED = re.compile(
-    rf"(?P<col>\w+)\s*(?:(?P<op><=|>=|=|<|>)\s*(?P<val>{_LIT})"
+    rf"(?P<col>\w+(?:\.\w+)?)\s*(?:(?P<op><=|>=|=|<|>)\s*(?P<val>{_LIT})"
     rf"|BETWEEN\s+(?P<lo>{_LIT})\s+AND\s+(?P<hi>{_LIT})"
     rf"|IN\s*\((?P<vals>\s*{_LIT}(?:\s*,\s*{_LIT})*\s*)\))",
     re.IGNORECASE)
@@ -1500,10 +1500,12 @@ _OR_KW = re.compile(r"OR\b", re.IGNORECASE)
 _AND_KW = re.compile(r"AND\b", re.IGNORECASE)
 
 
-def _parse_route_pred(text: str, cmap: dict, types: dict):
+def _parse_route_pred(text: str, cmap: dict, types: dict,
+                      quals: "set[str] | None" = None):
     """Recursive-descent parse of a routable WHERE clause into the
     pruning AST: AND/OR/parenthesis combinations over simple typed
-    atoms (``col op lit`` | ``BETWEEN`` | ``IN``). Grammar::
+    atoms (``col op lit`` | ``BETWEEN`` | ``IN``; ``quals`` names the
+    table qualifiers a ``q.col`` atom may carry). Grammar::
 
         expr   := term (OR term)*
         term   := factor (AND factor)*
@@ -1538,7 +1540,12 @@ def _parse_route_pred(text: str, cmap: dict, types: dict):
         pm = _SIMPLE_PRED.match(text, p)
         if pm is None:
             return None, p
-        col = cmap.get(pm.group("col").lower())
+        cname = pm.group("col")
+        if "." in cname:
+            q, cname = cname.split(".", 1)
+            if quals is None or q.lower() not in quals:
+                raise ValueError("unroutable column")
+        col = cmap.get(cname.lower())
         if col is None or types[col].lower().split("(")[0] \
                 not in _ROUTE_TYPES:
             raise ValueError("unroutable column")
@@ -2000,15 +2007,108 @@ def _route_vector_topk(session, statement: str):
 
 def _route_select(session, statement: str):
     """Access-path selection chain for a dispatched SELECT: pruned
-    scan / secondary index → single-query ANN → LATERAL batch ANN.
-    First router whose shape matches wins; None = normal Spark path
-    (the decline reason, if any, stays on ``last_select_route``)."""
+    scan / secondary index → pruned GENERAL single-table statement
+    (aggregates/GROUP BY/windows over a routable WHERE) → single-query
+    ANN → LATERAL batch ANN. First router whose shape matches wins;
+    None = normal Spark path (the decline reason, if any, stays on
+    ``last_select_route``)."""
     routed = _route_pruned_select(session, statement)
+    if routed is None:
+        routed = _route_pruned_general(session, statement)
     if routed is None:
         routed = _route_vector_topk(session, statement)
     if routed is None:
         routed = _route_vector_topk_lateral(session, statement)
     return routed
+
+
+_GENERAL_ROUTE = re.compile(
+    r"^\s*SELECT\s+(?P<body>.+?)\s+FROM\s+(?P<name>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<alias>\w+))?"
+    r"\s+WHERE\s+(?P<pred>.+?)"
+    r"(?P<tail>\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|QUALIFY)\b.*)?"
+    r"\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL)
+_ROUTED_VIEW_SEQ = [0]
+
+
+def _route_pruned_general(session, statement: str):
+    """Pruned-scan routing for the GENERAL single-table statement —
+    aggregates, GROUP BY, HAVING, window tails — over a routable WHERE
+    with at least one KEY atom (round-11). The warehouse shape
+    ``SELECT dims, aggs FROM fact WHERE key BETWEEN a AND b GROUP BY
+    dims`` used to read every file because the simple router only
+    accepted bare projections; here the table reference is swapped for
+    the pruned file-list relation (NO residual — the statement's own
+    WHERE is kept, so the filter runs exactly once) and the rest of
+    the statement passes through Spark untouched. Same rows by MAY/NO
+    pruning soundness; only the files opened change.
+
+    Conservative guards: exactly one top-level table ref, no JOINs, no
+    other SELECT anywhere (no subqueries — they could re-reference the
+    table through the normal view), no star (schema stability), WHERE
+    parseable with a key atom. The temp view lives only for the
+    eagerly-analyzing spark.sql call (the ASOF pattern)."""
+    if statement.count("(") != statement.count(")"):
+        return None
+    m = _GENERAL_ROUTE.match(statement)
+    if not m:
+        return None
+    # only one SELECT in the whole statement: no subqueries anywhere
+    if len(re.findall(r"\bSELECT\b", statement, re.IGNORECASE)) != 1:
+        return None
+    catalog = session.catalog
+    name = _resolve(session, m.group("name"))
+    if not catalog.table_exists(name):
+        return None
+    refs, saw_join = _top_level_table_refs(statement)
+    if saw_join or len(refs) != 1:
+        return None
+    if re.search(r"\bASOF\b|\bVERSION\b|\bTIMESTAMP\s+AS\s+OF\b"
+                 r"|cosine_distance\s*\(",
+                 statement, re.IGNORECASE):
+        # ASOF/time-travel have their own rewrites; cosine_distance
+        # needs the macro expansion this path bypasses.
+        return None
+
+    def _decline(reason: str):
+        session.last_select_route = {"route": None, "reason": reason}
+        return None
+
+    tbl = catalog.get_table(name)
+    types = dict(tbl.columns)
+    cmap = {c.lower(): c for c in types}
+    qual = (m.group("alias") or m.group("name").split(".")[-1]).lower()
+    parsed = _parse_route_pred(m.group("pred").strip(), cmap, types,
+                               quals={qual})
+    if parsed is None:
+        return _decline("unroutable-predicate")
+    pred, pcols, _n = parsed
+    if not any(c in tbl.key_cols for c in pcols):
+        return _decline("no-access-path:no-key-atom")
+    if _view_is_shadowed(session, name):
+        return _decline("shadowed-view")
+    from heracles_spark import pruning
+
+    stats: dict = {}
+    df = pruning.scan(session.spark, catalog, name, pred,
+                      stats_out=stats, residual=False)
+    _ROUTED_VIEW_SEQ[0] += 1
+    view = f"__routed_scan_{_ROUTED_VIEW_SEQ[0]}"
+    # No explicit alias ⇒ alias the view AS the typed name's last part
+    # so the statement's qualified references (t.col) keep resolving.
+    repl = view if m.group("alias") \
+        else f"{view} {m.group('name').split('.')[-1]}"
+    rewritten = (statement[:m.start("name")] + repl
+                 + statement[m.end("name"):])
+    df.createOrReplaceTempView(view)
+    try:
+        out = session.spark.sql(rewrite_qualify(rewritten))
+    finally:
+        session.spark.catalog.dropTempView(view)
+    session.last_select_route = {"route": "pruned-scan-general",
+                                 **stats}
+    return out
 
 
 # Batch ANN in relational form — the LATERAL correlated-top-k shape:

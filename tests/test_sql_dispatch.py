@@ -1122,13 +1122,15 @@ def test_route_pruned_select_tail_clauses(hsession, catalog):
     got = hsession.sql(
         "SELECT k FROM rtt WHERE k < 5 ORDER BY k LIMIT 2").collect()
     assert [r.k for r in got] == [0, 1]
-    # ordering column outside the projection: normal Spark path,
-    # decline reason recorded (round-11 judge ask #5)
+    # ordering column outside the projection: the SIMPLE router
+    # declines, and the GENERAL router (round-11) picks it up — same
+    # rows, pruned files
     got = hsession.sql(
         "SELECT v FROM rtt WHERE k < 5 ORDER BY k LIMIT 2").collect()
     assert [r.v for r in got] == [0.0, 1.0]
-    assert hsession.last_select_route == {
-        "route": None, "reason": "order-col-not-in-projection"}
+    assert hsession.last_select_route["route"] == "pruned-scan-general"
+    assert hsession.last_select_route["files_read"] \
+        < hsession.last_select_route["files_total"]
 
 
 def test_explain_shows_routed_plan(hsession, catalog):
@@ -1217,10 +1219,12 @@ def test_route_pruned_select_or_disjunctions(hsession, catalog):
         == hsession.last_select_route["files_total"]
 
     # pure non-key OR: no routing (nothing to prune on) — advised
+    # (the general router is consulted after the simple one and
+    # records the final reason)
     assert hsession.sql(
         "SELECT k FROM rtor WHERE v < 4.0 OR v > 1995.0").count() == 4
     assert hsession.last_select_route == {
-        "route": None, "reason": "no-access-path:non-key-unindexed"}
+        "route": None, "reason": "no-access-path:no-key-atom"}
 
 
 def test_route_respects_user_temp_view_shadowing(hsession, catalog):
@@ -1557,3 +1561,73 @@ def test_stats_join_reorder_outer_tail_prefix(hsession, catalog):
     finally:
         hsession.spark.conf.unset("spark.sql.heracles.joinReorder")
     assert (row.n, row.nt) == (row0.n, row0.nt) == (200, 5)
+
+
+def test_route_pruned_general_agg(hsession, catalog):
+    """Round-11: the WAREHOUSE shape — aggregates/GROUP BY over a
+    routable key predicate — routes through the pruned scan (table ref
+    swapped for the pruned file list, statement's own WHERE kept, so
+    the filter runs once), reading only the files the key range MAY
+    touch. Answers identical to the unrouted path."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE ragg (k BIGINT, g STRING, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "ragg",
+        hsession.spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("g"), F.col("id") % 3).alias("g"),
+            (F.col("id") * 1.5).alias("v")), n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    stmt = ("SELECT g, count(*) AS n, "
+            "CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sv "
+            "FROM ragg WHERE k BETWEEN 100 AND 199 "
+            "GROUP BY g ORDER BY g")
+    got = hsession.sql(stmt).collect()
+    r = dict(hsession.last_select_route)
+    assert r["route"] == "pruned-scan-general"
+    assert r["files_read"] < r["files_total"]
+    assert sum(x.n for x in got) == 100
+    # identical to the stock-view answer
+    want = hsession.spark.sql(stmt.replace("ragg", "ragg", 1)) \
+        if False else None
+    base = catalog.read_table(hsession.spark, "ragg") \
+        .where("k BETWEEN 100 AND 199").groupBy("g") \
+        .agg(F.count(F.lit(1)).alias("n")).orderBy("g").collect()
+    assert [(x.g, x.n) for x in got] == [(x.g, x.n) for x in base]
+
+    # qualified references resolve through the view alias
+    got2 = hsession.sql(
+        "SELECT ragg.g, max(ragg.v) AS mx FROM ragg "
+        "WHERE ragg.k IN (5, 6, 7) GROUP BY ragg.g ORDER BY ragg.g"
+    ).collect()
+    assert hsession.last_select_route["route"] == "pruned-scan-general"
+    assert sorted(x.mx for x in got2) == [7.5, 9.0, 10.5]
+
+    # explicit alias kept
+    n = hsession.sql("SELECT count(*) AS n FROM ragg r "
+                     "WHERE r.k < 50").first().n
+    assert n == 50
+    assert hsession.last_select_route["route"] == "pruned-scan-general"
+
+    # HAVING + window tail shapes route too
+    got3 = hsession.sql(
+        "SELECT g, count(*) AS n FROM ragg WHERE k < 300 "
+        "GROUP BY g HAVING count(*) > 10 ORDER BY g").collect()
+    assert hsession.last_select_route["route"] == "pruned-scan-general"
+    assert sum(x.n for x in got3) == 300
+
+    # subqueries never route (they could re-reference the table)
+    hsession.sql(
+        "SELECT g, count(*) AS n FROM ragg WHERE k < "
+        "(SELECT 10) GROUP BY g").collect()
+    assert hsession.last_select_route.get("route") \
+        != "pruned-scan-general"
+
+    # no leaked temp views
+    assert not [v.name for v in
+                hsession.spark.catalog.listTables()
+                if v.name.startswith("__routed_scan")]
