@@ -428,3 +428,49 @@ GROUP BY l.l_returnflag ORDER BY l.l_returnflag
 
 QUERIES["lineitem_routed_agg_sql"] = (lineitem_routed_agg_sql,
                                       ROUTED_AGG_SQL)
+
+
+def orders_metadata_count(spark, sf_dir):
+    """Round-11: bare ``SELECT COUNT(*) FROM t`` answers from the
+    catalog file index's per-file row counts — zero data read, O(files)
+    driver work (the Delta/Iceberg metadata count; at 100 TB this is
+    milliseconds vs a full scan). Exact across an append and a COW
+    delete; route + files_read=0 pinned, counts recomputed by the
+    oracle from raw orders."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_mct_"))
+    cat = hs.catalog
+    o = _t(spark, sf_dir, "orders")
+    cat.create_table("mcto", [("o_orderkey", "bigint"),
+                              ("o_totalprice", "double")], ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "mcto",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_totalprice").cast("double")), n_buckets=4)
+    cat.register_all(spark)
+    n0 = int(hs.sql("SELECT COUNT(*) FROM mcto").first()[0])
+    r0 = dict(hs.last_select_route)
+    lo = int(o.agg(F.min("o_orderkey")).first()[0])
+    hs.sql(f"DELETE FROM mcto WHERE o_orderkey < {lo} + 50")
+    n1 = int(hs.sql("SELECT COUNT(*) AS n FROM mcto").first().n)
+    r1 = dict(hs.last_select_route)
+    meta_routed = bool(
+        r0.get("route") == "metadata-count" and r0.get("files_read") == 0
+        and r1.get("route") == "metadata-count")
+    return spark.createDataFrame(
+        [(n0, n1, meta_routed)],
+        "n_before: long, n_after_delete: long, metadata_routed: boolean")
+
+
+META_COUNT_SQL = """
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+        WHERE o.o_orderkey >= (SELECT MIN(o_orderkey) + 50 FROM orders))
+         AS n_after_delete,
+       TRUE AS metadata_routed
+"""
+
+QUERIES["orders_metadata_count"] = (orders_metadata_count,
+                                    META_COUNT_SQL)

@@ -2012,7 +2012,9 @@ def _route_select(session, statement: str):
     ANN → LATERAL batch ANN. First router whose shape matches wins;
     None = normal Spark path (the decline reason, if any, stays on
     ``last_select_route``)."""
-    routed = _route_pruned_select(session, statement)
+    routed = _route_metadata_count(session, statement)
+    if routed is None:
+        routed = _route_pruned_select(session, statement)
     if routed is None:
         routed = _route_pruned_general(session, statement)
     if routed is None:
@@ -2020,6 +2022,54 @@ def _route_select(session, statement: str):
     if routed is None:
         routed = _route_vector_topk_lateral(session, statement)
     return routed
+
+
+_META_COUNT = re.compile(
+    r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)"
+    r"(?:\s+AS\s+(?P<alias>\w+))?\s+FROM\s+(?P<name>[\w.]+)\s*;?\s*$",
+    re.IGNORECASE)
+
+
+def _route_metadata_count(session, statement: str):
+    """Metadata-only COUNT(*) (round-11): a bare ``SELECT COUNT(*)
+    FROM t`` answers from the catalog file index's per-file row counts
+    — zero data read, O(files) driver work — the Delta/Iceberg
+    metadata-count. Exact by construction: every write path records
+    each file's row count from its parquet footer, and COW rewrites
+    replace the entries of the files they touch. Any other shape
+    (WHERE, grouping, expressions) takes the normal paths; a shadowing
+    user view wins as everywhere else."""
+    m = _META_COUNT.match(statement)
+    if not m:
+        return None
+    catalog = session.catalog
+    name = _resolve(session, m.group("name"))
+    if not catalog.table_exists(name):
+        return None
+    if _view_is_shadowed(session, name):
+        session.last_select_route = {"route": None,
+                                     "reason": "shadowed-view"}
+        return None
+    tbl = catalog.get_table(name)
+    if any("rows" not in f for f in tbl.files):
+        # an index entry without a recorded row count cannot answer
+        # exactly — scan instead of guessing
+        session.last_select_route = {"route": None,
+                                     "reason": "index-missing-rowcounts"}
+        return None
+    total = sum(int(f["rows"]) for f in tbl.files)
+    session.last_select_route = {"route": "metadata-count",
+                                 "files_total": len(tbl.files),
+                                 "files_read": 0}
+    alias = m.group("alias") or "count(1)"
+    return session.spark.createDataFrame(
+        [(total,)], T_meta_count_schema(alias))
+
+
+def T_meta_count_schema(alias: str):
+    from pyspark.sql import types as T
+
+    return T.StructType([T.StructField(alias, T.LongType(), False)])
 
 
 _GENERAL_ROUTE = re.compile(

@@ -1631,3 +1631,52 @@ def test_route_pruned_general_agg(hsession, catalog):
     assert not [v.name for v in
                 hsession.spark.catalog.listTables()
                 if v.name.startswith("__routed_scan")]
+
+
+def test_route_metadata_count(hsession, catalog):
+    """Bare COUNT(*) answers from the catalog file index — zero data
+    read (round-11, the Delta-style metadata count). Exact across
+    appends and COW deletes; shadowing user views win; any wider shape
+    scans normally."""
+    from heracles_spark import dml, writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE mc (k BIGINT, v DOUBLE)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "mc",
+        hsession.spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 1.0).alias("v")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    row = hsession.sql("SELECT COUNT(*) FROM mc").first()
+    assert row[0] == 500
+    assert hsession.last_select_route == {
+        "route": "metadata-count", "files_total": 4, "files_read": 0}
+    assert hsession.sql(
+        "SELECT count(1) AS n FROM mc").first().n == 500
+
+    # stays exact across append + COW delete (through the SQL surface,
+    # which refreshes the session view; a LIBRARY-level dml call would
+    # leave the view stale and the shadow guard would correctly route
+    # the count to the stale view instead — the documented contract)
+    hsession.sql("INSERT INTO mc VALUES (1000, 1.0), (1001, 2.0)")
+    hsession.sql("DELETE FROM mc WHERE k < 100")
+    assert hsession.sql("SELECT COUNT(*) AS n FROM mc").first().n == 402
+    assert hsession.last_select_route["route"] == "metadata-count"
+
+    # WHERE / expressions take the normal (scanning) paths
+    assert hsession.sql(
+        "SELECT COUNT(*) AS n FROM mc WHERE k >= 1000").first().n == 2
+    assert hsession.last_select_route["route"] != "metadata-count"
+
+    # a user view shadowing the name wins
+    hsession.spark.range(3).selectExpr("id AS k", "id * 1.0 AS v") \
+        .createOrReplaceTempView("mc")
+    try:
+        assert hsession.sql("SELECT COUNT(*) AS n FROM mc").first().n == 3
+        assert hsession.last_select_route == {
+            "route": None, "reason": "shadowed-view"}
+    finally:
+        hsession.spark.catalog.dropTempView("mc")
