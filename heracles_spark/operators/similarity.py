@@ -527,7 +527,12 @@ def cosine_topk_batch(cand: DataFrame, queries: DataFrame, k: int = 10,
     c = cand.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).alias("cv"),
                     norm_flat(f"`{vec_col}`", dim).alias("cn"))
-    cos = dot_flat("cv", "qv", dim) / (F.col("cn") * F.col("qn"))
+    # zero-norm vectors rank LAST (cosine -1), matching ivf_topk and
+    # the SQL macro — ANSI mode would otherwise throw DIVIDE_BY_ZERO
+    # (round-11: a zero stored vector crashed the batch paths)
+    cos = F.coalesce(
+        F.try_divide(dot_flat("cv", "qv", dim),
+                     F.col("cn") * F.col("qn")), F.lit(-1.0))
     from pyspark.sql import Window
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return (c.crossJoin(F.broadcast(q))
@@ -574,7 +579,12 @@ def ivf_topk_batch(built: DataFrame, queries: DataFrame,
                      F.col(vec_col).alias("cv"),
                      norm_flat(f"`{vec_col}`", dim).alias("cn"),
                      "cell_id")
-    cos = dot_flat("cv", "qv", dim) / (F.col("cn") * F.col("qn"))
+    # zero-norm vectors rank LAST (cosine -1), matching ivf_topk and
+    # the SQL macro — ANSI mode would otherwise throw DIVIDE_BY_ZERO
+    # (round-11: a zero stored vector crashed the batch paths)
+    cos = F.coalesce(
+        F.try_divide(dot_flat("cv", "qv", dim),
+                     F.col("cn") * F.col("qn")), F.lit(-1.0))
     w = Window.partitionBy("qid").orderBy(F.desc("cosine"), "vec_id")
     return (c.join(F.broadcast(probes), "cell_id")
              .withColumn("cosine", F.round(cos, 6))

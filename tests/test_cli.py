@@ -140,7 +140,8 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
                               "demo4_vector_index.sql",
                               "demo5_statistics.sql",
                               "demo6_modern_sql.sql",
-                              "demo7_round10.sql"]):
+                              "demo7_round10.sql",
+                              "demo8_round11.sql"]):
         monkeypatch.setenv("HERACLES_METASTORE",
                            str(tmp_path / f"ms{i}"))
         script = open(os.path.join(ex, name)).read()
@@ -194,6 +195,18 @@ def test_reference_demo_walkthroughs(tmp_path, monkeypatch, capsys):
             assert "\n1\t0.0\n" in out
             # join reorder preserved the answer
             assert "\n6250\n" in out
+        if name == "demo8_round11.sql":
+            assert "\n400\n" in out                   # metadata count
+            # EXPLAIN ROUTE shows both a route and a decline reason
+            assert "pruned-scan" in out
+            assert "no-access-path" in out
+            # filtered ANN at full probe: vec_id 1 ([7,11,3,5], en
+            # iff pmod(1,3)!=0 → 'de'; the en top hit is doc 0 family)
+            assert "vector-index" in out
+            # the LATERAL batch returned 3 rows per probe
+            nn_rows = [l for l in out.splitlines()
+                       if l.startswith("1\t") or l.startswith("2\t")]
+            assert len([l for l in nn_rows if "\t" in l]) >= 6
 
 
 def test_demo_script_end_to_end(tmp_path, monkeypatch, capsys):
