@@ -71,6 +71,7 @@ from __future__ import annotations
 import hashlib
 import re
 import shlex
+import uuid
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1856,8 +1857,10 @@ def _route_vector_topk(session, statement: str):
       is a codegen'd pre-filter, not a post-rank over-fetch); rows
       that reach the output are additionally re-checked against the
       FRESH base table on the join-back path.
-    * Projection — any subset of table columns. A key-only projection
-      answers from the probe result directly; anything wider does a
+    * Projection — any subset of table columns. An UNFILTERED key-only
+      projection answers from the probe result directly; anything
+      wider — or ANY filtered query, whose winners must be re-checked
+      against the fresh base rows (store staleness) — does a
       POINTER JOIN-BACK on the table's leading key (the secondary-
       index pattern, heracles_spark.index): collect the ≤k winning
       keys, min/max-prune the base files with an IN predicate, read
@@ -1918,15 +1921,22 @@ def _route_vector_topk(session, statement: str):
         if salias.lower() in cmap:
             return _decline("score-alias-shadows-column")
     k = int(m.group("k"))
-    join_back = cols != [id_col]
-    if join_back and k > ANN_JOINBACK_MAX_K:
-        return _decline(f"k-exceeds-join-back-cap:{ANN_JOINBACK_MAX_K}")
     pred = None
     if m.group("pred"):
         parsed = _parse_route_pred(m.group("pred").strip(), cmap, types)
         if parsed is None:
             return _decline("unroutable-predicate")
         pred = parsed[0]
+    # FILTERED queries always join back, even for a key-only
+    # projection (round-11 advisor fix, medium): the vector store is
+    # stale between refreshes, so a store-side WHERE alone could
+    # return keys whose CURRENT base row no longer satisfies the
+    # predicate — the ANN opt-in covers approximate recall/ordering,
+    # never predicate false positives. The join-back path re-checks
+    # the k winners against the fresh base rows.
+    join_back = cols != [id_col] or pred is not None
+    if join_back and k > ANN_JOINBACK_MAX_K:
+        return _decline(f"k-exceeds-join-back-cap:{ANN_JOINBACK_MAX_K}")
     if _view_is_shadowed(session, name):
         return _decline("shadowed-view")
     # The array args must be PURELY numeric literals: a column ref or
@@ -2079,7 +2089,6 @@ _GENERAL_ROUTE = re.compile(
     r"(?P<tail>\s+(?:GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|QUALIFY)\b.*)?"
     r"\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
-_ROUTED_VIEW_SEQ = [0]
 
 
 def _route_pruned_general(session, statement: str):
@@ -2143,8 +2152,12 @@ def _route_pruned_general(session, statement: str):
     stats: dict = {}
     df = pruning.scan(session.spark, catalog, name, pred,
                       stats_out=stats, residual=False)
-    _ROUTED_VIEW_SEQ[0] += 1
-    view = f"__routed_scan_{_ROUTED_VIEW_SEQ[0]}"
+    # uuid view name, not a module counter: a counter's += is a
+    # non-atomic read-modify-write, and two threads dispatching routed
+    # statements concurrently could collide on one view name — binding
+    # a statement to the OTHER statement's pruned relation (round-11
+    # advisor fix; same race-free discipline as stats_out above).
+    view = f"__routed_scan_{uuid.uuid4().hex}"
     # No explicit alias ⇒ alias the view AS the typed name's last part
     # so the statement's qualified references (t.col) keep resolving.
     repl = view if m.group("alias") \
@@ -2331,9 +2344,17 @@ _EQUI_CONJ = re.compile(
 def _split_top_and(text: str) -> "list[str] | None":
     """Split a WHERE body into top-level AND conjuncts (paren- and
     quote-aware). Returns None when a top-level OR makes the body
-    non-conjunctive."""
+    non-conjunctive.
+
+    BETWEEN-aware (round-11 advisor fix): ``x BETWEEN a AND b``'s own
+    AND pairs the bounds, it is NOT a conjunction separator — splitting
+    it relied on order-preserving rejoin for correctness and could
+    misclassify a bounds fragment shaped like ``t1.a = t2.b`` as a join
+    edge. A top-level BETWEEN arms a pending flag; the next top-level
+    AND is consumed as its pairing keyword instead of splitting."""
     parts: list[str] = []
     depth, last, i, n = 0, 0, 0, len(text)
+    pending_between = False
     while i < n:
         ch = text[i]
         if ch == "'":
@@ -2344,10 +2365,18 @@ def _split_top_and(text: str) -> "list[str] | None":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and ch in "AaOo" \
+        elif depth == 0 and ch in "AaOoBb" \
                 and (i == 0 or not (text[i - 1].isalnum()
                                     or text[i - 1] == "_")):
+            if re.match(r"BETWEEN\b", text[i:], re.IGNORECASE):
+                pending_between = True
+                i += 7
+                continue
             if re.match(r"AND\b", text[i:], re.IGNORECASE):
+                if pending_between:
+                    pending_between = False     # the bounds' own AND
+                    i += 3
+                    continue
                 parts.append(text[last:i])
                 i += 3
                 last = i

@@ -8,7 +8,8 @@ These tests spawn actual child processes against one on-disk metastore
 needed in the children):
 
 * a child killed between claim and save (the
-  ``HERACLES_TEST_CRASH_AFTER_CLAIM`` hook → ``os._exit``) leaves an
+  ``catalog.TEST_CRASH_AFTER_CLAIM`` module hook → ``os._exit``, set
+  only by the child's own bootstrap code) leaves an
   orphan marker; the surviving writer must reclaim it after
   ``CAS_STALE_S`` and commit, with the dead writer's update absent and
   no version double-saved;
@@ -41,10 +42,16 @@ def _entry(tag: str) -> dict:
             "min": {"k": 0}, "max": {"k": 0}}
 
 
+# The crash hook is a MODULE attribute the child sets in its own
+# bootstrap (round-11 advisor fix: the previous env-var gate meant a
+# leaked variable could kill real writers mid-claim; production code
+# no longer consults the environment at all).
 _CHILD = """
 import json, os, sys
 sys.path.insert(0, {repo!r})
+import heracles_spark.catalog as _cm
 from heracles_spark.catalog import HeraclesCatalog
+_cm.TEST_CRASH_AFTER_CLAIM = {crash!r}
 cat = HeraclesCatalog({ms!r})
 cat.update_file_index("t", [json.loads({entry!r})], append=True,
                       op={op!r})
@@ -53,13 +60,9 @@ print("child-committed")
 
 
 def _spawn(ms: str, tag: str, op: str, crash: bool) -> subprocess.Popen:
-    env = dict(os.environ)
-    env.pop("HERACLES_TEST_CRASH_AFTER_CLAIM", None)
-    if crash:
-        env["HERACLES_TEST_CRASH_AFTER_CLAIM"] = "1"
-    code = _CHILD.format(repo=REPO, ms=ms,
+    code = _CHILD.format(repo=REPO, ms=ms, crash=crash,
                          entry=json.dumps(_entry(tag)), op=op)
-    return subprocess.Popen([sys.executable, "-c", code], env=env,
+    return subprocess.Popen([sys.executable, "-c", code],
                             stdout=subprocess.PIPE,
                             stderr=subprocess.PIPE)
 

@@ -1498,6 +1498,20 @@ def test_stats_join_reorder_comma_from(hsession, catalog):
                  "WHERE cf.m = cm.m AND cf.d = cd.d OR cf.k < 5").first()
     assert hsession.last_join_reorder["applied"] is False
 
+    # BETWEEN in the comma WHERE (round-11 advisor fix): its pairing
+    # AND must not be treated as a conjunction separator — the rewrite
+    # keeps the bounds intact and the answer unchanged.
+    stmt3 = ("SELECT count(*) AS n FROM cf, cm, cd "
+             "WHERE cf.m = cm.m AND cf.d = cd.d "
+             "AND cf.k BETWEEN 0 AND 99")
+    n3 = hsession.sql(stmt3).first().n
+    hsession.spark.conf.set("spark.sql.heracles.joinReorder", "false")
+    try:
+        n3_off = hsession.sql(stmt3).first().n
+    finally:
+        hsession.spark.conf.unset("spark.sql.heracles.joinReorder")
+    assert n3 == n3_off == 10
+
     # EXPLAIN REORDER surfaces the comma form's cost table + reasons
     row = hsession.sql("EXPLAIN REORDER " + stmt).first()
     assert row.supported and row.would_rewrite
@@ -1680,3 +1694,28 @@ def test_route_metadata_count(hsession, catalog):
             "route": None, "reason": "shadowed-view"}
     finally:
         hsession.spark.catalog.dropTempView("mc")
+
+
+def test_split_top_and_between_aware():
+    """Round-11 advisor fix: ``x BETWEEN a AND b``'s pairing AND is
+    consumed by the BETWEEN, never treated as a top-level conjunction
+    separator — a bounds fragment can no longer be misread as a join
+    edge by the comma-FROM rewriter."""
+    from heracles_spark.sql import _split_top_and
+
+    assert _split_top_and("a = 1 AND b = 2") == ["a = 1", "b = 2"]
+    assert _split_top_and("k BETWEEN 1 AND 5") == ["k BETWEEN 1 AND 5"]
+    assert _split_top_and("k BETWEEN 1 AND 5 AND x.a = y.b") == \
+        ["k BETWEEN 1 AND 5", "x.a = y.b"]
+    assert _split_top_and(
+        "x.a = y.b AND k BETWEEN 1 AND 5 AND j = 2") == \
+        ["x.a = y.b", "k BETWEEN 1 AND 5", "j = 2"]
+    assert _split_top_and("k BETWEEN 1 AND 5 AND m BETWEEN 2 AND 6") == \
+        ["k BETWEEN 1 AND 5", "m BETWEEN 2 AND 6"]
+    assert _split_top_and("a = 1 OR b = 2") is None
+    # parenthesized BETWEEN: depth tracking already protects its AND
+    assert _split_top_and("(k BETWEEN 1 AND 5) AND b = 2") == \
+        ["(k BETWEEN 1 AND 5)", "b = 2"]
+    # quoted string containing ' AND ' stays whole
+    assert _split_top_and("a = 'x AND y' AND b = 2") == \
+        ["a = 'x AND y'", "b = 2"]

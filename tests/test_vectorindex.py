@@ -430,13 +430,16 @@ def test_ann_filtered_and_projected_from_sql(hsession):
         assert [x.vec_id for x in got] == brute(lambda i, l: l == 1)
         assert all(x.label == 1 for x in got)
 
-        # filtered, key-only projection: no join-back
+        # filtered, key-only projection: STILL joins back — the store
+        # is stale between refreshes, so filtered winners must be
+        # re-checked against fresh base rows (round-11 advisor fix;
+        # see test_ann_filtered_keyonly_rechecks_fresh_base)
         got = hsession.sql(
             f"SELECT vec_id FROM emb WHERE label = 1 AND vec_id < 200 "
             f"ORDER BY cosine_distance(embedding, array({lit})) "
             f"LIMIT 5").collect()
         r = dict(hsession.last_select_route)
-        assert r["route"] == "vector-index" and r["join_back"] is False
+        assert r["route"] == "vector-index" and r["join_back"] is True
         assert [x.vec_id for x in got] == brute(
             lambda i, l: l == 1 and i < 200)
 
@@ -457,6 +460,45 @@ def test_ann_filtered_and_projected_from_sql(hsession):
         assert hsession.last_select_route == {
             "route": None, "reason": "unroutable-predicate"}
         assert [x.vec_id for x in got] == brute(lambda i, l: l == 1)
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
+
+
+def test_ann_filtered_keyonly_rechecks_fresh_base(hsession):
+    """Round-11 advisor fix (medium): a FILTERED key-only ANN query
+    must never return a key whose CURRENT base row violates the
+    predicate. The vector store is stale between refreshes; after an
+    UPDATE flips the filtered column on the nearest row, the store's
+    copy still matches but the fresh base does not — the join-back
+    re-check has to drop it."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(300, seed=29)
+    _mk(spark, catalog, rows)
+    catalog.register_all(spark)
+    qvec = [float(x) for x in rows[0][1]]
+    lit = ", ".join(repr(v) for v in qvec)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=256)")
+    spark.conf.set("spark.sql.heracles.annProbe", "8")   # full probe
+    try:
+        stmt = (f"SELECT vec_id FROM emb WHERE label = 0 ORDER BY "
+                f"cosine_distance(embedding, array({lit})) LIMIT 5")
+        before = [x.vec_id for x in hsession.sql(stmt).collect()]
+        assert dict(hsession.last_select_route)["route"] == "vector-index"
+        victim = before[0]          # nearest label-0 row (row 0 itself)
+        # Flip its label on the BASE table only — the store keeps the
+        # old copy until the next REFRESH.
+        hsession.sql(f"UPDATE emb SET label = 9 WHERE vec_id = {victim}")
+        after = hsession.sql(stmt).collect()
+        r = dict(hsession.last_select_route)
+        assert r["route"] == "vector-index" and r["join_back"] is True
+        got = [x.vec_id for x in after]
+        assert victim not in got    # stale store row filtered out
+        assert set(got) <= set(before[1:]) | set(got)  # sane shape
+        # every surviving id satisfies the predicate on FRESH rows
+        fresh = {x.vec_id for x in hsession.sql(
+            "SELECT vec_id FROM emb WHERE label = 0").collect()}
+        assert set(got) <= fresh
     finally:
         spark.conf.unset("spark.sql.heracles.annProbe")
 
