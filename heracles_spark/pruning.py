@@ -110,6 +110,56 @@ def may_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
     raise ValueError(f"unknown predicate op: {op}")
 
 
+def must_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
+               key_cols: list[str]) -> bool:
+    """ALL-rows reduction (round-12): True only when EVERY row in the
+    file's bounding box provably satisfies the predicate — the
+    Iceberg-style 'fully contained file' test that lets a range COUNT
+    answer contained files from metadata row counts and scan only
+    boundary files. Sound, incomplete: False means 'cannot prove',
+    never 'no row matches'. Decidable only over KEY columns (non-null
+    by construction — a NULL would make the atom UNKNOWN, not TRUE)
+    with recorded min/max stats; expects NNF input (``to_nnf``) — a
+    surviving NOT is conservatively False."""
+    op = pred[0].lower()
+    if op == "and":
+        return all(must_match(p, mins, maxs, key_cols) for p in pred[1:])
+    if op == "or":
+        return any(must_match(p, mins, maxs, key_cols) for p in pred[1:])
+    if op == "not":
+        return False
+    col = pred[1]
+    if col not in key_cols:
+        return False            # nullable: TRUE-for-all not provable
+    if op == "isnotnull":
+        return True             # key columns are non-nullable
+    if op == "isnull":
+        return False
+    if col not in mins or col not in maxs:
+        return False
+    lo, hi = mins[col], maxs[col]
+    try:
+        if op == "=":
+            return lo == hi == pred[2]
+        if op == "!=":
+            return hi < pred[2] or lo > pred[2]
+        if op == "<":
+            return hi < pred[2]
+        if op == "<=":
+            return hi <= pred[2]
+        if op == ">":
+            return lo > pred[2]
+        if op == ">=":
+            return lo >= pred[2]
+        if op == "in":
+            return lo == hi and any(lo == v for v in pred[2])
+        if op == "between":
+            return lo >= pred[2] and hi <= pred[3]
+    except TypeError:
+        return False            # literal/stat type mismatch: unprovable
+    return False                # unknown op: stay conservative
+
+
 _COMPLEMENT = {"=": "!=", "!=": "=", "<": ">=", "<=": ">", ">": "<=",
                ">=": "<"}
 

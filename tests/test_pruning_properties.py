@@ -127,3 +127,23 @@ def test_to_nnf_is_exact_under_row_keeping(pred, rows):
     nnf = to_nnf(pred)
     for row in rows:
         assert (eval_pred(pred, row) is True) == (eval_pred(nnf, row) is True)
+
+
+def _rows_nonnull():
+    return st.lists(st.fixed_dictionaries({c: _vals for c in COLS}),
+                    min_size=1, max_size=6)
+
+
+@settings(max_examples=400, deadline=None)
+@given(_pred(), _rows_nonnull())
+def test_must_match_implies_every_row_true(pred, rows):
+    """Round-12: ``must_match`` is ALL-rows sound — a file it marks
+    fully contained has EVERY row evaluating TRUE. Rows are non-null
+    here because the claim is only made over key columns, which are
+    non-nullable by construction."""
+    from heracles_spark.pruning import must_match
+
+    mins, maxs = _box(rows)
+    nnf = to_nnf(pred)
+    if must_match(nnf, mins, maxs, key_cols=COLS):
+        assert all(eval_pred(nnf, row) is True for row in rows)
