@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 10,
                          algorithm: str = "star",
-                         strict: bool = True) -> DataFrame:
+                         strict: bool = True,
+                         collect_threshold: int = 100_000) -> DataFrame:
     """Returns (id, component) where component = min node id reachable.
 
     ``edges`` is undirected input (src, dst); self-loops and duplicates
@@ -49,9 +50,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     ``converged`` column (constant per run) instead of raising.
     ``algorithm='star'`` converges in O(log n) rounds and is
     unaffected in practice.
+
+    ``collect_threshold`` (star only) bounds the driver-side FINISH:
+    the distributed contraction keeps running until the surviving
+    edge count — measured AFTER a contraction round, never the input
+    size — drops to the threshold, at which point one bounded collect
+    closes the tail (see ``_star_components``). ``0`` disables the
+    finish entirely (pure distributed to fixpoint); round-12 pins
+    both paths equal on a >100k-edge graph.
     """
     if algorithm == "star":
-        out = _star_components(edges, src, dst, max_iter=max(max_iter, 20))
+        out = _star_components(edges, src, dst, max_iter=max(max_iter, 20),
+                               collect_threshold=collect_threshold)
         if not strict:
             out = out.withColumn("converged", F.lit(True))
         return out
