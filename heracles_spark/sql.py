@@ -2422,6 +2422,20 @@ def _table_ref_spans(s: str) -> "list[dict] | None":
     return refs
 
 
+def _null_rejecting_pred(pred: tuple) -> bool:
+    """True when the predicate AST is NULL-rejecting on every column
+    it tests: a row with NULL in any tested column cannot evaluate
+    TRUE. Comparison/BETWEEN/IN atoms are (NULL comparisons are
+    UNKNOWN); AND/OR of null-rejecting parts stay null-rejecting; an
+    IS NULL (or unknown op) is not. This is the validity condition
+    for pushing a per-table filter below an OUTER join
+    (``_prune_join_refs``)."""
+    op = pred[0].lower()
+    if op in ("and", "or"):
+        return all(_null_rejecting_pred(p) for p in pred[1:])
+    return op in ("=", "!=", "<", "<=", ">", ">=", "in", "between")
+
+
 def _prune_join_refs(session, statement: str):
     """Swap every prunable table reference of a dispatched multi-table
     SELECT for its pruned file-list relation. Returns ``(rewritten,
@@ -2438,6 +2452,17 @@ def _prune_join_refs(session, statement: str):
     bare columns exist in several referenced tables are skipped as
     ambiguous (Spark would reject the statement anyway if genuinely
     ambiguous at resolution).
+
+    OUTER-JOIN soundness: swapping a reference for a pruned relation
+    is a filter pushdown below whatever join consumes it. That is
+    valid below LEFT/RIGHT/FULL joins ONLY because every atom
+    ``_parse_route_pred`` can produce (comparison/BETWEEN/IN against
+    literals) is NULL-REJECTING on its column — a row pruning could
+    remove can never satisfy the statement's WHERE, and a NULL-
+    extended row produced by the narrower build side is dropped by
+    the same WHERE (UNKNOWN). An IS NULL atom would break this;
+    ``_null_rejecting_pred`` guards the invariant in depth should the
+    routable grammar ever widen.
 
     Conservative guards (decline = normal Spark path, never an
     error): exactly one SELECT (no subqueries/CTEs), exactly one
@@ -2512,6 +2537,8 @@ def _prune_join_refs(session, statement: str):
         tbl = catalog.get_table(resolved)
         pred = plist[0][0] if len(plist) == 1 \
             else ("and", *[p[0] for p in plist])
+        if not _null_rejecting_pred(pred):
+            continue             # outer-join soundness (see docstring)
         pcols = {c for p in plist for c in p[1]}
         blooms = set(_bloom.bloom_cols(tbl.properties))
         if not (pcols & set(tbl.key_cols) or pcols & blooms):

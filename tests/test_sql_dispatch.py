@@ -1850,3 +1850,92 @@ def test_metadata_count_range_covered(hsession, catalog):
     assert n == 10
     assert dict(hsession.last_select_route).get("route") \
         != "metadata-count-range"
+
+
+def test_join_prune_outer_join_soundness(hsession, catalog):
+    """Pruning a table reference below an OUTER join is a filter
+    pushdown — valid only because every routable atom is
+    null-rejecting. Pin: LEFT-join statements with a dim-side filter
+    prune the dim and still produce exactly Spark's answer, and the
+    _null_rejecting_pred guard itself."""
+    from heracles_spark import writer
+    from heracles_spark.sql import _null_rejecting_pred
+    from pyspark.sql import functions as F
+
+    assert _null_rejecting_pred(("<", "k", 5))
+    assert _null_rejecting_pred(
+        ("or", ("=", "k", 1), ("between", "k", 3, 4)))
+    assert not _null_rejecting_pred(("isnull", "k"))
+    assert not _null_rejecting_pred(
+        ("or", ("=", "k", 1), ("isnull", "k")))
+    assert not _null_rejecting_pred(("not", ("=", "k", 1)))
+
+    hsession.sql("""CREATE TABLE of (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE od (d BIGINT, w BIGINT)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "of",
+        hsession.spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 100).alias("d")),
+        n_buckets=4)
+    # dim covers only d < 50: half the fact rows have NO match
+    writer.write_key_organized(
+        hsession.spark, catalog, "od",
+        hsession.spark.range(50).select(
+            F.col("id").alias("d"), (F.col("id") * 10).alias("w")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    # dim-side filter under LEFT JOIN: null-rejecting, prunes, exact
+    stmt = ("SELECT count(*) AS n FROM of LEFT JOIN od "
+            "ON of.d = od.d WHERE od.d < 10")
+    n = hsession.sql(stmt).first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join" and "od" in rr["tables"]
+    assert n == 400          # 10 dims x 40 fact rows each
+    # fact-side filter under LEFT JOIN prunes the fact
+    stmt = ("SELECT count(*) AS n FROM of LEFT JOIN od "
+            "ON of.d = od.d WHERE of.k < 1000")
+    n = hsession.sql(stmt).first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["of"]["files_read"] \
+        < rr["tables"]["of"]["files_total"]
+    assert n == 1000         # every fact row kept (NULL-extended ok)
+
+
+def test_join_prune_bloom_atom(hsession, catalog):
+    """A declared-bloomCols equality atom routes join pruning even
+    without a key atom on that reference: file-level bloom probes can
+    prove a sought value absent."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE bf (k BIGINT, tag STRING, v BIGINT)
+                    TBLPROPERTIES('keyCols'='k',
+                                  'bloomCols'='tag')""")
+    hsession.sql("""CREATE TABLE bd (d BIGINT, nm STRING)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "bf",
+        hsession.spark.range(4000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("t"), (F.col("id") / 500).cast("long"))
+             .alias("tag"),
+            (F.col("id") % 10).alias("v")), n_buckets=8)
+    writer.write_key_organized(
+        hsession.spark, catalog, "bd",
+        hsession.spark.range(10).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm")), n_buckets=1)
+    catalog.register_all(hsession.spark)
+    # tag = 't1' lives in keys 500..999 -> bloom skips most files
+    stmt = ("SELECT count(*) AS n FROM bf JOIN bd ON bf.v = bd.d "
+            "WHERE bf.tag = 't1'")
+    n = hsession.sql(stmt).first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["bf"]["files_read"] \
+        < rr["tables"]["bf"]["files_total"]
+    assert n == 500

@@ -96,6 +96,10 @@ AUDITED = [
     # round-11 additions
     "embedding_ann_sql_filtered", "embedding_ann_clustered_default",
     "embedding_ann_sql_scored", "customer_indexed_residual_sql",
+    "lineitem_routed_agg_sql", "embedding_ann_lateral_sql",
+    # round-12 additions
+    "lineitem_star_join_pruned_sql", "orders_range_metadata_count",
+    "embedding_ann_lateral_filtered",
 ]
 
 
