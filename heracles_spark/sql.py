@@ -2317,6 +2317,29 @@ _JP_REF = re.compile(
     re.IGNORECASE)
 
 
+def _has_top_level_kw(s: str, pattern: str) -> bool:
+    """True when ``pattern`` (a regex, matched at word starts) occurs
+    at paren depth 0 outside single-quoted literals."""
+    pat = re.compile(pattern, re.IGNORECASE)
+    depth, i, n = 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (s[i - 1].isalnum()
+                                            or s[i - 1] == "_")) \
+                and pat.match(s, i):
+            return True
+        i += 1
+    return False
+
+
 def _top_level_where_body(s: str) -> "str | None":
     """The MAIN query block's single top-level WHERE body (tail
     clauses and trailing ';' stripped), or None when there is no — or
@@ -2465,16 +2488,29 @@ def _prune_join_refs(session, statement: str):
     routable grammar ever widen.
 
     Conservative guards (decline = normal Spark path, never an
-    error): exactly one SELECT (no subqueries/CTEs), exactly one
-    top-level WHERE, no time travel/ASOF/LATERAL, balanced parens,
-    named base relations only, no duplicate qualifiers."""
-    if statement.count("(") != statement.count(")"):
+    error): no top-level set operations (each branch has its own
+    WHERE), exactly one top-level WHERE, no time travel/ASOF/LATERAL,
+    balanced parens, named base relations only, no duplicate
+    qualifiers. CTEs and subqueries are fine: their bodies live
+    inside parentheses, so the depth-0 scanners never see their
+    WHEREs or FROM refs — only the MAIN block's references are swap
+    candidates, and a reference whose name matches a CTE name is
+    excluded (the CTE shadows the catalog table)."""
+    # Only immediately-executed SELECTs: a statement that PERSISTS a
+    # plan (CREATE [TEMP] VIEW/TABLE ... AS SELECT) must never bind to
+    # the ephemeral __jprune views, which are dropped right after this
+    # dispatch (the persisted definition would dangle).
+    if not re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?:SELECT|WITH)\b",
+                    statement, re.IGNORECASE):
         return None
-    if len(re.findall(r"\bSELECT\b", statement, re.IGNORECASE)) != 1:
+    if statement.count("(") != statement.count(")"):
         return None
     if re.search(r"\bASOF\b|\bVERSION\s+AS\s+OF\b"
                  r"|\bTIMESTAMP\s+AS\s+OF\b|\bLATERAL\b",
                  statement, re.IGNORECASE):
+        return None
+    if _has_top_level_kw(statement,
+                         r"(?:UNION|EXCEPT|INTERSECT|MINUS)\b"):
         return None
     where = _top_level_where_body(statement)
     if not where:
@@ -2482,6 +2518,13 @@ def _prune_join_refs(session, statement: str):
     refs = _table_ref_spans(statement)
     if refs is None or len(refs) < 2:
         return None
+    cte_names: set = set()
+    if re.match(r"\s*WITH\b", statement, re.IGNORECASE):
+        pos = _top_level_find(statement, "SELECT")
+        if pos < 0:
+            return None
+        cte_names = {m.group(1).lower()
+                     for m in _CTE_NAME.finditer(statement[:pos])}
     catalog = session.catalog
 
     def _decline(reason: str):
@@ -2499,6 +2542,8 @@ def _prune_join_refs(session, statement: str):
             # attributed safely (round-12 judge ask #1 decline case).
             return _decline("join-prune:ambiguous-alias")
         quals_seen.add(qual)
+        if r["name"].lower() in cte_names:
+            continue             # the CTE shadows any catalog table
         resolved = _resolve(session, r["name"])
         if not catalog.table_exists(resolved):
             resolved = view_to_table.get(r["name"].lower())

@@ -1939,3 +1939,70 @@ def test_join_prune_bloom_atom(hsession, catalog):
     assert rr["tables"]["bf"]["files_read"] \
         < rr["tables"]["bf"]["files_total"]
     assert n == 500
+
+
+def test_join_prune_cte_statement(hsession, catalog):
+    """Round-12 second wave: join pruning fires inside CTE statements
+    — the MAIN block's references are swap candidates (CTE bodies are
+    parenthesized, invisible to the depth-0 scanners), a reference
+    whose name matches a CTE is never swapped, and persisted-plan
+    statements (CREATE VIEW AS) never bind to the ephemeral pruned
+    views."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE cjf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE cjd (d BIGINT, nm STRING)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "cjf",
+        hsession.spark.range(8000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "cjd",
+        hsession.spark.range(10).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm")), n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    # CTE dim + catalog fact: the fact reference prunes
+    n = hsession.sql(
+        "WITH dim AS (SELECT d, nm FROM cjd WHERE d < 5) "
+        "SELECT count(*) AS n FROM cjf JOIN dim ON cjf.d = dim.d "
+        "WHERE cjf.k BETWEEN 100 AND 1099").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["cjf"]["files_read"] \
+        < rr["tables"]["cjf"]["files_total"]
+    assert "dim" not in rr["tables"]
+    assert n == 500
+
+    # a CTE SHADOWING a catalog table name is never swapped
+    n = hsession.sql(
+        "WITH cjd AS (SELECT CAST(1 AS BIGINT) AS d) "
+        "SELECT count(*) AS n FROM cjf JOIN cjd ON cjf.d = cjd.d "
+        "WHERE cjf.k < 100").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr.get("route") == "pruned-scan-join"
+    assert set(rr["tables"]) == {"cjf"}
+    assert n == 10
+
+    # persisted-plan statements never bind to ephemeral pruned views
+    hsession.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW cjv AS "
+        "SELECT cjf.k FROM cjf JOIN cjd ON cjf.d = cjd.d "
+        "WHERE cjf.k < 50")
+    assert hsession.sql("SELECT count(*) AS n FROM cjv").first().n == 50
+    hsession.spark.catalog.dropTempView("cjv")
+
+    # set operations: each branch owns its WHERE — never rewritten
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM cjf JOIN cjd ON cjf.d = cjd.d "
+        "WHERE cjf.k < 10 UNION ALL "
+        "SELECT count(*) AS n FROM cjf JOIN cjd ON cjf.d = cjd.d "
+        "WHERE cjf.k < 20").collect()
+    assert sorted(r.n for r in n) == [10, 20]
+    assert dict(hsession.last_select_route).get("route") \
+        != "pruned-scan-join"

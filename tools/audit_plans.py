@@ -114,7 +114,12 @@ ARROW_PATH = {"multimodal_decode", "multimodal_wav_decode",
               # reduction) — deliberately Arrow-batched
               "embedding_covariance",
               # real PNG inflate+unfilter / GIF LZW run in the batch
-              "multimodal_png_decode", "multimodal_gif_decode"}
+              "multimodal_png_decode", "multimodal_gif_decode",
+              # two-phase Arrow mapInPandas divide-and-conquer with a
+              # worst-case guard (operators/frontier.py) — round-12
+              # label fix: the operator was always a deliberate Arrow
+              # path, only this annotation set had missed it
+              "part_skyline"}
 
 
 def main() -> None:
