@@ -2627,18 +2627,19 @@ def _prune_join_refs(session, statement: str):
 
 
 # Batch ANN in relational form — the LATERAL correlated-top-k shape
-# (round-12 widened to the FILTERED + SCORED serving form):
-#   SELECT q.<qid>, x.<key>[, x.<score>] FROM <qtbl> q, LATERAL (
-#       SELECT <key>[, cosine_distance(<vcol>, q.<qvec>) AS <score>]
+# (round-12 widened to the FILTERED + SCORED + WIDE-PROJECTION
+# serving form):
+#   SELECT q.<qid>, x.<col>[, x.<col>...][, x.<score>]
+#   FROM <qtbl> q, LATERAL (
+#       SELECT <col>[, <col>...]
+#            [, cosine_distance(<vcol>, q.<qvec>) AS <score>]
 #       FROM <t> [WHERE <routable pred>] ORDER BY
 #       cosine_distance(<vcol>, q.<qvec>) [ASC] LIMIT <k>) x
 _VEC_TOPK_LATERAL = re.compile(
     r"^\s*SELECT\s+(?P<q1>\w+)\.(?P<qid>\w+)(?:\s+AS\s+(?P<qida>\w+))?"
-    r"\s*,\s*(?P<x1>\w+)\.(?P<xcol>\w+)(?:\s+AS\s+(?P<xcola>\w+))?"
-    r"(?:\s*,\s*(?P<x2>\w+)\.(?P<xscol>\w+)"
-    r"(?:\s+AS\s+(?P<xscola>\w+))?)?\s+"
+    r"(?P<outs>(?:\s*,\s*\w+\.\w+(?:\s+AS\s+\w+)?)+)\s+"
     r"FROM\s+(?P<qname>[\w.]+)\s+(?:AS\s+)?(?P<qalias>\w+)\s*,\s*"
-    r"LATERAL\s*\(\s*SELECT\s+(?P<icol>\w+)"
+    r"LATERAL\s*\(\s*SELECT\s+(?P<icols>\w+(?:\s*,\s*\w+)*)"
     r"(?:\s*,\s*cosine_distance\s*\(\s*(?P<pvcol>\w+)\s*,\s*"
     r"(?P<pqref>\w+)\.(?P<pqvec>\w+)\s*\)\s+AS\s+(?P<salias>\w+))?"
     r"\s+FROM\s+(?P<name>[\w.]+)"
@@ -2647,6 +2648,8 @@ _VEC_TOPK_LATERAL = re.compile(
     r"(?P<qref>\w+)\.(?P<qvec>\w+)\s*\)\s*(?:ASC\s*)?"
     r"LIMIT\s+(?P<k>\d+)\s*\)\s*(?:AS\s+)?(?P<xalias>\w+)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
+_LATERAL_OUT_ITEM = re.compile(
+    r"(\w+)\.(\w+)(?:\s+AS\s+(\w+))?", re.IGNORECASE)
 
 
 def _route_vector_topk_lateral(session, statement: str):
@@ -2687,11 +2690,8 @@ def _route_vector_topk_lateral(session, statement: str):
         return None
 
     if m.group("q1").lower() != m.group("qalias").lower() \
-            or m.group("qref").lower() != m.group("qalias").lower() \
-            or m.group("x1").lower() != m.group("xalias").lower():
+            or m.group("qref").lower() != m.group("qalias").lower():
         return _decline("lateral:alias-mismatch")
-    if m.group("xcol").lower() != m.group("icol").lower():
-        return _decline("lateral:projection-not-inner-key")
     name = _resolve(session, m.group("name"))
     qname = _resolve(session, m.group("qname"))
     if not catalog.table_exists(name) or not catalog.table_exists(qname):
@@ -2708,8 +2708,15 @@ def _route_vector_topk_lateral(session, statement: str):
     iname = next((n for n, e in reg.items()
                   if e.get("col", "").lower() == vcol), None)
     id_col = tbl.key_cols[0]
-    if m.group("icol").lower() != id_col.lower():
-        return _decline("lateral:projection-not-inner-key")
+    # Inner projection (round-12 wide form): any subset of the inner
+    # table's columns, optionally plus the repeated ORDER BY call as
+    # a distance alias.
+    icols = [c.strip() for c in m.group("icols").split(",")]
+    icanon = [ttypes.get(c.lower()) for c in icols]
+    if any(c is None for c in icanon) \
+            or len(set(icanon)) != len(icanon):
+        return _decline("lateral:unknown-projection-column")
+    iset = {c.lower() for c in icols}
     qtypes = {c.lower(): (c, t) for c, t in qtbl.columns}
     qid = qtypes.get(m.group("qid").lower())
     qvec = qtypes.get(m.group("qvec").lower())
@@ -2728,14 +2735,18 @@ def _route_vector_topk_lateral(session, statement: str):
             return _decline("projected-score-differs-from-order-by")
         if salias.lower() in ttypes:
             return _decline("score-alias-shadows-column")
-    out_s = None
-    if m.group("x2") is not None:
-        if m.group("x2").lower() != m.group("xalias").lower():
+    # Outer projection: q.<qid> then any of the lateral's columns.
+    out_items: list = []         # (col_lower, out_alias)
+    for om in _LATERAL_OUT_ITEM.finditer(m.group("outs")):
+        if om.group(1).lower() != m.group("xalias").lower():
             return _decline("lateral:alias-mismatch")
-        if salias is None \
-                or m.group("xscol").lower() != salias.lower():
+        col = om.group(2).lower()
+        if col not in iset and (salias is None
+                                or col != salias.lower()):
+            if col in ttypes:
+                return _decline("lateral:projection-not-in-subquery")
             return _decline("lateral:unknown-score-column")
-        out_s = m.group("xscola") or salias
+        out_items.append((col, om.group(3) or om.group(2)))
     # Filtered form (round-12 judge ask #3): a WHERE inside the
     # lateral subquery — any predicate _parse_route_pred accepts over
     # the inner table's columns — plumbs into the batch probe's
@@ -2753,15 +2764,18 @@ def _route_vector_topk_lateral(session, statement: str):
 
         pred_sql = pruning.to_sql(parsed[0])
     out_qid = m.group("qida") or qid[0]
-    out_x = m.group("xcola") or id_col
-    outs = {out_qid.lower(), out_x.lower()}
-    if out_s is not None:
-        outs.add(out_s.lower())
-    if len(outs) != 2 + (out_s is not None):
+    out_names = [out_qid.lower()] + [a.lower() for _, a in out_items]
+    if len(set(out_names)) != len(out_names):
         return _decline("lateral:ambiguous-output-columns")
     if _view_is_shadowed(session, name) \
             or _view_is_shadowed(session, qname):
         return _decline("shadowed-view")
+    # Columns beyond the key must come back from the BASE table —
+    # the distributed pointer join-back (winners are ≤|q|·k rows, the
+    # base side is one scan; the fresh read also re-checks the
+    # predicate, so a stale store row never surfaces).
+    needed = sorted({ttypes[c] for c, _ in out_items
+                     if c in iset and ttypes[c] != id_col})
     try:
         n_probe = int(session.spark.conf.get(
             "spark.sql.heracles.annProbe", "4"))
@@ -2770,27 +2784,23 @@ def _route_vector_topk_lateral(session, statement: str):
     queries = catalog.read_table(session.spark, qname) \
                      .select(qid[0], qvec[0])
     k = int(m.group("k"))
+
+    def _out_type(col_l: str) -> str:
+        if salias is not None and col_l == salias.lower():
+            return "double"
+        return dict(tbl.columns)[ttypes[col_l]]
+
     if iname is not None:
         df = vectorindex.vector_index_topk_batch(
             session.spark, catalog, name, iname, queries,
             k=k, n_probe=n_probe, qid_col=qid[0], qvec_col=qvec[0],
             pred_sql=pred_sql)
-        if pred_sql is not None:
-            # Fresh-base re-check (parity with the single-query
-            # filtered route): the store's filter is the access path,
-            # but a stale store row whose CURRENT base row violates
-            # the predicate must not survive — one distributed
-            # semi-join of the ≤|q|·k winners against the fresh
-            # filtered key set.
-            fresh = (catalog.read_table(session.spark, name)
-                     .where(pred_sql)
-                     .select(F.col(id_col).alias("vec_id")))
-            df = df.join(fresh, "vec_id", "left_semi")
         session.last_select_route = {
             "route": "vector-index-batch", "index": iname,
             "n_probe": n_probe, "k": k, "query_table": qname,
             "filtered": pred_sql is not None,
-            "scored": salias is not None}
+            "scored": salias is not None,
+            "join_back": bool(needed)}
     else:
         # Exact batch fallback (Spark cannot run this statement at
         # all): one first() on the SMALL query side fixes the declared
@@ -2802,10 +2812,9 @@ def _route_vector_topk_lateral(session, statement: str):
             session.last_select_route = {
                 "route": "exact-batch", "k": k, "query_table": qname,
                 "empty_query_table": True}
-            schema = (f"`{out_qid}` {qid[1]}, `{out_x}` "
-                      f"{dict(tbl.columns)[id_col]}")
-            if out_s is not None:
-                schema += f", `{out_s}` double"
+            schema = ", ".join(
+                [f"`{out_qid}` {qid[1]}"]
+                + [f"`{a}` {_out_type(c)}" for c, a in out_items])
             return session.spark.createDataFrame([], schema)
         base = catalog.read_table(session.spark, name)
         if pred_sql is not None:
@@ -2817,13 +2826,36 @@ def _route_vector_topk_lateral(session, statement: str):
         session.last_select_route = {
             "route": "exact-batch", "k": k, "query_table": qname,
             "filtered": pred_sql is not None,
-            "scored": salias is not None}
-    # both operators output fixed names (qid, vec_id, cosine, rank).
-    proj = [F.col("qid").alias(out_qid), F.col("vec_id").alias(out_x)]
-    if out_s is not None:
-        # distance = 1 - cosine, from the probe's (rounded) cosine —
-        # the single-query scored route's convention.
-        proj.append((F.lit(1.0) - F.col("cosine")).alias(out_s))
+            "scored": salias is not None,
+            "join_back": bool(needed)}
+    # Both operators output fixed names (qid, vec_id, cosine, rank).
+    if needed:
+        # Pointer join-back against the FRESH base (predicate
+        # re-applied there: store staleness covered for free).
+        jb = catalog.read_table(session.spark, name)
+        if pred_sql is not None:
+            jb = jb.where(pred_sql)
+        jb = jb.select(F.col(id_col).alias("__jb_id"),
+                       *[F.col(c).alias(f"__jb_{c}") for c in needed])
+        df = df.join(jb, df["vec_id"] == F.col("__jb_id")) \
+               .drop("__jb_id")
+    elif pred_sql is not None and iname is not None:
+        # Key-only filtered output: fresh-base re-check via semi-join
+        # (parity with the single-query filtered route).
+        fresh = (catalog.read_table(session.spark, name)
+                 .where(pred_sql)
+                 .select(F.col(id_col).alias("vec_id")))
+        df = df.join(fresh, "vec_id", "left_semi")
+    proj = [F.col("qid").alias(out_qid)]
+    for col_l, alias in out_items:
+        if salias is not None and col_l == salias.lower():
+            # distance = 1 - cosine, from the probe's (rounded)
+            # cosine — the single-query scored route's convention.
+            proj.append((F.lit(1.0) - F.col("cosine")).alias(alias))
+        elif ttypes[col_l] == id_col:
+            proj.append(F.col("vec_id").alias(alias))
+        else:
+            proj.append(F.col(f"__jb_{ttypes[col_l]}").alias(alias))
     return df.select(*proj)
 
 

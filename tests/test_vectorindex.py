@@ -771,3 +771,60 @@ def test_ann_lateral_filtered_and_scored_from_sql(hsession):
             "route": None, "reason": "lateral:unknown-score-column"}
     finally:
         spark.conf.unset("spark.sql.heracles.annProbe")
+
+
+def test_ann_lateral_wide_projection_join_back(hsession):
+    """Round-12 second wave: the LATERAL batch ANN projects NON-KEY
+    inner columns — the winners come back through a distributed
+    pointer join-back against the FRESH base (predicate re-applied
+    there), matching the single-query wide-projection surface."""
+    spark, catalog = hsession.spark, hsession.catalog
+    rows = _vecs(250, seed=37)
+    _mk(spark, catalog, rows)
+    catalog.create_table("probes3", [("pid", "bigint"),
+                                     ("pvec", "array<float>")], ["pid"])
+    writer.write_key_organized(
+        spark, catalog, "probes3",
+        spark.createDataFrame(
+            [(300 + i, [float(x) for x in rows[i][1]]) for i in (9, 77)],
+            "pid long, pvec array<float>"), n_buckets=1)
+    catalog.register_all(spark)
+    hsession.sql("CREATE VECTOR INDEX v ON emb (embedding) "
+                 "WITH (cells=8, sample=200)")
+    stmt = ("SELECT q.pid, x.vec_id AS nn, x.label, x.d AS dist "
+            "FROM probes3 q, LATERAL ("
+            "SELECT vec_id, label, cosine_distance(embedding, q.pvec) "
+            "AS d FROM emb ORDER BY "
+            "cosine_distance(embedding, q.pvec) LIMIT 4) x")
+    spark.conf.set("spark.sql.heracles.annProbe", "8")
+    try:
+        got = hsession.sql(stmt).collect()
+        r = dict(hsession.last_select_route)
+        assert r["route"] == "vector-index-batch"
+        assert r["join_back"] is True and r["scored"] is True
+        want = {300 + i: [v for _, v in _brute_topk(
+                    rows, [float(x) for x in rows[i][1]], 4)]
+                for i in (9, 77)}
+        by_q = {}
+        for x in got:
+            by_q.setdefault(x.pid, []).append(x)
+        for pid, items in by_q.items():
+            assert sorted(i.nn for i in items) == sorted(want[pid])
+            # joined-back label matches the base row, not a stale copy
+            for i in items:
+                assert i.label == rows[i.nn][2]
+            ds = [i.dist for i in sorted(items, key=lambda t: t.dist)]
+            assert all(0.0 <= d <= 2.0 for d in ds)
+
+        # projecting a real column the subquery did NOT select: decline
+        import pytest as _pytest
+        with _pytest.raises(Exception,
+                            match="CORRELATED_REFERENCE|outer"):
+            hsession.sql(
+                "SELECT q.pid, x.label FROM probes3 q, LATERAL ("
+                "SELECT vec_id FROM emb ORDER BY "
+                "cosine_distance(embedding, q.pvec) LIMIT 2) x").collect()
+        assert hsession.last_select_route == {
+            "route": None, "reason": "lateral:projection-not-in-subquery"}
+    finally:
+        spark.conf.unset("spark.sql.heracles.annProbe")
