@@ -2006,3 +2006,56 @@ def test_join_prune_cte_statement(hsession, catalog):
     assert sorted(r.n for r in n) == [10, 20]
     assert dict(hsession.last_select_route).get("route") \
         != "pruned-scan-join"
+
+
+def test_join_prune_subquery_conjuncts_safe(hsession, catalog):
+    """Round-12 second wave regression: with subqueries now allowed
+    in join-prune statements, IN/EXISTS/scalar-subquery conjuncts are
+    never misattributed (they fail the routable parse and ride along
+    untouched) and answers stay exact while the key atom still
+    prunes."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE sqf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE sqd (d BIGINT)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "sqf",
+        hsession.spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 20).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "sqd",
+        hsession.spark.range(20).select(F.col("id").alias("d")),
+        n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    # IN-subquery conjunct + key atom: prunes on the key, subquery
+    # runs through the normal view, answer exact
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM sqf JOIN sqd ON sqf.d = sqd.d "
+        "WHERE sqf.k < 1000 AND sqf.d IN "
+        "(SELECT d FROM sqd WHERE d < 5)").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["sqf"]["files_read"] \
+        < rr["tables"]["sqf"]["files_total"]
+    assert n == 250          # k<1000 (1000 rows), d=k%20 in 0..4
+
+    # correlated EXISTS referencing the swapped alias still resolves
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM sqf JOIN sqd ON sqf.d = sqd.d "
+        "WHERE sqf.k < 100 AND EXISTS "
+        "(SELECT 1 FROM sqd s2 WHERE s2.d = sqf.d AND s2.d < 3)")\
+        .first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert n == 15           # k<100, k%20 in {0,1,2}
+
+    # scalar subquery in the projection: untouched, exact
+    row = hsession.sql(
+        "SELECT count(*) AS n, (SELECT max(d) FROM sqd) AS mx "
+        "FROM sqf JOIN sqd ON sqf.d = sqd.d WHERE sqf.k < 40").first()
+    assert (row.n, row.mx) == (40, 19)
