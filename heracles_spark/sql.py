@@ -990,12 +990,14 @@ def dispatch(session, statement: str) -> DataFrame | None:
             [(a.get("route"),
               a.get("reason"),
               a.get("files_read"), a.get("files_total"),
+              a.get("files_contained"),
               a.get("mode"),
               a.get("index"), a.get("n_probe"), a.get("k"),
               a.get("filtered"), a.get("join_back"),
               a.get("base_files_read"), a.get("base_files_total"))],
             "route: string, reason: string, files_read: long, "
-            "files_total: long, index_mode: string, vector_index: "
+            "files_total: long, files_contained: long, "
+            "index_mode: string, vector_index: "
             "string, n_probe: int, k: int, filtered: boolean, "
             "join_back: boolean, base_files_read: long, "
             "base_files_total: long")

@@ -1850,6 +1850,12 @@ def test_metadata_count_range_covered(hsession, catalog):
     assert n == 10
     assert dict(hsession.last_select_route).get("route") \
         != "metadata-count-range"
+    # EXPLAIN ROUTE surfaces the MUST/boundary split metadata-only
+    row = hsession.sql("EXPLAIN ROUTE SELECT COUNT(*) FROM mcr "
+                       "WHERE k BETWEEN 500 AND 6499").first()
+    assert row.route == "metadata-count-range"
+    assert row.files_contained >= 1
+    assert row.files_read < row.files_total
 
 
 def test_join_prune_outer_join_soundness(hsession, catalog):
