@@ -2319,6 +2319,23 @@ _JP_REF = re.compile(
     re.IGNORECASE)
 
 
+def _skip_str(s: str, i: int) -> int:
+    """``s[i]`` is an opening single quote: return the index just past
+    the closing quote, treating doubled ``''`` as an escaped quote —
+    the ONE string-skipping convention every depth-0 scanner in this
+    module shares (round-12 review fix: the scanners had drifted)."""
+    n = len(s)
+    i += 1
+    while i < n:
+        if s[i] == "'":
+            if i + 1 < n and s[i + 1] == "'":
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return i
+
+
 def _has_top_level_kw(s: str, pattern: str) -> bool:
     """True when ``pattern`` (a regex, matched at word starts) occurs
     at paren depth 0 outside single-quoted literals."""
@@ -2327,10 +2344,9 @@ def _has_top_level_kw(s: str, pattern: str) -> bool:
     while i < n:
         ch = s[i]
         if ch == "'":
-            i += 1
-            while i < n and s[i] != "'":
-                i += 1
-        elif ch == "(":
+            i = _skip_str(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -2352,10 +2368,9 @@ def _top_level_where_body(s: str) -> "str | None":
     while i < n:
         ch = s[i]
         if ch == "'":
-            i += 1
-            while i < n and s[i] != "'":
-                i += 1
-        elif ch == "(":
+            i = _skip_str(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -2374,10 +2389,9 @@ def _top_level_where_body(s: str) -> "str | None":
     while i < n:
         ch = s[i]
         if ch == "'":
-            i += 1
-            while i < n and s[i] != "'":
-                i += 1
-        elif ch == "(":
+            i = _skip_str(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -2402,15 +2416,7 @@ def _table_ref_spans(s: str) -> "list[dict] | None":
     while i < n:
         ch = s[i]
         if ch == "'":
-            i += 1
-            while i < n:
-                if s[i] == "'":
-                    if i + 1 < n and s[i + 1] == "'":
-                        i += 2
-                        continue
-                    break
-                i += 1
-            i += 1
+            i = _skip_str(s, i)
             continue
         if ch == "(":
             depth += 1
@@ -2438,11 +2444,19 @@ def _table_ref_spans(s: str) -> "list[dict] | None":
                 refs.append({"name": t.group(1),
                              "alias": t.group(2) or "",
                              "start": t.start(1), "end": t.end(1)})
-                in_comma_list = s[i] in "Ff"
+                # A depth-0 comma may follow a JOIN..ON chain too
+                # (``FROM a JOIN b ON ..., c`` is a legal cross ref —
+                # round-12 review fix: it used to be dropped, silently
+                # bypassing the duplicate-qualifier guard), so the
+                # comma list stays armed until a tail keyword.
+                in_comma_list = True
                 i = t.end()
                 continue
-        if depth == 0 and in_comma_list and not ch.isspace():
-            in_comma_list = False    # WHERE/ON/... ends the FROM list
+        if depth == 0 and in_comma_list and ch.isalpha() \
+                and (i == 0 or not (s[i - 1].isalnum()
+                                    or s[i - 1] == "_")) \
+                and _JP_LIST_END.match(s, i):
+            in_comma_list = False    # WHERE/GROUP/... ends the list
         i += 1
     return refs
 
@@ -2501,10 +2515,16 @@ def _prune_join_refs(session, statement: str):
     # Only immediately-executed SELECTs: a statement that PERSISTS a
     # plan (CREATE [TEMP] VIEW/TABLE ... AS SELECT) must never bind to
     # the ephemeral __jprune views, which are dropped right after this
-    # dispatch (the persisted definition would dangle).
-    if not re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?:SELECT|WITH)\b",
-                    statement, re.IGNORECASE):
+    # dispatch (the persisted definition would dangle). ``body_at``
+    # marks where the real statement starts past any EXPLAIN prefix —
+    # the WITH detection below must look THERE, or an EXPLAIN'd CTE
+    # statement would miss its CTE names and swap a shadowed reference
+    # (round-12 review fix).
+    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?=(?:SELECT|WITH)\b)",
+                  statement, re.IGNORECASE)
+    if not m0:
         return None
+    body_at = m0.end()
     if statement.count("(") != statement.count(")"):
         return None
     if re.search(r"\bASOF\b|\bVERSION\s+AS\s+OF\b"
@@ -2521,8 +2541,8 @@ def _prune_join_refs(session, statement: str):
     if refs is None or len(refs) < 2:
         return None
     cte_names: set = set()
-    if re.match(r"\s*WITH\b", statement, re.IGNORECASE):
-        pos = _top_level_find(statement, "SELECT")
+    if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE):
+        pos = _top_level_find(statement, "SELECT", start=body_at)
         if pos < 0:
             return None
         cte_names = {m.group(1).lower()
@@ -2652,6 +2672,9 @@ _VEC_TOPK_LATERAL = re.compile(
     re.IGNORECASE | re.DOTALL)
 _LATERAL_OUT_ITEM = re.compile(
     r"(\w+)\.(\w+)(?:\s+AS\s+(\w+))?", re.IGNORECASE)
+_JP_LIST_END = re.compile(
+    r"(?:WHERE|GROUP|ORDER|HAVING|LIMIT|QUALIFY|WINDOW"
+    r"|UNION|EXCEPT|INTERSECT|MINUS)\b", re.IGNORECASE)
 
 
 def _route_vector_topk_lateral(session, statement: str):
@@ -2908,21 +2931,37 @@ def _split_top_and(text: str) -> "list[str] | None":
     it relied on order-preserving rejoin for correctness and could
     misclassify a bounds fragment shaped like ``t1.a = t2.b`` as a join
     edge. A top-level BETWEEN arms a pending flag; the next top-level
-    AND is consumed as its pairing keyword instead of splitting."""
+    AND is consumed as its pairing keyword instead of splitting.
+
+    CASE-aware (round-12 review fix): ``CASE WHEN p AND q ...`` holds
+    ANDs at paren depth 0 that are neither separators nor BETWEEN
+    pairings — CASE..END nesting is tracked like parens, so those
+    ANDs (and any BETWEEN/OR inside the CASE) are opaque."""
     parts: list[str] = []
     depth, last, i, n = 0, 0, 0, len(text)
+    case_depth = 0
     pending_between = False
     while i < n:
         ch = text[i]
         if ch == "'":
-            i += 1
-            while i < n and text[i] != "'":
-                i += 1
-        elif ch == "(":
+            i = _skip_str(text, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and ch in "AaOoBb" \
+        elif ch in "CcEe" \
+                and (i == 0 or not (text[i - 1].isalnum()
+                                    or text[i - 1] == "_")):
+            if re.match(r"CASE\b", text[i:], re.IGNORECASE):
+                case_depth += 1
+                i += 4
+                continue
+            if re.match(r"END\b", text[i:], re.IGNORECASE):
+                case_depth = max(0, case_depth - 1)
+                i += 3
+                continue
+        elif depth == 0 and case_depth == 0 and ch in "AaOoBb" \
                 and (i == 0 or not (text[i - 1].isalnum()
                                     or text[i - 1] == "_")):
             if re.match(r"BETWEEN\b", text[i:], re.IGNORECASE):

@@ -2065,3 +2065,82 @@ def test_join_prune_subquery_conjuncts_safe(hsession, catalog):
         "SELECT count(*) AS n, (SELECT max(d) FROM sqd) AS mx "
         "FROM sqf JOIN sqd ON sqf.d = sqd.d WHERE sqf.k < 40").first()
     assert (row.n, row.mx) == (40, 19)
+
+
+def test_split_top_and_case_aware():
+    """Round-12 review fix: CASE..END nesting is opaque to the
+    conjunct splitter — WHEN-clause ANDs/ORs are never separators,
+    and a CASE used as a BETWEEN bound keeps its pairing AND."""
+    from heracles_spark.sql import _split_top_and
+
+    assert _split_top_and(
+        "k BETWEEN CASE WHEN p AND q THEN 0 ELSE 1 END AND 9 "
+        "AND y = 3") == \
+        ["k BETWEEN CASE WHEN p AND q THEN 0 ELSE 1 END AND 9",
+         "y = 3"]
+    assert _split_top_and(
+        "CASE WHEN a THEN 1 ELSE 2 END = 1 AND b = 2") == \
+        ["CASE WHEN a THEN 1 ELSE 2 END = 1", "b = 2"]
+    assert _split_top_and(
+        "CASE WHEN a OR b THEN 1 END = 1 AND c = 2") == \
+        ["CASE WHEN a OR b THEN 1 END = 1", "c = 2"]
+    # doubled-quote escape with parens/AND inside the literal
+    assert _split_top_and("a = 'it''s (x AND y' AND b = 2") == \
+        ["a = 'it''s (x AND y'", "b = 2"]
+
+
+def test_table_ref_spans_comma_after_join():
+    """Round-12 review fix: a depth-0 comma AFTER a JOIN..ON chain is
+    a legal cross reference and must be recorded — it used to be
+    dropped, silently bypassing the duplicate-qualifier guard."""
+    from heracles_spark.sql import _table_ref_spans
+
+    refs = _table_ref_spans(
+        "SELECT * FROM a JOIN b ON a.k = b.k, c WHERE a.k < 5")
+    assert [r["name"] for r in refs] == ["a", "b", "c"]
+    refs = _table_ref_spans(
+        "SELECT x, y FROM a t, b JOIN c ON b.k = c.k WHERE t.k = 1 "
+        "GROUP BY x, y")
+    assert [r["name"] for r in refs] == ["a", "b", "c"]
+    # GROUP BY / ORDER BY commas never produce refs
+    refs = _table_ref_spans(
+        "SELECT x FROM a JOIN b ON a.k = b.k GROUP BY x, y "
+        "ORDER BY x, y")
+    assert [r["name"] for r in refs] == ["a", "b"]
+
+
+def test_join_prune_explain_cte_shadow(hsession, catalog):
+    """Round-12 review fix: an EXPLAIN'd CTE statement collects its
+    CTE names PAST the EXPLAIN prefix, so a CTE shadowing a catalog
+    table is never swapped in the explained plan either."""
+    from heracles_spark import sql as sql_mod
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE ef (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE ed (d BIGINT)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "ef",
+        hsession.spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "ed",
+        hsession.spark.range(10).select(F.col("id").alias("d")),
+        n_buckets=1)
+    catalog.register_all(hsession.spark)
+    stmt = ("WITH ed AS (SELECT CAST(1 AS BIGINT) AS d) "
+            "SELECT count(*) AS n FROM ef JOIN ed ON ef.d = ed.d "
+            "WHERE ef.k < 100 AND ed.d < 5")
+    # direct: the EXPLAIN'd statement swaps ONLY the non-shadowed ref
+    jp = sql_mod._prune_join_refs(hsession, "EXPLAIN " + stmt)
+    assert jp is not None
+    _s, views, audit = jp
+    for v in views:
+        hsession.spark.catalog.dropTempView(v)
+    assert set(audit["tables"]) == {"ef"}
+    # end to end: EXPLAIN parses, the statement answers exactly
+    hsession.sql("EXPLAIN " + stmt).collect()
+    assert hsession.sql(stmt).first().n == 10
