@@ -2120,6 +2120,7 @@ def T_meta_count_schema(alias: str):
 _META_COUNT_WHERE = re.compile(
     r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)"
     r"(?:\s+AS\s+(?P<alias>\w+))?\s+FROM\s+(?P<name>[\w.]+)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b)(?P<talias>\w+))?"
     r"\s+WHERE\s+(?P<pred>.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL)
 
@@ -2147,9 +2148,10 @@ def _route_metadata_count_range(session, statement: str):
     tbl = catalog.get_table(name)
     types = dict(tbl.columns)
     cmap = {c.lower(): c for c in types}
+    qual = (m.group("talias")
+            or m.group("name").split(".")[-1]).lower()
     parsed = _parse_route_pred(m.group("pred").strip(), cmap, types,
-                               quals={m.group("name").split(".")[-1]
-                                      .lower()})
+                               quals={qual})
     if parsed is None:
         return None               # later routers record their reasons
     pred, pcols, _n = parsed

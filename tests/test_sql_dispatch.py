@@ -1621,10 +1621,18 @@ def test_route_pruned_general_agg(hsession, catalog):
     assert hsession.last_select_route["route"] == "pruned-scan-general"
     assert sorted(x.mx for x in got2) == [7.5, 9.0, 10.5]
 
-    # explicit alias kept
+    # explicit alias kept — and a bare COUNT over a key range now
+    # takes the even better metadata-count-range route (round-12:
+    # covered files answered from index row counts, boundary scanned)
     n = hsession.sql("SELECT count(*) AS n FROM ragg r "
                      "WHERE r.k < 50").first().n
     assert n == 50
+    assert hsession.last_select_route["route"] == "metadata-count-range"
+    # a non-COUNT aggregate over the same aliased range still takes
+    # the general pruned scan
+    n = hsession.sql("SELECT CAST(SUM(k) AS BIGINT) AS s FROM ragg r "
+                     "WHERE r.k < 50").first().s
+    assert n == sum(range(50))
     assert hsession.last_select_route["route"] == "pruned-scan-general"
 
     # HAVING + window tail shapes route too
@@ -1856,6 +1864,12 @@ def test_metadata_count_range_covered(hsession, catalog):
     assert row.route == "metadata-count-range"
     assert row.files_contained >= 1
     assert row.files_read < row.files_total
+    # aliased form routes too (round-12 second wave)
+    n = hsession.sql("SELECT COUNT(*) AS n FROM mcr m "
+                     "WHERE m.k BETWEEN 500 AND 6499").first().n
+    assert n == 5900
+    assert dict(hsession.last_select_route)["route"] \
+        == "metadata-count-range"
 
 
 def test_join_prune_outer_join_soundness(hsession, catalog):
