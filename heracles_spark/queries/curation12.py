@@ -230,3 +230,66 @@ FROM ranked WHERE rnk <= 5 ORDER BY pid, nn
 
 QUERIES["embedding_ann_lateral_filtered"] = (embedding_ann_lateral_filtered,
                                              ANN_LATERAL_FILTERED_SQL)
+
+
+def lineitem_fallback_pruned_sql(spark, sf_dir):
+    """Round-12 second wave certified: a SINGLE-table statement the
+    dedicated routers decline — here a WHERE mixing a routable key
+    atom with an unroutable LIKE conjunct (the general router needs
+    the WHOLE WHERE parseable) — still gets file-level pruning from
+    its attributable conjunct via the tail rewriter
+    (sql._prune_join_refs, now firing at >=1 reference). Pinned:
+    route == pruned-scan-join, files_read < files_total on the
+    reference, and the aggregates the oracle recomputes from raw
+    lineitem — a pruning bug that loses rows flips the hash."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_fbp_"))
+    cat = hs.catalog
+    li = _t(spark, sf_dir, "lineitem")
+    cat.create_table("fbl", [("l_orderkey", "bigint"),
+                             ("l_linenumber", "int"),
+                             ("l_returnflag", "string"),
+                             ("l_quantity", "double")],
+                     ["l_orderkey", "l_linenumber"])
+    writer.write_key_organized(
+        spark, cat, "fbl",
+        li.select(F.col("l_orderkey").cast("bigint"),
+                  F.col("l_linenumber").cast("int"),
+                  "l_returnflag",
+                  F.col("l_quantity").cast("double")), n_buckets=8)
+    cat.register_all(spark)
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    b = int(lo) + (int(hi) - int(lo)) // 4
+    got = hs.sql(
+        f"SELECT l.l_returnflag AS rf, count(*) AS n, "
+        f"CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE) "
+        f"AS sum_qty FROM fbl l "
+        f"WHERE l.l_orderkey <= {b} AND l.l_returnflag LIKE '%A%' "
+        f"GROUP BY l.l_returnflag ORDER BY rf").collect()
+    rr = dict(hs.last_select_route)
+    ref = rr.get("tables", {}).get("l", {})
+    routed = bool(rr.get("route") == "pruned-scan-join"
+                  and ref.get("files_read", 99) < ref.get("files_total", 0))
+    return (spark.createDataFrame(
+                [(r.rf, int(r.n), float(r.sum_qty)) for r in got],
+                "rf: string, n: long, sum_qty: double")
+            .withColumn("fallback_pruned", F.lit(routed))
+            .orderBy("rf"))
+
+
+FALLBACK_PRUNED_SQL = """
+WITH b AS (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 4 AS b FROM lineitem)
+SELECT l.l_returnflag AS rf, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+         AS sum_qty,
+       TRUE AS fallback_pruned
+FROM lineitem l, b
+WHERE l.l_orderkey <= b.b AND l.l_returnflag LIKE '%A%'
+GROUP BY l.l_returnflag ORDER BY rf
+"""
+
+QUERIES["lineitem_fallback_pruned_sql"] = (lineitem_fallback_pruned_sql,
+                                           FALLBACK_PRUNED_SQL)

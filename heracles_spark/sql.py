@@ -2478,10 +2478,12 @@ def _null_rejecting_pred(pred: tuple) -> bool:
 
 
 def _prune_join_refs(session, statement: str):
-    """Swap every prunable table reference of a dispatched multi-table
-    SELECT for its pruned file-list relation. Returns ``(rewritten,
-    views_created, audit)`` or None (no rewrite; a decline reason may
-    be recorded on ``session.last_select_route``).
+    """Swap every prunable table reference of a dispatched SELECT —
+    joins, comma chains, CTE statements, and (round-12 second wave)
+    single-table statements the dedicated routers declined — for its
+    pruned file-list relation. Returns ``(rewritten, views_created,
+    audit)`` or None (no rewrite; a decline reason may be recorded on
+    ``session.last_select_route``).
 
     Per reference: the top-level WHERE's AND-conjuncts that parse
     entirely against THAT reference (its alias as the only allowed
@@ -2540,7 +2542,14 @@ def _prune_join_refs(session, statement: str):
     if not where:
         return None
     refs = _table_ref_spans(statement)
-    if refs is None or len(refs) < 2:
+    # ONE reference is enough (round-12 second wave): a single-table
+    # statement that the dedicated routers declined — a CTE prelude,
+    # an IN/EXISTS subquery, or a WHERE whose OTHER conjuncts are
+    # unroutable (LIKE, expressions) — still deserves pruning from
+    # its attributable conjuncts. The dedicated single-table routers
+    # run first and return before this tail, so only their declines
+    # land here.
+    if not refs:
         return None
     cte_names: set = set()
     if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE):
@@ -2552,7 +2561,13 @@ def _prune_join_refs(session, statement: str):
     catalog = session.catalog
 
     def _decline(reason: str):
-        session.last_select_route = {"route": None, "reason": reason}
+        # Never clobber a MORE SPECIFIC reason a dedicated router
+        # already recorded (this tail runs after their declines —
+        # round-12 second wave: 'unroutable-predicate'/'shadowed-view'
+        # beats a generic 'join-prune:*' code).
+        prev = getattr(session, "last_select_route", None) or {}
+        if not prev.get("reason"):
+            session.last_select_route = {"route": None, "reason": reason}
         return None
 
     view_to_table = {catalog.view_name(t): t

@@ -2158,3 +2158,50 @@ def test_join_prune_explain_cte_shadow(hsession, catalog):
     # end to end: EXPLAIN parses, the statement answers exactly
     hsession.sql("EXPLAIN " + stmt).collect()
     assert hsession.sql(stmt).first().n == 10
+
+
+def test_single_table_fallback_pruning(hsession, catalog):
+    """Round-12 second wave: single-table statements the dedicated
+    routers decline — partially-routable WHEREs (LIKE/expression
+    conjuncts), CTE preludes, IN-subqueries — still prune from their
+    attributable conjuncts via the tail rewriter."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE stf (k BIGINT, d BIGINT, s STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "stf",
+        hsession.spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d"),
+            F.concat(F.lit("s"), F.col("id") % 3).alias("s")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    # unroutable LIKE conjunct + key atom: the general router
+    # declines (whole-WHERE parse), the tail prunes on the key atom
+    n = hsession.sql("SELECT count(*) AS n FROM stf "
+                     "WHERE stf.k < 1000 AND stf.s LIKE 's1%'")\
+        .first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["stf"]["files_read"] \
+        < rr["tables"]["stf"]["files_total"]
+    assert n == 333          # k<1000 with k%3==1
+
+    # CTE prelude + single fact: prunes
+    n = hsession.sql(
+        "WITH lim AS (SELECT 2 AS m) "
+        "SELECT count(*) AS n FROM stf, lim "
+        "WHERE stf.k < 500 AND stf.d < lim.m").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr.get("route") == "pruned-scan-join"
+    assert n == 100          # k<500 with k%10 in {0,1}
+
+    # IN-subquery + key atom on a single table: prunes
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM stf WHERE stf.k < 200 AND stf.d IN "
+        "(SELECT DISTINCT d FROM stf WHERE d < 3)").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr.get("route") == "pruned-scan-join"
+    assert n == 60           # k<200 with k%10 in {0,1,2}
