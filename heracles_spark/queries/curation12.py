@@ -293,3 +293,77 @@ GROUP BY l.l_returnflag ORDER BY rf
 
 QUERIES["lineitem_fallback_pruned_sql"] = (lineitem_fallback_pruned_sql,
                                            FALLBACK_PRUNED_SQL)
+
+
+def lineitem_cte_pruned_sql(spark, sf_dir):
+    """Round-12 third wave certified: file pruning INSIDE CTE bodies
+    — the filter-inside-a-CTE spelling of the star-schema statement,
+    ``WITH f AS (SELECT ... FROM fact WHERE fact.key BETWEEN a AND b)
+    SELECT ... FROM f JOIN dim ...``, prunes the fact's file list
+    inside the body (sql._prune_join_refs recursing per CTE body;
+    audit namespaced <cte>.<qual>) even though the statement has NO
+    top-level WHERE. Pinned: route == pruned-scan-join, namespaced
+    files_read < files_total, and the aggregates the oracle
+    recomputes from raw lineitem ⋈ orders."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_cte_"))
+    cat = hs.catalog
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cat.create_table("ctl", [("l_orderkey", "bigint"),
+                             ("l_linenumber", "int"),
+                             ("l_quantity", "double")],
+                     ["l_orderkey", "l_linenumber"])
+    writer.write_key_organized(
+        spark, cat, "ctl",
+        li.select(F.col("l_orderkey").cast("bigint"),
+                  F.col("l_linenumber").cast("int"),
+                  F.col("l_quantity").cast("double")), n_buckets=8)
+    cat.create_table("cto", [("o_orderkey", "bigint"),
+                             ("o_orderpriority", "string")],
+                     ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "cto",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 "o_orderpriority"), n_buckets=4)
+    cat.register_all(spark)
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    a = int(lo) + (int(hi) - int(lo)) // 4
+    b = int(lo) + (int(hi) - int(lo)) // 2
+    got = hs.sql(
+        f"WITH f AS (SELECT l_orderkey, l_quantity FROM ctl "
+        f"WHERE ctl.l_orderkey BETWEEN {a} AND {b}) "
+        f"SELECT o.o_orderpriority AS pri, count(*) AS n, "
+        f"CAST(SUM(CAST(f.l_quantity AS DECIMAL(38,2))) AS DOUBLE) "
+        f"AS sum_qty FROM f JOIN cto o ON f.l_orderkey = o.o_orderkey "
+        f"GROUP BY o.o_orderpriority ORDER BY pri").collect()
+    rr = dict(hs.last_select_route)
+    fact = rr.get("tables", {}).get("f.ctl", {})
+    routed = bool(
+        rr.get("route") == "pruned-scan-join"
+        and fact.get("files_read", 99) < fact.get("files_total", 0))
+    return (spark.createDataFrame(
+                [(r.pri, int(r.n), float(r.sum_qty)) for r in got],
+                "pri: string, n: long, sum_qty: double")
+            .withColumn("cte_body_pruned", F.lit(routed))
+            .orderBy("pri"))
+
+
+CTE_PRUNED_SQL = """
+WITH b AS (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 4 AS a,
+                  MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 2 AS b FROM lineitem)
+SELECT o.o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+         AS sum_qty,
+       TRUE AS cte_body_pruned
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey, b
+WHERE l.l_orderkey BETWEEN b.a AND b.b
+GROUP BY o.o_orderpriority ORDER BY pri
+"""
+
+QUERIES["lineitem_cte_pruned_sql"] = (lineitem_cte_pruned_sql,
+                                      CTE_PRUNED_SQL)

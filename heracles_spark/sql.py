@@ -2477,12 +2477,16 @@ def _null_rejecting_pred(pred: tuple) -> bool:
     return op in ("=", "!=", "<", "<=", ">", ">=", "in", "between")
 
 
-def _prune_join_refs(session, statement: str):
-    """Swap every prunable table reference of a dispatched SELECT —
-    joins, comma chains, CTE statements, and (round-12 second wave)
-    single-table statements the dedicated routers declined — for its
-    pruned file-list relation. Returns ``(rewritten, views_created,
-    audit)`` or None (no rewrite; a decline reason may be recorded on
+def _prune_main_refs(session, statement: str,
+                     outer_ctes: frozenset = frozenset()):
+    """Swap every prunable table reference of ONE statement block —
+    the main SELECT of a dispatched statement, or (via the
+    ``_prune_join_refs`` wrapper, round-12 third wave) a CTE body —
+    for its pruned file-list relation. ``outer_ctes`` carries the CTE
+    names already in scope from enclosing statements: a reference
+    matching one is never swapped (the CTE shadows the catalog
+    table). Returns ``(rewritten, views_created, audit)`` or None (no
+    rewrite; a decline reason may be recorded on
     ``session.last_select_route``).
 
     Per reference: the top-level WHERE's AND-conjuncts that parse
@@ -2551,13 +2555,13 @@ def _prune_join_refs(session, statement: str):
     # land here.
     if not refs:
         return None
-    cte_names: set = set()
+    cte_names: set = set(outer_ctes)
     if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE):
         pos = _top_level_find(statement, "SELECT", start=body_at)
         if pos < 0:
             return None
-        cte_names = {m.group(1).lower()
-                     for m in _CTE_NAME.finditer(statement[:pos])}
+        cte_names |= {m.group(1).lower()
+                      for m in _CTE_NAME.finditer(statement[:pos])}
     catalog = session.catalog
 
     def _decline(reason: str):
@@ -2663,6 +2667,120 @@ def _prune_join_refs(session, statement: str):
     audit = {"route": "pruned-scan-join", "tables": audit_tables,
              "files_read": total_read, "files_total": total_all}
     return out, views, audit
+
+
+_CTE_ENTRY = re.compile(r"(\w+)\s*(?:\([^)]*\)\s*)?AS\s*\(",
+                        re.IGNORECASE)
+
+
+def _cte_body_spans(s: str, start: int) -> "list[tuple] | None":
+    """Top-level CTE bodies of a WITH statement: ``[(name,
+    body_start, body_end)]`` where [body_start, body_end) is the text
+    INSIDE the body's parentheses, in definition order. ``s[start:]``
+    must begin with WITH. None on RECURSIVE (conservatively out — the
+    iterating reference's scan is managed by the recursion rewriter)
+    or any parse surprise."""
+    m = re.match(r"WITH\s+(RECURSIVE\s+)?", s[start:], re.IGNORECASE)
+    if not m or m.group(1):
+        return None
+    i = start + m.end()
+    out: list = []
+    while True:
+        me = _CTE_ENTRY.match(s, i)
+        if not me:
+            return None
+        open_i = me.end() - 1
+        j, depth, n = open_i, 0, len(s)
+        while j < n:
+            ch = s[j]
+            if ch == "'":
+                j = _skip_str(s, j)
+                continue
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        if j >= n:
+            return None
+        out.append((me.group(1), open_i + 1, j))
+        mc = re.compile(r"\s*,\s*").match(s, j + 1)
+        if mc:
+            i = mc.end()
+            continue
+        if re.compile(r"\s*SELECT\b", re.IGNORECASE).match(s, j + 1):
+            return out
+        return None
+
+
+def _prune_join_refs(session, statement: str,
+                     outer_ctes: frozenset = frozenset()):
+    """File pruning over a whole dispatched statement (round-12 third
+    wave): prune table references inside each top-level CTE BODY
+    (recursively — a body that is itself a WITH statement prunes its
+    own CTEs), then the MAIN block, merging views and audits. The
+    filter-inside-a-CTE statement — ``WITH f AS (SELECT ... FROM fact
+    WHERE fact.key BETWEEN a AND b) SELECT ... FROM f JOIN dim ...``
+    — is the other dominant warehouse spelling of the star-schema
+    shape, and its fact scan previously read the FULL file list (CTE
+    bodies are parenthesized, invisible to the depth-0 main-block
+    scanners). CTE-body audit entries are namespaced ``<cte>.<qual>``.
+    Returns ``(rewritten, views_created, audit)`` or None."""
+    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?=(?:SELECT|WITH)\b)",
+                  statement, re.IGNORECASE)
+    if not m0:
+        return None
+    body_at = m0.end()
+    views_acc: list = []
+    tables_acc: dict = {}
+    fr = ft = 0
+    try:
+        if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE) \
+                and statement.count("(") == statement.count(")"):
+            spans = _cte_body_spans(statement, body_at)
+            if spans:
+                prior: set = set(outer_ctes)
+                patches: list = []
+                for name, b0, b1 in spans:
+                    sub = _prune_join_refs(session, statement[b0:b1],
+                                           outer_ctes=frozenset(prior))
+                    prior.add(name.lower())
+                    if sub is None:
+                        continue
+                    nb, v, a = sub
+                    patches.append((b0, b1, nb))
+                    views_acc += v
+                    for q, st in a.get("tables", {}).items():
+                        tables_acc[f"{name}.{q}"] = st
+                    fr += a.get("files_read", 0)
+                    ft += a.get("files_total", 0)
+                for b0, b1, nb in sorted(patches, reverse=True):
+                    statement = statement[:b0] + nb + statement[b1:]
+        main = _prune_main_refs(session, statement,
+                                outer_ctes=outer_ctes)
+    except Exception:
+        for v in views_acc:
+            try:
+                session.spark.catalog.dropTempView(v)
+            except Exception:
+                pass
+        raise
+    if main is not None:
+        statement, v, a = main
+        views_acc += v
+        tables = dict(a.get("tables", {}))
+        tables.update(tables_acc)
+        return statement, views_acc, {
+            "route": "pruned-scan-join", "tables": tables,
+            "files_read": a.get("files_read", 0) + fr,
+            "files_total": a.get("files_total", 0) + ft}
+    if not views_acc:
+        return None
+    return statement, views_acc, {
+        "route": "pruned-scan-join", "tables": tables_acc,
+        "files_read": fr, "files_total": ft}
 
 
 # Batch ANN in relational form — the LATERAL correlated-top-k shape

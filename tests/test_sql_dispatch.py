@@ -2205,3 +2205,77 @@ def test_single_table_fallback_pruning(hsession, catalog):
     rr = dict(hsession.last_select_route)
     assert rr.get("route") == "pruned-scan-join"
     assert n == 60           # k<200 with k%10 in {0,1,2}
+
+
+def test_cte_body_pruning(hsession, catalog):
+    """Round-12 third wave: table references INSIDE CTE bodies prune
+    — the filter-inside-a-CTE star shape, body+main combinations,
+    prior-CTE shadowing within a later body, nested WITH, and the
+    RECURSIVE conservative decline."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE cbf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE cbd (d BIGINT, nm STRING)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "cbf",
+        hsession.spark.range(8000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "cbd",
+        hsession.spark.range(10).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm")), n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    # filter-inside-a-CTE star shape: the body's fact ref prunes,
+    # audit namespaced <cte>.<qual>, no outer WHERE needed
+    n = hsession.sql(
+        "WITH f AS (SELECT k, d FROM cbf WHERE cbf.k BETWEEN 100 AND "
+        "1099) SELECT count(*) AS n FROM f JOIN cbd ON f.d = cbd.d")\
+        .first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["f.cbf"]["files_read"] \
+        < rr["tables"]["f.cbf"]["files_total"]
+    assert n == 1000
+
+    # body AND main both prune, audits merge
+    n = hsession.sql(
+        "WITH f AS (SELECT k, d FROM cbf WHERE cbf.k < 500) "
+        "SELECT count(*) AS n FROM cbf g JOIN f ON g.k = f.k "
+        "WHERE g.k >= 100").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert "f.cbf" in rr["tables"] and "g" in rr["tables"]
+    assert n == 400
+
+    # a later body referencing a PRIOR CTE that shadows nothing it
+    # shouldn't: only the catalog ref prunes
+    n = hsession.sql(
+        "WITH cbd AS (SELECT CAST(1 AS BIGINT) AS d), "
+        "f AS (SELECT k FROM cbf, cbd "
+        "WHERE cbf.k < 50 AND cbf.d = cbd.d) "
+        "SELECT count(*) AS n FROM f").first().n
+    rr = dict(hsession.last_select_route)
+    assert "f.cbf" in rr["tables"]
+    assert not any(".cbd" in q or q == "cbd" for q in rr["tables"])
+    assert n == 5            # k<50 with k%10 == 1
+
+    # nested WITH inside a body: the inner body prunes, doubly
+    # namespaced
+    n = hsession.sql(
+        "WITH o AS (WITH i AS (SELECT k FROM cbf WHERE cbf.k < 300) "
+        "SELECT k FROM i) SELECT count(*) AS n FROM o").first().n
+    rr = dict(hsession.last_select_route)
+    assert "o.i.cbf" in rr["tables"]
+    assert n == 300
+
+    # RECURSIVE stays out of the rewriter but still answers
+    n = hsession.sql(
+        "WITH RECURSIVE r(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM r "
+        "WHERE x < 5) SELECT count(*) AS n FROM r").first().n
+    assert n == 5
