@@ -367,3 +367,69 @@ GROUP BY o.o_orderpriority ORDER BY pri
 
 QUERIES["lineitem_cte_pruned_sql"] = (lineitem_cte_pruned_sql,
                                       CTE_PRUNED_SQL)
+
+
+def customer_subquery_pruned_sql(spark, sf_dir):
+    """Round-12 fourth wave certified: file pruning inside SUBQUERY
+    blocks — an IN-subquery whose inner table carries a key-range
+    atom prunes the inner file list (sql._subquery_block_spans +
+    recursion; audit namespaced sub<k>.<qual>), while the outer
+    conjunct (the IN itself) correctly stays unattributed. Pinned:
+    route == pruned-scan-join, inner files_read < files_total, and
+    the per-segment counts the oracle recomputes from raw
+    customer ⋈ orders."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_sqp_"))
+    cat = hs.catalog
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    cat.create_table("sqo", [("o_orderkey", "bigint"),
+                             ("o_custkey", "bigint")], ["o_orderkey"])
+    writer.write_key_organized(
+        spark, cat, "sqo",
+        o.select(F.col("o_orderkey").cast("bigint"),
+                 F.col("o_custkey").cast("bigint")), n_buckets=8)
+    cat.create_table("sqc", [("c_custkey", "bigint"),
+                             ("c_mktsegment", "string")], ["c_custkey"])
+    writer.write_key_organized(
+        spark, cat, "sqc",
+        c.select(F.col("c_custkey").cast("bigint"),
+                 "c_mktsegment"), n_buckets=4)
+    cat.register_all(spark)
+    lo, hi = o.agg(F.min("o_orderkey"), F.max("o_orderkey")).first()
+    a = int(lo) + (int(hi) - int(lo)) // 8
+    b = int(lo) + (int(hi) - int(lo)) // 2
+    got = hs.sql(
+        f"SELECT c.c_mktsegment AS seg, count(*) AS n FROM sqc c "
+        f"WHERE c.c_custkey IN (SELECT o_custkey FROM sqo "
+        f"WHERE sqo.o_orderkey BETWEEN {a} AND {b}) "
+        f"GROUP BY c.c_mktsegment ORDER BY seg").collect()
+    rr = dict(hs.last_select_route)
+    inner = next((v for q, v in rr.get("tables", {}).items()
+                  if q.endswith(".sqo")), {})
+    routed = bool(
+        rr.get("route") == "pruned-scan-join"
+        and inner.get("files_read", 99) < inner.get("files_total", 0))
+    return (spark.createDataFrame(
+                [(r.seg, int(r.n)) for r in got], "seg: string, n: long")
+            .withColumn("subquery_pruned", F.lit(routed))
+            .orderBy("seg"))
+
+
+SUBQUERY_PRUNED_SQL = """
+WITH b AS (SELECT MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey))
+                  // 8 AS a,
+                  MIN(o_orderkey) + (MAX(o_orderkey) - MIN(o_orderkey))
+                  // 2 AS b FROM orders)
+SELECT c.c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS n,
+       TRUE AS subquery_pruned
+FROM customer c, b
+WHERE c.c_custkey IN (SELECT o_custkey FROM orders o
+                      WHERE o.o_orderkey BETWEEN b.a AND b.b)
+GROUP BY c.c_mktsegment ORDER BY seg
+"""
+
+QUERIES["customer_subquery_pruned_sql"] = (customer_subquery_pruned_sql,
+                                           SUBQUERY_PRUNED_SQL)

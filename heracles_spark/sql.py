@@ -2715,19 +2715,60 @@ def _cte_body_spans(s: str, start: int) -> "list[tuple] | None":
         return None
 
 
+def _subquery_block_spans(s: str, start: int) -> list:
+    """OUTERMOST parenthesized query blocks — ``( SELECT ...`` /
+    ``( WITH ...`` — in ``s[start:]``: ``[(body_start, body_end)]``
+    with the text inside the parens. Nested blocks are skipped (the
+    recursion into each outermost body finds them itself). String
+    literals are skipped with the module convention."""
+    out: list = []
+    i, n = start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i = _skip_str(s, i)
+            continue
+        if ch == "(":
+            if re.compile(r"\(\s*(?:SELECT|WITH)\b",
+                          re.IGNORECASE).match(s, i):
+                j, depth = i, 0
+                while j < n:
+                    cj = s[j]
+                    if cj == "'":
+                        j = _skip_str(s, j)
+                        continue
+                    if cj == "(":
+                        depth += 1
+                    elif cj == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                if j >= n:
+                    return out
+                out.append((i + 1, j))
+                i = j + 1
+                continue
+        i += 1
+    return out
+
+
 def _prune_join_refs(session, statement: str,
                      outer_ctes: frozenset = frozenset()):
     """File pruning over a whole dispatched statement (round-12 third
-    wave): prune table references inside each top-level CTE BODY
-    (recursively — a body that is itself a WITH statement prunes its
-    own CTEs), then the MAIN block, merging views and audits. The
-    filter-inside-a-CTE statement — ``WITH f AS (SELECT ... FROM fact
-    WHERE fact.key BETWEEN a AND b) SELECT ... FROM f JOIN dim ...``
-    — is the other dominant warehouse spelling of the star-schema
-    shape, and its fact scan previously read the FULL file list (CTE
-    bodies are parenthesized, invisible to the depth-0 main-block
-    scanners). CTE-body audit entries are namespaced ``<cte>.<qual>``.
-    Returns ``(rewritten, views_created, audit)`` or None."""
+    + fourth waves): prune table references inside each top-level CTE
+    BODY, inside every outermost SUBQUERY block of the main region
+    (derived tables in FROM, IN/EXISTS/scalar subqueries — their
+    bodies are standalone statements for the recursion, correlated
+    conjuncts simply stay unattributed), then the MAIN block, merging
+    views and audits. The filter-inside-a-CTE statement — ``WITH f AS
+    (SELECT ... FROM fact WHERE fact.key BETWEEN a AND b) SELECT ...
+    FROM f JOIN dim ...`` — and the derived-table spelling — ``FROM
+    (SELECT ... FROM fact WHERE ...) x`` — previously read the FULL
+    file list (parenthesized bodies are invisible to the depth-0
+    main-block scanners). CTE-body audit entries are namespaced
+    ``<cte>.<qual>``, subquery entries ``sub<k>.<qual>``. Returns
+    ``(rewritten, views_created, audit)`` or None."""
     m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?=(?:SELECT|WITH)\b)",
                   statement, re.IGNORECASE)
     if not m0:
@@ -2737,27 +2778,48 @@ def _prune_join_refs(session, statement: str,
     tables_acc: dict = {}
     fr = ft = 0
     try:
-        if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE) \
-                and statement.count("(") == statement.count(")"):
-            spans = _cte_body_spans(statement, body_at)
-            if spans:
-                prior: set = set(outer_ctes)
-                patches: list = []
-                for name, b0, b1 in spans:
-                    sub = _prune_join_refs(session, statement[b0:b1],
-                                           outer_ctes=frozenset(prior))
-                    prior.add(name.lower())
-                    if sub is None:
-                        continue
-                    nb, v, a = sub
-                    patches.append((b0, b1, nb))
-                    views_acc += v
-                    for q, st in a.get("tables", {}).items():
-                        tables_acc[f"{name}.{q}"] = st
-                    fr += a.get("files_read", 0)
-                    ft += a.get("files_total", 0)
-                for b0, b1, nb in sorted(patches, reverse=True):
-                    statement = statement[:b0] + nb + statement[b1:]
+        if statement.count("(") == statement.count(")"):
+            patches: list = []
+            prior: set = set(outer_ctes)
+            main_at = body_at
+            if re.match(r"WITH\b", statement[body_at:], re.IGNORECASE):
+                spans = _cte_body_spans(statement, body_at)
+                if spans is None:
+                    # Unparseable WITH prelude (RECURSIVE, surprises):
+                    # stay out of subquery blocks too — we cannot tell
+                    # bodies from main-region blocks.
+                    main_at = len(statement)
+                else:
+                    for name, b0, b1 in spans:
+                        sub = _prune_join_refs(
+                            session, statement[b0:b1],
+                            outer_ctes=frozenset(prior))
+                        prior.add(name.lower())
+                        if sub is None:
+                            continue
+                        nb, v, a = sub
+                        patches.append((b0, b1, nb))
+                        views_acc += v
+                        for q, st in a.get("tables", {}).items():
+                            tables_acc[f"{name}.{q}"] = st
+                        fr += a.get("files_read", 0)
+                        ft += a.get("files_total", 0)
+                    main_at = spans[-1][2] + 1   # past last body's ')'
+            for k, (b0, b1) in enumerate(
+                    _subquery_block_spans(statement, main_at)):
+                sub = _prune_join_refs(session, statement[b0:b1],
+                                       outer_ctes=frozenset(prior))
+                if sub is None:
+                    continue
+                nb, v, a = sub
+                patches.append((b0, b1, nb))
+                views_acc += v
+                for q, st in a.get("tables", {}).items():
+                    tables_acc[f"sub{k}.{q}"] = st
+                fr += a.get("files_read", 0)
+                ft += a.get("files_total", 0)
+            for b0, b1, nb in sorted(patches, reverse=True):
+                statement = statement[:b0] + nb + statement[b1:]
         main = _prune_main_refs(session, statement,
                                 outer_ctes=outer_ctes)
     except Exception:

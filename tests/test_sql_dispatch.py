@@ -2279,3 +2279,78 @@ def test_cte_body_pruning(hsession, catalog):
         "WITH RECURSIVE r(x) AS (SELECT 1 UNION ALL SELECT x+1 FROM r "
         "WHERE x < 5) SELECT count(*) AS n FROM r").first().n
     assert n == 5
+
+
+def test_subquery_block_pruning(hsession, catalog):
+    """Round-12 fourth wave: table references inside SUBQUERY blocks
+    prune — derived tables in FROM, IN-subqueries, correlated EXISTS,
+    scalar subqueries in the SELECT list, and CTE+subquery combos.
+    Correlated conjuncts stay unattributed; the body's own WHERE runs
+    as the residual, so answers are exact."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE sbf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE sbd (d BIGINT, nm STRING)
+                    TBLPROPERTIES('keyCols'='d')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "sbf",
+        hsession.spark.range(8000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "sbd",
+        hsession.spark.range(10).select(
+            F.col("id").alias("d"),
+            F.concat(F.lit("n"), F.col("id")).alias("nm")), n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    # derived table in FROM: the inner filter prunes even though the
+    # main block declines (derived relation present)
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM (SELECT k, d FROM sbf "
+        "WHERE sbf.k BETWEEN 100 AND 1099) x "
+        "JOIN sbd ON x.d = sbd.d").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    sub = next(v for q, v in rr["tables"].items() if q.endswith(".sbf"))
+    assert sub["files_read"] < sub["files_total"]
+    assert n == 1000
+
+    # IN-subquery inner table prunes on its key atom
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM sbd WHERE sbd.d IN "
+        "(SELECT d FROM sbf WHERE sbf.k < 100)").first().n
+    rr = dict(hsession.last_select_route)
+    assert any(q.endswith(".sbf") for q in rr.get("tables", {}))
+    assert n == 10
+
+    # correlated EXISTS: inner key atom prunes, the correlation
+    # conjunct stays in the body text
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM sbd WHERE EXISTS "
+        "(SELECT 1 FROM sbf WHERE sbf.k < 50 AND sbf.d = sbd.d)")\
+        .first().n
+    rr = dict(hsession.last_select_route)
+    assert any(q.endswith(".sbf") for q in rr.get("tables", {}))
+    assert n == 10
+
+    # scalar subquery in the SELECT list
+    r = hsession.sql(
+        "SELECT (SELECT count(*) FROM sbf WHERE sbf.k < 200) AS c, "
+        "count(*) AS n FROM sbd WHERE sbd.d >= 0").first()
+    rr = dict(hsession.last_select_route)
+    assert any(q.endswith(".sbf") for q in rr.get("tables", {}))
+    assert r.c == 200 and r.n == 10
+
+    # CTE body + main-region subquery prune together, namespaced
+    n = hsession.sql(
+        "WITH f AS (SELECT k, d FROM sbf WHERE sbf.k < 500) "
+        "SELECT count(*) AS n FROM f WHERE f.d IN "
+        "(SELECT d FROM sbf WHERE sbf.k < 30)").first().n
+    rr = dict(hsession.last_select_route)
+    assert "f.sbf" in rr["tables"]
+    assert any(q.startswith("sub") and q.endswith(".sbf")
+               for q in rr["tables"])
+    assert n == 500          # k<30 covers all d in 0..9
