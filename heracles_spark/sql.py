@@ -506,7 +506,13 @@ def dispatch(session, statement: str) -> DataFrame | None:
     m = _INSERT_SELECT.match(statement)
     if m:
         name = _resolve(session, m.group("name"))
-        df = spark.sql(m.group("select"))
+        # The source SELECT goes through the full dispatcher (round-12
+        # fourth wave): a key-filtered INSERT ... SELECT prunes its
+        # source file list, and the dispatched surface (QUALIFY, time
+        # travel, routed scans) is available inside INSERT. The
+        # dispatcher analyzes eagerly, so its ephemeral views are
+        # already resolved into the returned plan.
+        df = dispatch(session, m.group("select"))
         # INSERT OVERWRITE replaces the table contents in one atomic
         # catalog-version swap (COW: old files retire in place, time
         # travel still sees them until VACUUM).
@@ -522,7 +528,12 @@ def dispatch(session, statement: str) -> DataFrame | None:
         from heracles_spark import merge as merge_mod
         name = _resolve(session, parsed["target"])
         if parsed["source_sql"] is not None:
-            src_df = spark.sql(parsed["source_sql"])
+            # Dispatched like the INSERT source: a key-filtered MERGE
+            # source prunes its file list (None-guard keeps loud
+            # errors for non-SELECT source text).
+            src_df = dispatch(session, parsed["source_sql"])
+            if src_df is None:
+                src_df = spark.sql(parsed["source_sql"])
         else:
             src_df = spark.table(parsed["source_table"])
         merge_mod.merge_into(
@@ -2405,13 +2416,54 @@ def _top_level_where_body(s: str) -> "str | None":
     return s[start:end].strip().rstrip(";").strip()
 
 
+_JP_DERIVED_ALIAS = re.compile(r"\s*(?:AS\s+)?(\w+)?", re.IGNORECASE)
+
+
+def _skip_derived_rel(s: str, i: int) -> "tuple[int, str] | None":
+    """``s[i:]`` (after optional whitespace) opens a derived relation
+    ``( SELECT|WITH ... ) [AS] [alias]``: return ``(index_past_alias,
+    alias_or_empty)``, else None. The body parens are matched
+    string-safely; the rewriter never swaps inside here (the subquery
+    walk in ``_prune_join_refs`` already pruned the body), but the
+    alias must join the duplicate-qualifier guard."""
+    m = re.compile(r"\s*\(", re.DOTALL).match(s, i)
+    if not m or not re.compile(r"\(\s*(?:SELECT|WITH)\b",
+                               re.IGNORECASE).match(s, m.end() - 1):
+        return None
+    j, depth, n = m.end() - 1, 0, len(s)
+    while j < n:
+        cj = s[j]
+        if cj == "'":
+            j = _skip_str(s, j)
+            continue
+        if cj == "(":
+            depth += 1
+        elif cj == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        j += 1
+    if j >= n:
+        return None
+    ma = _JP_DERIVED_ALIAS.match(s, j + 1)
+    alias = ma.group(1) or ""
+    if alias and re.match(r"(?:ON|WHERE|GROUP|ORDER|LIMIT|LEFT|RIGHT"
+                          r"|FULL|INNER|CROSS|JOIN|USING|QUALIFY|UNION"
+                          r"|EXCEPT|INTERSECT|HAVING|WINDOW|SEMI|ANTI"
+                          r"|NATURAL)$", alias, re.IGNORECASE):
+        return j + 1, ""         # keyword, not an alias
+    return (ma.end() if alias else j + 1), alias
+
+
 def _table_ref_spans(s: str) -> "list[dict] | None":
     """Top-level FROM/JOIN/comma table references WITH text spans —
     the swap targets for join pruning. Each entry is ``{name, alias,
     start, end}`` where [start, end) covers exactly the name token (an
-    explicit alias stays in place). Returns None when a top-level
-    FROM/JOIN is followed by a non-name relation (subquery, VALUES) —
-    the rewriter must not touch those statements."""
+    explicit alias stays in place). A DERIVED relation ``( SELECT ...
+    ) x`` contributes ``{name: None, alias: x}`` — never a swap
+    target, but its alias joins the duplicate-qualifier guard
+    (round-12 fourth wave: its sibling NAMED references now still
+    prune). Returns None for other non-name relations (VALUES)."""
     refs: list[dict] = []
     depth, i, n = 0, 0, len(s)
     in_comma_list = False
@@ -2429,6 +2481,12 @@ def _table_ref_spans(s: str) -> "list[dict] | None":
             i += 1
             continue
         if depth == 0 and in_comma_list and ch == ",":
+            d = _skip_derived_rel(s, i + 1)
+            if d is not None:
+                refs.append({"name": None, "alias": d[1],
+                             "start": -1, "end": -1})
+                i = d[0]
+                continue
             t = _JP_REF.match(s, i + 1)
             if not t or not t.group(1):
                 return None
@@ -2440,9 +2498,16 @@ def _table_ref_spans(s: str) -> "list[dict] | None":
                 and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")):
             m = _REF_KEYWORD.match(s, i)
             if m:
+                d = _skip_derived_rel(s, m.end())
+                if d is not None:
+                    refs.append({"name": None, "alias": d[1],
+                                 "start": -1, "end": -1})
+                    in_comma_list = True
+                    i = d[0]
+                    continue
                 t = _JP_REF.match(s, m.end())
                 if not t or not t.group(1):
-                    return None      # FROM/JOIN ( ... ) — derived rel
+                    return None      # FROM/JOIN ( ... ) — VALUES etc.
                 refs.append({"name": t.group(1),
                              "alias": t.group(2) or "",
                              "start": t.start(1), "end": t.end(1)})
@@ -2579,6 +2644,16 @@ def _prune_main_refs(session, statement: str,
     quals_seen: set = set()
     cat_refs: list = []          # (ref, qual, resolved_table)
     for r in refs:
+        if r["name"] is None:
+            # Derived relation: never a swap target (the subquery walk
+            # already pruned its body), but its alias guards the
+            # qualifier space like any other reference.
+            if r["alias"]:
+                qual = r["alias"].lower()
+                if qual in quals_seen:
+                    return _decline("join-prune:ambiguous-alias")
+                quals_seen.add(qual)
+            continue
         qual = (r["alias"] or r["name"].split(".")[-1]).lower()
         if qual in quals_seen:
             # Two references under one qualifier: conjuncts cannot be

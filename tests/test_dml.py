@@ -252,3 +252,45 @@ def test_update_inside_transaction_commit(hsession):
     hsession.sql("DELETE FROM t WHERE k = 1")
     hsession.sql("COMMIT")
     assert _rows(hsession) == [(2, "b", 99)]
+
+
+def test_insert_select_source_routes(hsession, catalog):
+    """Round-12 fourth wave: the source SELECT of INSERT ... SELECT
+    (and the SELECT source of MERGE) goes through the dispatcher, so
+    a key-filtered source prunes its file list instead of reading the
+    whole table."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE isrc (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE idst (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "isrc",
+        hsession.spark.range(4000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    hsession.sql("INSERT INTO idst SELECT k, v FROM isrc "
+                 "WHERE isrc.k < 500")
+    rr = dict(hsession.last_select_route)
+    assert rr.get("route") is not None
+    assert rr["files_read"] < rr["files_total"]
+    assert hsession.sql("SELECT count(*) AS n FROM idst").first().n \
+        == 500
+
+    hsession.sql("INSERT OVERWRITE idst SELECT k, v FROM isrc "
+                 "WHERE isrc.k BETWEEN 100 AND 199")
+    assert hsession.sql("SELECT count(*) AS n FROM idst").first().n \
+        == 100
+
+    # MERGE source SELECT routes the same way; answers exact
+    hsession.sql("MERGE INTO idst USING (SELECT k, v + 1 AS v "
+                 "FROM isrc WHERE isrc.k < 150) s ON idst.k = s.k "
+                 "WHEN MATCHED THEN UPDATE SET v = s.v")
+    got = sorted((r.k, r.v) for r in hsession.sql(
+        "SELECT k, v FROM idst").collect())
+    assert got[0] == (100, 201) and got[49] == (149, 299)
+    assert got[50] == (150, 300)      # unmatched rows untouched

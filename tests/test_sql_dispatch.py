@@ -2354,3 +2354,48 @@ def test_subquery_block_pruning(hsession, catalog):
     assert any(q.startswith("sub") and q.endswith(".sbf")
                for q in rr["tables"])
     assert n == 500          # k<30 covers all d in 0..9
+
+
+def test_derived_sibling_pruning(hsession, catalog):
+    """Round-12 fourth wave follow-up: a NAMED reference alongside a
+    derived relation in the FROM still prunes (the derived block used
+    to decline the whole rewrite); the derived alias joins the
+    duplicate-qualifier guard; VALUES relations still decline."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE dsf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "dsf",
+        hsession.spark.range(8000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    catalog.register_all(hsession.spark)
+
+    # named ref + derived table: BOTH the outer ref and the derived
+    # body prune, one merged audit
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM dsf f JOIN "
+        "(SELECT DISTINCT d FROM dsf WHERE dsf.k < 30) x ON f.d = x.d "
+        "WHERE f.k BETWEEN 100 AND 1099").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["f"]["files_read"] \
+        < rr["tables"]["f"]["files_total"]
+    assert any(q.startswith("sub") and q.endswith(".dsf")
+               for q in rr["tables"])
+    assert n == 1000
+
+    # comma-list derived relation
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM dsf f, (SELECT 5 AS lim) l "
+        "WHERE f.k < 500 AND f.d < l.lim").first().n
+    rr = dict(hsession.last_select_route)
+    assert "f" in rr.get("tables", {})
+    assert n == 250
+
+    # VALUES relations stay out of the rewriter but answer fine
+    n = hsession.sql(
+        "SELECT count(*) AS n FROM VALUES (1),(2) AS t(a)").first().n
+    assert n == 2
