@@ -433,3 +433,76 @@ GROUP BY c.c_mktsegment ORDER BY seg
 
 QUERIES["customer_subquery_pruned_sql"] = (customer_subquery_pruned_sql,
                                            SUBQUERY_PRUNED_SQL)
+
+
+def lineitem_union_pruned_sql(spark, sf_dir):
+    """Round-12 fifth wave certified: each branch of a top-level SET
+    OPERATION prunes independently — the time-shard union shape,
+    ``SELECT ... WHERE key < a UNION ALL SELECT ... WHERE key > b``
+    (sql._set_op_branch_spans + per-branch recursion; audit
+    namespaced u<k>.<qual>). Pinned: route == pruned-scan-join, BOTH
+    branch entries with files_read < files_total, and the per-branch
+    aggregates the oracle recomputes from raw lineitem."""
+    from heracles_spark import writer
+    from heracles_spark.session import HeraclesSession
+
+    hs = HeraclesSession(spark, tempfile.mkdtemp(prefix="heracles_unp_"))
+    cat = hs.catalog
+    li = _t(spark, sf_dir, "lineitem")
+    cat.create_table("unl", [("l_orderkey", "bigint"),
+                             ("l_linenumber", "int"),
+                             ("l_quantity", "double")],
+                     ["l_orderkey", "l_linenumber"])
+    writer.write_key_organized(
+        spark, cat, "unl",
+        li.select(F.col("l_orderkey").cast("bigint"),
+                  F.col("l_linenumber").cast("int"),
+                  F.col("l_quantity").cast("double")), n_buckets=8)
+    cat.register_all(spark)
+    lo, hi = li.agg(F.min("l_orderkey"), F.max("l_orderkey")).first()
+    a = int(lo) + (int(hi) - int(lo)) // 8
+    b = int(lo) + 7 * (int(hi) - int(lo)) // 8
+    got = hs.sql(
+        f"SELECT 'lo' AS part, count(*) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) "
+        f"AS sum_qty FROM unl WHERE unl.l_orderkey < {a} "
+        f"UNION ALL "
+        f"SELECT 'hi' AS part, count(*) AS n, "
+        f"CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) "
+        f"AS sum_qty FROM unl WHERE unl.l_orderkey > {b}").collect()
+    rr = dict(hs.last_select_route)
+    t = rr.get("tables", {})
+    routed = bool(
+        rr.get("route") == "pruned-scan-join"
+        and all(t.get(q, {}).get("files_read", 99)
+                < t.get(q, {}).get("files_total", 0)
+                for q in ("u0.unl", "u1.unl")))
+    return (spark.createDataFrame(
+                [(r.part, int(r.n), float(r.sum_qty)) for r in got],
+                "part: string, n: long, sum_qty: double")
+            .withColumn("union_branch_pruned", F.lit(routed))
+            .orderBy("part"))
+
+
+UNION_PRUNED_SQL = """
+WITH b AS (SELECT MIN(l_orderkey) + (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 8 AS a,
+                  MIN(l_orderkey) + 7 * (MAX(l_orderkey) - MIN(l_orderkey))
+                  // 8 AS b FROM lineitem)
+SELECT * FROM (
+  SELECT 'lo' AS part, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+           AS sum_qty,
+         TRUE AS union_branch_pruned
+  FROM lineitem, b WHERE l_orderkey < b.a
+  UNION ALL
+  SELECT 'hi' AS part, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE)
+           AS sum_qty,
+         TRUE AS union_branch_pruned
+  FROM lineitem, b WHERE l_orderkey > b.b
+) ORDER BY part
+"""
+
+QUERIES["lineitem_union_pruned_sql"] = (lineitem_union_pruned_sql,
+                                        UNION_PRUNED_SQL)

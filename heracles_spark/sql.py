@@ -2828,6 +2828,65 @@ def _subquery_block_spans(s: str, start: int) -> list:
     return out
 
 
+_SET_OP_SEP = re.compile(
+    r"(?:UNION(?:\s+ALL|\s+DISTINCT)?|EXCEPT(?:\s+ALL)?"
+    r"|INTERSECT(?:\s+ALL)?|MINUS)\b", re.IGNORECASE)
+
+
+def _set_op_branch_spans(s: str, start: int) -> "list[tuple] | None":
+    """Branch spans of a top-level set-operation region:
+    ``[(b0, b1)]`` covering the text between/around the depth-0
+    UNION/EXCEPT/INTERSECT/MINUS separators, or None when there are
+    no separators. The separators stay in place — each branch is
+    rewritten independently and patched back."""
+    seps: list = []
+    depth, i, n = 0, start, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i = _skip_str(s, i)
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (i == 0 or not (s[i - 1].isalnum()
+                                            or s[i - 1] == "_")):
+            m = _SET_OP_SEP.match(s, i)
+            if m:
+                seps.append((i, m.end()))
+                i = m.end()
+                continue
+        i += 1
+    if not seps:
+        return None
+    spans, at = [], start
+    for s0, s1 in seps:
+        spans.append((at, s0))
+        at = s1
+    spans.append((at, n))
+    return spans
+
+
+def _prune_branch(session, text: str, outer_ctes: frozenset):
+    """``_prune_join_refs`` over one set-operation branch; a branch
+    that is a fully parenthesized ``( SELECT ... )`` recurses on the
+    inside of its parens."""
+    sub = _prune_join_refs(session, text, outer_ctes=outer_ctes)
+    if sub is not None:
+        return sub
+    if re.match(r"\s*\(\s*(?:SELECT|WITH)\b", text, re.IGNORECASE):
+        blocks = _subquery_block_spans(text, 0)
+        if len(blocks) == 1:
+            b0, b1 = blocks[0]
+            inner = _prune_join_refs(session, text[b0:b1],
+                                     outer_ctes=outer_ctes)
+            if inner is not None:
+                nb, v, a = inner
+                return text[:b0] + nb + text[b1:], v, a
+    return None
+
+
 def _prune_join_refs(session, statement: str,
                      outer_ctes: frozenset = frozenset()):
     """File pruning over a whole dispatched statement (round-12 third
@@ -2835,16 +2894,24 @@ def _prune_join_refs(session, statement: str,
     BODY, inside every outermost SUBQUERY block of the main region
     (derived tables in FROM, IN/EXISTS/scalar subqueries — their
     bodies are standalone statements for the recursion, correlated
-    conjuncts simply stay unattributed), then the MAIN block, merging
-    views and audits. The filter-inside-a-CTE statement — ``WITH f AS
-    (SELECT ... FROM fact WHERE fact.key BETWEEN a AND b) SELECT ...
-    FROM f JOIN dim ...`` — and the derived-table spelling — ``FROM
-    (SELECT ... FROM fact WHERE ...) x`` — previously read the FULL
-    file list (parenthesized bodies are invisible to the depth-0
-    main-block scanners). CTE-body audit entries are namespaced
-    ``<cte>.<qual>``, subquery entries ``sub<k>.<qual>``. Returns
+    conjuncts simply stay unattributed), inside every SET-OPERATION
+    branch (each UNION/EXCEPT/INTERSECT branch carries its own WHERE
+    — the time-shard union is the canonical shape), then the MAIN
+    block, merging views and audits. The filter-inside-a-CTE
+    statement — ``WITH f AS (SELECT ... FROM fact WHERE fact.key
+    BETWEEN a AND b) SELECT ... FROM f JOIN dim ...`` — and the
+    derived-table spelling — ``FROM (SELECT ... FROM fact WHERE ...)
+    x`` — previously read the FULL file list (parenthesized bodies
+    are invisible to the depth-0 main-block scanners). CTE-body audit
+    entries are namespaced ``<cte>.<qual>``, subquery entries
+    ``sub<k>.<qual>``, set-op branches ``u<k>.<qual>``. Returns
     ``(rewritten, views_created, audit)`` or None."""
-    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?(?=(?:SELECT|WITH)\b)",
+    # The wrapper additionally admits statements that OPEN with a
+    # parenthesized branch — ``(SELECT ...) UNION (SELECT ...)`` —
+    # which the per-branch/subquery recursion handles; persisting
+    # statements (CREATE ... AS) still never match.
+    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?"
+                  r"(?=\(\s*(?:SELECT|WITH)\b|(?:SELECT|WITH)\b)",
                   statement, re.IGNORECASE)
     if not m0:
         return None
@@ -2880,19 +2947,38 @@ def _prune_join_refs(session, statement: str,
                         fr += a.get("files_read", 0)
                         ft += a.get("files_total", 0)
                     main_at = spans[-1][2] + 1   # past last body's ')'
-            for k, (b0, b1) in enumerate(
-                    _subquery_block_spans(statement, main_at)):
-                sub = _prune_join_refs(session, statement[b0:b1],
-                                       outer_ctes=frozenset(prior))
-                if sub is None:
-                    continue
-                nb, v, a = sub
-                patches.append((b0, b1, nb))
-                views_acc += v
-                for q, st in a.get("tables", {}).items():
-                    tables_acc[f"sub{k}.{q}"] = st
-                fr += a.get("files_read", 0)
-                ft += a.get("files_total", 0)
+            branches = _set_op_branch_spans(statement, main_at)
+            if branches is not None:
+                # Per-branch recursion handles each branch's own
+                # subqueries/CTEs itself — the main-region subquery
+                # walk must not run (its spans would overlap the
+                # branch patches).
+                for k, (b0, b1) in enumerate(branches):
+                    sub = _prune_branch(session, statement[b0:b1],
+                                        frozenset(prior))
+                    if sub is None:
+                        continue
+                    nb, v, a = sub
+                    patches.append((b0, b1, nb))
+                    views_acc += v
+                    for q, st in a.get("tables", {}).items():
+                        tables_acc[f"u{k}.{q}"] = st
+                    fr += a.get("files_read", 0)
+                    ft += a.get("files_total", 0)
+            else:
+                for k, (b0, b1) in enumerate(
+                        _subquery_block_spans(statement, main_at)):
+                    sub = _prune_join_refs(session, statement[b0:b1],
+                                           outer_ctes=frozenset(prior))
+                    if sub is None:
+                        continue
+                    nb, v, a = sub
+                    patches.append((b0, b1, nb))
+                    views_acc += v
+                    for q, st in a.get("tables", {}).items():
+                        tables_acc[f"sub{k}.{q}"] = st
+                    fr += a.get("files_read", 0)
+                    ft += a.get("files_total", 0)
             for b0, b1, nb in sorted(patches, reverse=True):
                 statement = statement[:b0] + nb + statement[b1:]
         main = _prune_main_refs(session, statement,

@@ -2017,15 +2017,18 @@ def test_join_prune_cte_statement(hsession, catalog):
     assert hsession.sql("SELECT count(*) AS n FROM cjv").first().n == 50
     hsession.spark.catalog.dropTempView("cjv")
 
-    # set operations: each branch owns its WHERE — never rewritten
+    # set operations: each branch owns its WHERE — rewritten
+    # PER BRANCH since the fifth wave (u<k>-namespaced audits), with
+    # exact per-branch answers
     n = hsession.sql(
         "SELECT count(*) AS n FROM cjf JOIN cjd ON cjf.d = cjd.d "
         "WHERE cjf.k < 10 UNION ALL "
         "SELECT count(*) AS n FROM cjf JOIN cjd ON cjf.d = cjd.d "
         "WHERE cjf.k < 20").collect()
     assert sorted(r.n for r in n) == [10, 20]
-    assert dict(hsession.last_select_route).get("route") \
-        != "pruned-scan-join"
+    rr = dict(hsession.last_select_route)
+    if rr.get("route") == "pruned-scan-join":
+        assert "u0.cjf" in rr["tables"] and "u1.cjf" in rr["tables"]
 
 
 def test_join_prune_subquery_conjuncts_safe(hsession, catalog):
@@ -2399,3 +2402,64 @@ def test_derived_sibling_pruning(hsession, catalog):
     n = hsession.sql(
         "SELECT count(*) AS n FROM VALUES (1),(2) AS t(a)").first().n
     assert n == 2
+
+
+def test_set_op_branch_pruning(hsession, catalog):
+    """Round-12 fifth wave: each branch of a top-level set operation
+    prunes independently (the time-shard union shape) — bare and
+    parenthesized branches, EXCEPT/INTERSECT, WITH preludes, and the
+    global ORDER BY tail on the last branch."""
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE sof (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "sof",
+        hsession.spark.range(8000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=8)
+    catalog.register_all(hsession.spark)
+
+    # UNION ALL of two key ranges: both branches prune
+    n = hsession.sql(
+        "SELECT k FROM sof WHERE sof.k < 500 UNION ALL "
+        "SELECT k FROM sof WHERE sof.k >= 7500").count()
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert "u0.sof" in rr["tables"] and "u1.sof" in rr["tables"]
+    assert rr["files_read"] < rr["files_total"]
+    assert n == 1000
+
+    # EXCEPT branches prune; answer exact
+    n = hsession.sql(
+        "SELECT k FROM sof WHERE sof.k < 1000 EXCEPT "
+        "SELECT k FROM sof WHERE sof.k < 200").count()
+    rr = dict(hsession.last_select_route)
+    assert "u0.sof" in rr["tables"] and "u1.sof" in rr["tables"]
+    assert n == 800
+
+    # parenthesized branches + global ORDER BY on the last branch
+    rows = hsession.sql(
+        "(SELECT k FROM sof WHERE sof.k < 3) UNION ALL "
+        "(SELECT k FROM sof WHERE sof.k BETWEEN 7000 AND 7002) "
+        "ORDER BY k").collect()
+    rr = dict(hsession.last_select_route)
+    assert len(rr.get("tables", {})) == 2
+    assert [r.k for r in rows] == [0, 1, 2, 7000, 7001, 7002]
+
+    # INTERSECT
+    n = hsession.sql(
+        "SELECT d FROM sof WHERE sof.k < 100 INTERSECT "
+        "SELECT d FROM sof WHERE sof.k >= 7000").count()
+    assert n == 10
+
+    # WITH prelude: CTE-referencing conjuncts stay unattributed, the
+    # literal-atom branch still prunes
+    n = hsession.sql(
+        "WITH lim AS (SELECT 100 AS m) "
+        "SELECT k FROM sof, lim WHERE sof.k < lim.m UNION ALL "
+        "SELECT k FROM sof WHERE sof.k >= 7900").count()
+    rr = dict(hsession.last_select_route)
+    assert "u1.sof" in rr["tables"]
+    assert n == 200
