@@ -529,11 +529,28 @@ def dispatch(session, statement: str) -> DataFrame | None:
         name = _resolve(session, parsed["target"])
         if parsed["source_sql"] is not None:
             # Dispatched like the INSERT source: a key-filtered MERGE
-            # source prunes its file list (None-guard keeps loud
-            # errors for non-SELECT source text).
-            src_df = dispatch(session, parsed["source_sql"])
-            if src_df is None:
+            # source prunes its file list. Only query heads are
+            # accepted — the MERGE source is arbitrary paren text, and
+            # routing it through the full dispatcher executed
+            # intercepted DDL/DML (DROP/COMMIT/USE/...) as a side
+            # effect before the loud-error fallback fired, while even
+            # bare spark.sql would run commands (Spark's DROP TABLE on
+            # a temp view silently drops the view). Round-12 review
+            # fix: non-query source text is rejected outright, nothing
+            # executes.
+            if re.match(r"\s*\(*\s*(?:SELECT|WITH)\b",
+                        parsed["source_sql"], re.IGNORECASE):
+                src_df = dispatch(session, parsed["source_sql"])
+                if src_df is None:
+                    src_df = spark.sql(parsed["source_sql"])
+            elif re.match(r"\s*\(*\s*(?:VALUES|TABLE)\b",
+                          parsed["source_sql"], re.IGNORECASE):
                 src_df = spark.sql(parsed["source_sql"])
+            else:
+                raise ValueError(
+                    "MERGE: USING (...) source must be a query "
+                    f"(SELECT/WITH/VALUES/TABLE), got: "
+                    f"{parsed['source_sql'][:60]!r}")
         else:
             src_df = spark.table(parsed["source_table"])
         merge_mod.merge_into(
@@ -2543,7 +2560,8 @@ def _null_rejecting_pred(pred: tuple) -> bool:
 
 
 def _prune_main_refs(session, statement: str,
-                     outer_ctes: frozenset = frozenset()):
+                     outer_ctes: frozenset = frozenset(),
+                     record_decline: bool = True):
     """Swap every prunable table reference of ONE statement block —
     the main SELECT of a dispatched statement, or (via the
     ``_prune_join_refs`` wrapper, round-12 third wave) a CTE body —
@@ -2633,7 +2651,13 @@ def _prune_main_refs(session, statement: str,
         # Never clobber a MORE SPECIFIC reason a dedicated router
         # already recorded (this tail runs after their declines —
         # round-12 second wave: 'unroutable-predicate'/'shadowed-view'
-        # beats a generic 'join-prune:*' code).
+        # beats a generic 'join-prune:*' code). Recursive CTE-body /
+        # branch / subquery invocations pass record_decline=False so a
+        # body's decline never masquerades as — or suppress — the
+        # STATEMENT-level verdict EXPLAIN ROUTE surfaces (round-12
+        # review fix).
+        if not record_decline:
+            return None
         prev = getattr(session, "last_select_route", None) or {}
         if not prev.get("reason"):
             session.last_select_route = {"route": None, "reason": reason}
@@ -2869,26 +2893,17 @@ def _set_op_branch_spans(s: str, start: int) -> "list[tuple] | None":
 
 
 def _prune_branch(session, text: str, outer_ctes: frozenset):
-    """``_prune_join_refs`` over one set-operation branch; a branch
-    that is a fully parenthesized ``( SELECT ... )`` recurses on the
-    inside of its parens."""
-    sub = _prune_join_refs(session, text, outer_ctes=outer_ctes)
-    if sub is not None:
-        return sub
-    if re.match(r"\s*\(\s*(?:SELECT|WITH)\b", text, re.IGNORECASE):
-        blocks = _subquery_block_spans(text, 0)
-        if len(blocks) == 1:
-            b0, b1 = blocks[0]
-            inner = _prune_join_refs(session, text[b0:b1],
-                                     outer_ctes=outer_ctes)
-            if inner is not None:
-                nb, v, a = inner
-                return text[:b0] + nb + text[b1:], v, a
-    return None
+    """``_prune_join_refs`` over one set-operation branch. A fully
+    parenthesized branch ``( SELECT ... )`` is handled by the wrapper
+    itself (its head regex admits a leading paren and the subquery
+    walk recurses inside), so no separate unwrap is needed here."""
+    return _prune_join_refs(session, text, outer_ctes=outer_ctes,
+                            record_decline=False)
 
 
 def _prune_join_refs(session, statement: str,
-                     outer_ctes: frozenset = frozenset()):
+                     outer_ctes: frozenset = frozenset(),
+                     record_decline: bool = True):
     """File pruning over a whole dispatched statement (round-12 third
     + fourth waves): prune table references inside each top-level CTE
     BODY, inside every outermost SUBQUERY block of the main region
@@ -2910,7 +2925,13 @@ def _prune_join_refs(session, statement: str,
     # parenthesized branch — ``(SELECT ...) UNION (SELECT ...)`` —
     # which the per-branch/subquery recursion handles; persisting
     # statements (CREATE ... AS) still never match.
-    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:\w+\s+)*)?"
+    # The modifier loop must never swallow the statement head itself:
+    # with a plain ``(?:\w+\s+)*`` the prefix of ``EXPLAIN WITH t AS
+    # (SELECT ...`` could consume ``WITH t AS`` and satisfy the
+    # lookahead at the CTE body's paren, so the WITH prelude below
+    # would never be parsed and CTE names would not shadow (round-12
+    # review fix — the EXPLAIN'd plan must be the one that runs).
+    m0 = re.match(r"\s*(?:EXPLAIN\s+(?:(?!(?:SELECT|WITH)\b)\w+\s+)*)?"
                   r"(?=\(\s*(?:SELECT|WITH)\b|(?:SELECT|WITH)\b)",
                   statement, re.IGNORECASE)
     if not m0:
@@ -2935,7 +2956,8 @@ def _prune_join_refs(session, statement: str,
                     for name, b0, b1 in spans:
                         sub = _prune_join_refs(
                             session, statement[b0:b1],
-                            outer_ctes=frozenset(prior))
+                            outer_ctes=frozenset(prior),
+                            record_decline=False)
                         prior.add(name.lower())
                         if sub is None:
                             continue
@@ -2969,7 +2991,8 @@ def _prune_join_refs(session, statement: str,
                 for k, (b0, b1) in enumerate(
                         _subquery_block_spans(statement, main_at)):
                     sub = _prune_join_refs(session, statement[b0:b1],
-                                           outer_ctes=frozenset(prior))
+                                           outer_ctes=frozenset(prior),
+                                           record_decline=False)
                     if sub is None:
                         continue
                     nb, v, a = sub
@@ -2982,7 +3005,8 @@ def _prune_join_refs(session, statement: str,
             for b0, b1, nb in sorted(patches, reverse=True):
                 statement = statement[:b0] + nb + statement[b1:]
         main = _prune_main_refs(session, statement,
-                                outer_ctes=outer_ctes)
+                                outer_ctes=outer_ctes,
+                                record_decline=record_decline)
     except Exception:
         for v in views_acc:
             try:

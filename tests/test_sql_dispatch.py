@@ -2463,3 +2463,123 @@ def test_set_op_branch_pruning(hsession, catalog):
     rr = dict(hsession.last_select_route)
     assert "u1.sof" in rr["tables"]
     assert n == 200
+
+
+def test_join_prune_explain_wrapper_cte_parse(hsession, catalog):
+    """Round-12 review fix: the WRAPPER's EXPLAIN-prefix regex must not
+    swallow the statement's WITH head (the modifier loop could consume
+    'WITH t AS' and satisfy the lookahead at the CTE body's paren) —
+    otherwise an EXPLAIN'd CTE statement recursed its bodies as
+    anonymous subqueries with no CTE shadowing, and the explained plan
+    diverged from the executed one."""
+    from heracles_spark import sql as sql_mod
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE xwf (k BIGINT, d BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    # Catalog table named like the first CTE: the shadowing victim.
+    hsession.sql("""CREATE TABLE xct (k BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "xwf",
+        hsession.spark.range(2000).select(
+            F.col("id").alias("k"), (F.col("id") % 10).alias("d")),
+        n_buckets=4)
+    writer.write_key_organized(
+        hsession.spark, catalog, "xct",
+        hsession.spark.range(5).select(F.col("id").alias("k")),
+        n_buckets=1)
+    catalog.register_all(hsession.spark)
+    stmt = ("WITH xct AS (SELECT k, d FROM xwf WHERE xwf.k < 100), "
+            "g AS (SELECT k FROM xct WHERE xct.k < 50) "
+            "SELECT count(*) AS n FROM g")
+    bare = sql_mod._prune_join_refs(hsession, stmt)
+    expl = sql_mod._prune_join_refs(hsession, "EXPLAIN " + stmt)
+    assert bare is not None and expl is not None
+    _, bviews, baudit = bare
+    _, eviews, eaudit = expl
+    for v in bviews + eviews:
+        hsession.spark.catalog.dropTempView(v)
+    # Same parse either way: the CTE body prunes under its CTE
+    # namespace, and the shadowed reference to CTE xct inside g is
+    # NEVER swapped for the catalog table xct.
+    assert set(baudit["tables"]) == {"xct.xwf"}
+    assert set(eaudit["tables"]) == set(baudit["tables"])
+    # End to end: the EXPLAIN'd statement parses; execution is exact.
+    hsession.sql("EXPLAIN " + stmt).collect()
+    assert hsession.sql(stmt).first().n == 50
+
+
+def test_merge_source_non_select_no_side_effects(hsession, catalog):
+    """Round-12 review fix: the MERGE USING (...) source only goes
+    through the dispatcher when it is a SELECT/WITH query — dispatched
+    DDL/DML in the source position must not execute as a side effect
+    before the loud-error fallback fires."""
+    import pytest
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE mtgt (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    hsession.sql("""CREATE TABLE mvic (k BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "mtgt",
+        hsession.spark.range(10).select(
+            F.col("id").alias("k"), F.col("id").alias("v")), n_buckets=1)
+    writer.write_key_organized(
+        hsession.spark, catalog, "mvic",
+        hsession.spark.range(3).select(F.col("id").alias("k")),
+        n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    # DDL in the source: rejected outright, nothing executes — the
+    # victim table AND its registered view both survive.
+    with pytest.raises(ValueError, match="USING"):
+        hsession.sql("MERGE INTO mtgt t USING (DROP TABLE mvic) s "
+                     "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 0")
+    assert catalog.table_exists("mvic")
+    assert hsession.spark.sql("SELECT count(*) AS n FROM mvic") \
+                        .first().n == 3
+
+    # Session-state DML in the source: rejected without switching db.
+    hsession.current_db = "default"   # fixture skips __init__
+    hsession.sql("CREATE DATABASE IF NOT EXISTS modb")
+    with pytest.raises(ValueError, match="USING"):
+        hsession.sql("MERGE INTO mtgt t USING (USE modb) s "
+                     "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 0")
+    assert hsession.current_db == "default"
+
+    # A genuine SELECT source still dispatches (and routes).
+    hsession.sql("MERGE INTO mtgt t USING "
+                 "(SELECT k FROM mvic WHERE k < 2) s ON t.k = s.k "
+                 "WHEN MATCHED THEN UPDATE SET v = 99")
+    got = {r.k: r.v for r in
+           hsession.sql("SELECT k, v FROM mtgt").collect()}
+    assert got[0] == 99 and got[1] == 99 and got[5] == 5
+
+
+def test_prune_decline_reason_is_statement_level(hsession, catalog):
+    """Round-12 review fix: a decline inside a recursed CTE body must
+    not be recorded as (or suppress) the STATEMENT-level decline reason
+    EXPLAIN ROUTE surfaces."""
+    from heracles_spark import sql as sql_mod
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE drf (k BIGINT, s STRING)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "drf",
+        hsession.spark.range(100).select(
+            F.col("id").alias("k"), F.lit("x").alias("s")), n_buckets=2)
+    catalog.register_all(hsession.spark)
+    # CTE body declines (duplicate qualifier: ambiguous-alias); the
+    # main block declines too (LIKE-only WHERE: no routable atom).
+    stmt = ("WITH a AS (SELECT x.k FROM drf x JOIN drf x ON x.k = x.k) "
+            "SELECT count(*) AS n FROM drf WHERE drf.s LIKE 'x%'")
+    hsession.last_select_route = {}
+    assert sql_mod._prune_join_refs(hsession, stmt) is None
+    reason = (hsession.last_select_route or {}).get("reason")
+    assert reason == "join-prune:no-routable-atom"
