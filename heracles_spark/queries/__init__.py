@@ -16,14 +16,15 @@ def _registries():
                                         curation4, curation5, curation6,
                                         curation7, curation8, curation9,
                                         curation10, curation11,
-                                        curation12)
+                                        curation12, curation13)
 
     return (relational.QUERIES, relational2.QUERIES, relational3.QUERIES,
             relational4.QUERIES, pipeline.QUERIES, extensions.QUERIES,
             curation.QUERIES, curation2.QUERIES, curation3.QUERIES,
             curation4.QUERIES, curation5.QUERIES, curation6.QUERIES,
             curation7.QUERIES, curation8.QUERIES, curation9.QUERIES,
-            curation10.QUERIES, curation11.QUERIES, curation12.QUERIES)
+            curation10.QUERIES, curation11.QUERIES, curation12.QUERIES,
+            curation13.QUERIES)
 
 
 # Registry ordering: external harnesses sample a PREFIX of the registry
