@@ -54,30 +54,51 @@ PRUNE_CALLS = 0
 
 
 def may_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
-              key_cols: list[str]) -> bool:
+              key_cols: list[str],
+              nulls: "dict[str, int] | None" = None,
+              rows: "int | None" = None) -> bool:
     """3-valued reduction collapsed to MAY/NO (≙ partialReduce returning
-    TRUE/MAYBE vs FALSE, PartialPredicateOperations.scala:116-384)."""
+    TRUE/MAYBE vs FALSE, PartialPredicateOperations.scala:116-384).
+
+    ``nulls``/``rows`` (round-13, optional) are the file's per-column
+    null counts and row count: they decide the NULL tests for non-key
+    columns (a column with zero nulls cannot satisfy IS NULL; one that
+    is all-NULL cannot satisfy IS NOT NULL or any comparison)."""
     op = pred[0].lower()
     if op == "and":
-        return all(may_match(p, mins, maxs, key_cols) for p in pred[1:])
+        return all(may_match(p, mins, maxs, key_cols, nulls, rows)
+                   for p in pred[1:])
     if op == "or":
-        return any(may_match(p, mins, maxs, key_cols) for p in pred[1:])
+        return any(may_match(p, mins, maxs, key_cols, nulls, rows)
+                   for p in pred[1:])
     if op == "not":
         # Without MUST tracking, NOT is conservatively satisfiable except
         # over the two null tests on key columns, which are decidable.
         inner = pred[1]
         if inner[0].lower() == "isnull":
-            return may_match(("isnotnull", inner[1]), mins, maxs, key_cols)
+            return may_match(("isnotnull", inner[1]), mins, maxs,
+                             key_cols, nulls, rows)
         if inner[0].lower() == "isnotnull":
-            return may_match(("isnull", inner[1]), mins, maxs, key_cols)
+            return may_match(("isnull", inner[1]), mins, maxs,
+                             key_cols, nulls, rows)
         return MAY
 
     col = pred[1]
+    nc = None if nulls is None else nulls.get(col)
+    if op == "isnull":
+        # Key columns are non-nullable (HBaseRelation.scala:668);
+        # otherwise a recorded zero null count is just as decisive.
+        return NO if (col in key_cols or nc == 0) else MAY
+    if op == "isnotnull":
+        return NO if (nc is not None and rows is not None
+                      and nc >= rows and col not in key_cols) else MAY
     if col not in mins or col not in maxs:
-        # No stats for this column (non-key or missing) → cannot prune.
-        if op == "isnull":
-            # Key columns are non-nullable (HBaseRelation.scala:668).
-            return NO if col in key_cols else MAY
+        # No stats box for this column → cannot prune on values —
+        # unless the file is provably all-NULL in it (comparisons are
+        # never TRUE on NULL).
+        if nc is not None and rows is not None and nc >= rows \
+                and col not in key_cols:
+            return NO
         return MAY
     lo, hi = mins[col], maxs[col]
 
@@ -103,36 +124,39 @@ def may_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
         # against int stats — valid SQL, Spark casts row-level). The box
         # can't decide: degrade to MAY, never abort the statement.
         return MAY
-    if op == "isnull":
-        return NO if col in key_cols else MAY
-    if op == "isnotnull":
-        return MAY
     raise ValueError(f"unknown predicate op: {op}")
 
 
 def must_match(pred: tuple, mins: dict[str, Any], maxs: dict[str, Any],
-               key_cols: list[str]) -> bool:
+               key_cols: list[str],
+               nulls: "dict[str, int] | None" = None,
+               rows: "int | None" = None) -> bool:
     """ALL-rows reduction (round-12): True only when EVERY row in the
     file's bounding box provably satisfies the predicate — the
     Iceberg-style 'fully contained file' test that lets a range COUNT
     answer contained files from metadata row counts and scan only
     boundary files. Sound, incomplete: False means 'cannot prove',
-    never 'no row matches'. Decidable only over KEY columns (non-null
-    by construction — a NULL would make the atom UNKNOWN, not TRUE)
-    with recorded min/max stats; expects NNF input (``to_nnf``) — a
-    surviving NOT is conservatively False."""
+    never 'no row matches'. Decidable over KEY columns (non-null by
+    construction — a NULL would make the atom UNKNOWN, not TRUE) and,
+    since round 13, over any column whose recorded null count is ZERO
+    for this file (``nulls``; a file-local non-null proof is just as
+    strong). Expects NNF input (``to_nnf``) — a surviving NOT is
+    conservatively False."""
     op = pred[0].lower()
     if op == "and":
-        return all(must_match(p, mins, maxs, key_cols) for p in pred[1:])
+        return all(must_match(p, mins, maxs, key_cols, nulls, rows)
+                   for p in pred[1:])
     if op == "or":
-        return any(must_match(p, mins, maxs, key_cols) for p in pred[1:])
+        return any(must_match(p, mins, maxs, key_cols, nulls, rows)
+                   for p in pred[1:])
     if op == "not":
         return False
     col = pred[1]
-    if col not in key_cols:
+    nc = None if nulls is None else nulls.get(col)
+    if col not in key_cols and nc != 0:
         return False            # nullable: TRUE-for-all not provable
     if op == "isnotnull":
-        return True             # key columns are non-nullable
+        return True             # proven non-null (key or zero nulls)
     if op == "isnull":
         return False
     if col not in mins or col not in maxs:
@@ -208,7 +232,8 @@ def prune_files(files: list[dict[str, Any]], pred: tuple | None,
 
     pred = to_nnf(pred)
     return [f for f in files
-            if may_match(pred, f.get("min", {}), f.get("max", {}), key_cols)
+            if may_match(pred, f.get("min", {}), f.get("max", {}),
+                         key_cols, f.get("nulls"), f.get("rows"))
             and _bloom.may_match(pred, f.get("bloom", {}))]
 
 

@@ -2211,7 +2211,12 @@ def _route_metadata_count_range(session, statement: str):
     if parsed is None:
         return None               # later routers record their reasons
     pred, pcols, _n = parsed
-    if not any(c in tbl.key_cols for c in pcols):
+    # A MUST-decidable atom needs stats: a key column always, or
+    # (round-13) any column the extended footer harvest recorded a
+    # box + null count for — checked per file by must_match itself;
+    # this gate only asks whether there is any chance of benefit.
+    stat_cols = set(tbl.files[0].get("min", {})) if tbl.files else set()
+    if not any(c in tbl.key_cols or c in stat_cols for c in pcols):
         return None               # no MUST-decidable atom: no benefit
     if _view_is_shadowed(session, name):
         session.last_select_route = {"route": None,
@@ -2226,7 +2231,8 @@ def _route_metadata_count_range(session, statement: str):
     boundary: list = []
     for f in tbl.files:
         if not pruning.may_match(nnf, f.get("min", {}), f.get("max", {}),
-                                 tbl.key_cols) \
+                                 tbl.key_cols, f.get("nulls"),
+                                 f.get("rows")) \
                 or not _bloom.may_match(nnf, f.get("bloom", {})):
             continue
         if "rows" not in f:
@@ -2234,11 +2240,17 @@ def _route_metadata_count_range(session, statement: str):
                 "route": None, "reason": "index-missing-rowcounts"}
             return None
         if pruning.must_match(nnf, f.get("min", {}), f.get("max", {}),
-                              tbl.key_cols):
+                              tbl.key_cols, f.get("nulls"),
+                              f.get("rows")):
             meta_total += int(f["rows"])
             contained += 1
         else:
             boundary.append(f)
+    if contained == 0 and len(boundary) == len(tbl.files):
+        # No file is covered and none is pruned (e.g. a non-key atom
+        # on an uncorrelated column): the route would just be a plain
+        # filtered scan — take the normal path instead.
+        return None
     session.last_select_route = {
         "route": "metadata-count-range",
         "files_total": len(tbl.files), "files_read": len(boundary),
@@ -2954,7 +2966,7 @@ def _prune_main_refs(session, statement: str,
             derived_via.setdefault(tgt, []).append(
                 f"{cat_refs[src][1]}.{scol}")
 
-    swaps: list = []     # (ref, qual, resolved, pred, via, only_derived)
+    swaps: list = []     # (ref, qual, resolved, pred, via, opportunistic)
     for idx in sorted(set(per_ref) | set(derived)):
         r, qual, resolved = cat_refs[idx]
         tbl = catalog.get_table(resolved)
@@ -2965,14 +2977,24 @@ def _prune_main_refs(session, statement: str,
             continue             # outer-join soundness (see docstring)
         pcols = {c for p in plist for c in p[1]}
         blooms = set(_bloom.bloom_cols(tbl.properties))
-        if not (pcols & set(tbl.key_cols) or pcols & blooms
-                or idx in derived):
+        keyed = bool(pcols & set(tbl.key_cols) or pcols & blooms)
+        # Round-13: the extended footer harvest records min/max boxes
+        # for NON-key columns too, so a literal atom on such a column
+        # is a pruning OPPORTUNITY (it pays off exactly when the
+        # column correlates with the physical layout — Z-order, write
+        # clustering, natural time/key correlation). Opportunistic
+        # references are swapped only when classification actually
+        # removes files; guaranteed access paths keep their
+        # unconditional swap.
+        stat_cols = set(tbl.files[0].get("min", {})) if tbl.files \
+            else set()
+        if not (keyed or idx in derived or pcols & stat_cols):
             continue             # no access path on this reference
         if _view_is_shadowed(session, resolved):
             continue             # user view wins — never bypass it
         swaps.append((r, qual, resolved, pred,
                       sorted(set(derived_via.get(idx, []))) or None,
-                      idx in derived and idx not in per_ref))
+                      not keyed))
     if not swaps:
         return _decline("join-prune:no-routable-atom")
     views: list[str] = []
@@ -2980,17 +3002,18 @@ def _prune_main_refs(session, statement: str,
     audit_tables: dict = {}
     total_read = total_all = 0
     try:
-        for r, qual, resolved, pred, via, only_derived in swaps:
+        for r, qual, resolved, pred, via, opportunistic in swaps:
             stats: dict = {}
             df = pruning.scan(session.spark, catalog, resolved, pred,
                               stats_out=stats, residual=False)
             if via:
                 stats["derived_from"] = via
-            if only_derived \
+            if opportunistic \
                     and stats["files_read"] >= stats["files_total"]:
-                # The derived range covered every file and the
-                # reference has no literal atom: the swap would be a
-                # no-op relation — leave the reference alone.
+                # No guaranteed access path (derived range / non-key
+                # stats atom only) and classification removed nothing:
+                # the swap would be a no-op relation — leave the
+                # reference alone.
                 continue
             view = f"__jprune_{uuid.uuid4().hex}"
             df.createOrReplaceTempView(view)

@@ -147,3 +147,77 @@ def test_must_match_implies_every_row_true(pred, rows):
     nnf = to_nnf(pred)
     if must_match(nnf, mins, maxs, key_cols=COLS):
         assert all(eval_pred(nnf, row) is True for row in rows)
+
+
+# --- round-13: extended footer stats (non-key boxes + null counts) --
+
+def test_null_count_aware_may_and_must_match():
+    """may_match decides the NULL tests from per-file null counts
+    (zero nulls => IS NULL prunes; all-null => comparisons and IS NOT
+    NULL prune), and must_match certifies non-key columns whose null
+    count is zero for the file."""
+    from heracles_spark.pruning import may_match, must_match, to_nnf
+
+    mins, maxs = {"v": 10, "k": 0}, {"v": 20, "k": 9}
+    # zero nulls: IS NULL can never hold
+    assert may_match(("isnull", "v"), mins, maxs, ["k"],
+                     {"v": 0}, 100) is False
+    # some nulls: IS NULL may hold
+    assert may_match(("isnull", "v"), mins, maxs, ["k"],
+                     {"v": 3}, 100) is True
+    # all-null column: comparisons and IS NOT NULL can never hold
+    assert may_match(("isnotnull", "s"), mins, maxs, ["k"],
+                     {"s": 100}, 100) is False
+    assert may_match(("=", "s", 5), mins, maxs, ["k"],
+                     {"s": 100}, 100) is False
+    # without null info everything stays conservative
+    assert may_match(("isnull", "v"), mins, maxs, ["k"]) is True
+    assert may_match(("isnotnull", "s"), mins, maxs, ["k"]) is True
+
+    # must_match: non-key column provably non-null for THIS file
+    assert must_match(to_nnf(("between", "v", 0, 50)), mins, maxs,
+                      ["k"], {"v": 0}, 100) is True
+    assert must_match(to_nnf(("between", "v", 0, 15)), mins, maxs,
+                      ["k"], {"v": 0}, 100) is False   # box not inside
+    # nullable (or unknown) non-key column: never provable
+    assert must_match(to_nnf(("between", "v", 0, 50)), mins, maxs,
+                      ["k"], {"v": 1}, 100) is False
+    assert must_match(to_nnf(("between", "v", 0, 50)), mins, maxs,
+                      ["k"]) is False
+    # key columns keep their round-12 guarantees without null info
+    assert must_match(to_nnf(("between", "k", 0, 9)), mins, maxs,
+                      ["k"]) is True
+
+
+def test_harvest_records_nonkey_boxes_and_null_counts(
+        spark, catalog, tmp_path):
+    """The footer harvest records min/max for every column plus
+    per-column null counts; an all-NULL column contributes its null
+    count but no box."""
+    from pyspark.sql import functions as F
+
+    from heracles_spark import writer
+
+    df = spark.range(100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 3).alias("v"),
+        F.when(F.col("id") % 4 == 0, None)
+         .otherwise(F.col("id").cast("string")).alias("s"),
+        F.lit(None).cast("double").alias("allnull"))
+    catalog.create_table(
+        "hnb", [("k", "bigint"), ("v", "bigint"), ("s", "string"),
+                ("allnull", "double")], ["k"])
+    writer.write_key_organized(spark, catalog, "hnb", df, n_buckets=2)
+    tbl = catalog.get_table("hnb")
+    assert len(tbl.files) == 2
+    tot_nulls = 0
+    for f in tbl.files:
+        assert {"k", "v"} <= set(f["min"]) and {"k", "v"} <= set(f["max"])
+        assert f["min"]["v"] == f["min"]["k"] * 3
+        assert f["max"]["v"] == f["max"]["k"] * 3
+        assert "allnull" not in f["min"]          # no box for all-null
+        nulls = f.get("nulls", {})
+        assert nulls.get("k") == 0 and nulls.get("v") == 0
+        assert nulls.get("allnull") == f["rows"]
+        tot_nulls += nulls.get("s", 0)
+    assert tot_nulls == 25

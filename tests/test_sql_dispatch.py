@@ -1209,14 +1209,16 @@ def test_route_pruned_select_or_disjunctions(hsession, catalog):
     assert sorted(r.k for r in got) == [2, 3, 4, 996, 997, 998, 999]
     assert hsession.last_select_route["route"] == "pruned-scan"
 
-    # OR spanning key and non-key: routes (sound — the non-key branch
-    # is MAY on every file), answer identical to the unrouted path
+    # OR spanning key and non-key: routes, and since round 13 the
+    # non-key branch prunes too when the column's per-file boxes are
+    # selective (v = 2k is layout-correlated here) — answer identical
+    # to the unrouted path
     got = hsession.sql(
         "SELECT k FROM rtor WHERE k < 3 OR v > 1990.0").collect()
     assert sorted(r.k for r in got) == [0, 1, 2, 996, 997, 998, 999]
     assert hsession.last_select_route["route"] == "pruned-scan"
     assert hsession.last_select_route["files_read"] \
-        == hsession.last_select_route["files_total"]
+        < hsession.last_select_route["files_total"]
 
     # pure non-key OR: no routing (nothing to prune on) — advised
     # (the general router is consulted after the simple one and
@@ -1808,13 +1810,28 @@ def test_join_prune_star_schema(hsession, catalog):
     assert hsession.last_select_route == {
         "route": None, "reason": "join-prune:ambiguous-alias"}
 
-    # a non-key, non-bloom conjunct alone must not route (no access
-    # path), and the answer is still right
+    # Round-13: a non-key conjunct on a LAYOUT-CORRELATED column
+    # (v = 2k here) routes opportunistically — the extended footer
+    # harvest records per-file boxes for every column, and the swap
+    # happens exactly when classification removes files. Answer
+    # unchanged.
     n = hsession.sql("SELECT count(*) AS n FROM jf, jd "
                      "WHERE jf.d = jd.d AND jf.v < 100").first().n
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "pruned-scan-join"
+    assert rr["tables"]["jf"]["files_read"] \
+        < rr["tables"]["jf"]["files_total"]
+    assert n == 50
+
+    # ... but an UNCORRELATED non-key conjunct (every file's box
+    # covers the probe) prunes nothing, so no swap happens and the
+    # decline is recorded — the opportunistic path never routes
+    # without benefit.
+    n = hsession.sql("SELECT count(*) AS n FROM jf, jd "
+                     "WHERE jf.d = jd.d AND jf.d < 3").first().n
     assert hsession.last_select_route == {
         "route": None, "reason": "join-prune:no-routable-atom"}
-    assert n == 50
+    assert n == 3 * 800
 
 
 def test_metadata_count_range_covered(hsession, catalog):
@@ -1852,12 +1869,16 @@ def test_metadata_count_range_covered(hsession, catalog):
     assert n == 5900
     assert dict(hsession.last_select_route)["route"] \
         == "metadata-count-range"
-    # predicate without a key atom: not this route, answer still right
+    # Round-13: a NON-KEY atom takes this route too when the extended
+    # footer stats decide it — v mirrors k here (zero nulls, layout-
+    # correlated boxes), so contained files answer from row counts
+    # and the answer is exact across the COW delete above.
     n = hsession.sql("SELECT COUNT(*) AS n FROM mcr WHERE v < 10")\
         .first().n
     assert n == 10
-    assert dict(hsession.last_select_route).get("route") \
-        != "metadata-count-range"
+    rr = dict(hsession.last_select_route)
+    assert rr["route"] == "metadata-count-range"
+    assert rr["files_read"] < rr["files_total"]
     # EXPLAIN ROUTE surfaces the MUST/boundary split metadata-only
     row = hsession.sql("EXPLAIN ROUTE SELECT COUNT(*) FROM mcr "
                        "WHERE k BETWEEN 500 AND 6499").first()

@@ -28,6 +28,8 @@ sys.path.insert(0, ".")
 
 CAPTURED = [
     "lineitem_join_derived_pruned_sql",
+    "orders_nonkey_range_metadata_count",
+    "lineitem_nonkey_pruned_sql",
 ]
 
 _INTERESTING = ("SELECT", "WITH")
@@ -69,12 +71,37 @@ def _spy_records(records):
 def _run(name, fn, spark, sf_dir, disable_r13):
     from heracles_spark import sql as hsql
 
+    import copy
+
+    from heracles_spark.catalog import HeraclesCatalog
+
     records = []
     restore_spy = _spy_records(records)
     saved = {}
+    orig_get = HeraclesCatalog.get_table
     if disable_r13:
         saved["_join_edge_pairs"] = hsql._join_edge_pairs
         hsql._join_edge_pairs = lambda *a, **kw: []
+
+        # Round-12 file index: min/max for KEY columns only, no null
+        # counts — exactly what the round-12 harvest recorded, so the
+        # non-key routes decline the way they did then.
+        def get_table_r12(self, name):
+            tbl = orig_get(self, name)
+            kc = set(tbl.key_cols)
+            t2 = copy.copy(tbl)
+            t2.files = []
+            for f in tbl.files:
+                f2 = dict(f)
+                f2["min"] = {k: v for k, v in f.get("min", {}).items()
+                             if k in kc}
+                f2["max"] = {k: v for k, v in f.get("max", {}).items()
+                             if k in kc}
+                f2.pop("nulls", None)
+                t2.files.append(f2)
+            return t2
+
+        HeraclesCatalog.get_table = get_table_r12
     fail = None
     try:
         fn(spark, sf_dir).collect()
@@ -82,6 +109,7 @@ def _run(name, fn, spark, sf_dir, disable_r13):
         fail = traceback.format_exc(limit=3)
     finally:
         restore_spy()
+        HeraclesCatalog.get_table = orig_get
         for k, v in saved.items():
             setattr(hsql, k, v)
     return records, fail
