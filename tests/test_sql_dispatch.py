@@ -2713,3 +2713,45 @@ def test_join_derived_multi_edge_chain(hsession, catalog):
                 "WHERE o.o_orderkey < 150")
     assert r["tables"]["l"]["derived_from"] == ["o.o_orderkey"]
     assert r["tables"]["o2"]["derived_from"] == ["o.o_orderkey"]
+
+
+def test_merge_source_head_skips_comments_and_hints(hsession, catalog):
+    """Round-12 advisor fix: comment-prefixed (block or line) and
+    paren-space-paren source spellings are valid Spark query heads —
+    the head classifier skips comments/nested parens before deciding,
+    while non-query text still raises before anything executes. (A
+    ``/*+ hint */`` BEFORE the SELECT keyword is not valid Spark SQL —
+    Spark only accepts hints after SELECT — so that spelling now
+    reaches spark.sql and fails with Spark's own ParseException, a
+    loud error rather than the dispatcher's.)"""
+    import pytest
+    from heracles_spark import writer
+    from pyspark.sql import functions as F
+
+    hsession.sql("""CREATE TABLE mhs (k BIGINT, v BIGINT)
+                    TBLPROPERTIES('keyCols'='k')""")
+    writer.write_key_organized(
+        hsession.spark, catalog, "mhs",
+        hsession.spark.range(6).select(
+            F.col("id").alias("k"), F.col("id").alias("v")), n_buckets=1)
+    catalog.register_all(hsession.spark)
+
+    hsession.sql("MERGE INTO mhs t USING "
+                 "(/* audit */ SELECT k FROM mhs WHERE k < 2) s "
+                 "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 90")
+    hsession.sql("MERGE INTO mhs t USING "
+                 "( (SELECT k FROM mhs WHERE k = 2) ) s "
+                 "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 91")
+    hsession.sql("MERGE INTO mhs t USING "
+                 "(-- audit source\n SELECT k FROM mhs WHERE k = 3) s "
+                 "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 92")
+    got = {r.k: r.v for r in
+           hsession.sql("SELECT k, v FROM mhs").collect()}
+    assert got == {0: 90, 1: 90, 2: 91, 3: 92, 4: 4, 5: 5}
+
+    # non-query heads still rejected loudly, comments included
+    with pytest.raises(ValueError, match="USING"):
+        hsession.sql("MERGE INTO mhs t USING "
+                     "(/* x */ DROP TABLE mhs) s "
+                     "ON t.k = s.k WHEN MATCHED THEN UPDATE SET v = 0")
+    assert catalog.table_exists("mhs")
