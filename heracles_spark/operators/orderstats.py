@@ -44,7 +44,9 @@ from pyspark.sql import functions as F
 
 def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
                 weight_col: str | None = None,
-                n_buckets: int = 32) -> DataFrame:
+                n_buckets: int = 32,
+                bounds_hint: "tuple[float, float] | None" = None
+                ) -> DataFrame:
     """Collapse raw rows to the per-group value CDF.
 
     Returns one row per distinct (group, value) with columns
@@ -68,6 +70,18 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
     ``value_col`` must be numeric (all engine callers: prices, counts,
     decimals, day counts). NULL values, if present, take a dedicated
     first bucket (Spark ASC = NULLS FIRST window order).
+
+    ``bounds_hint`` (round-13, optional): a caller-supplied global
+    (min, max) for ``value_col`` — typically read driver-side from the
+    parquet footers of the scanned table, i.e. metadata the input
+    already carries. With a hint the per-group bounds AGGREGATION over
+    the distinct-value relation (one full pass + broadcast join)
+    disappears from the plan: buckets come from the literal bounds and
+    the group totals fold out of the per-bucket totals (≤ groups ×
+    n_buckets rows). EXACTNESS NEVER DEPENDS ON THE HINT: the bucket
+    expression clamps to [0, n_buckets), so any monotone assignment —
+    even from a stale or plain wrong hint — yields the same cum/tot
+    (only bucket balance, i.e. parallelism, varies).
     """
     group_cols = list(group_cols)
     w_expr = (F.count(F.lit(1)) if weight_col is None
@@ -85,21 +99,30 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
            .agg(w_expr.cast("long").alias("w"))
            .localCheckpoint(eager=False))
 
-    bounds = g.groupBy(*group_cols).agg(
-        F.min(vd).alias("__mn"), F.max(vd).alias("__mx"),
-        F.sum("w").alias("tot"))
-    width = (F.col("__mx") - F.col("__mn")) / F.lit(float(n_buckets))
-    bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
-        F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
-            (vd - F.col("__mn"))
-            / F.greatest(width, F.lit(1e-12)))))).cast("int")
-    # group_cols may be empty (whole-relation statistics, e.g. ANALYZE
-    # histograms): bounds is then a single row and the equi-join
-    # degrades to the same broadcast as a crossJoin.
-    b = ((g.crossJoin(F.broadcast(bounds)) if not group_cols
-          else g.join(F.broadcast(bounds), group_cols))
-         .withColumn("__b", bucket)
-         .drop("__mn", "__mx"))
+    if bounds_hint is not None:
+        mn, mx = float(bounds_hint[0]), float(bounds_hint[1])
+        width = max((mx - mn) / float(n_buckets), 1e-12)
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
+                (vd - F.lit(mn)) / F.lit(width))))).cast("int")
+        b = g.withColumn("__b", bucket)
+    else:
+        bounds = g.groupBy(*group_cols).agg(
+            F.min(vd).alias("__mn"), F.max(vd).alias("__mx"),
+            F.sum("w").alias("tot"))
+        width = ((F.col("__mx") - F.col("__mn"))
+                 / F.lit(float(n_buckets)))
+        bucket = F.when(F.col(value_col).isNull(), F.lit(-1)).otherwise(
+            F.least(F.lit(n_buckets - 1), F.greatest(F.lit(0), F.floor(
+                (vd - F.col("__mn"))
+                / F.greatest(width, F.lit(1e-12)))))).cast("int")
+        # group_cols may be empty (whole-relation statistics, e.g.
+        # ANALYZE histograms): bounds is then a single row and the
+        # equi-join degrades to the same broadcast as a crossJoin.
+        b = ((g.crossJoin(F.broadcast(bounds)) if not group_cols
+              else g.join(F.broadcast(bounds), group_cols))
+             .withColumn("__b", bucket)
+             .drop("__mn", "__mx"))
 
     # Per-(group, bucket) totals (≤ groups × n_buckets rows) cumulate
     # into the offsets each bucket's local running sum starts from.
@@ -109,19 +132,33 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
     offs = (btots.withColumn(
                 "__off", F.coalesce(F.sum("__bw").over(wo), F.lit(0)))
                  .select(*group_cols, "__b", "__off"))
+    if bounds_hint is not None:
+        # Group totals fold out of the (tiny) per-bucket relation —
+        # the pass over the distinct-value relation the hint removed.
+        if group_cols:
+            tots = btots.groupBy(*group_cols).agg(
+                F.sum("__bw").alias("tot"))
+        else:
+            tots = btots.groupBy().agg(F.sum("__bw").alias("tot"))
 
     wl = (Window.partitionBy(*group_cols, "__b").orderBy(value_col)
                 .rowsBetween(Window.unboundedPreceding, 0))
-    return (b.withColumn("__lcum", F.sum("w").over(wl))
-             .join(F.broadcast(offs), group_cols + ["__b"])
-             .withColumn("cum", F.col("__off") + F.col("__lcum"))
-             .drop("__b", "__lcum", "__off"))
+    out = (b.withColumn("__lcum", F.sum("w").over(wl))
+            .join(F.broadcast(offs), group_cols + ["__b"])
+            .withColumn("cum", F.col("__off") + F.col("__lcum"))
+            .drop("__b", "__lcum", "__off"))
+    if bounds_hint is not None:
+        out = (out.crossJoin(F.broadcast(tots)) if not group_cols
+               else out.join(F.broadcast(tots), group_cols))
+    return out
 
 
 def grouped_quantile_disc(df: DataFrame, group_cols: Sequence[str],
                           value_col: str, ps: Mapping[str, float],
                           weight_col: str | None = None,
-                          n_col: str | None = "n") -> DataFrame:
+                          n_col: str | None = "n",
+                          bounds_hint: "tuple[float, float] | None" = None
+                          ) -> DataFrame:
     """Exact discrete quantiles per group in ONE pass over the CDF.
 
     ``ps`` maps output column name → quantile p ∈ (0, 1]; each output
@@ -131,7 +168,8 @@ def grouped_quantile_disc(df: DataFrame, group_cols: Sequence[str],
     weight/count.
     """
     group_cols = list(group_cols)
-    c = grouped_cdf(df, group_cols, value_col, weight_col)
+    c = grouped_cdf(df, group_cols, value_col, weight_col,
+                    bounds_hint=bounds_hint)
     aggs = [F.min(F.when(
                 F.col("cum") >= F.ceil(F.lit(p) * F.col("tot")),
                 F.col(value_col))).alias(name)
@@ -143,7 +181,9 @@ def grouped_quantile_disc(df: DataFrame, group_cols: Sequence[str],
 
 def grouped_quantile_cont(df: DataFrame, group_cols: Sequence[str],
                           value_col: str, ps: Mapping[str, float],
-                          n_col: str | None = "n") -> DataFrame:
+                          n_col: str | None = "n",
+                          bounds_hint: "tuple[float, float] | None" = None
+                          ) -> DataFrame:
     """Exact INTERPOLATED quantiles (PERCENTILE_CONT / Spark
     ``percentile`` / DuckDB ``quantile_cont`` semantics: row rank
     r = 1 + p·(n−1) over the ordered multiset, linear interpolation
@@ -156,7 +196,8 @@ def grouped_quantile_cont(df: DataFrame, group_cols: Sequence[str],
     (identical expression order as the SQL oracle form:
     lo + (r−⌊r⌋)·(hi−lo))."""
     group_cols = list(group_cols)
-    c = grouped_cdf(df, group_cols, value_col)
+    c = grouped_cdf(df, group_cols, value_col,
+                    bounds_hint=bounds_hint)
     aggs = [F.max("tot").alias("__n")]
     for name, p in ps.items():
         r = F.lit(1.0) + F.lit(p) * (F.col("tot").cast("double") - 1.0)
@@ -178,7 +219,9 @@ def grouped_quantile_cont(df: DataFrame, group_cols: Sequence[str],
 
 def grouped_equidepth_histogram(df: DataFrame, group_cols: Sequence[str],
                                 value_col: str, n_buckets: int,
-                                weight_col: str | None = None) -> DataFrame:
+                                weight_col: str | None = None,
+                                bounds_hint: "tuple[float, float] | None"
+                                = None) -> DataFrame:
     """Equi-depth (equi-height) histogram per group — the optimizer
     statistic every cost-based planner keeps (e.g. Spark's own ANALYZE
     TABLE histograms), computed exactly in one CDF pass.
@@ -199,7 +242,8 @@ def grouped_equidepth_histogram(df: DataFrame, group_cols: Sequence[str],
     aggregate over the distinct-value relation. Never buffers a group.
     """
     group_cols = list(group_cols)
-    c = grouped_cdf(df, group_cols, value_col, weight_col)
+    c = grouped_cdf(df, group_cols, value_col, weight_col,
+                    bounds_hint=bounds_hint)
     depth = F.expr(f"(cum * {int(n_buckets)} + tot - 1) div tot")
     return (c.withColumn("bucket", depth.cast("int"))
              .groupBy(*group_cols, "bucket")
@@ -259,14 +303,17 @@ def grouped_rank_row(df: DataFrame, group_cols: Sequence[str],
 def grouped_median(df: DataFrame, group_cols: Sequence[str],
                    value_col: str, weight_col: str | None = None,
                    out_col: str = "median",
-                   total_col: str | None = None) -> DataFrame:
+                   total_col: str | None = None,
+                   bounds_hint: "tuple[float, float] | None" = None
+                   ) -> DataFrame:
     """Exact (optionally weighted) median per group: the first value
     whose cumulative weight reaches half the total, decided by the
     cross-multiplied integer test ``2·cum ≥ tot`` (no halving
     division, no float rank). ``total_col`` (if set) also returns the
     group's total weight."""
     group_cols = list(group_cols)
-    c = grouped_cdf(df, group_cols, value_col, weight_col)
+    c = grouped_cdf(df, group_cols, value_col, weight_col,
+                    bounds_hint=bounds_hint)
     aggs = [F.min(F.when(F.col("cum") * 2 >= F.col("tot"),
                          F.col(value_col))).alias(out_col)]
     if total_col is not None:
@@ -291,3 +338,52 @@ def grouped_mad(df: DataFrame, group_cols: Sequence[str], value_col: str,
     mad = grouped_median(dev, group_cols, "__ad",
                          weight_col=weight_col, out_col=mad_col)
     return med.join(mad, group_cols)
+
+
+def parquet_footer_bounds(path: str, col: str):
+    """Global (min, max) of ``col`` from the parquet footers under
+    ``path`` — metadata the input files already carry, read
+    driver-side in milliseconds (no Spark job, no data pages). Honors
+    the engine's bench-mirror redirection (``layout.resolve``), so the
+    bounds come from the files the query will actually scan. Returns
+    None when any row group lacks min/max for the column — the caller
+    then lets :func:`grouped_cdf` compute bounds in-plan. Exactness
+    never depends on the returned value (see ``grouped_cdf``:
+    bucketing clamps, so a wrong hint only unbalances buckets)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from heracles_spark import layout
+
+    path = layout.resolve(path)
+    if os.path.isdir(path):
+        paths = []
+        for root, _, names in os.walk(path):
+            paths += [os.path.join(root, fn) for fn in sorted(names)
+                      if fn.endswith(".parquet")]
+    else:
+        paths = [path]
+    mn = mx = None
+    try:
+        for p in paths:
+            md = pq.ParquetFile(p).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    c = g.column(ci)
+                    if c.path_in_schema != col:
+                        continue
+                    st = c.statistics
+                    if st is None or not st.has_min_max:
+                        return None
+                    mn = st.min if mn is None or st.min < mn else mn
+                    mx = st.max if mx is None or st.max > mx else mx
+    except (OSError, ValueError, TypeError):
+        return None
+    if mn is None or mx is None:
+        return None
+    try:
+        return float(mn), float(mx)
+    except (TypeError, ValueError):
+        return None

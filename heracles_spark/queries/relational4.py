@@ -679,13 +679,21 @@ def lineitem_quantile_disc(spark, sf_dir):
     — per-task work O(|distinct prices|), not O(rows per group)
     (round-8 rewrite of the raw-row row_number form, which sorted
     every row of a group in one task)."""
-    from heracles_spark.operators.orderstats import grouped_quantile_disc
+    from heracles_spark.operators.orderstats import (
+        grouped_quantile_disc, parquet_footer_bounds)
 
     li = _t(spark, sf_dir, "lineitem")
+    # Round-13 (guide §6): global value bounds read driver-side from
+    # the parquet footers — metadata the scan's own files carry —
+    # remove the per-group bounds pass over the distinct-value
+    # relation from the plan. Exactness never depends on the hint
+    # (grouped_cdf clamps buckets; A/B asserted identical rows).
     return (grouped_quantile_disc(
                 li.select("l_returnflag", "l_extendedprice"),
                 ["l_returnflag"], "l_extendedprice",
-                {"p25": 0.25, "p50": 0.5, "p75": 0.75})
+                {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+                bounds_hint=parquet_footer_bounds(
+                    f"{sf_dir}/lineitem.parquet", "l_extendedprice"))
             .orderBy("l_returnflag"))
 
 
@@ -701,13 +709,17 @@ def lineitem_percentile_cont(spark, sf_dir):
     values only, and interpolation is a 3-row select. Oracle computes
     the IDENTICAL expression (same operation order) from the same
     cumulative counts."""
-    from heracles_spark.operators.orderstats import grouped_quantile_cont
+    from heracles_spark.operators.orderstats import (
+        grouped_quantile_cont, parquet_footer_bounds)
 
     li = _t(spark, sf_dir, "lineitem")
+    # Footer-bounds hint: see lineitem_quantile_disc (guide §6).
     q = grouped_quantile_cont(
         li.select("l_returnflag", "l_extendedprice"),
         ["l_returnflag"], "l_extendedprice",
-        {"p50": 0.5, "p95": 0.95})
+        {"p50": 0.5, "p95": 0.95},
+        bounds_hint=parquet_footer_bounds(
+            f"{sf_dir}/lineitem.parquet", "l_extendedprice"))
     return (q.select("l_returnflag", "n",
                      F.round("p50", 4).alias("p50"),
                      F.round("p95", 4).alias("p95"))
@@ -785,13 +797,16 @@ def lineitem_equidepth_hist(spark, sf_dir):
     sort exists — the statistics pass itself follows the engine's
     100 TB order-statistics discipline."""
     from heracles_spark.operators.orderstats import (
-        grouped_equidepth_histogram)
+        grouped_equidepth_histogram, parquet_footer_bounds)
 
     li = _t(spark, sf_dir, "lineitem")
+    # Footer-bounds hint: see lineitem_quantile_disc (guide §6).
     return (grouped_equidepth_histogram(
                 li.select("l_returnflag", "l_linestatus",
                           "l_extendedprice"),
-                ["l_returnflag", "l_linestatus"], "l_extendedprice", 8)
+                ["l_returnflag", "l_linestatus"], "l_extendedprice", 8,
+                bounds_hint=parquet_footer_bounds(
+                    f"{sf_dir}/lineitem.parquet", "l_extendedprice"))
             .orderBy("l_returnflag", "l_linestatus", "bucket"))
 
 

@@ -30,6 +30,9 @@ CAPTURED = [
     "lineitem_join_derived_pruned_sql",
     "orders_nonkey_range_metadata_count",
     "lineitem_nonkey_pruned_sql",
+    "lineitem_percentile_cont",
+    "lineitem_quantile_disc",
+    "lineitem_equidepth_hist",
 ]
 
 _INTERESTING = ("SELECT", "WITH")
@@ -79,9 +82,15 @@ def _run(name, fn, spark, sf_dir, disable_r13):
     restore_spy = _spy_records(records)
     saved = {}
     orig_get = HeraclesCatalog.get_table
+    from heracles_spark.operators import orderstats as _os
+
+    saved_fb = _os.parquet_footer_bounds
     if disable_r13:
         saved["_join_edge_pairs"] = hsql._join_edge_pairs
         hsql._join_edge_pairs = lambda *a, **kw: []
+        # Footer-bounds hint off: grouped_cdf computes bounds in-plan
+        # (the round-12 shape for the order-stats queries).
+        _os.parquet_footer_bounds = lambda *a, **kw: None
 
         # Round-12 file index: min/max for KEY columns only, no null
         # counts — exactly what the round-12 harvest recorded, so the
@@ -104,12 +113,31 @@ def _run(name, fn, spark, sf_dir, disable_r13):
         HeraclesCatalog.get_table = get_table_r12
     fail = None
     try:
-        fn(spark, sf_dir).collect()
+        out_df = fn(spark, sf_dir)
+        out_df.collect()
+        # DataFrame-API queries never pass through HeraclesSession.sql
+        # — record the returned relation's own formatted plan so the
+        # evidence exists for them too (Exchange/Scan counts).
+        if not records:
+            try:
+                mode = spark._jvm.org.apache.spark.sql.execution \
+                    .ExplainMode.fromString("formatted")
+                plan = out_df._jdf.queryExecution().explainString(mode)
+            except Exception as e:
+                plan = f"<explain failed: {e}>"
+            n_ex = plan.count("Exchange")
+            n_scan = plan.count("Scan parquet") + plan.count(
+                "Scan ExistingRDD")
+            records.append({
+                "stmt": f"<DataFrame-API query {name}; plan summary: "
+                        f"{n_ex} Exchange nodes, {n_scan} scans>",
+                "route": {}, "err": None, "plan": plan})
     except Exception:
         fail = traceback.format_exc(limit=3)
     finally:
         restore_spy()
         HeraclesCatalog.get_table = orig_get
+        _os.parquet_footer_bounds = saved_fb
         for k, v in saved.items():
             setattr(hsql, k, v)
     return records, fail
