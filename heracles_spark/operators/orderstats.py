@@ -254,7 +254,9 @@ def grouped_equidepth_histogram(df: DataFrame, group_cols: Sequence[str],
 
 def grouped_rank_row(df: DataFrame, group_cols: Sequence[str],
                      value_col: str, tiebreak_cols: Sequence[str],
-                     target_rank=None) -> DataFrame:
+                     target_rank=None,
+                     bounds_hint: "tuple[float, float] | None" = None
+                     ) -> DataFrame:
     """Select the ROW at a global per-group rank under the ordering
     ``(value_col ASC, *tiebreak_cols ASC)`` — without ever sorting a
     group's full row set in one task (round-9 judge ask: the Theil-Sen
@@ -277,7 +279,12 @@ def grouped_rank_row(df: DataFrame, group_cols: Sequence[str],
     ``tot`` (the group size). Rows with equal (value, tiebreaks) are
     interchangeable by construction. NULL ``value_col`` rows are
     EXCLUDED up front (ranks are over non-null values — a selected
-    NULL could never survive the equi-join back to its tie set)."""
+    NULL could never survive the equi-join back to its tie set).
+
+    ``bounds_hint``: forwarded to :func:`grouped_cdf` — a sound global
+    (min, max) for ``value_col`` removes the bounds pass over the
+    distinct-value relation; exactness never depends on it (bucket
+    clamping)."""
     group_cols = list(group_cols)
     df = df.where(F.col(value_col).isNotNull())
     if target_rank is None:
@@ -285,7 +292,7 @@ def grouped_rank_row(df: DataFrame, group_cols: Sequence[str],
             .cast("long")        # lower median: (tot + 1) div 2
     else:
         target = target_rank(F.col("tot")).cast("long")
-    c = grouped_cdf(df, group_cols, value_col)
+    c = grouped_cdf(df, group_cols, value_col, bounds_hint=bounds_hint)
     sel = (c.withColumn("__target", target)
             .where((F.col("cum") >= F.col("__target"))
                    & (F.col("cum") - F.col("w") < F.col("__target")))
@@ -338,6 +345,25 @@ def grouped_mad(df: DataFrame, group_cols: Sequence[str], value_col: str,
     mad = grouped_median(dev, group_cols, "__ad",
                          weight_col=weight_col, out_col=mad_col)
     return med.join(mad, group_cols)
+
+
+def spread_bounds_hint(df: DataFrame, col: str,
+                       pad: float = 1.0):
+    """Sound global bounds for a DIFFERENCE of two values of ``col``:
+    one tiny aggregation over ``df`` (callers pass a span-sized,
+    already-checkpointed relation) gives (min, max), and any x−y of
+    two values lies in ±(max−min). Used to hint the CDF walk over
+    derived difference/slope columns (e.g. Theil-Sen pairwise slopes
+    with integer den ≥ 1) without a bounds pass over the quadratic
+    relation. Returns None when ``df`` is empty or all-NULL; exactness
+    never depends on the value (see ``grouped_cdf``: bucket clamping).
+    """
+    row = df.agg(F.min(F.col(col).cast("double")),
+                 F.max(F.col(col).cast("double"))).first()
+    if row is None or row[0] is None:
+        return None
+    spread = float(row[1]) - float(row[0])
+    return (-spread - pad, spread + pad)
 
 
 def parquet_footer_bounds(path: str, col: str):

@@ -430,8 +430,17 @@ def events_theil_sen_trend(spark, sf_dir):
                                        F.col("den").cast("double"))))
     # Lower median at rank (P+1) div 2 under (slope, num, den) — the
     # same total order as before, now rank-selected via the CDF walk.
+    # Slope bounds from the span-sized hourly relation (one tiny agg
+    # over the checkpointed series): |y2−y1| ≤ ymax−ymin and den ≥ 1,
+    # so every slope lies in ±(ymax−ymin). The hint removes the CDF
+    # walk's bounds pass over the distinct-slope relation (round-13
+    # grouped_cdf bounds_hint; exactness never depends on it —
+    # bucketing clamps, a loose bound only costs balance).
+    from heracles_spark.operators.orderstats import spread_bounds_hint
+
     med = grouped_rank_row(pairs, ["event_type"], "slope",
-                           ["num", "den"])
+                           ["num", "den"],
+                           bounds_hint=spread_bounds_hint(hourly, "y"))
     npts = (hourly.groupBy("event_type")
                   .agg(F.count(F.lit(1)).alias("n_points")))
     return (med.join(F.broadcast(npts), "event_type")

@@ -306,3 +306,37 @@ def test_grouped_rank_row_null_values_excluded(spark):
     got = grouped_rank_row(df, ["g"], "v", ["t"]).collect()
     assert len(got) == 1
     assert got[0].v == 1.0 and got[0].tot == 2   # lower median of {1,2}
+
+
+def test_grouped_rank_row_bounds_hint_identical(spark):
+    """Round-13: a bounds_hint — exact, loose, or plain wrong — never
+    changes grouped_rank_row's output (bucket clamping), it only
+    removes the bounds pass; and spread_bounds_hint is sound for
+    difference columns (every x−y lies inside it)."""
+    import random
+
+    from heracles_spark.operators.orderstats import (grouped_rank_row,
+                                                     spread_bounds_hint)
+
+    rnd = random.Random(13)
+    rows = [(g, float(rnd.choice([0.0, 1.5, 2.25, -3.0, 8.0])),
+             rnd.randrange(20), rnd.randrange(20))
+            for g in ("a", "b") for _ in range(400)]
+    df = spark.createDataFrame(
+        rows, "g string, slope double, num int, den int")
+    base = sorted(map(tuple, grouped_rank_row(
+        df, ["g"], "slope", ["num", "den"]).collect()))
+    for hint in ((-3.0, 8.0), (-1000.0, 1000.0), (5.0, 6.0)):
+        got = sorted(map(tuple, grouped_rank_row(
+            df, ["g"], "slope", ["num", "den"],
+            bounds_hint=hint).collect()))
+        assert got == base, hint
+    # spread_bounds_hint soundness on the difference domain
+    lo, hi = spread_bounds_hint(df.select("slope"), "slope")
+    vals = [r[1] for r in rows]
+    for x in vals[:50]:
+        for y in vals[:50]:
+            assert lo <= x - y <= hi
+    # empty / all-NULL inputs decline the hint
+    empty = spark.createDataFrame([], "slope double")
+    assert spread_bounds_hint(empty, "slope") is None

@@ -33,6 +33,7 @@ CAPTURED = [
     "lineitem_percentile_cont",
     "lineitem_quantile_disc",
     "lineitem_equidepth_hist",
+    "events_theil_sen_trend",
 ]
 
 _INTERESTING = ("SELECT", "WITH")
@@ -85,12 +86,14 @@ def _run(name, fn, spark, sf_dir, disable_r13):
     from heracles_spark.operators import orderstats as _os
 
     saved_fb = _os.parquet_footer_bounds
+    saved_sb = _os.spread_bounds_hint
     if disable_r13:
         saved["_join_edge_pairs"] = hsql._join_edge_pairs
         hsql._join_edge_pairs = lambda *a, **kw: []
-        # Footer-bounds hint off: grouped_cdf computes bounds in-plan
-        # (the round-12 shape for the order-stats queries).
+        # Bounds hints off: grouped_cdf computes bounds in-plan
+        # (the round-12 shape for the order-stats/Theil-Sen queries).
         _os.parquet_footer_bounds = lambda *a, **kw: None
+        _os.spread_bounds_hint = lambda *a, **kw: None
 
         # Round-12 file index: min/max for KEY columns only, no null
         # counts — exactly what the round-12 harvest recorded, so the
@@ -138,6 +141,7 @@ def _run(name, fn, spark, sf_dir, disable_r13):
         restore_spy()
         HeraclesCatalog.get_table = orig_get
         _os.parquet_footer_bounds = saved_fb
+        _os.spread_bounds_hint = saved_sb
         for k, v in saved.items():
             setattr(hsql, k, v)
     return records, fail
