@@ -791,7 +791,8 @@ def with_gopher_rules(df: DataFrame, text_col: str = "text",
 
 
 def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
-                         min_len: int = 2) -> DataFrame:
+                         min_len: int = 2,
+                         top_k: int | None = None) -> DataFrame:
     """Distributed Kneser-Ney bigram LM estimation (Kneser & Ney 1995;
     Chen & Goodman 1998 eq. 4.25 with one absolute discount) — the
     TRAINING side of the CCNet-style LM quality filter (lm_score is
@@ -821,6 +822,18 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
     corpus-sized shuffle); the four stat relations and the final joins
     are bigram-TYPE-sized (Heaps-bounded, ≪ corpus at 100 TB). The
     bigram relation is lineage-truncated once for its four consumers.
+
+    ``top_k`` (round-13): return only the ``top_k`` bigram types under
+    (c12 DESC, w1, w2) — the head is taken from the bigram-count
+    relation BEFORE the stat joins, so the type-sized join shuffles
+    collapse to broadcast lookups. Result-identical to limiting the
+    full relation under the same order: the ranking key is computed
+    entirely within the count relation, every stat relation still
+    derives from the FULL corpus, and each count row joins exactly one
+    row of each stat relation (they are aggregations of this very
+    relation), so probabilities are unchanged. Output order is NOT
+    guaranteed — callers apply their own ORDER BY (now over ≤ top_k
+    rows).
     """
     toks = F.filter(
         F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
@@ -852,7 +865,10 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
             / F.col("c1").cast("double")
             * (F.col("fan_in").cast("double")
                / F.col("n_types").cast("double")))
-    return (bc.join(left, "w1").join(right, "w2")
+    head = bc
+    if top_k is not None:
+        head = bc.orderBy(F.desc("c12"), "w1", "w2").limit(top_k)
+    return (head.join(left, "w1").join(right, "w2")
               .crossJoin(F.broadcast(tot))
               .select("w1", "w2", "c12", "c1", "fan_out", "fan_in",
                       "n_types", "n1", "n2",
@@ -860,7 +876,8 @@ def kneser_ney_bigram_lm(df: DataFrame, text_col: str = "text",
 
 
 def kneser_ney_trigram_lm(df: DataFrame, text_col: str = "text",
-                          min_len: int = 2) -> DataFrame:
+                          min_len: int = 2,
+                          top_k: int | None = None) -> DataFrame:
     """Interpolated trigram Kneser-Ney (Chen & Goodman 1998 eq. 4.25,
     recursion depth 3) — the full KenLM model shape, distributed. The
     ONLY corpus-sized stage is one explode → combinable groupBy to
@@ -890,6 +907,13 @@ def kneser_ney_trigram_lm(df: DataFrame, text_col: str = "text",
     Scale: trigram types are Heaps-bounded; the stat relations and
     joins are all type-sized. The trigram and adjusted-bigram
     relations are lineage-truncated once for their multiple consumers.
+
+    ``top_k`` (round-13): return only the ``top_k`` trigram types under
+    (c123 DESC, w1, w2, w3), taken from the trigram-count relation
+    BEFORE the stat joins — same correctness argument as the bigram
+    operator's ``top_k`` (ranking key lives in the count relation;
+    stats derive from the FULL corpus; 1:1 joins), same caveat (no
+    output order guarantee).
     """
     toks = F.filter(
         F.transform(F.split(F.trim(F.col(text_col)), r"\s+"),
@@ -943,7 +967,10 @@ def kneser_ney_trigram_lm(df: DataFrame, text_col: str = "text",
              / F.col("c12").cast("double")
              + d3 * F.col("fan12").cast("double")
              / F.col("c12").cast("double") * p_mid)
-    return (tc.join(c12, ["w1", "w2"]).join(cont23, ["w2", "w3"])
+    head = tc
+    if top_k is not None:
+        head = tc.orderBy(F.desc("c123"), "w1", "w2", "w3").limit(top_k)
+    return (head.join(c12, ["w1", "w2"]).join(cont23, ["w2", "w3"])
               .join(c2tot, "w2").join(c3, "w3")
               .crossJoin(F.broadcast(tot3))
               .crossJoin(F.broadcast(tot2))

@@ -330,7 +330,10 @@ def doc_kn_bigram_lm(spark, sf_dir):
     from heracles_spark.operators.text import kneser_ney_bigram_lm
 
     d = _t(spark, sf_dir, "documents")
-    return (kneser_ney_bigram_lm(d, "text", min_len=2)
+    # top_k pushes the (c12 DESC, w1, w2) head BELOW the stat joins
+    # (result-identical — see the operator's contract); the outer
+    # ORDER BY then sorts 20 rows.
+    return (kneser_ney_bigram_lm(d, "text", min_len=2, top_k=20)
             .orderBy(F.desc("c12"), "w1", "w2")
             .limit(20))
 
@@ -600,7 +603,10 @@ def doc_kn_trigram_lm(spark, sf_dir):
     from heracles_spark.operators.text import kneser_ney_trigram_lm
 
     d = _t(spark, sf_dir, "documents")
-    return (kneser_ney_trigram_lm(d, "text", min_len=2)
+    # top_k pushes the (c123 DESC, w1, w2, w3) head BELOW the four
+    # stat joins (result-identical — see the operator's contract);
+    # the outer ORDER BY then sorts 20 rows.
+    return (kneser_ney_trigram_lm(d, "text", min_len=2, top_k=20)
             .orderBy(F.desc("c123"), "w1", "w2", "w3")
             .limit(20))
 

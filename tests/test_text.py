@@ -678,3 +678,32 @@ def test_kneser_ney_trigram_lm_exact(spark):
     # two-token docs contribute nothing (no trigram, documented)
     df2 = spark.createDataFrame([("aa bb",)], "text: string")
     assert text.kneser_ney_trigram_lm(df2, "text").count() == 0
+
+
+def test_kneser_ney_topk_pushdown_identical(spark):
+    """Round-13: top_k takes the (count DESC, words) head BEFORE the
+    stat joins — must equal limiting the FULL relation under the same
+    order, probabilities included (stats derive from the full corpus
+    either way), for both LM orders and for k beyond the type count."""
+    from heracles_spark.operators import text
+
+    docs = [
+        "the cat sat on the mat the cat ran",
+        "the dog sat on the log the dog ran away fast",
+        "a cat and a dog sat on a mat",
+        "the cat sat on the mat again and again",
+    ]
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    for fn, order in (
+            (text.kneser_ney_bigram_lm,
+             lambda d: d.orderBy(F.desc("c12"), "w1", "w2")),
+            (text.kneser_ney_trigram_lm,
+             lambda d: d.orderBy(F.desc("c123"), "w1", "w2", "w3"))):
+        for k in (1, 5, 10_000):
+            base = [tuple(r) for r in
+                    order(fn(df, "text")).limit(k).collect()]
+            topk = sorted(
+                (tuple(r) for r in fn(df, "text", top_k=k).collect()),
+                key=lambda t: base.index(t) if t in base else -1)
+            assert sorted(map(repr, base)) == sorted(map(repr, topk)), \
+                (fn.__name__, k)

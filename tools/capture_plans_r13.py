@@ -34,6 +34,8 @@ CAPTURED = [
     "lineitem_quantile_disc",
     "lineitem_equidepth_hist",
     "events_theil_sen_trend",
+    "doc_kn_bigram_lm",
+    "doc_kn_trigram_lm",
 ]
 
 _INTERESTING = ("SELECT", "WITH")
@@ -85,8 +87,11 @@ def _run(name, fn, spark, sf_dir, disable_r13):
     orig_get = HeraclesCatalog.get_table
     from heracles_spark.operators import orderstats as _os
 
+    from heracles_spark.operators import text as _tx
+
     saved_fb = _os.parquet_footer_bounds
     saved_sb = _os.spread_bounds_hint
+    saved_kn = (_tx.kneser_ney_bigram_lm, _tx.kneser_ney_trigram_lm)
     if disable_r13:
         saved["_join_edge_pairs"] = hsql._join_edge_pairs
         hsql._join_edge_pairs = lambda *a, **kw: []
@@ -94,6 +99,17 @@ def _run(name, fn, spark, sf_dir, disable_r13):
         # (the round-12 shape for the order-stats/Theil-Sen queries).
         _os.parquet_footer_bounds = lambda *a, **kw: None
         _os.spread_bounds_hint = lambda *a, **kw: None
+
+        # KN top_k pushdown off: full type-sized joins, limit on top
+        # (the round-12 shape).
+        def _bi12(df, text_col="text", min_len=2, top_k=None):
+            return saved_kn[0](df, text_col, min_len, top_k=None)
+
+        def _tri12(df, text_col="text", min_len=2, top_k=None):
+            return saved_kn[1](df, text_col, min_len, top_k=None)
+
+        _tx.kneser_ney_bigram_lm = _bi12
+        _tx.kneser_ney_trigram_lm = _tri12
 
         # Round-12 file index: min/max for KEY columns only, no null
         # counts — exactly what the round-12 harvest recorded, so the
@@ -142,6 +158,7 @@ def _run(name, fn, spark, sf_dir, disable_r13):
         HeraclesCatalog.get_table = orig_get
         _os.parquet_footer_bounds = saved_fb
         _os.spread_bounds_hint = saved_sb
+        _tx.kneser_ney_bigram_lm, _tx.kneser_ney_trigram_lm = saved_kn
         for k, v in saved.items():
             setattr(hsql, k, v)
     return records, fail
