@@ -115,8 +115,9 @@ _FILE_WEIGHTS = {
     "test_multiwriter_process.py": 18.0,
 }
 _DEFAULT_WEIGHT = 14.0
-# Files split at test-id granularity (independent parametrized tests).
-_SPLIT_FILES = {"test_queries.py": 3}
+# Files split at test-id granularity (independent tests: function-
+# scoped fixtures only, no cross-test module state).
+_SPLIT_FILES = {"test_queries.py": 4, "test_sql_dispatch.py": 2}
 _ALLOWED_FLAGS = {"-x", "-q", "-qq", "-v", "-ra", "-rA", "-rN"}
 
 
@@ -128,13 +129,15 @@ def pytest_collection_modifyitems(config, items):
     spec = os.environ.get(_SUBSHARD_ENV)
     if not spec:
         return
-    fname, keep_s, n_s = spec.rsplit(":", 2)
-    keep_set = {int(x) for x in keep_s.split(",")}
-    n = int(n_s)
+    rules = {}                       # file -> (keep_set, n)
+    for part in spec.split(";"):
+        fname, keep_s, n_s = part.rsplit(":", 2)
+        rules[fname] = ({int(x) for x in keep_s.split(",")}, int(n_s))
     kept, dropped = [], []
     for it in items:
-        if os.path.basename(str(it.fspath)) == fname \
-                and _subshard_keep(it.nodeid, n) not in keep_set:
+        rule = rules.get(os.path.basename(str(it.fspath)))
+        if rule is not None \
+                and _subshard_keep(it.nodeid, rule[1]) not in rule[0]:
             dropped.append(it)
         else:
             kept.append(it)
@@ -173,11 +176,9 @@ def _worker_cmd_env(tests_dir: str, flags: list, units: list):
     env = dict(os.environ)
     env[_WORKER_ENV] = "1"
     if sub:
-        if len(sub) > 1:          # one split file supported per worker
-            raise RuntimeError("shard plan put two split files together")
-        (f, n), buckets = next(iter(sub.items()))
-        env[_SUBSHARD_ENV] = \
+        env[_SUBSHARD_ENV] = ";".join(
             f"{f}:{','.join(map(str, sorted(buckets)))}:{n}"
+            for (f, n), buckets in sorted(sub.items()))
     cmd = [sys.executable, "-m", "pytest", *flags,
            *(os.path.join(tests_dir, f) for f in files)]
     return cmd, env
@@ -188,7 +189,12 @@ def _run_sharded(tests_dir: str, flags: list) -> int:
     import subprocess
     import time
 
-    n = int(os.environ.get(_SHARDS_ENV, "6"))
+    # The suite is driver-latency-bound, not CPU-bound (an 8-worker
+    # full run keeps ~7.5 of 32 cores busy), so wall time scales with
+    # worker count until the longest single unit dominates; 10 workers
+    # with the two big files split keeps every shard under the
+    # verification budget even in a slow VM window.
+    n = int(os.environ.get(_SHARDS_ENV, "10"))
     plan = _shard_plan(tests_dir, max(1, n))
     t0 = time.time()
     procs = []
