@@ -129,17 +129,23 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
     btots = b.groupBy(*group_cols, "__b").agg(F.sum("w").alias("__bw"))
     wo = (Window.partitionBy(*group_cols).orderBy("__b")
                 .rowsBetween(Window.unboundedPreceding, -1))
-    offs = (btots.withColumn(
-                "__off", F.coalesce(F.sum("__bw").over(wo), F.lit(0)))
-                 .select(*group_cols, "__b", "__off"))
+    offs = btots.withColumn(
+        "__off", F.coalesce(F.sum("__bw").over(wo), F.lit(0)))
+    off_cols = [*group_cols, "__b", "__off"]
     if bounds_hint is not None:
         # Group totals fold out of the (tiny) per-bucket relation —
         # the pass over the distinct-value relation the hint removed.
-        if group_cols:
-            tots = btots.groupBy(*group_cols).agg(
-                F.sum("__bw").alias("tot"))
-        else:
-            tots = btots.groupBy().agg(F.sum("__bw").alias("tot"))
+        # The total rides the SAME per-(group, bucket) relation as the
+        # offsets (a whole-partition window next to the running sum,
+        # one more column over ≤ groups × n_buckets rows), so the ONE
+        # broadcast join below attaches both — not a second broadcast
+        # exchange + join + two aggregate stages (guide §2.4).
+        wt = (Window.partitionBy(*group_cols)
+                    .rowsBetween(Window.unboundedPreceding,
+                                 Window.unboundedFollowing))
+        offs = offs.withColumn("tot", F.sum("__bw").over(wt))
+        off_cols.append("tot")
+    offs = offs.select(*off_cols)
 
     wl = (Window.partitionBy(*group_cols, "__b").orderBy(value_col)
                 .rowsBetween(Window.unboundedPreceding, 0))
@@ -147,9 +153,6 @@ def grouped_cdf(df: DataFrame, group_cols: Sequence[str], value_col: str,
             .join(F.broadcast(offs), group_cols + ["__b"])
             .withColumn("cum", F.col("__off") + F.col("__lcum"))
             .drop("__b", "__lcum", "__off"))
-    if bounds_hint is not None:
-        out = (out.crossJoin(F.broadcast(tots)) if not group_cols
-               else out.join(F.broadcast(tots), group_cols))
     return out
 
 

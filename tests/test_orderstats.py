@@ -340,3 +340,30 @@ def test_grouped_rank_row_bounds_hint_identical(spark):
     # empty / all-NULL inputs decline the hint
     empty = spark.createDataFrame([], "slope double")
     assert spread_bounds_hint(empty, "slope") is None
+
+
+def test_grouped_cdf_hint_single_broadcast(spark):
+    """Round-13 (second pass): with a bounds_hint the offsets AND the
+    group totals ride ONE broadcast relation — the plan carries a
+    single broadcast join, not an offsets join plus a totals join
+    (guide §2.4: one fewer broadcast exchange + two fewer aggregate
+    stages per CDF query). Values stay identical to the no-hint path."""
+    import random
+
+    from heracles_spark.operators.orderstats import grouped_cdf
+
+    rnd = random.Random(131)
+    rows = [(g, float(rnd.randrange(100)))
+            for g in ("a", "b", "c") for _ in range(500)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    base = sorted(map(tuple, grouped_cdf(df, ["g"], "v").collect()))
+    hinted = grouped_cdf(df, ["g"], "v", bounds_hint=(0.0, 99.0))
+    assert sorted(map(tuple, hinted.collect())) == base
+    plan = (hinted._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])       # AQE echoes both
+    assert plan.count("BroadcastHashJoin") == 1
+    # whole-relation (empty group_cols) hint path stays sound too
+    whole = grouped_cdf(df.select("v"), [], "v", bounds_hint=(0.0, 99.0))
+    base_whole = sorted(map(tuple,
+                            grouped_cdf(df.select("v"), [], "v").collect()))
+    assert sorted(map(tuple, whole.collect())) == base_whole
