@@ -189,12 +189,13 @@ def _run_sharded(tests_dir: str, flags: list) -> int:
     import subprocess
     import time
 
-    # The suite is driver-latency-bound, not CPU-bound (an 8-worker
-    # full run keeps ~7.5 of 32 cores busy), so wall time scales with
-    # worker count until the longest single unit dominates; 10 workers
-    # with the two big files split keeps every shard under the
-    # verification budget even in a slow VM window.
-    n = int(os.environ.get(_SHARDS_ENV, "10"))
+    # The suite is driver-latency-bound, not CPU-bound (a full run
+    # keeps ~8% of 32 cores busy — 12.7 CPU-min over 155 worker-min),
+    # so wall time scales with worker count until the longest single
+    # unit dominates. Same-window A/B: 10 workers 931s vs 12 workers
+    # 745s (872 passed both, slowest shard 12:05), so 12 is the
+    # default; memory headroom is ample (each worker is local[8]).
+    n = int(os.environ.get(_SHARDS_ENV, "12"))
     plan = _shard_plan(tests_dir, max(1, n))
     t0 = time.time()
     procs = []
