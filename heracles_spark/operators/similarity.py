@@ -984,7 +984,14 @@ def random_projection_micro(df: DataFrame, k: int, dim: int,
     ANN / near-dup shuffle by dim/k. The sign matrix is a constant
     folded into the plan (k×dim literal array), not a join side."""
     signs = jl_sign_matrix(k, dim, salt)
-    slit = F.array(*[F.array(*[F.lit(s) for s in row]) for row in signs])
+    # ONE parsed literal, not k×dim nested F.lit()/F.array() calls:
+    # every Column constructor is a py4j roundtrip, so building a
+    # 16×64 sign matrix column-by-column costs seconds of driver time
+    # per fresh plan (round-13 §C8 A/B: 6-10 s nested vs <10 ms
+    # parsed, identical value and schema — array<array<int>>).
+    slit = F.expr("array(" + ",".join(
+        "array(" + ",".join(str(s) for s in row) + ")"
+        for row in signs) + ")")
     proj = F.transform(
         F.sequence(F.lit(1), F.lit(k)),
         lambda j: F.aggregate(
